@@ -1,0 +1,168 @@
+"""Driver-facing query registry: each entry pairs a Ray Data pipeline
+(callable of ``sf_dir``) with an equivalent ANSI-SQL oracle for DuckDB.
+
+Column names are aligned between both sides (the driver hashes values with
+columns sorted by name).  Triples results expose (subj, pred, obj).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from .aliases import alias_values_sql
+from .mapping import direct_mapping
+from .pipelines.kg import documents_mapping, kg_construct
+from .stages.emit import EmitTriples
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+BASE = "http://example.com/base/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def read_table(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# KG construction queries
+# ---------------------------------------------------------------------------
+
+def _nation_mapping():
+    schema = pa.schema(
+        [
+            pa.field("n_nationkey", pa.int32()),
+            pa.field("n_name", pa.string()),
+            pa.field("n_regionkey", pa.int32()),
+        ]
+    )
+    return direct_mapping({"nation": schema}, {"nation": ["n_nationkey"]}, base=BASE)
+
+
+def q_kg_direct_nation(sf_dir: str) -> rd.Dataset:
+    """Direct mapping (reference ``r2r_mapping.py:50-147`` semantics) of the
+    ``nation`` table to triples."""
+    ds = read_table(sf_dir, "nation")
+    mapping = _nation_mapping()
+    out = ds.map_batches(EmitTriples(mapping, "nation"), batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
+def _sql_kg_direct_nation() -> str:
+    s = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    return f"""
+SELECT subj, pred, obj FROM (
+  SELECT {s} AS subj, '<{RDF_TYPE}>' AS pred, '<{BASE}nation>' AS obj FROM nation
+  UNION ALL
+  SELECT {s}, '<{BASE}nation#n_nationkey>',
+         '"' || CAST(n_nationkey AS VARCHAR) || '"^^<{XSD_INT}>' FROM nation
+  UNION ALL
+  SELECT {s}, '<{BASE}nation#n_name>', n_name FROM nation WHERE n_name IS NOT NULL
+  UNION ALL
+  SELECT {s}, '<{BASE}nation#n_regionkey>',
+         '"' || CAST(n_regionkey AS VARCHAR) || '"^^<{XSD_INT}>' FROM nation
+) t
+"""
+
+
+def q_kg_doc_meta(sf_dir: str) -> rd.Dataset:
+    """Document-metadata triples (documents mapping, no entity linking)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    mapping = documents_mapping()
+    out = ds.map_batches(EmitTriples(mapping, "documents"), batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
+def _sql_kg_doc_meta() -> str:
+    s = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT subj, pred, obj FROM (
+  SELECT {s} AS subj, '<{RDF_TYPE}>' AS pred, '<http://kg.ex/c/Document>' AS obj FROM documents
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/lang>', lang FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/source>', source FROM documents WHERE source IS NOT NULL
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/n_chars>',
+         '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' FROM documents
+) t
+"""
+
+
+def q_kg_mentions(sf_dir: str) -> rd.Dataset:
+    """Entity linking + canonicalization: distinct (doc, mentions, entity)
+    triples over ``documents.text`` via the actor-pool linker."""
+    import ray
+
+    from .aliases import alias_table, canonical_map
+    from .pipelines.kg import AddSubject, MENTIONS_PRED, mentions_to_triples
+    from .stages.canonicalize import CanonicalRewrite
+    from .stages.dedup import distinct_on
+    from .stages.linker import EntityLinker
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    mapping = documents_mapping()
+    ds = ds.map_batches(AddSubject(mapping, "documents"), batch_format="pyarrow")
+    alias_ref = ray.put(alias_table())
+    mentions = ds.select_columns(["subj", "text"]).map_batches(
+        EntityLinker,
+        fn_constructor_kwargs=dict(alias_ref=alias_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    mentions = mentions.map_batches(
+        CanonicalRewrite(canonical_map(), columns=["entity"]),
+        batch_format="pyarrow",
+    )
+    trips = mentions.map_batches(mentions_to_triples, batch_format="pyarrow")
+    return distinct_on(trips, ["subj", "pred", "obj"])
+
+
+def _sql_kg_mentions() -> str:
+    return f"""
+SELECT DISTINCT
+  '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS subj,
+  '<http://kg.ex/p/mentions>' AS pred,
+  '<' || entity || '>' AS obj
+FROM documents, {alias_values_sql()}
+WHERE regexp_matches(text, '\\b' || alias || '\\b')
+"""
+
+
+def q_kg_full_documents(sf_dir: str) -> rd.Dataset:
+    """Flagship: full KG construction over ``documents`` (metadata triples +
+    canonicalized mention triples, exact-dedup materialization)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
+    triples = kg_construct(ds, documents_mapping(), "documents", linker_concurrency=4)
+    return triples.select_columns(["subj", "pred", "obj"])
+
+
+def _sql_kg_full_documents() -> str:
+    return f"""
+SELECT DISTINCT subj, pred, obj FROM (
+  {_sql_kg_doc_meta().strip().rstrip()}
+  UNION ALL
+  {_sql_kg_mentions().strip()}
+)
+"""
+
+
+def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
+    return {
+        "kg_direct_nation": q_kg_direct_nation,
+        "kg_doc_meta": q_kg_doc_meta,
+        "kg_mentions": q_kg_mentions,
+        "kg_full_documents": q_kg_full_documents,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "kg_direct_nation": _sql_kg_direct_nation(),
+        "kg_doc_meta": _sql_kg_doc_meta(),
+        "kg_mentions": _sql_kg_mentions(),
+        "kg_full_documents": _sql_kg_full_documents(),
+    }

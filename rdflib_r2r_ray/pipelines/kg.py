@@ -1,0 +1,187 @@
+"""Flagship pipeline: Ray-Data-native knowledge-graph construction.
+
+read_parquet(pages/documents)
+  → map_batches(ExtractText)                 # html→text, byte-identical per url  [stateless]
+  → map_batches(AddSubject)                  # mint page/doc subject IRI          [stateless]
+  → map_batches(EntityLinker, concurrency=N) # mentions + link scores        [ACTOR POOL]
+  → map_batches(EmitTriples)                 # R2RML-style term maps → (s,p,o)    [stateless]
+  → CanonicalRewrite(entity→min-IRI)         # union-find merge, broadcast map
+  → distinct (s,p,o) groupby                 # SHUFFLE: exact dedup / materialize
+  → write_parquet(partitioned by hash(subj))
+
+This is the Ray Data reinterpretation of the reference's full-graph
+materialization (UNION ALL per TriplesMap×pomap,
+``docs/test-results/sqlite-rdb2rdf/DirectGraphTC0014.md:7-60``) over
+Common-Crawl-style web-page tables (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..aliases import alias_table, canonical_map
+from ..mapping import Mapping, PredicateObjectMap, TermMap, TriplesMap
+from ..stages.canonicalize import CanonicalRewrite
+from ..stages.dedup import dedupe_triples
+from ..stages.emit import TRIPLE_SCHEMA, EmitTriples, term_array
+from ..stages.extract import ExtractText
+from ..stages.linker import EntityLinker
+
+KG = "http://kg.ex/"
+MENTIONS_PRED = KG + "p/mentions"
+
+
+def documents_mapping(base: str = KG) -> Mapping:
+    """Mapping rules for the driver testdata ``documents`` table
+    (doc_id, text, lang, source, n_chars)."""
+    tm = TriplesMap(
+        name="documents",
+        table="documents",
+        subject=TermMap(kind="template", template=base + "doc/{doc_id}", term_type="iri"),
+        pomaps=(
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant(base + "p/lang"),
+                object=TermMap(kind="column", column="lang"),
+            ),
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant(base + "p/source"),
+                object=TermMap(kind="column", column="source"),
+            ),
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant(base + "p/n_chars"),
+                object=TermMap(kind="column", column="n_chars"),
+            ),
+        ),
+        classes=(base + "c/Document",),
+    )
+    return Mapping(triples_maps=(tm,), base=base)
+
+
+def pages_mapping(base: str = KG) -> Mapping:
+    """Mapping rules for the F1 ``pages`` fixture (url, warc_ts, text, lang):
+    subject = the page url itself (column term map, termType IRI)."""
+    tm = TriplesMap(
+        name="pages",
+        table="pages",
+        subject=TermMap(kind="column", column="url", term_type="iri"),
+        pomaps=(
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant(base + "p/lang"),
+                object=TermMap(kind="column", column="lang"),
+            ),
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant(base + "p/crawl_ts"),
+                object=TermMap(kind="column", column="warc_ts"),
+            ),
+        ),
+        classes=(base + "c/Page",),
+    )
+    return Mapping(triples_maps=(tm,), base=base)
+
+
+class AddSubject:
+    """Adds the minted subject IRI as a ``subj`` column (input to the
+    linker), reusing the mapping's subject term map."""
+
+    def __init__(self, mapping: Mapping, table: str):
+        tms = [tm for tm in mapping.triples_maps if tm.table == table]
+        assert len(tms) == 1
+        self.tm = tms[0]
+        self.base = mapping.base
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj = term_array(self.tm.subject, batch, self.base, "s", self.tm.table)
+        if "subj" in batch.column_names:
+            batch = batch.drop_columns(["subj"])
+        return batch.append_column("subj", subj)
+
+
+def mentions_to_triples(batch: pa.Table) -> pa.Table:
+    """mention rows → (subj, <mentions>, <entity>) triples."""
+    n = len(batch)
+    obj = pc.binary_join_element_wise("<", batch["entity"].combine_chunks()
+                                      if isinstance(batch["entity"], pa.ChunkedArray)
+                                      else batch["entity"], ">", "")
+    return pa.table(
+        {
+            "subj": batch["subj"],
+            "pred": pa.array([f"<{MENTIONS_PRED}>"] * n, pa.string()),
+            "obj": obj,
+            "graph": pa.array([None] * n, pa.string()),
+        },
+        schema=TRIPLE_SCHEMA,
+    )
+
+
+def kg_construct(
+    ds: rd.Dataset,
+    mapping: Mapping,
+    table: str,
+    *,
+    alias_rows: Optional[List[Tuple[str, str, float]]] = None,
+    text_col: str = "text",
+    has_html: bool = False,
+    linker_concurrency: int = 4,
+    dedup: bool = True,
+) -> rd.Dataset:
+    """Full KG-construction pipeline over one logical table; returns the
+    triples Dataset (subj, pred, obj, graph)."""
+    if has_html:
+        # autoscaling pool (1, N): never reserves every CPU, so the read /
+        # downstream stages keep running (starvation pitfall in ray_guide)
+        ds = ds.map_batches(
+            ExtractText, batch_format="pyarrow", concurrency=(1, linker_concurrency)
+        )
+    ds = ds.map_batches(AddSubject(mapping, table), batch_format="pyarrow")
+
+    doc_triples = ds.map_batches(EmitTriples(mapping, table), batch_format="pyarrow")
+
+    if alias_rows is None:
+        alias_rows = alias_table()
+    alias_ref = ray.put(alias_rows)
+    mentions = ds.select_columns(["subj", text_col]).map_batches(
+        EntityLinker,
+        fn_constructor_kwargs=dict(alias_ref=alias_ref, subj_col="subj", text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, linker_concurrency),
+    )
+
+    # canonicalization: union-find over the (small) duplicate-entity edge
+    # list; the broadcast min-IRI map is tiny, so the rewrite runs as
+    # stateless tasks (instance, not actor pool)
+    canon = canonical_map()
+    mentions = mentions.map_batches(
+        CanonicalRewrite(canon, columns=["entity"]),
+        batch_format="pyarrow",
+    )
+    mention_triples = mentions.map_batches(mentions_to_triples, batch_format="pyarrow")
+
+    triples = doc_triples.union(mention_triples)
+    if dedup:
+        triples = dedupe_triples(triples)
+    return triples
+
+
+def materialize_triples(
+    triples: rd.Dataset, out_dir: str, num_partitions: int = 16
+) -> None:
+    """Write the graph partitioned by hash(subj) — the resumable output
+    layout (one directory per key range; see state.manifest)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        parts = pa.array(
+            [zlib.crc32(s.encode()) % num_partitions for s in batch["subj"].to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("part", parts)
+
+    withp = triples.map_batches(add_part, batch_format="pyarrow")
+    withp.write_parquet(out_dir, partition_cols=["part"])

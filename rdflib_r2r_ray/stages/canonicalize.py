@@ -1,0 +1,150 @@
+"""Entity canonicalization: duplicate-entity merging with union-find and
+deterministic min-IRI canonical selection, plus the salted-shuffle utilities
+that defuse head-entity skew (BASELINE north_star).
+
+Design for 10^12-doc scale:
+
+- Merge-edge discovery runs over the (small) alias dictionary / entity
+  evidence, NOT over the corpus: mention groups produce local edges; only the
+  edge list reaches the driver's union-find (SURVEY.md §7.4).  For edge lists
+  too large for one node, ``label_propagation_components`` provides a
+  shuffle-based min-label fixpoint.
+- The canonical map (entity → min-IRI-of-component) is broadcast with
+  ``ray.put`` and applied inside ``map_batches`` via dictionary-encoding:
+  each batch rewrites only its *distinct* values — O(distinct) Python work,
+  O(n) vectorized recompose — instead of a corpus-wide shuffle join.
+- ``salted_groupby_count`` shows the two-stage (salt → de-salt) aggregation
+  used wherever a groupby key follows a power law (head entities appear in a
+  large fraction of rows).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..aliases import UnionFind
+
+
+def components_union_find(edges: Iterable[Tuple[str, str]]) -> Dict[str, str]:
+    """Driver-side union-find; returns node → component-min (identity omitted).
+
+    Use when the edge list is small relative to the corpus (the common case:
+    edges are per-entity, not per-document)."""
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    return {n: r for n in list(uf.parent) if (r := uf.find(n)) != n}
+
+
+def label_propagation_components(
+    edges: rd.Dataset, max_iters: int = 20
+) -> rd.Dataset:
+    """Distributed connected components over an edge Dataset ``(a, b)`` via
+    iterative min-label propagation (each round: label(x) = min over
+    neighbourhood; implemented as flat edge expansion + groupby-min).
+    Converges in O(diameter) rounds; for entity-dup graphs the diameter is
+    tiny.  Returns Dataset ``(node, label)`` with label = component min."""
+
+    def seed(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [batch["a"].combine_chunks(), batch["b"].combine_chunks()]
+        )
+        label = pa.concat_arrays(
+            [
+                pc.min_element_wise(batch["a"].combine_chunks(), batch["b"].combine_chunks()),
+            ]
+            * 2
+        )
+        return pa.table({"node": node, "label": label})
+
+    labels = edges.map_batches(seed, batch_format="pyarrow")
+    labels = labels.groupby("node").min("label").rename_columns(["node", "label"])
+    edges_m = edges.materialize()
+    for _ in range(max_iters):
+        lab_map = {r["node"]: r["label"] for r in labels.take_all()}
+        ref = ray.put(lab_map)
+
+        def relabel(batch: pa.Table, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            la = [m.get(x, x) for x in a]
+            lb = [m.get(x, x) for x in b]
+            lo = [x if x < y else y for x, y in zip(la, lb)]
+            return pa.table(
+                {
+                    "node": pa.array(a + b, pa.string()),
+                    "label": pa.array(lo + lo, pa.string()),
+                }
+            )
+
+        new = edges_m.map_batches(relabel, batch_format="pyarrow")
+        new = new.groupby("node").min("label").rename_columns(["node", "label"])
+        new_map = {r["node"]: r["label"] for r in new.take_all()}
+        if new_map == lab_map:
+            break
+        labels = new
+    return labels
+
+
+class CanonicalRewrite:
+    """``map_batches`` callable rewriting IRI columns through the broadcast
+    canonical map, vectorized via dictionary encoding (rewrite distinct
+    values once per batch)."""
+
+    def __init__(self, canon_ref, columns: Sequence[str]):
+        self.canon: Dict[str, str] = (
+            ray.get(canon_ref) if isinstance(canon_ref, ray.ObjectRef) else dict(canon_ref)
+        )
+        self.columns = list(columns)
+
+    def _rewrite(self, arr: pa.Array) -> pa.Array:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        d = arr.dictionary_encode()
+        vocab = d.dictionary.to_pylist()
+        canon = self.canon
+        new_vocab = pa.array([None if v is None else canon.get(v, v) for v in vocab], pa.string())
+        return pc.take(new_vocab, d.indices)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for c in self.columns:
+            if c in batch.column_names:
+                i = batch.column_names.index(c)
+                batch = batch.set_column(i, c, self._rewrite(batch[c]))
+        return batch
+
+
+def salted_groupby_count(
+    ds: rd.Dataset, key: str, count_col: str = "n", salt_buckets: int = 32
+) -> rd.Dataset:
+    """Skew-safe ``groupby(key).count()``: pre-aggregate per (key, salt) —
+    the salt spreads a head key over ``salt_buckets`` reducers — then a tiny
+    de-salt groupby sums the partials.  With the per-batch combiner below the
+    first shuffle already moves only one row per (key, salt, batch)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: one output row per distinct key in the batch
+        t = pa.table({key: batch[key]})
+        g = t.group_by(key).aggregate([(key, "count")])
+        counts = g[f"{key}_count"]
+        salt = pc.bit_wise_and(pc.hash64(g[key]) if hasattr(pc, "hash64") else _py_hash(g[key]), salt_buckets - 1)
+        return pa.table({key: g[key], "salt": pc.cast(salt, pa.int32()), count_col: pc.cast(counts, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    desalted = partials.groupby([key, "salt"]).sum(count_col)
+    col = f"sum({count_col})"
+    out = desalted.groupby(key).sum(col)
+    return out.rename_columns([key, count_col])
+
+
+def _py_hash(arr: pa.Array) -> pa.Array:
+    import zlib
+
+    return pa.array([zlib.crc32(str(v).encode()) for v in arr.to_pylist()], pa.int64())

@@ -1,0 +1,179 @@
+"""Mapping-semantics conformance: the vectorized Arrow emit stage vs the
+pure-Python per-row oracle over the F3 micro-tables (W3C rdb2rdf-suite
+shapes, `old_tests/test_rdb2rdf.py:155-217` pattern).  Comparison is
+set-equality; blank nodes are constructed identically on both paths so no
+isomorphism machinery is needed."""
+
+import pyarrow as pa
+import pytest
+
+from rdflib_r2r_ray.fixtures import micro_primary_keys, micro_tables, rows_of
+from rdflib_r2r_ray.mapping import (
+    Mapping,
+    PredicateObjectMap,
+    TermMap,
+    TriplesMap,
+    direct_mapping,
+)
+from rdflib_r2r_ray.oracle import oracle_triples
+from rdflib_r2r_ray.stages.emit import emit_triples_batch
+
+BASE = "http://example.com/base/"
+
+
+def _emit_all(mapping: Mapping, tables):
+    got = []
+    for tm_table, batch in tables.items():
+        tmaps = [t for t in mapping.triples_maps if t.table == tm_table]
+        if not tmaps:
+            continue
+        t = emit_triples_batch(batch, tmaps, mapping.base)
+        got.extend(
+            zip(
+                t["subj"].to_pylist(),
+                t["pred"].to_pylist(),
+                t["obj"].to_pylist(),
+                t["graph"].to_pylist(),
+            )
+        )
+    return got
+
+
+def _check_table(name: str):
+    tables = micro_tables()
+    pks = micro_primary_keys()
+    schemas = {name: tables[name].schema}
+    mapping = direct_mapping(schemas, {name: pks[name]}, base=BASE)
+    got = set(_emit_all(mapping, {name: tables[name]}))
+    want = set(oracle_triples(mapping, {name: rows_of(tables[name])}))
+    assert got == want
+    return mapping, got
+
+
+def test_empty_table_emits_nothing():
+    _, got = _check_table("t_empty")
+    assert got == set()
+
+
+def test_composite_pk_subject_template():
+    _, got = _check_table("t_composite_pk")
+    subs = {s for s, p, o, g in got}
+    assert f"<{BASE}t_composite_pk/k1=1;k2=a>" in subs
+    assert f"<{BASE}t_composite_pk/k1=2;k2=a>" in subs
+
+
+def test_nulls_omit_triples():
+    _, got = _check_table("t_nulls")
+    # id=2 has x NULL -> no #x triple for subject id=2
+    preds_for_2 = {p for s, p, o, g in got if s == f"<{BASE}t_nulls/id=2>"}
+    assert f"<{BASE}t_nulls#x>" not in preds_for_2
+    assert f"<{BASE}t_nulls#y>" in preds_for_2
+    # id=1 has y NULL
+    preds_for_1 = {p for s, p, o, g in got if s == f"<{BASE}t_nulls/id=1>"}
+    assert f"<{BASE}t_nulls#y>" not in preds_for_1
+
+
+def test_typed_literal_lexical_forms():
+    _, got = _check_table("t_types")
+    objs = {o for s, p, o, g in got}
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    assert f'"1"^^<{XSD}integer>' in objs
+    assert f'"1.5"^^<{XSD}double>' in objs
+    assert f'"true"^^<{XSD}boolean>' in objs
+    assert f'"2020-01-02"^^<{XSD}date>' in objs
+    assert f'"2020-01-02T03:04:05"^^<{XSD}dateTime>' in objs
+    assert f'"00FF"^^<{XSD}hexBinary>' in objs
+    assert "hello" in objs  # plain string literal travels raw
+
+
+def test_special_chars_percent_encoded_subject():
+    _, got = _check_table("t_special_chars")
+    subs = {s for s, p, o, g in got}
+    assert f"<{BASE}t_special_chars/key=a%20b%2Fc%28d%29%2Ce%3Af>" in subs
+
+
+def test_bnode_subjects_distinct_for_duplicate_rows():
+    _, got = _check_table("t_nopk")
+    subs = {s for s, p, o, g in got}
+    assert all(s.startswith("_:") for s in subs)
+    # 3 rows (2 identical) -> 3 distinct bnodes (W3C D005 duplicate semantics)
+    assert len(subs) == 3
+
+
+def test_lang_tagged_view_mapping():
+    """R2RMLTC0015a shape: SQL-view logical tables (filter Lan='EN'/'ES')
+    become upstream filters; rr:language decorates literals."""
+    tables = micro_tables()
+    t = tables["t_lang"]
+    tmaps = []
+    for lan, tag in [("EN", "en"), ("ES", "es")]:
+        tmaps.append(
+            TriplesMap(
+                name=f"lang_{tag}",
+                table=f"t_lang_{lan}",
+                subject=TermMap(kind="template", template="http://example.com/{Code}",
+                                term_type="iri"),
+                pomaps=(
+                    PredicateObjectMap(
+                        predicate=TermMap.iri_constant(
+                            "http://www.w3.org/2000/01/rdf-schema#label"),
+                        object=TermMap(kind="column", column="Name", language=tag),
+                    ),
+                ),
+            )
+        )
+    mapping = Mapping(triples_maps=tuple(tmaps), base=BASE)
+    # the "view": upstream filter per logical table
+    views = {
+        "t_lang_EN": t.filter(pa.compute.equal(t["Lan"], "EN")),
+        "t_lang_ES": t.filter(pa.compute.equal(t["Lan"], "ES")),
+    }
+    got = set(_emit_all(mapping, views))
+    # golden per reference docs/test-results/sqlite-rdb2rdf/R2RMLTC0015a.md:27-33
+    want = {
+        ("<http://example.com/BO>", "<http://www.w3.org/2000/01/rdf-schema#label>",
+         '"Bolivia, Plurinational State of"@en', None),
+        ("<http://example.com/BO>", "<http://www.w3.org/2000/01/rdf-schema#label>",
+         '"Estado Plurinacional de Bolivia"@es', None),
+        ("<http://example.com/IE>", "<http://www.w3.org/2000/01/rdf-schema#label>",
+         '"Ireland"@en', None),
+        ("<http://example.com/IE>", "<http://www.w3.org/2000/01/rdf-schema#label>",
+         '"Irlanda"@es', None),
+    }
+    assert got == want
+
+
+def test_fk_ref_object_map_folds_to_child_template():
+    tables = micro_tables()
+    schemas = {"t_parent": tables["t_parent"].schema, "t_child": tables["t_child"].schema}
+    pks = {"t_parent": ["pid"], "t_child": ["cid"]}
+    fks = {"t_child": [(("fk",), "t_parent", ("pid",))]}
+    mapping = direct_mapping(schemas, pks, fks, base=BASE)
+    got = set(
+        _emit_all(mapping, {"t_parent": tables["t_parent"], "t_child": tables["t_child"]})
+    )
+    want = set(
+        oracle_triples(
+            mapping,
+            {"t_parent": rows_of(tables["t_parent"]), "t_child": rows_of(tables["t_child"])},
+        )
+    )
+    assert got == want
+    # the ref pomap minted the PARENT's subject from the CHILD's fk column
+    assert (
+        f"<{BASE}t_child/cid=1>",
+        f"<{BASE}t_child#ref-fk>",
+        f"<{BASE}t_parent/pid=10>",
+        None,
+    ) in got
+
+
+def test_full_direct_mapping_all_micro_tables():
+    tables = micro_tables()
+    pks = micro_primary_keys()
+    schemas = {n: t.schema for n, t in tables.items()}
+    mapping = direct_mapping(schemas, pks, base=BASE)
+    got = set(_emit_all(mapping, tables))
+    want = set(oracle_triples(mapping, {n: rows_of(t) for n, t in tables.items()}))
+    assert got == want
+    assert len(got) > 30

@@ -1,0 +1,36 @@
+"""The per-row invariant (BASELINE.json input_hint): byte-identical extracted
+text per url."""
+
+import pyarrow as pa
+
+from rdflib_r2r_ray.fixtures import pages_table
+from rdflib_r2r_ray.stages.extract import ExtractText, extract_text, make_html
+
+
+def test_extract_inverts_make_html_bytes_identical():
+    pages = pages_table(n=100, seed=7)
+    for url, html, text in zip(
+        pages["url"].to_pylist(), pages["html"].to_pylist(), pages["text"].to_pylist()
+    ):
+        assert extract_text(html) == text, url
+
+
+def test_extract_strips_noise():
+    html = (
+        b"<html><head><title>T</title><style>p{}</style>"
+        b"<script>var x='<p>hi</p>';</script></head>"
+        b"<body><!-- nav --><p>a &amp; b</p>\n<p>c</p></body></html>"
+    )
+    assert extract_text(html) == "a & b c"
+
+
+def test_extract_stage_drops_html_column():
+    pages = pages_table(n=20, seed=3)
+    stage = ExtractText()
+    out = stage(pages.drop_columns(["text"]))
+    assert "html" not in out.column_names
+    assert out["text"].to_pylist() == pages["text"].to_pylist()
+
+
+def test_empty_text_roundtrip():
+    assert extract_text(make_html("", "http://x/")) == ""
