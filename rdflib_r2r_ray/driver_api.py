@@ -111,14 +111,14 @@ def q_kg_mentions(sf_dir: str) -> rd.Dataset:
         EntityLinker,
         fn_constructor_kwargs=dict(alias_ref=alias_ref),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=2,
     )
     mentions = mentions.map_batches(
         CanonicalRewrite(canonical_map(), columns=["entity"]),
         batch_format="pyarrow",
     )
     trips = mentions.map_batches(mentions_to_triples, batch_format="pyarrow")
-    return distinct_on(trips, ["subj", "pred", "obj"])
+    return distinct_on(trips, ["subj", "pred", "obj"]).select_columns(["subj", "pred", "obj"])
 
 
 def _sql_kg_mentions() -> str:
@@ -136,7 +136,7 @@ def q_kg_full_documents(sf_dir: str) -> rd.Dataset:
     """Flagship: full KG construction over ``documents`` (metadata triples +
     canonicalized mention triples, exact-dedup materialization)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
-    triples = kg_construct(ds, documents_mapping(), "documents", linker_concurrency=4)
+    triples = kg_construct(ds, documents_mapping(), "documents", linker_concurrency=2)
     return triples.select_columns(["subj", "pred", "obj"])
 
 

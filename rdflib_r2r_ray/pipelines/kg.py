@@ -119,6 +119,35 @@ def mentions_to_triples(batch: pa.Table) -> pa.Table:
     )
 
 
+class KGEmitter:
+    """Single-pass actor stage: row batch → (mapping triples ∪ canonicalized
+    mention triples).
+
+    The reference materializes the graph as a UNION ALL over rule projections
+    (``DirectGraphTC0014.md:7-60``); computing that union INSIDE one UDF —
+    instead of branching the Dataset — keeps the lineage linear, so the
+    expensive upstream (read, html extraction) executes exactly once.  The
+    alias dictionary + canonical map are broadcast refs dereferenced once per
+    actor in ``__init__``."""
+
+    def __init__(self, mapping: Mapping, table: str, alias_ref, canon_ref,
+                 text_col: str = "text", extract_html: bool = False):
+        self.extract = ExtractText(text_col=text_col) if extract_html else None
+        self.add_subj = AddSubject(mapping, table)
+        self.emit = EmitTriples(mapping, table)
+        self.linker = EntityLinker(alias_ref, subj_col="subj", text_col=text_col)
+        self.canon = CanonicalRewrite(canon_ref, columns=["entity"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.extract is not None:
+            batch = self.extract(batch)
+        batch = self.add_subj(batch)
+        doc_triples = self.emit(batch)
+        mentions = self.canon(self.linker(batch))
+        mention_triples = mentions_to_triples(mentions)
+        return pa.concat_tables([doc_triples, mention_triples]).combine_chunks()
+
+
 def kg_construct(
     ds: rd.Dataset,
     mapping: Mapping,
@@ -127,42 +156,36 @@ def kg_construct(
     alias_rows: Optional[List[Tuple[str, str, float]]] = None,
     text_col: str = "text",
     has_html: bool = False,
-    linker_concurrency: int = 4,
+    linker_concurrency: Optional[int] = None,
     dedup: bool = True,
 ) -> rd.Dataset:
     """Full KG-construction pipeline over one logical table; returns the
-    triples Dataset (subj, pred, obj, graph)."""
-    if has_html:
-        # autoscaling pool (1, N): never reserves every CPU, so the read /
-        # downstream stages keep running (starvation pitfall in ray_guide)
-        ds = ds.map_batches(
-            ExtractText, batch_format="pyarrow", concurrency=(1, linker_concurrency)
-        )
-    ds = ds.map_batches(AddSubject(mapping, table), batch_format="pyarrow")
+    triples Dataset (subj, pred, obj, graph).
 
-    doc_triples = ds.map_batches(EmitTriples(mapping, table), batch_format="pyarrow")
-
+    The single stateful stage (extract + emit + link, one actor pool) is
+    sized as a FIXED pool at ~3/4 of cluster CPUs: Ray Data's autoscaling
+    pools were measured ramping to only ~2.5 actors against a (1, 16) spec,
+    serializing the pipeline; a fixed pool starts all actors up front while
+    the remaining CPUs keep the task stages (read, dedup shuffle) flowing."""
+    if linker_concurrency is None:
+        try:
+            total = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            total = 4
+        linker_concurrency = max(2, (total * 3) // 4)
     if alias_rows is None:
         alias_rows = alias_table()
     alias_ref = ray.put(alias_rows)
-    mentions = ds.select_columns(["subj", text_col]).map_batches(
-        EntityLinker,
-        fn_constructor_kwargs=dict(alias_ref=alias_ref, subj_col="subj", text_col=text_col),
+    canon_ref = ray.put(canonical_map())
+    triples = ds.map_batches(
+        KGEmitter,
+        fn_constructor_kwargs=dict(
+            mapping=mapping, table=table, alias_ref=alias_ref,
+            canon_ref=canon_ref, text_col=text_col, extract_html=has_html,
+        ),
         batch_format="pyarrow",
-        concurrency=(1, linker_concurrency),
+        concurrency=linker_concurrency,
     )
-
-    # canonicalization: union-find over the (small) duplicate-entity edge
-    # list; the broadcast min-IRI map is tiny, so the rewrite runs as
-    # stateless tasks (instance, not actor pool)
-    canon = canonical_map()
-    mentions = mentions.map_batches(
-        CanonicalRewrite(canon, columns=["entity"]),
-        batch_format="pyarrow",
-    )
-    mention_triples = mentions.map_batches(mentions_to_triples, batch_format="pyarrow")
-
-    triples = doc_triples.union(mention_triples)
     if dedup:
         triples = dedupe_triples(triples)
     return triples

@@ -22,51 +22,131 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def _pl():
+    """Import polars with a capped per-process thread pool.
+
+    Polars defaults to one thread per physical core; with N concurrent Ray
+    workers that is N×cores threads thrashing the node (measured 34× CPU
+    inflation on the dedup reduce at 32 workers).  Each Ray worker process
+    gets 2 threads; parallelism comes from Ray tasks, not intra-op threads.
+    Must run before the first polars import in the worker process."""
+    import os
+    import sys
+
+    if "polars" not in sys.modules:
+        os.environ.setdefault("POLARS_MAX_THREADS", "2")
+    import polars as pl
+
+    return pl
+
+
 def local_distinct(batch: pa.Table, keys: Sequence[str]) -> pa.Table:
-    """Within-batch distinct-on-keys keeping the first row (vectorized)."""
+    """Within-batch distinct-on-keys (vectorized; polars hash-based unique —
+    measured ~2-3x faster than an arrow group_by+take on string keys).
+    Row choice among duplicates is arbitrary; schema is preserved."""
     if len(batch) == 0:
         return batch
-    idx = pa.table({k: batch[k] for k in keys}).append_column(
-        "__i", pa.array(np.arange(len(batch)), pa.int64())
+    pl = _pl()
+
+    out = pl.from_arrow(batch).unique(subset=list(keys), keep="any").to_arrow()
+    if out.schema != batch.schema:
+        out = out.cast(batch.schema)
+    return out
+
+
+def _row_hash_bucket(batch: pa.Table, keys: Sequence[str], num_buckets: int) -> pa.Array:
+    """Vectorized row hash over ``keys`` → int32 bucket (polars hash_rows —
+    far cheaper than a sort shuffle over long string keys)."""
+    pl = _pl()
+
+    h = pl.from_arrow(batch.select(list(keys))).hash_rows(seed=0).to_numpy()
+    return pa.array((h % num_buckets).astype("int32"))
+
+
+def _split_by_bucket(tbl: pa.Table, keys: List[str], num_buckets: int):
+    """Map side of the exchange: local distinct (combiner), then partition
+    the block into ``num_buckets`` sub-tables by key hash (sort by the int32
+    bucket + zero-copy slices)."""
+    if tbl.num_rows == 0 or any(k not in tbl.column_names for k in keys):
+        # repartition of a small dataset produces schema-less empty blocks
+        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
+    b = local_distinct(tbl, keys)
+    bucket = _row_hash_bucket(b, keys, num_buckets)
+    order = pc.sort_indices(bucket)
+    b = b.take(order)
+    bucket_sorted = pc.take(bucket, order).to_numpy(zero_copy_only=False)
+    bounds = np.searchsorted(bucket_sorted, np.arange(num_buckets + 1))
+    return tuple(
+        b.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets)
     )
-    first = idx.group_by(list(keys)).aggregate([("__i", "min")])
-    take = pc.sort_indices(first["__i_min"])
-    rows = pc.take(first["__i_min"], take)
-    return batch.take(rows)
 
 
-def distinct_on(ds: rd.Dataset, keys: Sequence[str], payload_min: Sequence[str] = ()) -> rd.Dataset:
-    """Global exact distinct on ``keys``.
+def _merge_distinct(schema: pa.Schema, keys: List[str], *parts: pa.Table) -> pa.Table:
+    tbls = [p for p in parts if p is not None and p.num_rows > 0]
+    if not tbls:
+        return schema.empty_table()
+    return local_distinct(pa.concat_tables(tbls).combine_chunks(), keys)
 
-    Local per-batch dedup, then ``groupby(keys)`` with a ``min`` aggregate per
-    payload column (for pure key-only relations this is just the groupby).
-    Output columns: ``keys + payload_min``.
+
+def distinct_on(
+    ds: rd.Dataset, keys: Sequence[str], num_buckets: int = 0
+) -> rd.Dataset:
+    """Global exact distinct on ``keys`` (full rows kept; row choice among
+    duplicates is arbitrary).
+
+    Implemented as an explicit two-stage hash exchange with raw Ray tasks —
+    the one place the Dataset API is deliberately bypassed: Ray Data's
+    ``groupby`` is a sort-based shuffle whose driver-side coordination
+    measured ~8 s constant regardless of parallelism, capping scaling
+    efficiency; a pure hash partition needs no sort and no boundary
+    sampling.  Plan: per-block local distinct (combiner) → each block split
+    into B hash buckets (map, B object-store returns per block) → one merge
+    task per bucket (reduce, vectorized distinct).  Hot-key skew is
+    impossible by construction (uniform row hash).  At cluster scale B
+    should grow with data volume so a bucket's distinct rows fit worker
+    memory; driver holds O(blocks × B) tiny refs — for very large jobs use a
+    two-level exchange (bucket-of-buckets) to bound it.
     """
+    import ray
+
     keys = list(keys)
-    payload_min = list(payload_min)
-    pre = ds.map_batches(
-        lambda b: local_distinct(b, keys), batch_format="pyarrow"
-    )
-    g = pre.groupby(keys)
-    if payload_min:
-        out = g.min(payload_min)
-        # ray names aggregate outputs min(col); rename back
-        renames = {f"min({c})": c for c in payload_min}
-        out = out.map_batches(
-            lambda b, _r=renames: b.rename_columns([_r.get(n, n) for n in b.column_names]),
-            batch_format="pyarrow",
-        )
-        return out
-    # keys-only distinct: count then drop the count
-    out = g.count()
-    return out.select_columns(keys)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    if not num_buckets:
+        num_buckets = max(16, cpus * 2)
+
+    # Coalesce small blocks first: fewer map tasks → fewer refs, bigger splits.
+    target_blocks = max(8, (cpus * 3) // 2)
+    mat = ds.repartition(target_blocks).materialize()
+    schema = mat.schema().base_schema
+    refs = mat.to_arrow_refs()
+
+    mapper = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    reducer = ray.remote(_merge_distinct)
+    split_refs = [mapper.remote(r, keys, num_buckets) for r in refs]
+    if num_buckets == 1:
+        split_refs = [[r] for r in split_refs]
+    out = [
+        reducer.remote(schema, keys, *[split_refs[m][b] for m in range(len(split_refs))])
+        for b in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(out)
 
 
-def dedupe_triples(ds: rd.Dataset) -> rd.Dataset:
+def dedupe_triples(ds: rd.Dataset, local_only: bool = False) -> rd.Dataset:
     """Exact (subj, pred, obj) dedup of a triples Dataset — the set semantics
     rdflib applies on top of the reference's UNION ALL dump
-    (``old_tests/test_rdb2rdf.py:122-126``)."""
-    return distinct_on(ds, ["subj", "pred", "obj"], payload_min=["graph"])
+    (``old_tests/test_rdb2rdf.py:122-126``).
+
+    ``local_only=True`` skips the shuffle and dedups within blocks only —
+    exact when every subject's triples are emitted from a single row/batch
+    (true for per-row rule emission without cross-row duplicate subjects)."""
+    keys = ["subj", "pred", "obj"]
+    if local_only:
+        return ds.map_batches(lambda b: local_distinct(b, keys), batch_format="pyarrow")
+    return distinct_on(ds, keys)
 
 
 # ---------------------------------------------------------------------------
