@@ -151,18 +151,26 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
-    return {
+    from . import relq
+
+    out = {
         "kg_direct_nation": q_kg_direct_nation,
         "kg_doc_meta": q_kg_doc_meta,
         "kg_mentions": q_kg_mentions,
         "kg_full_documents": q_kg_full_documents,
     }
+    out.update(relq.queries())
+    return out
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {
+    from . import relq
+
+    out = {
         "kg_direct_nation": _sql_kg_direct_nation(),
         "kg_doc_meta": _sql_kg_doc_meta(),
         "kg_mentions": _sql_kg_mentions(),
         "kg_full_documents": _sql_kg_full_documents(),
     }
+    out.update(relq.oracle_sql())
+    return out

@@ -1,0 +1,298 @@
+"""Relational / dataflow operator layer (SURVEY.md §2.3, Q3-Q16).
+
+Re-expresses the reference's SPARQL-algebra → SQL operator inventory
+(``rdflib_r2r/query_conversions.py:388-419`` dispatcher) as Ray-Data-native
+transforms over Datasets:
+
+- Filter (Q3)            → ``ds.filter(expr=...)`` / map_batches mask
+- Extend/bind (Q11)      → ``map_batches`` adding a computed Arrow column
+- Inner join (Q5)        → ``ds.join`` hash join, or broadcast join for a
+                           small side (``ray.put`` once, ``pa.Table.join``
+                           per batch — no shuffle)
+- Left join (Q6)         → ``ds.join(join_type="left_outer")``
+- Union w/ padding (Q7)  → schema-align (null columns) + ``ds.union``
+- Minus (Q8)             → ``left_anti`` join on all shared columns
+- Exists / semi (Q16)    → ``left_semi`` join on correlation vars
+- Grouped aggregation (Q9/Q10) → map-side partial aggregation inside
+  ``map_batches`` (combiner) + small global ``groupby().aggregate``;
+  count-distinct = distinct exchange then count; group_concat =
+  ``map_groups`` with deterministic in-group ordering
+- Project/Distinct/Slice (Q12) → ``select_columns`` / dedup exchange /
+  ``limit``
+- OrderBy / top-k (Q13)  → per-block partial top-k then global
+  ``sort().limit(k)`` over the reduced set
+- VALUES (Q15)           → ``ray.data.from_arrow`` + join
+
+Scale notes: every helper here avoids full materialization; joins take an
+explicit ``num_partitions`` (defaults scale with cluster CPUs); aggregates
+combine map-side before the shuffle so the exchange moves one row per
+(block × group), not per input row.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .stages.dedup import distinct_on, local_distinct
+
+
+def _num_partitions(default: int = 16) -> int:
+    try:
+        return max(4, int(ray.cluster_resources().get("CPU", default)) // 2)
+    except Exception:
+        return default
+
+
+# ---------------------------------------------------------------------------
+# Filter / extend / project (Q3, Q11, Q12)
+# ---------------------------------------------------------------------------
+
+def filter_expr(ds: rd.Dataset, expr: str) -> rd.Dataset:
+    """Filter via an Arrow-compute expression string (predicate pushdown:
+    Ray fuses this into the read stage where possible)."""
+    return ds.filter(expr=expr)
+
+
+def extend(ds: rd.Dataset, **cols) -> rd.Dataset:
+    """Extend/BIND (reference ``query_conversions.py:285-290``): add computed
+    columns. Each kwarg is ``name=fn(batch: pa.Table) -> pa.Array``."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        for name, fn in cols.items():
+            batch = batch.append_column(name, fn(batch))
+        return batch
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def money_cents(batch: pa.Table, col: str) -> pa.Array:
+    """Deterministic money integerization: round(x*100) half-away-from-zero
+    → int64. Bit-identical to SQL ``CAST(ROUND(x*100) AS BIGINT)``; makes
+    downstream sums exact integer arithmetic (order-independent — safe under
+    Ray's nondeterministic block ordering)."""
+    return pc.cast(
+        pc.round(pc.multiply(batch[col], pa.scalar(100.0)), 0, round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (Q5, Q6, Q8, Q16)
+# ---------------------------------------------------------------------------
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str],
+    join_type: str = "inner",
+    right_on: Optional[Sequence[str]] = None,
+    num_partitions: Optional[int] = None,
+) -> rd.Dataset:
+    """Distributed hash join (reference inner/left joins,
+    ``query_conversions.py:246-269, 349-374``)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions or _num_partitions(),
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+    )
+
+
+def semi_join(left: rd.Dataset, right: rd.Dataset, on: Sequence[str], **kw) -> rd.Dataset:
+    """EXISTS (reference ``query_conversions.py:183-210``) as left-semi."""
+    return hash_join(left, right, on, join_type="left_semi", **kw)
+
+
+def anti_join(left: rd.Dataset, right: rd.Dataset, on: Sequence[str], **kw) -> rd.Dataset:
+    """MINUS / NOT EXISTS (reference ``query_conversions.py:403-406``)."""
+    return hash_join(left, right, on, join_type="left_anti", **kw)
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table,
+    on: Sequence[str],
+    join_type: str = "inner",
+) -> rd.Dataset:
+    """Join against a SMALL side without a shuffle: the table is put in the
+    object store ONCE (``ray.put``) and each map task does a zero-copy local
+    ``pa.Table.join`` per batch. The scale-path replacement for shipping the
+    small side per batch."""
+    small_ref = ray.put(small.combine_chunks())
+    keys = list(on)
+    jt = {"inner": "inner", "left_outer": "left outer", "left_semi": "left semi",
+          "left_anti": "left anti"}[join_type]
+
+    def join_batch(batch: pa.Table, _ref=small_ref, _keys=keys, _jt=jt) -> pa.Table:
+        rhs = ray.get(_ref)
+        return batch.join(rhs, keys=_keys, join_type=_jt)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def values_dataset(rows: List[dict]) -> rd.Dataset:
+    """SPARQL VALUES inline table (reference ``query_conversions.py:376-386``)."""
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+# ---------------------------------------------------------------------------
+# Union with padding (Q7)
+# ---------------------------------------------------------------------------
+
+def union_pad(*datasets: rd.Dataset) -> rd.Dataset:
+    """UNION ALL with column padding (reference ``results_union``,
+    ``conversion_utils.py:92-131``): the united schema is the name-sorted
+    union of all columns; branches missing a column get typed nulls."""
+    schemas = [ds.schema() for ds in datasets]
+    fields: Dict[str, pa.DataType] = {}
+    for s in schemas:
+        for name, typ in zip(s.names, s.types):
+            fields.setdefault(name, typ)
+    names = sorted(fields)
+    target = pa.schema([pa.field(n, fields[n]) for n in names])
+
+    def pad(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        arrays = []
+        for f in target:
+            if f.name in batch.column_names:
+                arrays.append(pc.cast(batch[f.name], f.type))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=target)
+
+    padded = [ds.map_batches(pad, batch_format="pyarrow") for ds in datasets]
+    out = padded[0]
+    for other in padded[1:]:
+        out = out.union(other)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (Q9, Q10)
+# ---------------------------------------------------------------------------
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    count_as: Optional[str] = None,
+) -> rd.Dataset:
+    """GROUP BY with map-side combine: each batch is pre-aggregated locally
+    (one row per group per block), then a small global ``groupby.aggregate``
+    merges partials. The shuffle moves O(blocks × groups) rows instead of the
+    whole input — the standard scale fix for Ray Data's sort-based groupby.
+
+    Output columns: ``keys + sums + mins + maxs [+ count_as]`` (sums/mins/
+    maxs keep their input column names; count_as is a row count)."""
+    keys, sums, mins, maxs = list(keys), list(sums), list(mins), list(maxs)
+    cnt_col = "__cnt" if count_as else None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        gb = batch.select(keys + sums + mins + maxs)
+        if cnt_col:
+            gb = gb.append_column(cnt_col, pa.array(np.ones(len(batch), np.int64)))
+        aggs = (
+            [(c, "sum") for c in sums]
+            + [(c, "min") for c in mins]
+            + [(c, "max") for c in maxs]
+            + ([(cnt_col, "sum")] if cnt_col else [])
+        )
+        out = gb.group_by(keys).aggregate(aggs)
+        ren = {f"{c}_sum": c for c in sums}
+        ren.update({f"{c}_min": c for c in mins})
+        ren.update({f"{c}_max": c for c in maxs})
+        if cnt_col:
+            ren[f"{cnt_col}_sum"] = cnt_col
+        return out.rename_columns([ren.get(n, n) for n in out.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in sums]
+    aggs += [Min(c, alias_name=c) for c in mins]
+    aggs += [Max(c, alias_name=c) for c in maxs]
+    if cnt_col:
+        aggs.append(Sum(cnt_col, alias_name=count_as))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def count_distinct(ds: rd.Dataset, keys: Sequence[str], col: str, alias: str) -> rd.Dataset:
+    """COUNT(DISTINCT col) GROUP BY keys (reference DISTINCT-in-aggregate,
+    ``query_conversions.py:57-81``) as a two-stage exchange: global distinct
+    on (keys, col) via the hash-bucket dedup, then a count per key group —
+    never holds a per-group value set in one worker's memory."""
+    keys = list(keys)
+    dist = distinct_on(ds.select_columns(keys + [col]), keys + [col])
+    return grouped_agg(dist, keys, count_as=alias)
+
+
+def group_concat(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    col: str,
+    alias: str,
+    sep: str = ",",
+) -> rd.Dataset:
+    """GROUP_CONCAT with deterministic (sorted) in-group order — Ray block
+    order is nondeterministic, so an explicit sort inside the group is the
+    only way to stable output (reference relies on SQL engine ordering)."""
+    keys = list(keys)
+
+    def concat(group: pa.Table) -> pa.Table:
+        vals = sorted(v for v in group[col].to_pylist() if v is not None)
+        out = {k: [group[k][0].as_py()] for k in keys}
+        out[alias] = [sep.join(vals)]
+        return pa.Table.from_pydict(out)
+
+    return ds.select_columns(keys + [col]).groupby(keys).map_groups(
+        concat, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order / top-k / distinct / limit (Q12, Q13)
+# ---------------------------------------------------------------------------
+
+def topk(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    k: int,
+    descending: bool | Sequence[bool] = True,
+) -> rd.Dataset:
+    """ORDER BY ... LIMIT k without a global sort: each block keeps its local
+    top-k (vectorized ``sort_by`` + slice), then the reduced set (blocks × k
+    rows) takes the global ``sort().limit(k)``. At 100 TB the global sort
+    only ever sees the partials."""
+    keys = list(keys)
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    order = [(c, "descending" if d else "ascending") for c, d in zip(keys, descending)]
+
+    def local(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        return batch.sort_by(order).slice(0, k)
+
+    return ds.map_batches(local, batch_format="pyarrow").sort(
+        keys, descending=list(descending)
+    ).limit(k)
+
+
+def distinct(ds: rd.Dataset, keys: Optional[Sequence[str]] = None) -> rd.Dataset:
+    """SELECT DISTINCT (reference Q12): projection + global exact distinct
+    via the hash-bucket exchange."""
+    if keys is None:
+        keys = ds.schema().names
+    return distinct_on(ds.select_columns(list(keys)), list(keys))

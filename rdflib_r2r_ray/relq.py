@@ -1,0 +1,401 @@
+"""Relational-operator query registry (SURVEY.md §2.3/§2.4 parity layer).
+
+Each ``q_rel_*`` pipeline exercises one operator mapping from the reference's
+SPARQL-algebra → SQL inventory (``rdflib_r2r/query_conversions.py``), paired
+with an ANSI-SQL oracle for DuckDB. Column names and dtypes are aligned on
+both sides; money doubles are integerized per-row (cents) BEFORE aggregation
+so sums are exact integer arithmetic — order-independent under Ray's
+nondeterministic block ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from . import relational as R
+
+
+def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cast_cols(ds: rd.Dataset, **types) -> rd.Dataset:
+    def cast(batch: pa.Table) -> pa.Table:
+        for col, typ in types.items():
+            i = batch.column_names.index(col)
+            batch = batch.set_column(i, col, pc.cast(batch[col], typ))
+        return batch
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+# --- Q3 filter + Q12 project ----------------------------------------------
+
+def q_rel_filter(sf_dir: str) -> rd.Dataset:
+    """Filter (reference ``queryFilter`` → WHERE) with projection pushdown."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+    ds = R.filter_expr(ds, "(l_quantity > 45) and (l_returnflag == 'R')")
+    return ds.select_columns(["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+SQL_REL_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+"""
+
+
+# --- Q9/Q10/Q11 extend + grouped aggregation (TPC-H Q1 shape) -------------
+
+def q_rel_pricing(sf_dir: str) -> rd.Dataset:
+    """Extend (BIND) + GROUP BY with map-side combine + derived avg."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    ds = R.extend(
+        ds,
+        qty=lambda b: pc.cast(b["l_quantity"], pa.int64()),
+        base_cents=lambda b: R.money_cents(b, "l_extendedprice"),
+        disc_cents=lambda b: pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])),
+                    pa.scalar(100.0),
+                ),
+                0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ),
+    )
+    agg = R.grouped_agg(
+        ds.select_columns(["l_returnflag", "l_linestatus", "qty", "base_cents", "disc_cents"]),
+        ["l_returnflag", "l_linestatus"],
+        sums=["qty", "base_cents", "disc_cents"],
+        count_as="count_order",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(batch["qty"], pa.float64()), pc.cast(batch["count_order"], pa.float64())
+        )
+        return batch.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]
+        ).append_column("avg_qty", avg)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  COUNT(*) AS count_order,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q5 inner join + aggregation ------------------------------------------
+
+def q_rel_join_agg(sf_dir: str) -> rd.Dataset:
+    """Distributed hash join (orders ⋈ customer) then grouped aggregation."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = R.extend(orders, price_cents=lambda b: R.money_cents(b, "o_totalprice"))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = R.hash_join(
+        orders.select_columns(["o_custkey", "price_cents"]), cust,
+        on=["o_custkey"], right_on=["c_custkey"],
+    )
+    return R.grouped_agg(
+        j.select_columns(["c_mktsegment", "price_cents"]),
+        ["c_mktsegment"], sums=["price_cents"], count_as="n_orders",
+    ).map_batches(
+        lambda b: b.rename_columns(["c_mktsegment", "sum_price_cents", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REL_JOIN_AGG = """
+SELECT c_mktsegment,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- Q6 left outer join ----------------------------------------------------
+
+def q_rel_left_join(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER JOIN preserving unmatched left rows (OPTIONAL)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    j = R.hash_join(cust, orders, on=["c_custkey"], right_on=["o_custkey"], join_type="left_outer")
+    j = R.extend(j, matched=lambda b: pc.cast(pc.is_valid(b["o_orderkey"]), pa.int64()))
+    return R.grouped_agg(
+        j.select_columns(["c_custkey", "matched"]), ["c_custkey"], sums=["matched"]
+    ).map_batches(lambda b: b.rename_columns(["c_custkey", "n_orders"]), batch_format="pyarrow")
+
+
+SQL_REL_LEFT_JOIN = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# --- Q16 EXISTS (semi) / NOT EXISTS (anti) --------------------------------
+
+def q_rel_exists(sf_dir: str) -> rd.Dataset:
+    """EXISTS as left-semi join on the correlation variable."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    f_orders = R.filter_expr(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]),
+        "o_orderstatus == 'F'",
+    ).select_columns(["o_custkey"])
+    return R.semi_join(cust, f_orders, on=["c_custkey"], right_on=["o_custkey"])
+
+
+SQL_REL_EXISTS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q_rel_not_exists(sf_dir: str) -> rd.Dataset:
+    """NOT EXISTS / MINUS as left-anti join."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    big = R.filter_expr(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        "o_totalprice > 400000",
+    ).select_columns(["o_custkey"])
+    return R.anti_join(cust, big, on=["c_custkey"], right_on=["o_custkey"])
+
+
+SQL_REL_NOT_EXISTS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+# --- Q7 union with padding -------------------------------------------------
+
+def q_rel_union_pad(sf_dir: str) -> rd.Dataset:
+    """UNION ALL with null padding for branch-missing columns."""
+    cust = _read(sf_dir, "customer", columns=["c_name", "c_acctbal"]).map_batches(
+        lambda b: b.rename_columns(["name", "acctbal"]), batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_name"]).map_batches(
+        lambda b: b.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return R.union_pad(cust, supp)
+
+
+SQL_REL_UNION_PAD = """
+SELECT c_acctbal AS acctbal, c_name AS name FROM customer
+UNION ALL
+SELECT NULL, s_name FROM supplier
+"""
+
+
+# --- Q8 set minus ----------------------------------------------------------
+
+def q_rel_except(sf_dir: str) -> rd.Dataset:
+    """Set EXCEPT (customers with a 'P' order but no 'F' order): distinct +
+    anti-join."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    p = R.distinct(R.filter_expr(orders, "o_orderstatus == 'P'").select_columns(["o_custkey"]))
+    f = R.distinct(R.filter_expr(orders, "o_orderstatus == 'F'").select_columns(["o_custkey"]))
+    return R.anti_join(p, f, on=["o_custkey"])
+
+
+SQL_REL_EXCEPT = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# --- Q12 distinct ----------------------------------------------------------
+
+def q_rel_distinct(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    return R.distinct(ds)
+
+
+SQL_REL_DISTINCT = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# --- Q13 order by + limit (top-k) ------------------------------------------
+
+def q_rel_topk(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return R.topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
+
+
+SQL_REL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- Q10 count-distinct ----------------------------------------------------
+
+def q_rel_count_distinct(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    return R.count_distinct(ds, ["o_orderpriority"], "o_custkey", "n_cust")
+
+
+SQL_REL_COUNT_DISTINCT = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- Q10 group_concat ------------------------------------------------------
+
+def q_rel_group_concat(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+    return R.group_concat(ds, ["n_regionkey"], "n_name", "names")
+
+
+SQL_REL_GROUP_CONCAT = """
+SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+
+# --- Q15 VALUES inline table ----------------------------------------------
+
+def q_rel_values_join(sf_dir: str) -> rd.Dataset:
+    vals = R.values_dataset([{"n_name": "NATION_1"}, {"n_name": "NATION_7"}, {"n_name": "NATION_13"}])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    return R.hash_join(nation, vals, on=["n_name"]).select_columns(["n_nationkey", "n_name"])
+
+
+SQL_REL_VALUES_JOIN = """
+SELECT n_nationkey, n_name FROM nation
+JOIN (VALUES ('NATION_1'), ('NATION_7'), ('NATION_13')) AS v(n_name) USING (n_name)
+"""
+
+
+# --- windowed aggregate (events; tumbling window) --------------------------
+
+def q_rel_window_tumbling(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window aggregate over the events stream table —
+    the windowed-aggregate custom operator expressed as extend(window key)
+    + map-side-combined groupby."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = R.extend(
+        ds,
+        window_start=lambda b: pc.floor_temporal(b["ts"], unit="hour"),
+        value_cents=lambda b: R.money_cents(b, "value"),
+    )
+    return R.grouped_agg(
+        ds.select_columns(["user_id", "window_start", "value_cents"]),
+        ["user_id", "window_start"], sums=["value_cents"], count_as="n_events",
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "window_start", "sum_value_cents", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REL_WINDOW = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+  COUNT(*) AS n_events
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# --- sessionization (stateful per-key op via groupby().map_groups) ---------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def q_rel_sessionize(sf_dir: str) -> rd.Dataset:
+    """Sessionize events per user (30-min inactivity gap): a stateful
+    streaming-window op the Dataset API lacks, composed as
+    ``groupby(user).map_groups(assign)`` with deterministic in-group order
+    (ts, event_id). Scales: each group is one user's events."""
+    import numpy as np
+
+    def assign(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        new_session = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1] > SESSION_GAP_US).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "session_id": pa.array(np.cumsum(new_session)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(assign, batch_format="pyarrow")
+
+
+SQL_REL_SESSIONIZE = """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM d
+"""
+
+
+def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
+    return {
+        "rel_filter": q_rel_filter,
+        "rel_pricing": q_rel_pricing,
+        "rel_join_agg": q_rel_join_agg,
+        "rel_left_join": q_rel_left_join,
+        "rel_exists": q_rel_exists,
+        "rel_not_exists": q_rel_not_exists,
+        "rel_union_pad": q_rel_union_pad,
+        "rel_except": q_rel_except,
+        "rel_distinct": q_rel_distinct,
+        "rel_topk": q_rel_topk,
+        "rel_count_distinct": q_rel_count_distinct,
+        "rel_group_concat": q_rel_group_concat,
+        "rel_values_join": q_rel_values_join,
+        "rel_window_tumbling": q_rel_window_tumbling,
+        "rel_sessionize": q_rel_sessionize,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "rel_filter": SQL_REL_FILTER,
+        "rel_pricing": SQL_REL_PRICING,
+        "rel_join_agg": SQL_REL_JOIN_AGG,
+        "rel_left_join": SQL_REL_LEFT_JOIN,
+        "rel_exists": SQL_REL_EXISTS,
+        "rel_not_exists": SQL_REL_NOT_EXISTS,
+        "rel_union_pad": SQL_REL_UNION_PAD,
+        "rel_except": SQL_REL_EXCEPT,
+        "rel_distinct": SQL_REL_DISTINCT,
+        "rel_topk": SQL_REL_TOPK,
+        "rel_count_distinct": SQL_REL_COUNT_DISTINCT,
+        "rel_group_concat": SQL_REL_GROUP_CONCAT,
+        "rel_values_join": SQL_REL_VALUES_JOIN,
+        "rel_window_tumbling": SQL_REL_WINDOW,
+        "rel_sessionize": SQL_REL_SESSIONIZE,
+    }
