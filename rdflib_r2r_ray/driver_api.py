@@ -151,7 +151,7 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
-    from . import relq
+    from . import dataq, relq
 
     out = {
         "kg_direct_nation": q_kg_direct_nation,
@@ -160,11 +160,12 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_full_documents": q_kg_full_documents,
     }
     out.update(relq.queries())
+    out.update(dataq.queries())
     return out
 
 
 def oracle_sql() -> Dict[str, str]:
-    from . import relq
+    from . import dataq, relq
 
     out = {
         "kg_direct_nation": _sql_kg_direct_nation(),
@@ -173,4 +174,5 @@ def oracle_sql() -> Dict[str, str]:
         "kg_full_documents": _sql_kg_full_documents(),
     }
     out.update(relq.oracle_sql())
+    out.update(dataq.oracle_sql())
     return out

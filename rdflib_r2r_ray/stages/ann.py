@@ -1,0 +1,233 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths, per the scale plan:
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  ONCE (``ray.put``); every batch does one numpy matmul (batch × queries)
+  and keeps its local top-k per query; a tiny global reduce merges partials.
+  Baseline and correctness oracle (DuckDB ``list_cosine_similarity``).
+- ``lsh_bucketed_topk``: random-hyperplane LSH variant — candidates are
+  restricted to vectors whose sign-pattern bucket is within ``max_hamming``
+  of the query's bucket; the scale path when the corpus no longer fits a
+  full scan (probes shrink the scanned fraction exponentially in planes).
+- ``embedding_near_dup_exact``: all-pairs cosine ≥ threshold via block ×
+  broadcast-matrix matmul (exact; the LSH-bucketed variant for the same job
+  lives in ``stages/dedup.py::embedding_near_dup``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix, zero-copy per chunk
+    where Arrow's layout allows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> rd.Dataset:
+    """Exact cosine top-k of ``queries`` against the embedding Dataset.
+
+    Output: (query_id, vec_id, rank) — rank 1..k by (cosine desc, vec_id
+    asc); a query vector never matches itself (vec_id != query's source id
+    when ids coincide).  Scale: one broadcast of the query matrix, one
+    matmul per batch, partial top-k per batch → global reduce over
+    (num_blocks × q × k) rows only."""
+    qm = _unit(_to_matrix(queries[vec_col]))
+    qids = np.asarray(queries[query_id_col].to_pylist())
+    q_ref = ray.put((qids, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qm = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        m = _unit(_to_matrix(batch[vec_col]))
+        sims = m @ _qm.T  # (n, q)
+        out_q: List = []
+        out_v: List = []
+        out_s: List[float] = []
+        kk = min(k, len(ids))
+        for qi in range(len(_qids)):
+            col = sims[:, qi]
+            mask = ids != _qids[qi]
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            sub = col[cand_idx]
+            take = min(kk, len(cand_idx))
+            # partial selection then deterministic (sim desc, id asc) order
+            part = cand_idx[np.argpartition(-sub, take - 1)[:take]]
+            out_q.extend([_qids[qi]] * len(part))
+            out_v.extend(ids[part].tolist())
+            out_s.extend(col[part].tolist())
+        return pa.table(
+            {
+                query_id_col: pa.array(out_q),
+                id_col: pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), (id_col, "ascending")]).slice(0, k)
+        rank = pa.array(np.arange(1, len(g) + 1, dtype=np.int64))
+        return pa.table(
+            {
+                query_id_col: g[query_id_col],
+                id_col: g[id_col],
+                "rank": rank,
+            }
+        )
+
+    return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no ``bitwise_count``)."""
+    out = np.zeros(x.shape, dtype=np.uint64)
+    v = x.copy()
+    one = np.uint64(1)
+    for _ in range(64):
+        out += v & one
+        v >>= one
+    return out
+
+
+def _sign_bucket(m: np.ndarray, proj: np.ndarray) -> np.ndarray:
+    """(n, planes) bool sign pattern → uint64 bucket ids."""
+    bits = (m @ proj) >= 0
+    weights = (1 << np.arange(proj.shape[1], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1)
+
+
+def lsh_bucketed_topk(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    planes: int = 8,
+    max_hamming: int = 2,
+    tables: int = 4,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> rd.Dataset:
+    """Approximate top-k via multi-table random-hyperplane LSH: a vector is
+    a candidate if its sign-pattern bucket is within ``max_hamming`` bits of
+    the query's in ANY of ``tables`` independent projection tables
+    (standard L-table LSH — recall compounds as 1-(1-p)^L while each table
+    scans only its Hamming ball).  Same output schema as
+    ``brute_force_topk``; recall < 1 by design (measured in tests against
+    the brute-force oracle)."""
+    qm = _unit(_to_matrix(queries[vec_col]))
+    qids = np.asarray(queries[query_id_col].to_pylist())
+    dim = qm.shape[1]
+    rng = np.random.default_rng(seed)
+    projs = [rng.standard_normal((dim, planes)) for _ in range(tables)]
+    q_buckets = np.stack([_sign_bucket(qm, p) for p in projs])  # (L, q)
+    q_ref = ray.put((qids, qm, q_buckets))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qm, _qb = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        m = _unit(_to_matrix(batch[vec_col]))
+        buckets = np.stack([_sign_bucket(m, p) for p in projs])  # (L, n)
+        out_q: List = []
+        out_v: List = []
+        out_s: List[float] = []
+        for qi in range(len(_qids)):
+            mask = np.zeros(len(ids), dtype=bool)
+            for li in range(len(projs)):
+                ham = _popcount64((buckets[li] ^ _qb[li, qi]).astype(np.uint64))
+                mask |= ham <= max_hamming
+            mask &= ids != _qids[qi]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            sims = m[cand] @ _qm[qi]
+            take = min(k, len(cand))
+            part = cand[np.argpartition(-sims, take - 1)[:take]]
+            out_q.extend([_qids[qi]] * len(part))
+            out_v.extend(ids[part].tolist())
+            out_s.extend((m[part] @ _qm[qi]).tolist())
+        return pa.table(
+            {
+                query_id_col: pa.array(out_q),
+                id_col: pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), (id_col, "ascending")]).slice(0, k)
+        return pa.table(
+            {
+                query_id_col: g[query_id_col],
+                id_col: g[id_col],
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
+
+
+def embedding_near_dup_exact(
+    ds: rd.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exact all-pairs cosine ≥ threshold: the full (small-side) matrix is
+    broadcast once; each batch computes batch × corpus and emits pairs with
+    id_a < id_b.  O(n²) compute, distributed over blocks — correct baseline;
+    the sub-quadratic scale path is the LSH-bucketed variant in
+    ``stages/dedup.py::embedding_near_dup``."""
+    full = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    tables = ray.get(full)
+    corpus = pa.concat_tables([t for t in tables if len(t)])
+    all_ids = np.asarray(corpus[id_col].to_pylist())
+    all_m = _unit(_to_matrix(corpus[vec_col]))
+    ref = ray.put((all_ids, all_m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_b, m_b = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        m = _unit(_to_matrix(batch[vec_col]))
+        sims = m @ m_b.T
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids[ii] < ids_b[jj]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ii][keep]),
+                "id_b": pa.array(ids_b[jj][keep]),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -258,7 +258,9 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 1
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
                                    id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=4,
+        # autoscaling pool: a fixed pool of size=num_cpus starves the
+        # downstream groupby (deadlock observed with num_cpus=4 in tests)
+        concurrency=(1, 4),
     )
 
     def pairs(group: pa.Table) -> pa.Table:
@@ -298,10 +300,12 @@ def _ngrams(text: str, k: int):
 
 def simhash64(text: str) -> int:
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
     for tok in _TOKEN_RE.findall(text.lower()):
-        h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
+        h = np.uint64(int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big"))
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
     out = 0
     for i in range(64):
         if acc[i] > 0:

@@ -1,0 +1,178 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBBED (no image/audio libraries in this
+environment): ``ImageDecoder``/``AudioFrameSampler`` parse a deterministic
+container header (``MMB1`` — see ``pack_payload``) and, for real formats,
+raise ``NotImplementedError`` at the single clearly-marked point where a
+PIL/ffmpeg call would go.  Everything around the stub — schema contract,
+broadcast config, actor ``__init__`` state, small-batch sizing for large
+payloads, output layout — is real and tested.
+
+Scale notes: binary payloads are MBs, so these stages run with small
+``batch_size`` (caller passes e.g. 16-64) and actor pools; payload columns
+are dropped as soon as features are extracted (``select_columns``) so
+shuffles never move raw bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+MAGIC = b"MMB1"
+# struct.Struct objects don't pickle (the package ships by value to Ray
+# workers), so keep the format string and call module-level struct functions
+_HEADER_FMT = "<4s4sIIII"  # magic, kind, width/rate, height/ch, frames, payload_len
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+
+
+def pack_payload(kind: str, width: int, height: int, frames: int, payload: bytes) -> bytes:
+    """Deterministic fake container: a typed header + raw bytes.  Stands in
+    for JPEG/WAV/MP4 so the pipeline plumbing is exercised end to end."""
+    return struct.pack(_HEADER_FMT, MAGIC, kind.encode()[:4].ljust(4, b"\x00"), width, height, frames, len(payload)) + payload
+
+
+def unpack_header(buf: bytes):
+    if len(buf) < _HEADER_SIZE or buf[:4] != MAGIC:
+        return None
+    magic, kind, w, h, frames, plen = struct.unpack_from(_HEADER_FMT, buf)
+    return dict(kind=kind.rstrip(b"\x00 ").decode(), width=w, height=h, frames=frames, payload_len=plen)
+
+
+IMAGE_META_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("sha1", pa.string()),
+        pa.field("mean_luma", pa.float64()),
+    ]
+)
+
+
+class ImageDecoder:
+    """Actor-pool stage: binary image column → typed metadata + features.
+
+    ``__init__`` is where a real pipeline would load the codec / model once
+    per actor; here it precomputes the luma weight table.  ``__call__``
+    handles a whole batch; unknown containers raise at the marked point."""
+
+    def __init__(self, bin_col: str = "payload", id_col: str = "doc_id", strict: bool = False):
+        self.bin_col, self.id_col, self.strict = bin_col, id_col, strict
+        self.luma = np.array([0.299, 0.587, 0.114])  # per-actor state
+
+    def decode_pixels(self, header: dict, body: bytes) -> Optional[np.ndarray]:
+        if header is not None and header["kind"] == "img":
+            n = header["width"] * header["height"] * 3
+            px = np.frombuffer(body[: n], dtype=np.uint8)
+            if len(px) == n:
+                return px.reshape(header["height"], header["width"], 3)
+            return None
+        if self.strict:
+            # real formats (JPEG/PNG/...) would decode here via PIL/libvips
+            raise NotImplementedError("real image codecs unavailable in this environment")
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch[self.bin_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        rows = {name: [] for name in IMAGE_META_SCHEMA.names}
+        for i, buf in zip(ids, bufs):
+            buf = buf or b""
+            hdr = unpack_header(buf)
+            px = self.decode_pixels(hdr, buf[_HEADER_SIZE:] if hdr else b"")
+            rows["doc_id"].append(i)
+            rows["kind"].append(hdr["kind"] if hdr else "unknown")
+            rows["width"].append(hdr["width"] if hdr else 0)
+            rows["height"].append(hdr["height"] if hdr else 0)
+            rows["n_bytes"].append(len(buf))
+            rows["sha1"].append(hashlib.sha1(buf).hexdigest())
+            rows["mean_luma"].append(float((px @ self.luma).mean()) if px is not None else -1.0)
+        return pa.Table.from_pydict(rows, schema=IMAGE_META_SCHEMA)
+
+
+class ImageResizer:
+    """Actor-pool stage: nearest-neighbor resize of MMB1 'img' payloads to a
+    fixed (w, h); re-packs the container so downstream stages see the same
+    schema.  Real formats would go through the decode stub first."""
+
+    def __init__(self, width: int, height: int, bin_col: str = "payload", id_col: str = "doc_id"):
+        self.w, self.h = width, height
+        self.bin_col, self.id_col = bin_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: List[Optional[bytes]] = []
+        for buf in batch[self.bin_col].to_pylist():
+            buf = buf or b""
+            hdr = unpack_header(buf)
+            if hdr is None or hdr["kind"] != "img":
+                out.append(None)
+                continue
+            n = hdr["width"] * hdr["height"] * 3
+            px = np.frombuffer(buf[_HEADER_SIZE : _HEADER_SIZE + n], dtype=np.uint8)
+            if len(px) != n:
+                out.append(None)
+                continue
+            img = px.reshape(hdr["height"], hdr["width"], 3)
+            yi = (np.arange(self.h) * hdr["height"] // self.h)
+            xi = (np.arange(self.w) * hdr["width"] // self.w)
+            resized = img[yi][:, xi]
+            out.append(pack_payload("img", self.w, self.h, 1, resized.tobytes()))
+        return pa.table({self.id_col: batch[self.id_col], self.bin_col: pa.array(out, pa.binary())})
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: MMB1 'aud' payloads (int16 PCM) → per-clip frame
+    stats sampled every ``hop`` samples (RMS energy proxy). Real audio
+    formats would decode via ffmpeg at the marked stub."""
+
+    def __init__(self, hop: int = 1024, bin_col: str = "payload", id_col: str = "doc_id",
+                 strict: bool = False):
+        self.hop, self.bin_col, self.id_col, self.strict = hop, bin_col, id_col, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: List = []
+        frame_idx: List[int] = []
+        rms: List[float] = []
+        for i, buf in zip(batch[self.id_col].to_pylist(), batch[self.bin_col].to_pylist()):
+            buf = buf or b""
+            hdr = unpack_header(buf)
+            if hdr is None or hdr["kind"] != "aud":
+                if self.strict:
+                    raise NotImplementedError("real audio codecs unavailable in this environment")
+                continue
+            pcm = np.frombuffer(buf[_HEADER_SIZE : _HEADER_SIZE + hdr["payload_len"]], dtype=np.int16)
+            for f, start in enumerate(range(0, len(pcm), self.hop)):
+                frame = pcm[start : start + self.hop].astype(np.float64)
+                ids_out.append(i)
+                frame_idx.append(f)
+                rms.append(float(np.sqrt((frame * frame).mean())) if len(frame) else 0.0)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids_out, pa.int64()),
+                "frame": pa.array(frame_idx, pa.int32()),
+                "rms": pa.array(rms, pa.float64()),
+            }
+        )
+
+
+def synthesize_payloads(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Deterministic fake media per document (test/bench corpus synthesis):
+    an 8×8 RGB image whose pixels derive from the text's sha1 stream."""
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    payloads: List[bytes] = []
+    for t in texts:
+        seed = hashlib.sha1((t or "").encode()).digest()
+        px = np.frombuffer((seed * ((8 * 8 * 3) // len(seed) + 1))[: 8 * 8 * 3], dtype=np.uint8)
+        payloads.append(pack_payload("img", 8, 8, 1, px.tobytes()))
+    return pa.table({id_col: pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})

@@ -1,0 +1,251 @@
+"""Text-analysis stages for large-scale training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms (Arrow kernels where
+they exist, numpy elsewhere); anything holding compiled state (regexes,
+language profiles) builds it once per actor/task in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# token counting + simple integer text stats (SQL-oracle-able)
+# ---------------------------------------------------------------------------
+
+
+def text_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tokens, n_alpha, n_digit, n_spaces) — all integer counts so
+    the DuckDB oracle matches exactly (no float rounding surface).
+
+    n_tokens = whitespace-separated tokens of the trimmed text (0 if empty).
+    """
+    text = pc.cast(batch[text_col], pa.string())
+    trimmed = pc.utf8_trim_whitespace(text)
+    # tokens = runs of non-whitespace
+    n_tokens = pc.count_substring_regex(trimmed, r"\S+")
+    n_alpha = pc.count_substring_regex(text, r"[A-Za-z]")
+    n_digit = pc.count_substring_regex(text, r"[0-9]")
+    n_spaces = pc.count_substring_regex(text, r" ")
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_alpha": pc.cast(n_alpha, pa.int64()),
+            "n_digit": pc.cast(n_digit, pa.int64()),
+            "n_spaces": pc.cast(n_spaces, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token counting (regex pre-tokenizer, GPT-2 style)
+# ---------------------------------------------------------------------------
+
+# public GPT-2 pre-tokenizer pattern (Radford et al. 2019, released regex)
+_BPEISH = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+
+
+class TokenCounter:
+    """Actor-pool stage: word + BPE-ish token counts per document.  The
+    compiled regex lives in the actor (``__init__``), not per batch."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.pat = _BPEISH
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n_bpe = pa.array(
+            [0 if t is None else len(self.pat.findall(t)) for t in texts], pa.int64()
+        )
+        trimmed = pc.utf8_trim_whitespace(pc.cast(batch[self.text_col], pa.string()))
+        n_ws = pc.cast(pc.count_substring_regex(trimmed, r"\S+"), pa.int64())
+        return pa.table(
+            {self.id_col: batch[self.id_col], "n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe}
+        )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that with for on "
+    "as at by from not but have has had i you he she they we".split()
+)
+
+
+class QualityScorer:
+    """Heuristic document-quality signals (Gopher/C4-style filters):
+    mean word length, stopword ratio, punctuation ratio, uppercase ratio,
+    repetition (fraction of duplicate lines), plus a composite 0-100 score.
+
+    Deterministic, integer/fixed-point outputs where feasible (score is an
+    int) so retries and cross-run comparisons are exact."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.word_re = re.compile(r"[A-Za-z']+")
+        self.text_col, self.id_col = text_col, id_col
+
+    def score_one(self, t: str) -> Dict[str, float]:
+        words = self.word_re.findall(t)
+        n_words = len(words)
+        n_chars = len(t)
+        mean_wl = (sum(map(len, words)) / n_words) if n_words else 0.0
+        stop = sum(1 for w in words if w.lower() in _STOPWORDS)
+        stop_ratio = stop / n_words if n_words else 0.0
+        punct = sum(1 for c in t if not c.isalnum() and not c.isspace())
+        punct_ratio = punct / n_chars if n_chars else 0.0
+        upper = sum(1 for c in t if c.isupper())
+        upper_ratio = upper / n_chars if n_chars else 0.0
+        lines = [ln for ln in t.splitlines() if ln.strip()]
+        dup_lines = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+        score = 100
+        if not 3.0 <= mean_wl <= 10.0:
+            score -= 25
+        if stop_ratio < 0.01:
+            score -= 25
+        if punct_ratio > 0.2:
+            score -= 20
+        if upper_ratio > 0.3:
+            score -= 15
+        if dup_lines > 0.3:
+            score -= 15
+        if n_words < 5:
+            score -= 40
+        return dict(
+            n_words=n_words,
+            mean_word_len=round(mean_wl, 4),
+            stopword_ratio=round(stop_ratio, 4),
+            punct_ratio=round(punct_ratio, 4),
+            upper_ratio=round(upper_ratio, 4),
+            dup_line_ratio=round(dup_lines, 4),
+            quality_score=max(0, score),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        rows = [self.score_one(t or "") for t in texts]
+        out = {self.id_col: batch[self.id_col]}
+        out["n_words"] = pa.array([r["n_words"] for r in rows], pa.int64())
+        for k in ("mean_word_len", "stopword_ratio", "punct_ratio", "upper_ratio", "dup_line_ratio"):
+            out[k] = pa.array([r[k] for r in rows], pa.float64())
+        out["quality_score"] = pa.array([r["quality_score"] for r in rows], pa.int64())
+        return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword + character-ngram profile heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS: Dict[str, frozenset] = {
+    "en": frozenset("the and of to in is that it was for on are with as be at by this have from or had not but what all were when we there".split()),
+    "de": frozenset("der die das und ist nicht ich sie es ein eine zu den von mit auf für im dem des als auch wird bei einer nach werden".split()),
+    "fr": frozenset("le la les et de des du en un une est que qui dans pour pas sur au avec ne se ce il elle sont par plus mais nous vous".split()),
+    "es": frozenset("el la los las y de en un una es que no se del por con para su al lo como más pero sus le ha o este si porque".split()),
+    "it": frozenset("il la le e di che in un una è per non si con del da dei al sono come ma anche più nel alla questo se lo ci".split()),
+    "pt": frozenset("o a os as e de que em um uma é do da não se com para por no na mais os como mas foi ao dos das ele isso".split()),
+    "nl": frozenset("de het een en van in is dat op te zijn met voor niet aan er ook als bij maar om uit dan nog naar door over zo".split()),
+}
+
+_TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+class LanguageID:
+    """n-gram/stopword-profile language identifier.
+
+    Score per language = fraction of the document's tokens that are in that
+    language's stopword profile; CJK short-circuit by Unicode block ratio.
+    Returns ``und`` below a confidence floor. Profiles are built once per
+    actor (``__init__``)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", min_conf: float = 0.05):
+        self.profiles = {k: v for k, v in _LANG_STOPWORDS.items()}
+        self.token_re = _TOKEN_RE
+        self.min_conf = min_conf
+        self.text_col, self.id_col = text_col, id_col
+
+    def detect(self, t: str) -> str:
+        if not t:
+            return "und"
+        # CJK/Cyrillic/Arabic block detection first
+        n = len(t)
+        cjk = sum(1 for c in t if "一" <= c <= "鿿")
+        if cjk / n > 0.2:
+            return "zh"
+        kana = sum(1 for c in t if "぀" <= c <= "ヿ")
+        if kana / n > 0.1:
+            return "ja"
+        cyr = sum(1 for c in t if "Ѐ" <= c <= "ӿ")
+        if cyr / n > 0.2:
+            return "ru"
+        arab = sum(1 for c in t if "؀" <= c <= "ۿ")
+        if arab / n > 0.2:
+            return "ar"
+        toks = [w.lower() for w in self.token_re.findall(t)]
+        if not toks:
+            return "und"
+        best_lang, best = "und", 0.0
+        for lang, prof in self.profiles.items():
+            hit = sum(1 for w in toks if w in prof) / len(toks)
+            # deterministic tie-break: higher score wins, then lang code
+            if hit > best or (hit == best and best > 0 and lang < best_lang):
+                best_lang, best = lang, hit
+        return best_lang if best >= self.min_conf else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        langs = pa.array([self.detect(t or "") for t in texts], pa.string())
+        return pa.table({self.id_col: batch[self.id_col], "lang_pred": langs})
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash / winnowing)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1000003)
+_FP_MASK = np.uint64((1 << 64) - 1)
+
+
+def rolling_fingerprint(text: str, window: int = 50) -> int:
+    """Deterministic polynomial rolling hash over the whole document plus a
+    winnowing min over ``window``-byte rolling hashes — robust to where the
+    doc is split into batches (pure function of content)."""
+    data = text.encode("utf-8", "surrogatepass")
+    if not data:
+        return 0
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # full-document polynomial hash (Horner)
+    h = np.uint64(0)
+    for chunk_start in range(0, len(arr), 4096):
+        chunk = arr[chunk_start : chunk_start + 4096]
+        for b in chunk:
+            h = (h * _FP_BASE + b) & _FP_MASK
+    if len(arr) >= window:
+        # rolling window hashes via prefix products would overflow; use a
+        # cheap vectorized alternative: XOR of shifted cumulative sums
+        w = np.lib.stride_tricks.sliding_window_view(arr, window)
+        wh = (w * (np.arange(window, dtype=np.uint64) + np.uint64(1))).sum(axis=1) & _FP_MASK
+        h ^= np.uint64(wh.min())
+    return int(h)
+
+
+class Fingerprinter:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", window: int = 50):
+        self.text_col, self.id_col, self.window = text_col, id_col, window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        fps = pa.array(
+            [rolling_fingerprint(t or "", self.window) for t in texts], pa.uint64()
+        )
+        return pa.table({self.id_col: batch[self.id_col], "fingerprint": fps})

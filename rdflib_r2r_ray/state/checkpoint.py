@@ -1,0 +1,190 @@
+"""Checkpointed, resumable partitioned output (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+
+Layout (one directory per hash partition — never one giant file):
+
+    out_dir/
+      part=00042/
+        data.parquet
+        _manifest.json     ← written LAST; presence == partition committed
+
+Each manifest records lineage (rule/pipeline version, input description),
+metrics (rows, bytes, wall seconds) and a content checksum.  A re-run with
+the same ``out_dir`` skips every partition whose manifest is complete, so a
+failed 100 TB job resumes from where it stopped instead of recomputing.
+
+Mechanics: rows are hash-partitioned on a key column via the same
+map/reduce-style exchange as the dedup (uniform hash → no skew); each
+partition is then committed by one Ray task with write-tmp → fsync →
+atomic-rename ordering, making retries idempotent (a partition is either
+absent or fully committed; a crashed task leaves only a tmp file that the
+retry overwrites).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+MANIFEST = "_manifest.json"
+
+
+def _split_plain(tbl: pa.Table, keys: List[str], num_buckets: int):
+    """Map side of the write exchange: partition one block into
+    ``num_buckets`` sub-tables by uniform row hash of ``keys`` (no combiner
+    — unlike the dedup exchange, every row is preserved)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import _row_hash_bucket
+
+    if tbl.num_rows == 0 or any(k not in tbl.column_names for k in keys):
+        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
+    bucket = _row_hash_bucket(tbl, keys, num_buckets)
+    order = pc.sort_indices(bucket)
+    b = tbl.take(order)
+    bucket_sorted = pc.take(bucket, order).to_numpy(zero_copy_only=False)
+    bounds = np.searchsorted(bucket_sorted, np.arange(num_buckets + 1))
+    out = tuple(b.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets))
+    return out if num_buckets > 1 else out[0]
+
+
+def _part_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part:05d}")
+
+
+def completed_partitions(out_dir: str) -> Dict[int, dict]:
+    """Partitions already committed (manifest present and parseable)."""
+    done: Dict[int, dict] = {}
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if not name.startswith("part="):
+            continue
+        mpath = os.path.join(out_dir, name, MANIFEST)
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+            done[int(name.split("=", 1)[1])] = m
+        except (OSError, ValueError, json.JSONDecodeError):
+            continue  # missing/corrupt manifest ⇒ not committed ⇒ recompute
+    return done
+
+
+def _write_partition(
+    out_dir: str,
+    part: int,
+    keys: List[str],
+    lineage: dict,
+    *tables: pa.Table,
+) -> dict:
+    """One committed partition: concat its shuffled splits, sort within the
+    partition (deterministic bytes), write tmp, fsync, rename, manifest."""
+    t0 = time.time()
+    parts = [t for t in tables if t is not None and len(t)]
+    if parts:
+        tbl = pa.concat_tables(parts).combine_chunks()
+        tbl = tbl.sort_by([(k, "ascending") for k in keys])
+    else:
+        tbl = None
+    pdir = _part_dir(out_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    data_path = os.path.join(pdir, "data.parquet")
+    tmp_path = data_path + ".tmp"
+    n_rows, n_bytes, checksum = 0, 0, ""
+    if tbl is not None:
+        pq.write_table(tbl, tmp_path)
+        with open(tmp_path, "rb") as f:
+            checksum = hashlib.sha1(f.read()).hexdigest()
+        n_rows, n_bytes = len(tbl), os.path.getsize(tmp_path)
+        os.replace(tmp_path, data_path)  # atomic commit of the data file
+    manifest = {
+        "partition": part,
+        "rows": n_rows,
+        "bytes": n_bytes,
+        "sha1": checksum,
+        "wall_sec": round(time.time() - t0, 4),
+        "committed_at": time.time(),
+        **lineage,
+    }
+    mtmp = os.path.join(pdir, MANIFEST + ".tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, os.path.join(pdir, MANIFEST))  # manifest last ⇒ committed
+    return manifest
+
+
+def checkpointed_write(
+    ds: rd.Dataset,
+    out_dir: str,
+    keys: Sequence[str],
+    num_partitions: int = 64,
+    lineage: Optional[dict] = None,
+    resume: bool = True,
+) -> dict:
+    """Write ``ds`` as hash-partitioned parquet (partition = row-hash of
+    ``keys`` % num_partitions) with a per-partition manifest; skip already
+    committed partitions when resuming.
+
+    Returns summary metrics ``{written, skipped, rows, bytes}``.
+
+    Scale: the exchange is map (split each block by partition) + one reduce
+    task per partition; skipped partitions cost zero compute AND zero
+    shuffle for their reduce (their splits are still produced by the map —
+    at very large scale pair this with input-side pruning via the
+    ``inputs`` lineage field)."""
+    keys = list(keys)
+    lineage = dict(lineage or {})
+    lineage.setdefault("keys", keys)
+    lineage.setdefault("num_partitions", num_partitions)
+
+    done = completed_partitions(out_dir) if resume else {}
+    todo = [p for p in range(num_partitions) if p not in done]
+    if not todo:
+        rows = sum(m.get("rows", 0) for m in done.values())
+        return {"written": 0, "skipped": len(done), "rows": rows, "bytes": None}
+
+    os.makedirs(out_dir, exist_ok=True)
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    mapper = ray.remote(num_returns=num_partitions)(_split_plain)
+    split_refs = [mapper.remote(r, keys, num_partitions) for r in refs]
+    if num_partitions == 1:
+        split_refs = [[r] for r in split_refs]
+    writer = ray.remote(_write_partition)
+    manifests = ray.get(
+        [
+            writer.remote(
+                out_dir, p, keys, lineage, *[split_refs[m][p] for m in range(len(split_refs))]
+            )
+            for p in todo
+        ]
+    )
+    return {
+        "written": len(manifests),
+        "skipped": len(done),
+        "rows": sum(m["rows"] for m in manifests) + sum(m.get("rows", 0) for m in done.values()),
+        "bytes": sum(m["bytes"] for m in manifests),
+    }
+
+
+def read_checkpointed(out_dir: str) -> rd.Dataset:
+    """Read back a committed checkpoint directory (committed partitions
+    only — uncommitted tmp files are ignored by construction)."""
+    paths = [
+        os.path.join(_part_dir(out_dir, p), "data.parquet")
+        for p in sorted(completed_partitions(out_dir))
+        if os.path.exists(os.path.join(_part_dir(out_dir, p), "data.parquet"))
+    ]
+    return rd.read_parquet(paths)

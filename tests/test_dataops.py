@@ -1,0 +1,201 @@
+"""Python-oracle tests for the non-SQL-expressible training-data operators:
+minhash/simhash recall on planted near-dups, LSH-ANN recall vs brute force,
+language ID on real multilingual samples, fingerprints, multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def test_minhash_lsh_recall_on_planted_near_dups(ray_session):
+    """Every planted (i, i+OFFSET) one-token-append pair must be recovered
+    (Jaccard ≈ 1 ⇒ all bands collide)."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.dataq import DUP_OFFSET, plant_near_dups
+    from rdflib_r2r_ray.stages.dedup import minhash_lsh_candidates
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]).limit(120)
+    base_ids = [r["doc_id"] for r in docs.take_all()]
+    planted = docs.map_batches(plant_near_dups, batch_format="pyarrow")
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(planted).take_all()}
+    expected = {(i, i + DUP_OFFSET) for i in base_ids}
+    recall = len(pairs & expected) / len(expected)
+    assert recall >= 0.95, f"minhash recall {recall}"
+
+
+def test_minhash_no_false_high_jaccard():
+    """Candidates must actually be similar: brute-force Jaccard of a planted
+    pair ≈ 1; of two unrelated docs well below the 0.8 verify bar."""
+    from rdflib_r2r_ray.stages.dedup import ngram_jaccard
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    assert ngram_jaccard(a, a + " zzztail") > 0.8
+    b = "completely different words in another sentence entirely here now"
+    assert ngram_jaccard(a, b) < 0.2
+
+
+def test_simhash_hamming_on_near_dups():
+    from rdflib_r2r_ray.stages.dedup import simhash64
+
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + " zzztail"
+    c = "unrelated totally different content about ray data pipelines " * 5
+    ham_ab = bin(simhash64(a) ^ simhash64(b)).count("1")
+    ham_ac = bin(simhash64(a) ^ simhash64(c)).count("1")
+    assert ham_ab <= 6
+    assert ham_ac > 12
+
+
+def test_embedding_neardup_lsh_vs_exact(ray_session):
+    """The LSH-bucketed near-dup finder must agree with exact all-pairs on
+    high-similarity planted vectors."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.ann import embedding_near_dup_exact
+    from rdflib_r2r_ray.stages.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 16))
+    # plant 10 near-dup rows: tiny perturbation of rows 0-9
+    near = base[:10] + rng.standard_normal((10, 16)) * 0.01
+    vecs = np.vstack([base, near])
+    ids = list(range(50)) + [100 + i for i in range(10)]
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_exact(ds, threshold=0.95).take_all()}
+    approx = {(r["id_a"], r["id_b"]) for r in
+              embedding_near_dup(ds, threshold=0.95).take_all()}
+    expected = {(i, 100 + i) for i in range(10)}
+    assert expected <= exact
+    assert len(approx & expected) / len(expected) >= 0.7  # LSH recall
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_lsh_topk_recall_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.dataq import _query_vectors
+    from rdflib_r2r_ray.stages.ann import brute_force_topk, lsh_bucketed_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = _query_vectors(SF)
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(ds, q, k=10).take_all()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in lsh_bucketed_topk(ds, q, k=10, planes=8, max_hamming=2, tables=4).take_all()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH top-k recall {recall}"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_langid_on_real_samples():
+    from rdflib_r2r_ray.stages.text import LanguageID
+
+    lid = LanguageID()
+    samples = {
+        "en": "the cat sat on the mat and it was not very happy about this",
+        "de": "der Hund ist nicht in dem Haus und sie werden auch nach Berlin fahren",
+        "fr": "le chat est dans la maison et nous ne savons pas pour quoi il est venu",
+        "es": "el perro está en la casa y no se puede saber por qué ha venido",
+        "it": "il gatto è nella casa e non si può sapere perché sono venuti qui",
+        "ru": "Это предложение написано по-русски и содержит кириллицу",
+        "zh": "这是一个用中文写的句子，包含了很多汉字",
+    }
+    for lang, text in samples.items():
+        assert lid.detect(text) == lang, (lang, text, lid.detect(text))
+    assert lid.detect("") == "und"
+    assert lid.detect("12345 67890 !!!") == "und"
+
+
+def test_quality_scorer_ordering():
+    from rdflib_r2r_ray.stages.text import QualityScorer
+
+    qs = QualityScorer()
+    good = qs.score_one("The quick brown fox jumps over the lazy dog. It was a fine day, and the fox was pleased with itself.")
+    bad = qs.score_one("$$$ ###")
+    assert good["quality_score"] > bad["quality_score"]
+    assert good["stopword_ratio"] > 0.1
+
+
+def test_fingerprint_content_addressed():
+    from rdflib_r2r_ray.stages.text import rolling_fingerprint
+
+    a = "some document text " * 20
+    assert rolling_fingerprint(a) == rolling_fingerprint(a)
+    assert rolling_fingerprint(a) != rolling_fingerprint(a + "x")
+    assert rolling_fingerprint("") == 0
+
+
+def test_token_counter_bpeish():
+    from rdflib_r2r_ray.stages.text import TokenCounter
+
+    tc = TokenCounter()
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": ["I don't like it, really."]})
+    out = tc(batch).to_pylist()[0]
+    assert out["n_ws_tokens"] == 5
+    assert out["n_bpe_tokens"] >= 7  # contractions + punctuation split off
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_image_roundtrip_and_resize():
+    from rdflib_r2r_ray.stages.multimodal import (
+        ImageDecoder, ImageResizer, pack_payload, unpack_header)
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    buf = pack_payload("img", 16, 16, 1, img.tobytes())
+    hdr = unpack_header(buf)
+    assert hdr == {"kind": "img", "width": 16, "height": 16, "frames": 1,
+                   "payload_len": 16 * 16 * 3}
+
+    batch = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "payload": pa.array([buf], pa.binary())})
+    meta = ImageDecoder()(batch).to_pylist()[0]
+    assert meta["width"] == 16 and meta["mean_luma"] > 0
+
+    resized = ImageResizer(8, 8)(batch)
+    hdr2 = unpack_header(resized["payload"][0].as_py())
+    assert hdr2["width"] == 8 and hdr2["height"] == 8
+
+
+def test_image_decoder_strict_raises_on_real_format():
+    from rdflib_r2r_ray.stages.multimodal import ImageDecoder
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([jpeg_ish], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(strict=True)(batch)
+    # non-strict: metadata still flows, features are sentinel
+    out = ImageDecoder(strict=False)(batch).to_pylist()[0]
+    assert out["kind"] == "unknown" and out["mean_luma"] == -1.0
+
+
+def test_audio_frame_sampler():
+    from rdflib_r2r_ray.stages.multimodal import AudioFrameSampler, pack_payload
+
+    pcm = (np.sin(np.arange(4096) * 0.01) * 1000).astype(np.int16)
+    buf = pack_payload("aud", 16000, 1, len(pcm), pcm.tobytes())
+    batch = pa.table({"doc_id": pa.array([3], pa.int64()),
+                      "payload": pa.array([buf], pa.binary())})
+    out = AudioFrameSampler(hop=1024)(batch).to_pylist()
+    assert len(out) == 4
+    assert all(r["rms"] > 0 for r in out)
