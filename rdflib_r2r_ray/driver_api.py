@@ -150,6 +150,118 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def _nation_region_mapping():
+    schemas = {
+        "nation": pa.schema(
+            [
+                pa.field("n_nationkey", pa.int32()),
+                pa.field("n_name", pa.string()),
+                pa.field("n_regionkey", pa.int32()),
+            ]
+        ),
+        "region": pa.schema(
+            [pa.field("r_regionkey", pa.int32()), pa.field("r_name", pa.string())]
+        ),
+    }
+    return direct_mapping(
+        schemas,
+        {"nation": ["n_nationkey"], "region": ["r_regionkey"]},
+        foreign_keys={"nation": [(["n_regionkey"], "region", ["r_regionkey"])]},
+        base=BASE,
+    )
+
+
+def q_kg_direct_fk(sf_dir: str) -> rd.Dataset:
+    """Referencing object map (FK joinCondition, reference
+    ``sql_converter.py:164-176``): nation's FK to region becomes a
+    ``nation#ref-n_regionkey`` triple whose object is the PARENT row's
+    subject IRI — minted join-free from child columns (the chain-map
+    shortcut, ``sql_converter.py:369-425``)."""
+    ds = read_table(sf_dir, "nation")
+    mapping = _nation_region_mapping()
+    out = ds.map_batches(EmitTriples(mapping, "nation"), batch_format="pyarrow")
+    ref_pred = f"<{BASE}nation#ref-n_regionkey>"
+    out = out.filter(expr=f"pred == '{ref_pred}'")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
+def _sql_kg_direct_fk() -> str:
+    s = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    o = f"'<{BASE}region/r_regionkey=' || CAST(n_regionkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {s} AS subj, '<{BASE}nation#ref-n_regionkey>' AS pred, {o} AS obj FROM nation
+"""
+
+
+def q_kg_view_filtered(sf_dir: str) -> rd.Dataset:
+    """SQL-view logical table (reference ``rr:sqlQuery`` views,
+    ``r2r_mapping.py:33-40``; view-as-filter fixture ``R2RMLTC0015a.md:17-22``):
+    the logical table is an upstream filtered pipeline (lang = 'en') feeding
+    the same mapping rules."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    view = ds.filter(expr="lang == 'en'")
+    out = view.map_batches(EmitTriples(documents_mapping(), "documents"), batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
+def _sql_kg_view_filtered() -> str:
+    s = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT subj, pred, obj FROM (
+  SELECT {s} AS subj, '<{RDF_TYPE}>' AS pred, '<http://kg.ex/c/Document>' AS obj
+  FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/lang>', lang FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/source>', source FROM documents WHERE lang = 'en' AND source IS NOT NULL
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/n_chars>',
+         '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' FROM documents WHERE lang = 'en'
+) t
+"""
+
+
+def q_kg_bgp_join(sf_dir: str) -> rd.Dataset:
+    """BGP matching over the materialized triples Dataset (reference
+    ``queryBGP``, ``sql_converter.py:291-329``): the pattern
+    ``(?n <nation#ref-n_regionkey> ?r) (?r <region#r_name> ?name)``
+    compiles to triple-pattern filters + a join on the shared variable —
+    broadcast (``ray.put`` once, ``pa.Table.join`` per batch) because the
+    region pattern's matches are small; the large-large case uses
+    ``relational.hash_join``."""
+    import ray
+
+    from .relational import broadcast_join
+
+    mapping = _nation_region_mapping()
+    nat = read_table(sf_dir, "nation").map_batches(
+        EmitTriples(mapping, "nation"), batch_format="pyarrow"
+    )
+    reg = read_table(sf_dir, "region").map_batches(
+        EmitTriples(mapping, "region"), batch_format="pyarrow"
+    )
+
+    ref = nat.filter(expr=f"pred == '<{BASE}nation#ref-n_regionkey>'")
+    ref = ref.map_batches(
+        lambda b: b.select(["subj", "obj"]).rename_columns(["nation", "r"]),
+        batch_format="pyarrow",
+    )
+    name_ds = reg.filter(expr=f"pred == '<{BASE}region#r_name>'")
+    name_tbl = pa.concat_tables(
+        [t.select(["subj", "obj"]).rename_columns(["r", "name"])
+         for t in ray.get(name_ds.to_arrow_refs()) if t.num_rows]
+    )
+    return broadcast_join(ref, name_tbl, on=["r"]).select_columns(["nation", "name"])
+
+
+def _sql_kg_bgp_join() -> str:
+    s = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {s} AS nation, r_name AS name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     from . import dataq, relq
 
@@ -158,6 +270,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_doc_meta": q_kg_doc_meta,
         "kg_mentions": q_kg_mentions,
         "kg_full_documents": q_kg_full_documents,
+        "kg_direct_fk": q_kg_direct_fk,
+        "kg_view_filtered": q_kg_view_filtered,
+        "kg_bgp_join": q_kg_bgp_join,
     }
     out.update(relq.queries())
     out.update(dataq.queries())
@@ -172,6 +287,9 @@ def oracle_sql() -> Dict[str, str]:
         "kg_doc_meta": _sql_kg_doc_meta(),
         "kg_mentions": _sql_kg_mentions(),
         "kg_full_documents": _sql_kg_full_documents(),
+        "kg_direct_fk": _sql_kg_direct_fk(),
+        "kg_view_filtered": _sql_kg_view_filtered(),
+        "kg_bgp_join": _sql_kg_bgp_join(),
     }
     out.update(relq.oracle_sql())
     out.update(dataq.oracle_sql())

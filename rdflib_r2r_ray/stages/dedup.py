@@ -21,6 +21,12 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+# module-level: runs inside Ray workers where the package ships by value
+# (function-scope relative imports are flaky there — they only resolve if a
+# prior unpickle already seeded sys.modules)
+from .emit import decode_triples
+from ..workerenv import cap_threads
+
 
 def _pl():
     """Import polars with a capped per-process thread pool.
@@ -65,27 +71,46 @@ def _row_hash_bucket(batch: pa.Table, keys: Sequence[str], num_buckets: int) -> 
 
 def _split_by_bucket(tbl: pa.Table, keys: List[str], num_buckets: int):
     """Map side of the exchange: local distinct (combiner), then partition
-    the block into ``num_buckets`` sub-tables by key hash (sort by the int32
-    bucket + zero-copy slices)."""
+    the block into ``num_buckets`` sub-tables by key hash.
+
+    Each bucket is materialized with ``take`` (compacted buffers), NOT a
+    sorted zero-copy slice: pyarrow pickles a slice with its FULL parent
+    buffers, so slice returns made every map task ship num_buckets × the
+    whole block through the object store (measured 48×117 MB per task —
+    the exchange was 10× slower and spilled)."""
     if tbl.num_rows == 0 or any(k not in tbl.column_names for k in keys):
         # repartition of a small dataset produces schema-less empty blocks
         return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
     b = local_distinct(tbl, keys)
-    bucket = _row_hash_bucket(b, keys, num_buckets)
-    order = pc.sort_indices(bucket)
-    b = b.take(order)
-    bucket_sorted = pc.take(bucket, order).to_numpy(zero_copy_only=False)
+    bucket = _row_hash_bucket(b, keys, num_buckets).to_numpy(zero_copy_only=False)
+    order = np.argsort(bucket, kind="stable")
+    bucket_sorted = bucket[order]
     bounds = np.searchsorted(bucket_sorted, np.arange(num_buckets + 1))
     return tuple(
-        b.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets)
+        b.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets)
     )
 
 
+def _split_group(keys: List[str], num_buckets: int, *tbls: pa.Table):
+    """Map task over a GROUP of blocks: concat (cheap, local), then local
+    distinct + hash-split.  Grouping amortizes per-task overhead and keeps
+    the driver's ref count at (blocks/G) × B."""
+    cap_threads()
+    live = [t for t in tbls if t is not None and t.num_rows]
+    if not live:
+        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
+    merged = live[0] if len(live) == 1 else pa.concat_tables(live).combine_chunks()
+    return _split_by_bucket(merged, keys, num_buckets)
+
+
 def _merge_distinct(schema: pa.Schema, keys: List[str], *parts: pa.Table) -> pa.Table:
+    cap_threads()
     tbls = [p for p in parts if p is not None and p.num_rows > 0]
     if not tbls:
-        return schema.empty_table()
-    return local_distinct(pa.concat_tables(tbls).combine_chunks(), keys)
+        return decode_triples(schema.empty_table())
+    out = local_distinct(pa.concat_tables(tbls).combine_chunks(), keys)
+    # exchange moves dictionary-encoded columns; outputs are plain strings
+    return decode_triples(out)
 
 
 def distinct_on(
@@ -107,6 +132,8 @@ def distinct_on(
     memory; driver holds O(blocks × B) tiny refs — for very large jobs use a
     two-level exchange (bucket-of-buckets) to bound it.
     """
+    import math
+
     import ray
 
     keys = list(keys)
@@ -115,21 +142,84 @@ def distinct_on(
     except Exception:
         cpus = 8
     if not num_buckets:
-        num_buckets = max(16, cpus * 2)
+        num_buckets = max(16, (cpus * 3) // 2)
 
-    # Coalesce small blocks first: fewer map tasks → fewer refs, bigger splits.
-    target_blocks = max(8, (cpus * 3) // 2)
-    mat = ds.repartition(target_blocks).materialize()
+    mat = ds.materialize()
     schema = mat.schema().base_schema
     refs = mat.to_arrow_refs()
 
-    mapper = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    # Coalesce small blocks INSIDE the map task (plain concat of G refs) —
+    # measured ~2s cheaper than a repartition() all-to-all doing the same
+    # coalescing, and it bounds driver refs to (blocks/G) × B.
+    target_map_tasks = min(len(refs), max(8, (cpus * 3) // 2))
+    group = max(1, math.ceil(len(refs) / target_map_tasks))
+    groups = [refs[i : i + group] for i in range(0, len(refs), group)]
+
+    mapper = ray.remote(num_returns=num_buckets)(_split_group)
     reducer = ray.remote(_merge_distinct)
-    split_refs = [mapper.remote(r, keys, num_buckets) for r in refs]
+    split_refs = [mapper.remote(keys, num_buckets, *g) for g in groups]
     if num_buckets == 1:
         split_refs = [[r] for r in split_refs]
     out = [
         reducer.remote(schema, keys, *[split_refs[m][b] for m in range(len(split_refs))])
+        for b in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(out)
+
+
+def _split_nocombine(keys: List[str], num_buckets: int, *tbls: pa.Table):
+    """Map side of the grouping exchange: concat + hash-split only (no
+    distinct combiner — rows are unique by construction for band rows)."""
+    cap_threads()
+    live = [t for t in tbls if t is not None and t.num_rows]
+    if not live:
+        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
+    b = live[0] if len(live) == 1 else pa.concat_tables(live).combine_chunks()
+    bucket = _row_hash_bucket(b, keys, num_buckets).to_numpy(zero_copy_only=False)
+    order = np.argsort(bucket, kind="stable")
+    bounds = np.searchsorted(bucket[order], np.arange(num_buckets + 1))
+    return tuple(b.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets))
+
+
+def hash_group_exchange(
+    ds: rd.Dataset, keys: Sequence[str], reduce_fn, out_schema: pa.Schema
+) -> rd.Dataset:
+    """Generic hash-partitioned groupby: every row of a key group lands in
+    exactly one reduce task, which applies ``reduce_fn(table) -> table``
+    over its partition (the fn sees complete groups).  Same raw-task
+    exchange as :func:`distinct_on` — replaces Ray Data's sort-based
+    ``groupby`` shuffle, whose driver-side coordination doesn't scale with
+    workers (measured flat ~8-15 s regardless of CPU count)."""
+    import math
+
+    import ray
+
+    keys = list(keys)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    num_buckets = max(16, (cpus * 3) // 2)
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    target_map_tasks = min(len(refs), max(8, (cpus * 3) // 2))
+    group = max(1, math.ceil(len(refs) / target_map_tasks))
+    groups = [refs[i : i + group] for i in range(0, len(refs), group)]
+    mapper = ray.remote(num_returns=num_buckets)(_split_nocombine)
+    split_refs = [mapper.remote(keys, num_buckets, *g) for g in groups]
+    if num_buckets == 1:
+        split_refs = [[r] for r in split_refs]
+
+    def reduce_task(*parts):
+        cap_threads()
+        live = [p for p in parts if p is not None and p.num_rows]
+        if not live:
+            return out_schema.empty_table()
+        return reduce_fn(pa.concat_tables(live).combine_chunks())
+
+    reducer = ray.remote(reduce_task)
+    out = [
+        reducer.remote(*[split_refs[m][b] for m in range(len(split_refs))])
         for b in range(num_buckets)
     ]
     return rd.from_arrow_refs(out)
@@ -145,7 +235,9 @@ def dedupe_triples(ds: rd.Dataset, local_only: bool = False) -> rd.Dataset:
     (true for per-row rule emission without cross-row duplicate subjects)."""
     keys = ["subj", "pred", "obj"]
     if local_only:
-        return ds.map_batches(lambda b: local_distinct(b, keys), batch_format="pyarrow")
+        return ds.map_batches(
+            lambda b: decode_triples(local_distinct(b, keys)), batch_format="pyarrow"
+        )
     return distinct_on(ds, keys)
 
 
@@ -253,29 +345,52 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 1
                            k: int = 3, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     Returns Dataset (id_a, id_b) with id_a < id_b, distinct."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
     bandrows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
                                    id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
-        # autoscaling pool: a fixed pool of size=num_cpus starves the
-        # downstream groupby (deadlock observed with num_cpus=4 in tests)
-        concurrency=(1, 4),
+        # autoscaling pool sized to the cluster (a fixed pool of
+        # size=num_cpus starves the downstream exchange — deadlock observed
+        # with num_cpus=4 in tests; a constant cap starves scaling)
+        concurrency=(1, max(2, (cpus * 3) // 4)),
     )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        """One exchange partition: complete (band_id, band_hash) groups;
+        emit all intra-group id pairs (groups are tiny by construction; a
+        200-id cap bounds pathological buckets)."""
+        s = part.sort_by(
+            [("band_id", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")]
+        )
+        ids = s[id_col].to_numpy(zero_copy_only=False)
+        bid = s["band_id"].to_numpy(zero_copy_only=False)
+        bh = s["band_hash"].to_pylist()
         a: List = []
         b: List = []
-        # bucket sizes are tiny by construction; cap pathological buckets
-        ids = ids[:200]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+        start = 0
+        n = len(ids)
+        for i in range(1, n + 1):
+            if i == n or bid[i] != bid[start] or bh[i] != bh[start]:
+                grp = ids[start:i][:200]
+                for x in range(len(grp)):
+                    for y in range(x + 1, len(grp)):
+                        a.append(int(grp[x]))
+                        b.append(int(grp[y]))
+                start = i
+        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
-    cand = bandrows.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
+    # hash exchange on the bucket key (NOT Ray's sort-based groupby — see
+    # hash_group_exchange) then global distinct on the pair
+    cand = hash_group_exchange(bandrows, ["band_id", "band_hash"], bucket_pairs, pair_schema)
     return distinct_on(cand, ["id_a", "id_b"])
 
 

@@ -29,11 +29,18 @@ import os
 import time
 from typing import Dict, List, Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
+
+# imported at module level: these run inside Ray workers, where the package
+# ships by value (function-scope imports would raise ModuleNotFoundError)
+from ..stages.dedup import _row_hash_bucket, local_distinct
+from ..stages.emit import decode_triples
+from ..workerenv import cap_threads
 
 MANIFEST = "_manifest.json"
 
@@ -42,20 +49,26 @@ def _split_plain(tbl: pa.Table, keys: List[str], num_buckets: int):
     """Map side of the write exchange: partition one block into
     ``num_buckets`` sub-tables by uniform row hash of ``keys`` (no combiner
     — unlike the dedup exchange, every row is preserved)."""
-    import numpy as np
-    import pyarrow.compute as pc
-
-    from ..stages.dedup import _row_hash_bucket
-
     if tbl.num_rows == 0 or any(k not in tbl.column_names for k in keys):
         return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
-    bucket = _row_hash_bucket(tbl, keys, num_buckets)
-    order = pc.sort_indices(bucket)
-    b = tbl.take(order)
-    bucket_sorted = pc.take(bucket, order).to_numpy(zero_copy_only=False)
+    # per-bucket take (compacted buffers) — a sorted zero-copy slice would
+    # pickle with its full parent buffers (see dedup._split_by_bucket)
+    bucket = _row_hash_bucket(tbl, keys, num_buckets).to_numpy(zero_copy_only=False)
+    order = np.argsort(bucket, kind="stable")
+    bucket_sorted = bucket[order]
     bounds = np.searchsorted(bucket_sorted, np.arange(num_buckets + 1))
-    out = tuple(b.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_buckets))
+    out = tuple(tbl.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets))
     return out if num_buckets > 1 else out[0]
+
+
+def _split_plain_group(keys: List[str], num_buckets: int, *tbls: pa.Table):
+    """Map task over a group of blocks (concat then split; all rows kept)."""
+    cap_threads()
+    live = [t for t in tbls if t is not None and t.num_rows]
+    if not live:
+        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
+    merged = live[0] if len(live) == 1 else pa.concat_tables(live).combine_chunks()
+    return _split_plain(merged, keys, num_buckets)
 
 
 def _part_dir(out_dir: str, part: int) -> str:
@@ -85,15 +98,31 @@ def _write_partition(
     part: int,
     keys: List[str],
     lineage: dict,
+    distinct_keys: Optional[List[str]],
     *tables: pa.Table,
 ) -> dict:
-    """One committed partition: concat its shuffled splits, sort within the
+    """One committed partition: concat its shuffled splits, optional exact
+    dedup on ``distinct_keys`` (exact globally because the hash partitioning
+    on ``keys`` co-locates every candidate duplicate), sort within the
     partition (deterministic bytes), write tmp, fsync, rename, manifest."""
+    cap_threads()
     t0 = time.time()
+    steps = {}
     parts = [t for t in tables if t is not None and len(t)]
     if parts:
         tbl = pa.concat_tables(parts).combine_chunks()
-        tbl = tbl.sort_by([(k, "ascending") for k in keys])
+        steps["concat"] = round(time.time() - t0, 2)
+        ts = time.time()
+        tbl = decode_triples(tbl)
+        steps["decode"] = round(time.time() - ts, 2)
+        ts = time.time()
+        if distinct_keys:
+            tbl = local_distinct(tbl, distinct_keys)
+        steps["distinct"] = round(time.time() - ts, 2)
+        ts = time.time()
+        sort_cols = distinct_keys or keys
+        tbl = tbl.sort_by([(k, "ascending") for k in sort_cols])
+        steps["sort"] = round(time.time() - ts, 2)
     else:
         tbl = None
     pdir = _part_dir(out_dir, part)
@@ -113,6 +142,7 @@ def _write_partition(
         "bytes": n_bytes,
         "sha1": checksum,
         "wall_sec": round(time.time() - t0, 4),
+        "steps": steps,
         "committed_at": time.time(),
         **lineage,
     }
@@ -132,10 +162,15 @@ def checkpointed_write(
     num_partitions: int = 64,
     lineage: Optional[dict] = None,
     resume: bool = True,
+    distinct_keys: Optional[Sequence[str]] = None,
 ) -> dict:
     """Write ``ds`` as hash-partitioned parquet (partition = row-hash of
     ``keys`` % num_partitions) with a per-partition manifest; skip already
     committed partitions when resuming.
+
+    ``distinct_keys``: exact-dedup rows on these columns during the write
+    (one fused exchange for dedup + materialize — exact when ``keys`` is a
+    prefix/subset of ``distinct_keys`` so duplicates co-locate).
 
     Returns summary metrics ``{written, skipped, rows, bytes}``.
 
@@ -144,7 +179,10 @@ def checkpointed_write(
     shuffle for their reduce (their splits are still produced by the map —
     at very large scale pair this with input-side pruning via the
     ``inputs`` lineage field)."""
+    import math
+
     keys = list(keys)
+    distinct_keys = list(distinct_keys) if distinct_keys else None
     lineage = dict(lineage or {})
     lineage.setdefault("keys", keys)
     lineage.setdefault("num_partitions", num_partitions)
@@ -156,17 +194,34 @@ def checkpointed_write(
         return {"written": 0, "skipped": len(done), "rows": rows, "bytes": None}
 
     os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
     mat = ds.materialize()
+    t_mat = time.time() - t0
     refs = mat.to_arrow_refs()
-    mapper = ray.remote(num_returns=num_partitions)(_split_plain)
-    split_refs = [mapper.remote(r, keys, num_partitions) for r in refs]
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # group blocks per map task (see dedup.distinct_on: bounds driver refs
+    # and amortizes task overhead)
+    target_map_tasks = min(len(refs), max(8, (cpus * 3) // 2))
+    group = max(1, math.ceil(len(refs) / target_map_tasks))
+    groups = [refs[i : i + group] for i in range(0, len(refs), group)]
+    mapper = ray.remote(num_returns=num_partitions)(_split_plain_group)
+    split_refs = [mapper.remote(keys, num_partitions, *g) for g in groups]
     if num_partitions == 1:
         split_refs = [[r] for r in split_refs]
+    t1 = time.time()
+    flat = [r for s in split_refs for r in s]
+    ray.wait(flat, num_returns=len(flat), fetch_local=False)
+    t_map = time.time() - t1
+    t2 = time.time()
     writer = ray.remote(_write_partition)
     manifests = ray.get(
         [
             writer.remote(
-                out_dir, p, keys, lineage, *[split_refs[m][p] for m in range(len(split_refs))]
+                out_dir, p, keys, lineage, distinct_keys,
+                *[split_refs[m][p] for m in range(len(split_refs))]
             )
             for p in todo
         ]
@@ -176,6 +231,11 @@ def checkpointed_write(
         "skipped": len(done),
         "rows": sum(m["rows"] for m in manifests) + sum(m.get("rows", 0) for m in done.values()),
         "bytes": sum(m["bytes"] for m in manifests),
+        "phase_sec": {
+            "materialize": round(t_mat, 2),
+            "map_split": round(t_map, 2),
+            "write": round(time.time() - t2, 2),
+        },
     }
 
 

@@ -100,16 +100,23 @@ def test_mentions_canonicalized(ray_session):
 
 
 def test_materialize_partitioned_write(ray_session, tmp_path):
-    import pyarrow.dataset as pads
-
-    from rdflib_r2r_ray.pipelines.kg import materialize_triples
+    from rdflib_r2r_ray.pipelines.kg import materialize_graph
+    from rdflib_r2r_ray.state.checkpoint import completed_partitions, read_checkpointed
 
     pages = pages_table(n=50, seed=5)
     ds = rd.from_arrow(pages)
     triples = kg_construct(ds, pages_mapping(), "pages", has_html=False,
                            linker_concurrency=1)
     out = str(tmp_path / "graph")
-    materialize_triples(triples, out, num_partitions=4)
-    back = pads.dataset(out, partitioning="hive").to_table()
-    assert back.num_rows == triples.count()
-    assert set(back.column("part").to_pylist()) <= {0, 1, 2, 3}
+    res = materialize_graph(triples, out, num_partitions=4)
+    assert res["written"] == 4
+    assert res["rows"] == triples.count()  # kg_construct already dedups
+    back = read_checkpointed(out)
+    assert back.count() == res["rows"]
+    assert len(completed_partitions(out)) == 4
+    # resume: nothing recomputed
+    ds2 = rd.from_arrow(pages)
+    triples2 = kg_construct(ds2, pages_mapping(), "pages", has_html=False,
+                            linker_concurrency=1)
+    res2 = materialize_graph(triples2, out, num_partitions=4)
+    assert res2["written"] == 0 and res2["skipped"] == 4
