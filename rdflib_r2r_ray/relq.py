@@ -361,6 +361,83 @@ FROM d
 """
 
 
+# --- scalar-function layer (reference §2.4 F1-F10) -------------------------
+
+def q_rel_scalar_funcs(sf_dir: str) -> rd.Dataset:
+    """Scalar expression compiler surface (reference
+    ``query_conversions.py:56-181``): IF/CASE (F7), regex match (F6), XSD
+    cast (F8), string UDF pass-through LOWER/UPPER (F9), BOUND/null (F5),
+    arithmetic (F2) — all as pyarrow.compute kernels in one extend."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size", "p_retailprice"])
+    return R.extend(
+        ds,
+        size_class=lambda b: pc.if_else(
+            pc.greater(b["p_size"], 25), pa.scalar("large"),
+            pc.if_else(pc.greater(b["p_size"], 10), pa.scalar("medium"), pa.scalar("small")),
+        ),
+        has_brass=lambda b: pc.match_substring_regex(b["p_type"], "BRASS"),
+        name_lower=lambda b: pc.utf8_lower(b["p_name"]),
+        size_f=lambda b: pc.cast(b["p_size"], pa.float64()),
+        price_cents=lambda b: R.money_cents(b, "p_retailprice"),
+        double_size=lambda b: pc.multiply(pc.cast(b["p_size"], pa.int64()), pa.scalar(2, pa.int64())),
+    ).select_columns(
+        ["p_partkey", "size_class", "has_brass", "name_lower", "size_f", "price_cents", "double_size"]
+    )
+
+
+SQL_REL_SCALAR_FUNCS = """
+SELECT p_partkey,
+  CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium' ELSE 'small' END AS size_class,
+  regexp_matches(p_type, 'BRASS') AS has_brass,
+  lower(p_name) AS name_lower,
+  CAST(p_size AS DOUBLE) AS size_f,
+  CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents,
+  CAST(p_size AS BIGINT) * 2 AS double_size
+FROM part
+"""
+
+
+# --- corpus curation (quality gates + language + exact dedup in one pass) ---
+
+def q_curate_corpus(sf_dir: str) -> rd.Dataset:
+    """Training-data curation pipeline: integer quality gates (token count,
+    digit ratio) + exact text dedup over a corpus with planted duplicates —
+    filter and dedup composed as one streaming pipeline."""
+    from .dataq import DUP_OFFSET, plant_exact_dups
+    from .stages.dedup import exact_dedup_documents
+    from .stages.text import text_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = docs.map_batches(plant_exact_dups, batch_format="pyarrow")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        stats = text_stats(batch)
+        keep = pc.and_(
+            pc.greater_equal(stats["n_tokens"], pa.scalar(10, pa.int64())),
+            pc.less_equal(stats["n_digit"], pc.multiply(stats["n_alpha"], pa.scalar(1, pa.int64()))),
+        )
+        return batch.filter(keep)
+
+    gated = corpus.map_batches(gate, batch_format="pyarrow")
+    return exact_dedup_documents(gated).select_columns(["doc_id"])
+
+
+SQL_CURATE_CORPUS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {10_000_000}, text FROM documents
+), gated AS (
+  SELECT * FROM corpus
+  WHERE (CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10
+    AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+        <= length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+)
+SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -378,6 +455,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_values_join": q_rel_values_join,
         "rel_window_tumbling": q_rel_window_tumbling,
         "rel_sessionize": q_rel_sessionize,
+        "rel_scalar_funcs": q_rel_scalar_funcs,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -398,4 +477,6 @@ def oracle_sql() -> Dict[str, str]:
         "rel_values_join": SQL_REL_VALUES_JOIN,
         "rel_window_tumbling": SQL_REL_WINDOW,
         "rel_sessionize": SQL_REL_SESSIONIZE,
+        "rel_scalar_funcs": SQL_REL_SCALAR_FUNCS,
+        "curate_corpus": SQL_CURATE_CORPUS,
     }
