@@ -262,6 +262,42 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def q_kg_entity_counts(sf_dir: str) -> rd.Dataset:
+    """Canonicalization shuffle (north_star): per CANONICAL entity, the
+    mention count across the corpus, aggregated with the skew-safe salted
+    two-stage groupby (head entities follow a power law — a plain groupby
+    would send every head-entity row to one reducer)."""
+    import ray
+
+    from .aliases import alias_table, canonical_map
+    from .pipelines.kg import AddSubject
+    from .stages.canonicalize import CanonicalRewrite, salted_groupby_count
+    from .stages.linker import EntityLinker
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(AddSubject(documents_mapping(), "documents"), batch_format="pyarrow")
+    alias_ref = ray.put(alias_table())
+    mentions = ds.select_columns(["subj", "text"]).map_batches(
+        EntityLinker,
+        fn_constructor_kwargs=dict(alias_ref=alias_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    mentions = mentions.map_batches(
+        CanonicalRewrite(canonical_map(), columns=["entity"]), batch_format="pyarrow"
+    )
+    return salted_groupby_count(mentions.select_columns(["entity"]), "entity", "n")
+
+
+def _sql_kg_entity_counts() -> str:
+    return f"""
+SELECT entity, COUNT(*) AS n
+FROM documents, {alias_values_sql()}
+WHERE regexp_matches(text, '\\b' || alias || '\\b')
+GROUP BY entity
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     from . import dataq, relq
 
@@ -273,6 +309,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_direct_fk": q_kg_direct_fk,
         "kg_view_filtered": q_kg_view_filtered,
         "kg_bgp_join": q_kg_bgp_join,
+        "kg_entity_counts": q_kg_entity_counts,
     }
     out.update(relq.queries())
     out.update(dataq.queries())
@@ -290,6 +327,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_direct_fk": _sql_kg_direct_fk(),
         "kg_view_filtered": _sql_kg_view_filtered(),
         "kg_bgp_join": _sql_kg_bgp_join(),
+        "kg_entity_counts": _sql_kg_entity_counts(),
     }
     out.update(relq.oracle_sql())
     out.update(dataq.oracle_sql())
