@@ -1,0 +1,123 @@
+"""BGP (basic graph pattern) execution over a triples Dataset.
+
+The reference compiles a SPARQL BGP to SQL by matching each triple pattern
+against candidate TriplesMaps and joining on shared variables
+(``rdflib_r2r/sql_converter.py:291-361``).  Here the graph is already
+materialized as a ``(subj, pred, obj[, graph])`` Dataset, so a BGP executes
+as: one filtered projection per pattern (constant positions → vectorized
+equality filters; variable positions → projected columns) followed by hash
+joins on shared variables — plus a union over the path-free alternatives
+produced by ``paths.resolve_paths``.
+
+Scale notes: pattern filters fuse with the scan (Arrow expressions, so Ray
+pushes them down); join order follows the reference's presort heuristic —
+most-selective (most-constant) patterns first — and every join is on raw
+term columns.  For a pattern whose match set is small (e.g. bound
+predicate over a rare term), pass ``broadcast_threshold`` to switch that
+side to a broadcast join instead of a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .paths import BNodeVar, Path, Var, resolve_paths
+from .relational import broadcast_join, hash_join, union_pad
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(t) -> bool:
+    return isinstance(t, (Var, BNodeVar))
+
+
+def _var_name(t) -> str:
+    return t.name
+
+
+def match_pattern(triples: rd.Dataset, pattern: Tuple) -> Tuple[rd.Dataset, List[str]]:
+    """One triple pattern → (projected Dataset of variable bindings, vars).
+
+    Constants filter; variables project (renamed to the variable name).
+    Two occurrences of the SAME variable inside one pattern add an
+    intra-pattern equality filter (e.g. ``(?x, p, ?x)``)."""
+    exprs = []
+    var_cols: Dict[str, str] = {}
+    for pos, term in zip(_POS, pattern):
+        if _is_var(term):
+            name = _var_name(term)
+            if name in var_cols:
+                exprs.append(f"({var_cols[name]} == {pos})")
+            else:
+                var_cols[name] = pos
+        else:
+            exprs.append(f"({pos} == {term!r})")
+    ds = triples
+    if exprs:
+        ds = ds.filter(expr=" and ".join(exprs))
+    cols = list(var_cols.values())
+    names = list(var_cols.keys())
+    ds = ds.map_batches(
+        lambda b, _c=cols, _n=names: b.select(_c).rename_columns(_n),
+        batch_format="pyarrow",
+    )
+    return ds, names
+
+
+def _selectivity(pattern: Tuple) -> int:
+    """More constants ⇒ more selective ⇒ earlier (reference presort,
+    ``sql_converter.py:298``)."""
+    return -sum(0 if _is_var(t) else 1 for t in pattern)
+
+
+def execute_bgp(
+    triples: rd.Dataset,
+    patterns: Sequence[Tuple],
+    broadcast_threshold: int = 0,
+) -> rd.Dataset:
+    """Execute a BGP (may contain property paths) over the triples Dataset.
+
+    Returns a Dataset with one column per named variable (``Var``);
+    intermediate path variables (``BNodeVar``) are joined on, then dropped.
+    Multiple path alternatives union with column padding."""
+    branches = []
+    for bgp in resolve_paths(patterns):
+        ordered = sorted(bgp, key=_selectivity)
+        acc: Optional[rd.Dataset] = None
+        acc_vars: List[str] = []
+        for pat in ordered:
+            ds, names = match_pattern(triples, pat)
+            if acc is None:
+                acc, acc_vars = ds, names
+                continue
+            shared = [v for v in names if v in acc_vars]
+            if shared:
+                if broadcast_threshold:
+                    small = pa.concat_tables(
+                        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+                        or [pa.table({n: pa.array([], pa.string()) for n in names})]
+                    )
+                    if small.num_rows <= broadcast_threshold:
+                        acc = broadcast_join(acc, small, on=shared)
+                    else:
+                        acc = hash_join(acc, rd.from_arrow(small), on=shared)
+                else:
+                    acc = hash_join(acc, ds, on=shared)
+            else:
+                # cartesian product — the reference also materializes this
+                # case as a cross join; rare in practice, keep both sides
+                raise NotImplementedError(
+                    "disconnected BGP (cartesian product) is not supported; "
+                    "order patterns to share variables"
+                )
+            acc_vars = acc_vars + [v for v in names if v not in acc_vars]
+        keep = [v for v in acc_vars if not v.startswith("__pb")]
+        branches.append(acc.select_columns(keep) if keep != acc_vars else acc)
+    if len(branches) == 1:
+        return branches[0]
+    return union_pad(*branches)

@@ -262,6 +262,35 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def q_kg_path_query(sf_dir: str) -> rd.Dataset:
+    """Property-path query end-to-end (reference path rewrite
+    ``sql_converter.py:197-233`` + BGP compile): the sequence path
+    ``?n (nation#ref-n_regionkey / region#r_name) ?name`` resolves to a
+    2-hop BGP and executes as filters + a join over the triples Dataset."""
+    from .bgp import execute_bgp
+    from .paths import Seq, Var
+
+    mapping = _nation_region_mapping()
+    nat = read_table(sf_dir, "nation").map_batches(
+        EmitTriples(mapping, "nation"), batch_format="pyarrow"
+    )
+    reg = read_table(sf_dir, "region").map_batches(
+        EmitTriples(mapping, "region"), batch_format="pyarrow"
+    )
+    triples = nat.union(reg).select_columns(["subj", "pred", "obj"])
+    out = execute_bgp(
+        triples,
+        [(Var("nation"), Seq(f"<{BASE}nation#ref-n_regionkey>", f"<{BASE}region#r_name>"), Var("name"))],
+        broadcast_threshold=100_000,
+    )
+    return out.select_columns(["nation", "name"])
+
+
+def _sql_kg_path_query() -> str:
+    # same semantics as the bgp-join oracle: the path is the FK hop + name
+    return _sql_kg_bgp_join()
+
+
 def q_kg_entity_counts(sf_dir: str) -> rd.Dataset:
     """Canonicalization shuffle (north_star): per CANONICAL entity, the
     mention count across the corpus, aggregated with the skew-safe salted
@@ -310,6 +339,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_view_filtered": q_kg_view_filtered,
         "kg_bgp_join": q_kg_bgp_join,
         "kg_entity_counts": q_kg_entity_counts,
+        "kg_path_query": q_kg_path_query,
     }
     out.update(relq.queries())
     out.update(dataq.queries())
@@ -328,6 +358,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_view_filtered": _sql_kg_view_filtered(),
         "kg_bgp_join": _sql_kg_bgp_join(),
         "kg_entity_counts": _sql_kg_entity_counts(),
+        "kg_path_query": _sql_kg_path_query(),
     }
     out.update(relq.oracle_sql())
     out.update(dataq.oracle_sql())

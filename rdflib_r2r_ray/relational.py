@@ -88,6 +88,29 @@ def money_cents(batch: pa.Table, col: str) -> pa.Array:
 # Joins (Q5, Q6, Q8, Q16)
 # ---------------------------------------------------------------------------
 
+def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Remove schema-less empty blocks from a Dataset.
+
+    ``filter``/``union`` lineages emit zero-column empty blocks; they skip
+    ``map_batches`` UDFs entirely (so they can't be repaired there) and
+    crash Ray's hash-shuffle join aggregator ("No match or multiple matches
+    for key field ...").  Filtering on block METADATA (no data fetch) drops
+    them; this materializes the input, which a hash join — itself a full
+    barrier — already implies."""
+    schema = ds.schema()
+    bundles = ds.iter_internal_ref_bundles()
+    refs = [
+        block
+        for bundle in bundles
+        for block, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    if not refs:
+        target = pa.schema(list(zip(schema.names, schema.types)))
+        return rd.from_arrow(target.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -98,8 +121,8 @@ def hash_join(
 ) -> rd.Dataset:
     """Distributed hash join (reference inner/left joins,
     ``query_conversions.py:246-269, 349-374``)."""
-    return left.join(
-        right,
+    return _drop_empty_blocks(left).join(
+        _drop_empty_blocks(right),
         join_type=join_type,
         num_partitions=num_partitions or _num_partitions(),
         on=tuple(on),
