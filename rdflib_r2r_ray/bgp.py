@@ -27,7 +27,7 @@ import ray
 import ray.data as rd
 
 from .paths import BNodeVar, Path, Var, resolve_paths
-from .relational import broadcast_join, hash_join, union_pad
+from .relational import _drop_empty_blocks, broadcast_join, hash_join, union_pad
 
 _POS = ("subj", "pred", "obj")
 
@@ -107,7 +107,9 @@ def execute_bgp(
                     else:
                         acc = hash_join(acc, rd.from_arrow(small), on=shared)
                 else:
-                    acc = hash_join(acc, ds, on=shared)
+                    # pattern matches over filtered unions carry schema-less
+                    # empty blocks that crash the shuffle-join aggregator
+                    acc = hash_join(_drop_empty_blocks(acc), _drop_empty_blocks(ds), on=shared)
             else:
                 # cartesian product — the reference also materializes this
                 # case as a cross join; rare in practice, keep both sides

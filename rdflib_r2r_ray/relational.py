@@ -120,9 +120,14 @@ def hash_join(
     num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Distributed hash join (reference inner/left joins,
-    ``query_conversions.py:246-269, 349-374``)."""
-    return _drop_empty_blocks(left).join(
-        _drop_empty_blocks(right),
+    ``query_conversions.py:246-269, 349-374``).
+
+    Caveat: inputs whose lineage contains filtered unions of tiny reads can
+    carry schema-less empty blocks that crash Ray's join aggregator — pass
+    such inputs through :func:`_drop_empty_blocks` first (streaming is lost
+    there, so it is not applied globally; see ``bgp.execute_bgp``)."""
+    return left.join(
+        right,
         join_type=join_type,
         num_partitions=num_partitions or _num_partitions(),
         on=tuple(on),
