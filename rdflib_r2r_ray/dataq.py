@@ -166,6 +166,13 @@ QUALIFY rank <= 10
 """
 
 
+def q_ann_topk_ivf(sf_dir: str) -> rd.Dataset:
+    """IVF approximate top-10 (coarse centroids + nprobe inverted lists —
+    the second scale path besides LSH; recall asserted in tests)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return A.ivf_topk(ds, _query_vectors(sf_dir), k=10, n_centroids=16, nprobe=6)
+
+
 def q_ann_topk_lsh(sf_dir: str) -> rd.Dataset:
     """LSH-bucketed approximate top-10 (scale path; recall vs brute force is
     asserted in tests)."""
@@ -255,6 +262,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "dd_embedding_neardup": q_dd_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,

@@ -198,6 +198,97 @@ def lsh_bucketed_topk(
     return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
 
 
+def train_ivf_centroids(
+    ds: rd.Dataset,
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 5,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train IVF coarse centroids: deterministic seeded sample (first
+    ``sample_rows`` by id order of the first blocks) + a few Lloyd
+    iterations on the driver.  At cluster scale the sample is a push-down
+    ``limit`` — centroid training never touches the full corpus."""
+    sample = ds.limit(sample_rows).take_all()
+    m = _unit(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> rd.Dataset:
+    """IVF approximate top-k: vectors are assigned to their nearest coarse
+    centroid (inverted lists); each query scores only vectors whose
+    centroid is among its ``nprobe`` closest — scanned fraction ≈
+    nprobe/n_centroids.  Same output schema as ``brute_force_topk``; recall
+    measured in tests.  Centroids broadcast once (``ray.put``)."""
+    cent = train_ivf_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    qm = _unit(_to_matrix(queries[vec_col]))
+    qids = np.asarray(queries[query_id_col].to_pylist())
+    q_probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    ref = ray.put((qids, qm, cent, q_probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qm, _cent, _probe = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        m = _unit(_to_matrix(batch[vec_col]))
+        assign = (m @ _cent.T).argmax(axis=1)
+        out_q: List = []
+        out_v: List = []
+        out_s: List[float] = []
+        for qi in range(len(_qids)):
+            mask = np.isin(assign, _probe[qi]) & (ids != _qids[qi])
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            sims = m[cand] @ _qm[qi]
+            take = min(k, len(cand))
+            part = cand[np.argpartition(-sims, take - 1)[:take]]
+            out_q.extend([_qids[qi]] * len(part))
+            out_v.extend(ids[part].tolist())
+            out_s.extend((m[part] @ _qm[qi]).tolist())
+        return pa.table(
+            {
+                query_id_col: pa.array(out_q),
+                id_col: pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), (id_col, "ascending")]).slice(0, k)
+        return pa.table(
+            {
+                query_id_col: g[query_id_col],
+                id_col: g[id_col],
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
+
+
 def embedding_near_dup_exact(
     ds: rd.Dataset,
     threshold: float,

@@ -99,6 +99,21 @@ def test_lsh_topk_recall_vs_brute_force(ray_session):
     assert recall >= 0.6, f"LSH top-k recall {recall}"
 
 
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.dataq import _query_vectors
+    from rdflib_r2r_ray.stages.ann import brute_force_topk, ivf_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = _query_vectors(SF)
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(ds, q, k=10).take_all()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_topk(ds, q, k=10, n_centroids=16, nprobe=6).take_all()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF top-k recall {recall}"
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
