@@ -322,27 +322,52 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 def q_rel_sessionize(sf_dir: str) -> rd.Dataset:
     """Sessionize events per user (30-min inactivity gap): a stateful
-    streaming-window op the Dataset API lacks, composed as
-    ``groupby(user).map_groups(assign)`` with deterministic in-group order
-    (ts, event_id). Scales: each group is one user's events."""
+    streaming-window op the Dataset API lacks, composed over the raw-task
+    hash exchange (``hash_group_exchange`` — every user's events land in
+    one partition; session assignment is vectorized over the whole
+    partition, not per-group Python)."""
     import numpy as np
 
-    def assign(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        ts = g["ts"].cast(pa.int64()).to_numpy()
-        new_session = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1] > SESSION_GAP_US).astype(np.int64)
+    from .stages.dedup import hash_group_exchange
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("session_id", pa.int64())]
+    )
+
+    def assign(part: pa.Table) -> pa.Table:
+        g = part.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_session = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_user = uid[1:] == uid[:-1]
+            gap_ok = (ts[1:] - ts[:-1]) <= SESSION_GAP_US
+            new_session[1:] = np.where(same_user & gap_ok, 0, 1)
+        # per-user cumulative session index: global cumsum minus the cumsum
+        # value at each user's first row (+1)
+        cum = np.cumsum(new_session)
+        first_idx = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            boundary = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+            starts = np.concatenate([[0], boundary])
+        else:
+            starts = np.array([0], dtype=np.int64)
+        base = np.repeat(cum[starts] - 1, np.diff(np.concatenate([starts, [n]])))
+        session = cum - base
         return pa.table(
             {
                 "event_id": g["event_id"],
                 "user_id": g["user_id"],
-                "session_id": pa.array(np.cumsum(new_session)),
-            }
+                "session_id": pa.array(session),
+            },
+            schema=out_schema,
         )
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(assign, batch_format="pyarrow")
+    return hash_group_exchange(ds, ["user_id"], assign, out_schema)
 
 
 SQL_REL_SESSIONIZE = """
