@@ -98,14 +98,21 @@ def execute_bgp(
             shared = [v for v in names if v in acc_vars]
             if shared:
                 if broadcast_threshold:
-                    small = pa.concat_tables(
-                        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-                        or [pa.table({n: pa.array([], pa.string()) for n in names})]
-                    )
-                    if small.num_rows <= broadcast_threshold:
+                    # decide broadcast-vs-shuffle from block METADATA: count()
+                    # on the materialized side is metadata-only — blocks are
+                    # fetched to the driver only once known to be small
+                    mat = ds.materialize()
+                    if mat.count() <= broadcast_threshold:
+                        small = pa.concat_tables(
+                            [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+                            or [pa.table({n: pa.array([], pa.string()) for n in names})]
+                        )
                         acc = broadcast_join(acc, small, on=shared)
                     else:
-                        acc = hash_join(acc, rd.from_arrow(small), on=shared)
+                        # same empty-block guard as the non-broadcast path:
+                        # acc's filtered-union lineage can carry schema-less
+                        # empty blocks that crash the shuffle-join aggregator
+                        acc = hash_join(_drop_empty_blocks(acc), mat, on=shared)
                 else:
                     # pattern matches over filtered unions carry schema-less
                     # empty blocks that crash the shuffle-join aggregator

@@ -27,6 +27,19 @@ def read_table(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _pool_size() -> int:
+    """Actor-pool size for stateful stages: ~3/4 of cluster CPUs (the rest
+    keep the task stages flowing).  A hardcoded small pool starves the stage
+    on a big cluster — measured 5.6 s → ~1 s for the linker at 32 CPUs."""
+    import ray
+
+    try:
+        total = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        total = 4
+    return max(2, (total * 3) // 4)
+
+
 # ---------------------------------------------------------------------------
 # KG construction queries
 # ---------------------------------------------------------------------------
@@ -111,7 +124,7 @@ def q_kg_mentions(sf_dir: str) -> rd.Dataset:
         EntityLinker,
         fn_constructor_kwargs=dict(alias_ref=alias_ref),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, _pool_size()),
     )
     mentions = mentions.map_batches(
         CanonicalRewrite(canonical_map(), columns=["entity"]),
@@ -136,7 +149,7 @@ def q_kg_full_documents(sf_dir: str) -> rd.Dataset:
     """Flagship: full KG construction over ``documents`` (metadata triples +
     canonicalized mention triples, exact-dedup materialization)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
-    triples = kg_construct(ds, documents_mapping(), "documents", linker_concurrency=2)
+    triples = kg_construct(ds, documents_mapping(), "documents")
     return triples.select_columns(["subj", "pred", "obj"])
 
 
@@ -226,12 +239,10 @@ def q_kg_bgp_join(sf_dir: str) -> rd.Dataset:
     ``queryBGP``, ``sql_converter.py:291-329``): the pattern
     ``(?n <nation#ref-n_regionkey> ?r) (?r <region#r_name> ?name)``
     compiles to triple-pattern filters + a join on the shared variable —
-    broadcast (``ray.put`` once, ``pa.Table.join`` per batch) because the
-    region pattern's matches are small; the large-large case uses
-    ``relational.hash_join``."""
-    import ray
-
-    from .relational import broadcast_join
+    the planner broadcasts the region pattern's matches (count read from
+    block metadata, data fetched only once known small); the large-large
+    case falls back to the distributed hash join."""
+    from .relational import planned_join
 
     mapping = _nation_region_mapping()
     nat = read_table(sf_dir, "nation").map_batches(
@@ -247,11 +258,11 @@ def q_kg_bgp_join(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
     name_ds = reg.filter(expr=f"pred == '<{BASE}region#r_name>'")
-    name_tbl = pa.concat_tables(
-        [t.select(["subj", "obj"]).rename_columns(["r", "name"])
-         for t in ray.get(name_ds.to_arrow_refs()) if t.num_rows]
+    name_ds = name_ds.map_batches(
+        lambda b: b.select(["subj", "obj"]).rename_columns(["r", "name"]),
+        batch_format="pyarrow",
     )
-    return broadcast_join(ref, name_tbl, on=["r"]).select_columns(["nation", "name"])
+    return planned_join(ref, name_ds, on=["r"]).select_columns(["nation", "name"])
 
 
 def _sql_kg_bgp_join() -> str:
@@ -310,7 +321,7 @@ def q_kg_entity_counts(sf_dir: str) -> rd.Dataset:
         EntityLinker,
         fn_constructor_kwargs=dict(alias_ref=alias_ref),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, _pool_size()),
     )
     mentions = mentions.map_batches(
         CanonicalRewrite(canonical_map(), columns=["entity"]), batch_format="pyarrow"

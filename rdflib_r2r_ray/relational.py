@@ -150,6 +150,7 @@ def broadcast_join(
     small: pa.Table,
     on: Sequence[str],
     join_type: str = "inner",
+    right_on: Optional[Sequence[str]] = None,
 ) -> rd.Dataset:
     """Join against a SMALL side without a shuffle: the table is put in the
     object store ONCE (``ray.put``) and each map task does a zero-copy local
@@ -157,14 +158,50 @@ def broadcast_join(
     small side per batch."""
     small_ref = ray.put(small.combine_chunks())
     keys = list(on)
+    rkeys = list(right_on) if right_on else keys
     jt = {"inner": "inner", "left_outer": "left outer", "left_semi": "left semi",
           "left_anti": "left anti"}[join_type]
 
-    def join_batch(batch: pa.Table, _ref=small_ref, _keys=keys, _jt=jt) -> pa.Table:
+    def join_batch(batch: pa.Table, _ref=small_ref, _keys=keys, _rk=rkeys, _jt=jt) -> pa.Table:
         rhs = ray.get(_ref)
-        return batch.join(rhs, keys=_keys, join_type=_jt)
+        return batch.join(rhs, keys=_keys, right_keys=_rk, join_type=_jt)
 
     return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+# Build sides under this many rows are broadcast instead of shuffled.  At
+# ~50 B/row this is ≈10 MB in the object store — one put, zero exchange.
+BROADCAST_LIMIT = 200_000
+
+
+def planned_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str],
+    join_type: str = "inner",
+    right_on: Optional[Sequence[str]] = None,
+    broadcast_limit: int = BROADCAST_LIMIT,
+) -> rd.Dataset:
+    """Join with a broadcast-vs-shuffle decision made from METADATA, never by
+    pulling data to the driver: the build side is materialized (blocks stay
+    in the object store), its row count read from block metadata, and only if
+    it is under ``broadcast_limit`` are the (bounded) blocks fetched and
+    broadcast.  Otherwise both sides go through the distributed hash join.
+
+    This is the planner the reference delegates to its SQL engine
+    (``query_conversions.py:246-269`` joins compile to SQL and the database
+    picks the strategy); here the build side is typically a dimension table
+    or a filtered subquery, so broadcast wins by orders of magnitude over an
+    all-to-all shuffle of the probe side."""
+    mat = right.materialize()
+    if mat.count() <= broadcast_limit:
+        tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            s = mat.schema()
+            tables = [pa.schema(list(zip(s.names, s.types))).empty_table()]
+        small = pa.concat_tables(tables).combine_chunks()
+        return broadcast_join(left, small, on, join_type=join_type, right_on=right_on)
+    return hash_join(left, mat, on, join_type=join_type, right_on=right_on)
 
 
 def values_dataset(rows: List[dict]) -> rd.Dataset:

@@ -109,7 +109,9 @@ def q_rel_join_agg(sf_dir: str) -> rd.Dataset:
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     orders = R.extend(orders, price_cents=lambda b: R.money_cents(b, "o_totalprice"))
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    j = R.hash_join(
+    # customer is the dimension side: the planner broadcasts it (count from
+    # block metadata), so the fact table never shuffles
+    j = R.planned_join(
         orders.select_columns(["o_custkey", "price_cents"]), cust,
         on=["o_custkey"], right_on=["c_custkey"],
     )
@@ -137,7 +139,7 @@ def q_rel_left_join(sf_dir: str) -> rd.Dataset:
     """LEFT OUTER JOIN preserving unmatched left rows (OPTIONAL)."""
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
-    j = R.hash_join(cust, orders, on=["c_custkey"], right_on=["o_custkey"], join_type="left_outer")
+    j = R.planned_join(cust, orders, on=["c_custkey"], right_on=["o_custkey"], join_type="left_outer")
     j = R.extend(j, matched=lambda b: pc.cast(pc.is_valid(b["o_orderkey"]), pa.int64()))
     return R.grouped_agg(
         j.select_columns(["c_custkey", "matched"]), ["c_custkey"], sums=["matched"]
@@ -160,7 +162,8 @@ def q_rel_exists(sf_dir: str) -> rd.Dataset:
         _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]),
         "o_orderstatus == 'F'",
     ).select_columns(["o_custkey"])
-    return R.semi_join(cust, f_orders, on=["c_custkey"], right_on=["o_custkey"])
+    return R.planned_join(cust, f_orders, on=["c_custkey"], right_on=["o_custkey"],
+                          join_type="left_semi")
 
 
 SQL_REL_EXISTS = """
@@ -176,7 +179,8 @@ def q_rel_not_exists(sf_dir: str) -> rd.Dataset:
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
         "o_totalprice > 400000",
     ).select_columns(["o_custkey"])
-    return R.anti_join(cust, big, on=["c_custkey"], right_on=["o_custkey"])
+    return R.planned_join(cust, big, on=["c_custkey"], right_on=["o_custkey"],
+                          join_type="left_anti")
 
 
 SQL_REL_NOT_EXISTS = """
@@ -213,7 +217,7 @@ def q_rel_except(sf_dir: str) -> rd.Dataset:
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
     p = R.distinct(R.filter_expr(orders, "o_orderstatus == 'P'").select_columns(["o_custkey"]))
     f = R.distinct(R.filter_expr(orders, "o_orderstatus == 'F'").select_columns(["o_custkey"]))
-    return R.anti_join(p, f, on=["o_custkey"])
+    return R.planned_join(p, f, on=["o_custkey"], join_type="left_anti")
 
 
 SQL_REL_EXCEPT = """
@@ -275,9 +279,11 @@ FROM nation GROUP BY n_regionkey
 # --- Q15 VALUES inline table ----------------------------------------------
 
 def q_rel_values_join(sf_dir: str) -> rd.Dataset:
-    vals = R.values_dataset([{"n_name": "NATION_1"}, {"n_name": "NATION_7"}, {"n_name": "NATION_13"}])
+    vals = pa.Table.from_pylist(
+        [{"n_name": "NATION_1"}, {"n_name": "NATION_7"}, {"n_name": "NATION_13"}]
+    )
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    return R.hash_join(nation, vals, on=["n_name"]).select_columns(["n_nationkey", "n_name"])
+    return R.broadcast_join(nation, vals, on=["n_name"]).select_columns(["n_nationkey", "n_name"])
 
 
 SQL_REL_VALUES_JOIN = """
@@ -339,7 +345,9 @@ def q_rel_sessionize(sf_dir: str) -> rd.Dataset:
             [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
         )
         uid = g["user_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to µs FIRST so SESSION_GAP_US is unit-safe even if the
+        # source column is ms/ns-resolution
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = len(uid)
         new_session = np.ones(n, dtype=np.int64)
         if n > 1:

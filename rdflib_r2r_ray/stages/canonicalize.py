@@ -121,30 +121,49 @@ class CanonicalRewrite:
         return batch
 
 
+_SALT_COUNTER = None
+
+
+def _next_salt(salt_buckets: int) -> int:
+    """Per-process batch counter → salt value.  CRITICAL: the salt must be
+    independent of the grouping KEY — a key-derived salt (hash(key) % B)
+    sends every partial of a hot key to the SAME reducer, which is no salting
+    at all.  A per-batch counter spreads a head key's partials across
+    ``salt_buckets`` reducers because its rows arrive in many batches."""
+    global _SALT_COUNTER
+    if _SALT_COUNTER is None:
+        import itertools
+
+        _SALT_COUNTER = itertools.count()
+    return next(_SALT_COUNTER) % salt_buckets
+
+
+def _salted_partial(batch: pa.Table, key: str, count_col: str, salt_buckets: int) -> pa.Table:
+    """Per-batch combiner: one output row per distinct key in the batch,
+    salted with a key-independent per-batch value."""
+    t = pa.table({key: batch[key]})
+    g = t.group_by(key).aggregate([(key, "count")])
+    counts = g[f"{key}_count"]
+    salt_val = _next_salt(salt_buckets)
+    salt = pa.array([salt_val] * len(g), pa.int32())
+    return pa.table({key: g[key], "salt": salt, count_col: pc.cast(counts, pa.int64())})
+
+
 def salted_groupby_count(
     ds: rd.Dataset, key: str, count_col: str = "n", salt_buckets: int = 32
 ) -> rd.Dataset:
     """Skew-safe ``groupby(key).count()``: pre-aggregate per (key, salt) —
-    the salt spreads a head key over ``salt_buckets`` reducers — then a tiny
-    de-salt groupby sums the partials.  With the per-batch combiner below the
-    first shuffle already moves only one row per (key, salt, batch)."""
+    the key-independent salt spreads a head key's partials over up to
+    ``salt_buckets`` reducers — then a tiny de-salt groupby sums the
+    partials.  With the per-batch combiner the first shuffle already moves
+    only one row per (key, batch); the salt bounds the worst reducer's input
+    for aggregates whose partials don't shrink under combining."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        # per-batch combiner: one output row per distinct key in the batch
-        t = pa.table({key: batch[key]})
-        g = t.group_by(key).aggregate([(key, "count")])
-        counts = g[f"{key}_count"]
-        salt = pc.bit_wise_and(pc.hash64(g[key]) if hasattr(pc, "hash64") else _py_hash(g[key]), salt_buckets - 1)
-        return pa.table({key: g[key], "salt": pc.cast(salt, pa.int32()), count_col: pc.cast(counts, pa.int64())})
+        return _salted_partial(batch, key, count_col, salt_buckets)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     desalted = partials.groupby([key, "salt"]).sum(count_col)
     col = f"sum({count_col})"
     out = desalted.groupby(key).sum(col)
     return out.rename_columns([key, count_col])
-
-
-def _py_hash(arr: pa.Array) -> pa.Array:
-    import zlib
-
-    return pa.array([zlib.crc32(str(v).encode()) for v in arr.to_pylist()], pa.int64())

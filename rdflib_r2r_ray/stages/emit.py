@@ -79,8 +79,12 @@ def _bnode_ids(batch: pa.Table, prefix: str) -> pa.Array:
     rows have no rowid, so we hash the full row content plus the row's
     duplicate-rank within the batch: distinct duplicate rows get distinct
     bnodes (W3C D005 semantics) and retries are idempotent because block
-    contents are deterministic.  Duplicate rows split across different blocks
-    would collide — acceptable under isomorphism-modulo-bnodes comparison.
+    contents are deterministic.  KNOWN DIVERGENCE: identical no-PK rows that
+    land in different blocks restart their rank and so share a bnode id,
+    merging what the per-row reference output keeps as separate nodes (the
+    merged graph is NOT isomorphic to it).  To remove the divergence,
+    hash-partition no-PK tables on full row content before emit so
+    duplicates co-locate and ranks are global.
     """
     import collections
 

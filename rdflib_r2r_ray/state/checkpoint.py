@@ -134,6 +134,10 @@ def _write_partition(
         pq.write_table(tbl, tmp_path)
         with open(tmp_path, "rb") as f:
             checksum = hashlib.sha1(f.read()).hexdigest()
+            # fsync the DATA file before the rename: without it a power loss
+            # can leave a committed manifest pointing at an empty/partial
+            # data.parquet, which resume would silently treat as complete
+            os.fsync(f.fileno())
         n_rows, n_bytes = len(tbl), os.path.getsize(tmp_path)
         os.replace(tmp_path, data_path)  # atomic commit of the data file
     manifest = {
@@ -152,6 +156,12 @@ def _write_partition(
         f.flush()
         os.fsync(f.fileno())
     os.replace(mtmp, os.path.join(pdir, MANIFEST))  # manifest last ⇒ committed
+    # fsync the directory so both renames are durable before we report commit
+    dfd = os.open(pdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     return manifest
 
 

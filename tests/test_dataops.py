@@ -214,3 +214,36 @@ def test_audio_frame_sampler():
     out = AudioFrameSampler(hop=1024)(batch).to_pylist()
     assert len(out) == 4
     assert all(r["rms"] > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# skew-safe salted groupby
+# ---------------------------------------------------------------------------
+
+def test_salted_partial_salt_is_key_independent():
+    """The salt must vary across batches for the SAME key — a key-derived
+    salt sends every partial of a hot key to one reducer (no-op salting)."""
+    from rdflib_r2r_ray.stages.canonicalize import _salted_partial
+
+    hot = pa.table({"k": pa.array(["head"] * 100)})
+    salts = {
+        _salted_partial(hot, "k", "n", salt_buckets=8)["salt"][0].as_py()
+        for _ in range(32)
+    }
+    assert len(salts) > 1, "salt must not be a function of the key"
+    assert len(salts) == 8, f"expected all 8 salt buckets used, got {salts}"
+
+
+def test_salted_groupby_count_head_key_distribution(ray_session):
+    """Correct counts under a power-law key distribution: one head key with
+    90% of rows plus a long tail."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.canonicalize import salted_groupby_count
+
+    rows = [{"entity": "head"}] * 9000 + [{"entity": f"tail{i}"} for i in range(100)] * 10
+    ds = rd.from_items(rows, override_num_blocks=40)
+    out = {r["entity"]: r["n"] for r in salted_groupby_count(ds, "entity").take_all()}
+    assert out["head"] == 9000
+    assert all(out[f"tail{i}"] == 10 for i in range(100))
+    assert len(out) == 101
