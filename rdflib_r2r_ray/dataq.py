@@ -2,15 +2,23 @@
 text analysis, multimodal plumbing (the large-scale data-curation operator
 family, first-class alongside the KG/relational surface).
 
-Queries with a DuckDB-expressible semantics carry an oracle; the rest
-(minhash/simhash/langid/fingerprint/ANN-approx/multimodal) are registered
-rows-only and verified in pytest against brute-force Python oracles.
+EVERY query here carries a DuckDB oracle (the driver's hard correctness
+gate).  Non-SQL-native operators are made oracle-able by construction:
+
+- near-dup (minhash/ngram): candidates are VERIFIED with exact integer
+  k-gram Jaccard, so the result equals the brute-force SQL pair join;
+- simhash / fingerprint: registered as group-by-hash keeper queries, which
+  equal SQL group-by-token-bag / group-by-text iff the hash is injective on
+  the corpus (64-bit; a collision would fail the gate loudly);
+- approximate ANN (LSH/IVF): the query computes recall against the exact
+  top-k INSIDE the pipeline and emits (query_id, recall_ok) — the oracle
+  asserts recall_ok for every query vector;
+- multimodal: payloads are synthesized from pure doc_id arithmetic, so the
+  decoded integer features are recomputable in SQL.
 """
 
 from __future__ import annotations
 
-import hashlib
-import struct
 from typing import Callable, Dict
 
 import numpy as np
@@ -37,7 +45,7 @@ def _docs(sf_dir: str) -> rd.Dataset:
 
 def plant_exact_dups(batch: pa.Table) -> pa.Table:
     """Append an exact copy of every doc at doc_id+DUP_OFFSET — the dedup
-    corpus used by dd_* queries (the base table has no duplicate texts)."""
+    corpus used by dd_exact/curate (the base table has no duplicate texts)."""
     copy = batch.set_column(
         batch.column_names.index("doc_id"),
         "doc_id",
@@ -48,7 +56,7 @@ def plant_exact_dups(batch: pa.Table) -> pa.Table:
 
 def plant_near_dups(batch: pa.Table) -> pa.Table:
     """Append a NEAR-copy (one appended token) of every doc at
-    doc_id+DUP_OFFSET: high-Jaccard pairs for minhash/simhash recall."""
+    doc_id+DUP_OFFSET: high-Jaccard pairs for minhash/simhash recall tests."""
     texts = [None if t is None else t + " zzztail" for t in batch["text"].to_pylist()]
     copy = pa.table(
         {
@@ -79,49 +87,91 @@ SELECT MIN(doc_id) AS doc_id FROM (
 """
 
 
+# DuckDB-side distinct token-trigram sets, matching stages/dedup._ngrams:
+# tokens = [a-z0-9_]+ runs of lower(text) (\w in RE2 is exactly that class);
+# a doc with <3 tokens contributes its whole token tuple as one shingle.
+_SQL_SHINGLES = r"""
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN
+      CASE WHEN len(toks) = 0 THEN [] ELSE [array_to_string(toks, ' ')] END
+    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    END AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+        FROM documents)
+"""
+
+
+def _sql_jaccard_pairs(threshold_permille: int, with_permille: bool) -> str:
+    """Brute-force pair join with exact integer-permille trigram Jaccard.
+    The length prefilter is implied by the threshold (J ≥ t ⇒ min/max ≥ t)
+    and cuts the quadratic join ~10×."""
+    t = threshold_permille
+    cols = "a.doc_id AS id_a, b.doc_id AS id_b"
+    if with_permille:
+        cols += ", len(list_intersect(a.sh, b.sh)) * 1000 // len(list_distinct(a.sh || b.sh)) AS permille"
+    return f"""
+WITH sh AS ({_SQL_SHINGLES})
+SELECT {cols}
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND len(a.sh) * 1000 >= len(b.sh) * {t} AND len(b.sh) * 1000 >= len(a.sh) * {t}
+WHERE len(list_intersect(a.sh, b.sh)) * 1000 >= len(list_distinct(a.sh || b.sh)) * {t}
+"""
+
+
 def q_dd_minhash_lsh(sf_dir: str) -> rd.Dataset:
-    """MinHash+LSH near-dup candidates (shingle → minhash → band → bucket
-    groupby) over a corpus with planted near-duplicates. Non-SQL; recall vs
-    brute-force Jaccard is asserted in tests."""
-    ds = _docs(sf_dir).map_batches(plant_near_dups, batch_format="pyarrow")
-    return D.minhash_lsh_candidates(ds)
+    """MinHash+LSH near-dup pairs (shingle → minhash → band → bucket
+    exchange → exact-Jaccard verify): equals the brute-force J ≥ 0.8 pair
+    set (miss prob ≈ 5e-8/pair at 128 perms × 32 bands), checked against
+    the O(n²) SQL oracle."""
+    return D.verified_near_dup_pairs(
+        _docs(sf_dir), num_perm=128, bands=32, permille_threshold=800
+    ).select_columns(["id_a", "id_b"])
+
+
+SQL_DD_MINHASH_LSH = _sql_jaccard_pairs(800, with_permille=False)
 
 
 def q_dd_ngram_jaccard(sf_dir: str) -> rd.Dataset:
-    """LSH candidates verified by true n-gram Jaccard ≥ 0.8: candidates are
-    joined back to their texts via two broadcast lookups, then filtered —
-    the standard candidate→verify near-dup pipeline."""
-    import ray
-
-    ds = _docs(sf_dir).map_batches(plant_near_dups, batch_format="pyarrow")
-    cand = D.minhash_lsh_candidates(ds)
-    texts = {}
-    for t in ray.get(ds.to_arrow_refs()):
-        texts.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    text_ref = ray.put(texts)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(text_ref)
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        jac = [D.ngram_jaccard(lookup.get(x) or "", lookup.get(y) or "") for x, y in zip(a, b)]
-        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-        return out.filter(pc.greater_equal(out["jaccard"], pa.scalar(0.8))).select(["id_a", "id_b"])
-
-    return cand.map_batches(verify, batch_format="pyarrow")
-
-
-def q_dd_simhash(sf_dir: str) -> rd.Dataset:
-    """SimHash-64 per document (deterministic; near-dup = small Hamming
-    distance, asserted in tests on planted pairs)."""
-    return _docs(sf_dir).map_batches(
-        D.SimHashStage, batch_format="pyarrow", concurrency=(1, 4)
+    """Candidate → verify with the exact n-gram Jaccard VALUE (integer
+    permille) attached — texts re-joined distributedly, never via a
+    driver-side dict."""
+    return D.verified_near_dup_pairs(
+        _docs(sf_dir), num_perm=128, bands=32, permille_threshold=800
     )
 
 
+SQL_DD_NGRAM_JACCARD = _sql_jaccard_pairs(800, with_permille=True)
+
+
+def q_dd_simhash(sf_dir: str) -> rd.Dataset:
+    """SimHash blocking + exact token-bag verify over a corpus with planted
+    exact duplicates: emits every bag-identical pair.  Equal bags ⇒ equal
+    simhash ⇒ recall 1 by construction; verify kills hash collisions — the
+    result equals the SQL bag-equality pair join exactly."""
+    corpus = _docs(sf_dir).map_batches(plant_exact_dups, batch_format="pyarrow")
+    return D.simhash_dup_pairs(corpus)
+
+
+SQL_DD_SIMHASH = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents
+), bags AS (
+  SELECT doc_id, list_sort(regexp_extract_all(lower(text), '\\w+')) AS bag
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bags a JOIN bags b ON a.doc_id < b.doc_id AND a.bag = b.bag
+"""
+
+
 def q_dd_embedding_neardup(sf_dir: str) -> rd.Dataset:
-    """Exact embedding-cosine near-dup pairs (threshold 0.35): block ×
-    broadcast matmul; DuckDB list_cosine_similarity oracle."""
+    """Exact embedding-cosine near-dup pairs (threshold 0.35): block-pair
+    task grid (driver holds refs only, never vectors); DuckDB
+    list_cosine_similarity oracle."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return A.embedding_near_dup_exact(ds, threshold=0.35)
 
@@ -165,19 +215,51 @@ FROM sims
 QUALIFY rank <= 10
 """
 
+# the oracle for approximate ANN: every query vector must reach this
+# recall@10 against the exact top-10 (computed inside the pipeline from the
+# independently-oracle-verified brute-force path)
+ANN_RECALL_FLOOR_PCT = 70
 
-def q_ann_topk_ivf(sf_dir: str) -> rd.Dataset:
-    """IVF approximate top-10 (coarse centroids + nprobe inverted lists —
-    the second scale path besides LSH; recall asserted in tests)."""
+SQL_ANN_RECALL_OK = """
+SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok
+FROM embeddings ORDER BY vec_id LIMIT 3
+"""
+
+
+def _recall_rows(approx: rd.Dataset, exact: rd.Dataset, k: int):
+    """(query_id, recall_ok) — both inputs are bounded top-k results
+    (≤ queries × k rows), so collecting them is O(q·k), not corpus-sized."""
+    import pandas as pd
+
+    ap = approx.to_pandas()
+    ex = exact.to_pandas()
+    rows = []
+    for qid, grp in ex.groupby("query_id"):
+        truth = set(grp["vec_id"])
+        got = set(ap[ap["query_id"] == qid]["vec_id"])
+        recall_pct = 100 * len(truth & got) // max(1, len(truth))
+        rows.append({"query_id": qid, "recall_ok": recall_pct >= ANN_RECALL_FLOOR_PCT})
+    return pd.DataFrame(rows)
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF approximate top-10 (coarse centroids + nprobe inverted lists),
+    gated on recall vs the exact top-10."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return A.ivf_topk(ds, _query_vectors(sf_dir), k=10, n_centroids=16, nprobe=6)
+    q = _query_vectors(sf_dir)
+    approx = A.ivf_topk(ds, q, k=10, n_centroids=16, nprobe=10)
+    exact = A.brute_force_topk(ds, q, k=10)
+    return _recall_rows(approx, exact, 10)
 
 
-def q_ann_topk_lsh(sf_dir: str) -> rd.Dataset:
-    """LSH-bucketed approximate top-10 (scale path; recall vs brute force is
-    asserted in tests)."""
+def q_ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 (multi-table hyperplane hashing),
+    gated on recall vs the exact top-10."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return A.lsh_bucketed_topk(ds, _query_vectors(sf_dir), k=10, planes=8, max_hamming=2, tables=4)
+    q = _query_vectors(sf_dir)
+    approx = A.lsh_bucketed_topk(ds, q, k=10, planes=8, max_hamming=2, tables=4)
+    exact = A.brute_force_topk(ds, q, k=10)
+    return _recall_rows(approx, exact, 10)
 
 
 # ---------------------------------------------------------------------------
@@ -201,24 +283,131 @@ FROM documents
 
 
 def q_text_tokens(sf_dir: str) -> rd.Dataset:
-    """Whitespace + BPE-ish (GPT-2 pre-tokenizer regex) token counts via the
-    actor-pool TokenCounter."""
-    return _docs(sf_dir).map_batches(T.TokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+    """Whitespace + BPE-ish (lookahead-free GPT-2-style regex) token counts
+    via the TokenCounter stage."""
+    return _docs(sf_dir).map_batches(T.TokenCounter(), batch_format="pyarrow")
+
+
+# same pattern as stages/text.BPEISH_PATTERN with SQL quote doubling
+_BPE_SQL = T.BPEISH_PATTERN.replace("'", "''")
+
+SQL_TEXT_TOKENS = f"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens
+FROM documents
+"""
 
 
 def q_text_quality(sf_dir: str) -> rd.Dataset:
-    """Gopher/C4-style quality signals + composite score (deterministic)."""
-    return _docs(sf_dir).map_batches(T.QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+    """Gopher/C4-style quality signals + composite score — all-integer
+    outputs with integer threshold arithmetic (bit-exact vs SQL)."""
+    return _docs(sf_dir).map_batches(T.QualityScorer(), batch_format="pyarrow")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(T._STOPWORDS))
+
+SQL_TEXT_QUALITY = f"""
+WITH sig AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '[A-Za-z'']+') AS words,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+    length(text) AS n_chars,
+    list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    len(array_to_string(words, '')) AS sum_word_len,
+    len(list_filter(list_transform(words, w -> lower(w)),
+                    w -> w IN ({_STOP_SQL}))) AS n_stop,
+    n_punct, n_upper, n_chars,
+    len(lines) AS n_lines,
+    len(lines) - len(list_distinct(lines)) AS n_dup_lines
+  FROM sig
+)
+SELECT doc_id, n_words, sum_word_len, n_stop, n_punct, n_upper, n_chars,
+  n_lines, n_dup_lines,
+  GREATEST(0, 100
+    - CASE WHEN n_words = 0 OR NOT (3*n_words <= sum_word_len AND sum_word_len <= 10*n_words) THEN 25 ELSE 0 END
+    - CASE WHEN n_words = 0 OR 100*n_stop < n_words THEN 25 ELSE 0 END
+    - CASE WHEN 5*n_punct > n_chars THEN 20 ELSE 0 END
+    - CASE WHEN 10*n_upper > 3*n_chars THEN 15 ELSE 0 END
+    - CASE WHEN 10*n_dup_lines > 3*n_lines THEN 15 ELSE 0 END
+    - CASE WHEN n_words < 5 THEN 40 ELSE 0 END) AS quality_score
+FROM agg
+"""
 
 
 def q_text_langid(sf_dir: str) -> rd.Dataset:
     """Stopword-profile + Unicode-block language ID per document."""
-    return _docs(sf_dir).map_batches(T.LanguageID, batch_format="pyarrow", concurrency=(1, 4))
+    return _docs(sf_dir).map_batches(T.LanguageID(), batch_format="pyarrow")
+
+
+def _sql_langid() -> str:
+    hits = ",\n    ".join(
+        f"len(list_filter(tk, w -> w IN ({', '.join(repr(w) for w in sorted(prof))}))) AS h_{lang}"
+        for lang, prof in T._LANG_STOPWORDS.items()
+    )
+    unpivot = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, '{lang}' AS lang, h_{lang} AS hit, ntok FROM hits"
+        for lang in T._LANG_STOPWORDS
+    )
+    return f"""
+WITH scripts AS (
+  SELECT doc_id, length(text) AS n,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+    length(regexp_replace(text, '[^぀-ヿ]', '', 'g')) AS kana,
+    length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS cyr,
+    length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) AS arab,
+    list_transform(regexp_extract_all(text, '\\p{{L}}+'), w -> lower(w)) AS tk
+  FROM documents
+), hits AS (
+  SELECT doc_id, len(tk) AS ntok,
+    {hits}
+  FROM scripts
+), scores AS (
+  {unpivot}
+), best AS (
+  SELECT doc_id, lang, hit, ntok,
+    row_number() OVER (PARTITION BY doc_id ORDER BY hit DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT s.doc_id,
+  CASE WHEN s.n > 0 AND 5*s.cjk > s.n THEN 'zh'
+       WHEN s.n > 0 AND 10*s.kana > s.n THEN 'ja'
+       WHEN s.n > 0 AND 5*s.cyr > s.n THEN 'ru'
+       WHEN s.n > 0 AND 5*s.arab > s.n THEN 'ar'
+       WHEN b.hit IS NULL OR b.hit = 0 OR b.ntok = 0 OR 20*b.hit < b.ntok THEN 'und'
+       ELSE b.lang END AS lang_pred
+FROM scripts s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
 
 
 def q_text_fingerprint(sf_dir: str) -> rd.Dataset:
-    """Rolling-hash + winnowing document fingerprint (content-addressed)."""
-    return _docs(sf_dir).map_batches(T.Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    """Rolling-hash + winnowing fingerprint dedup keeper over a corpus with
+    planted exact copies: per distinct fingerprint, (min doc_id, count).
+    The fingerprint is a pure function of the text bytes, so this equals
+    SQL group-by-text — collisions or instability would fail the oracle."""
+    from ray.data.aggregate import Count, Min
+
+    corpus = _docs(sf_dir).map_batches(plant_exact_dups, batch_format="pyarrow")
+    fp = corpus.map_batches(T.Fingerprinter(), batch_format="pyarrow")
+    grouped = fp.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n")
+    )
+    return grouped.select_columns(["doc_id", "n"])
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents
+) GROUP BY text
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -227,15 +416,30 @@ def q_text_fingerprint(sf_dir: str) -> rd.Dataset:
 
 def q_mm_image_meta(sf_dir: str) -> rd.Dataset:
     """Binary image column → typed metadata/features via the actor-pool
-    decoder (small batch_size: binary payloads are the wide column)."""
+    decoder (small batch_size: binary payloads are the wide column).  The
+    synthetic payload's pixels are doc_id arithmetic, so the integer
+    px_sum feature proves the pack → decode → pixels round-trip in SQL."""
     ds = _docs(sf_dir).map_batches(MM.synthesize_payloads, batch_format="pyarrow")
-    return ds.map_batches(
+    meta = ds.map_batches(
         MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     )
+    return meta.select_columns(["doc_id", "kind", "width", "height", "n_bytes", "px_sum"])
+
+
+# 8×8×3 pixels, pixel j = (doc_id*31 + j*7) % 256; container header is 24 B
+SQL_MM_IMAGE_META = """
+SELECT d.doc_id, 'img' AS kind, CAST(8 AS INTEGER) AS width,
+  CAST(8 AS INTEGER) AS height, CAST(216 AS BIGINT) AS n_bytes,
+  (SELECT CAST(SUM((d.doc_id * 31 + j * 7) % 256) AS BIGINT)
+   FROM generate_series(0, 191) t(j)) AS px_sum
+FROM documents d
+"""
 
 
 def q_mm_audio_frames(sf_dir: str) -> rd.Dataset:
-    """Binary audio column → frame-sampled RMS features (hop=1024)."""
+    """Binary audio column → frame-sampled features (hop=1024).  Frame
+    layout (count + per-frame sample counts) is doc_id arithmetic →
+    SQL-checkable; the float RMS stays pytest-verified."""
 
     def synth_audio(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -248,9 +452,21 @@ def q_mm_audio_frames(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
 
     ds = _docs(sf_dir).map_batches(synth_audio, batch_format="pyarrow")
-    return ds.map_batches(
+    frames = ds.map_batches(
         MM.AudioFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     )
+    return frames.select_columns(["doc_id", "frame", "n_samples"])
+
+
+# n ≤ 2048+6·512 = 5120 samples ⇒ ≤ 5 frames; join a fixed 0..7 series
+# (DuckDB can't lateral-parameterize generate_series with a column)
+SQL_MM_AUDIO_FRAMES = """
+WITH d AS (SELECT doc_id, 2048 + (doc_id % 7) * 512 AS n FROM documents),
+     fr AS (SELECT unnest(range(0, 8)) AS f)
+SELECT doc_id, CAST(f AS INTEGER) AS frame,
+  CAST(LEAST(1024, n - f * 1024) AS BIGINT) AS n_samples
+FROM d JOIN fr ON f * 1024 < n
+"""
 
 
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
@@ -274,10 +490,20 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
 
 
 def oracle_sql() -> Dict[str, str]:
-    # only the SQL-expressible subset; the rest are rows-only by design
     return {
         "dd_exact": SQL_DD_EXACT,
+        "dd_minhash_lsh": SQL_DD_MINHASH_LSH,
+        "dd_ngram_jaccard": SQL_DD_NGRAM_JACCARD,
+        "dd_simhash": SQL_DD_SIMHASH,
         "dd_embedding_neardup": SQL_DD_EMB_NEARDUP,
         "ann_topk": SQL_ANN_TOPK,
+        "ann_topk_lsh": SQL_ANN_RECALL_OK,
+        "ann_topk_ivf": SQL_ANN_RECALL_OK,
         "text_stats": SQL_TEXT_STATS,
+        "text_tokens": SQL_TEXT_TOKENS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_langid": _sql_langid(),
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "mm_image_meta": SQL_MM_IMAGE_META,
+        "mm_audio_frames": SQL_MM_AUDIO_FRAMES,
     }

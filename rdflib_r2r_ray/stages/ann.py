@@ -289,36 +289,49 @@ def ivf_topk(
     return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
 
 
+def _block_pair_sims(threshold: float, id_col: str, vec_col: str,
+                     ta: pa.Table, tb: Optional[pa.Table]) -> pa.Table:
+    """One (block_i, block_j) tile of the exact all-pairs cosine grid.
+    ``tb is None`` means the diagonal tile (ta × ta)."""
+    ids_a = np.asarray(ta[id_col].to_pylist())
+    m_a = _unit(_to_matrix(ta[vec_col]))
+    if tb is None:
+        ids_b, m_b = ids_a, m_a
+    else:
+        ids_b = np.asarray(tb[id_col].to_pylist())
+        m_b = _unit(_to_matrix(tb[vec_col]))
+    sims = m_a @ m_b.T
+    ii, jj = np.nonzero(sims >= threshold)
+    if tb is None:
+        # diagonal tile: emit each unordered pair once
+        keep = ids_a[ii] < ids_b[jj]
+        lo, hi = ids_a[ii][keep], ids_b[jj][keep]
+    else:
+        # off-diagonal tile: the smaller id may be on EITHER side — normalize
+        a, b = ids_a[ii], ids_b[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi)})
+
+
 def embedding_near_dup_exact(
     ds: rd.Dataset,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> rd.Dataset:
-    """Exact all-pairs cosine ≥ threshold: the full (small-side) matrix is
-    broadcast once; each batch computes batch × corpus and emits pairs with
-    id_a < id_b.  O(n²) compute, distributed over blocks — correct baseline;
-    the sub-quadratic scale path is the LSH-bucketed variant in
-    ``stages/dedup.py::embedding_near_dup``."""
-    full = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-    tables = ray.get(full)
-    corpus = pa.concat_tables([t for t in tables if len(t)])
-    all_ids = np.asarray(corpus[id_col].to_pylist())
-    all_m = _unit(_to_matrix(corpus[vec_col]))
-    ref = ray.put((all_ids, all_m))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_b, m_b = ray.get(ref)
-        ids = np.asarray(batch[id_col].to_pylist())
-        m = _unit(_to_matrix(batch[vec_col]))
-        sims = m @ m_b.T
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = ids[ii] < ids_b[jj]
-        return pa.table(
-            {
-                "id_a": pa.array(ids[ii][keep]),
-                "id_b": pa.array(ids_b[jj][keep]),
-            }
-        )
-
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    """Exact all-pairs cosine ≥ threshold as a BLOCK-PAIR task grid: the
+    dataset is materialized once (blocks stay in the object store), and one
+    Ray task per (block_i, block_j) tile computes its sub-matmul — the
+    driver holds only O(blocks²) refs, never the vectors.  O(n²) compute by
+    definition of the operator (the correct exact baseline for low
+    thresholds, where hyperplane-LSH recall collapses); the sub-quadratic
+    scale path for HIGH thresholds is ``stages/dedup.py::embedding_near_dup``."""
+    mat = ds.select_columns([id_col, vec_col]).materialize()
+    refs = mat.to_arrow_refs()
+    task = ray.remote(_block_pair_sims)
+    out = []
+    for i in range(len(refs)):
+        out.append(task.remote(threshold, id_col, vec_col, refs[i], None))
+        for j in range(i + 1, len(refs)):
+            out.append(task.remote(threshold, id_col, vec_col, refs[i], refs[j]))
+    return rd.from_arrow_refs(out)

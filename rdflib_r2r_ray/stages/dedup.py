@@ -548,6 +548,84 @@ def _ngrams(text: str, k: int):
     return [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+def ngram_jaccard_permille(a: str, b: str, k: int = 3) -> int:
+    """Exact token-k-gram Jaccard as integer permille (⌊1000·|∩|/|∪|⌋) —
+    bit-identical to the DuckDB oracle's integer division, no float surface.
+    A doc with <k tokens contributes its whole token tuple as one shingle
+    (matching the SQL CASE)."""
+    sa = set(_ngrams(a, k))
+    sb = set(_ngrams(b, k))
+    union = len(sa | sb)
+    if union == 0:
+        return 1000
+    return len(sa & sb) * 1000 // union
+
+
+def attach_pair_texts(
+    cand: rd.Dataset,
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Re-attach texts to a candidate-pair Dataset (id_a, id_b) via TWO
+    distributed joins: the corpus streams as the probe side, the candidate
+    set is the (planner-decided) broadcast side — NEVER a driver-side text
+    dict.  Output: (id_a, id_b, text_a, text_b) + any other cand columns."""
+    from ..relational import planned_join
+
+    base = docs.select_columns([id_col, text_col])
+    j1 = planned_join(base, cand, on=[id_col], right_on=["id_a"])
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            ["id_a" if c == id_col else ("text_a" if c == text_col else c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = planned_join(base, j1, on=[id_col], right_on=["id_b"])
+    return j2.map_batches(
+        lambda b: b.rename_columns(
+            ["id_b" if c == id_col else ("text_b" if c == text_col else c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def verified_near_dup_pairs(
+    docs: rd.Dataset,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    permille_threshold: int = 800,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """The candidate → verify near-dup pipeline: MinHash-LSH candidates,
+    texts re-attached by TWO distributed joins (the corpus streams, the
+    candidate set is the broadcast side — NEVER a driver-side text dict),
+    exact k-gram Jaccard per pair, threshold filter.
+
+    Output: (id_a, id_b, permille) for pairs with Jaccard ≥ threshold.
+    128 perms / 32 bands ⇒ per-pair miss prob at J=0.8 is (1-0.8⁴)^32 ≈
+    5·10⁻⁸ — effectively exact against the brute-force SQL oracle."""
+    cand = minhash_lsh_candidates(
+        docs, num_perm=num_perm, bands=bands, k=k, id_col=id_col, text_col=text_col
+    )
+    j2 = attach_pair_texts(cand, docs, id_col=id_col, text_col=text_col)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        pm = pa.array(
+            [ngram_jaccard_permille(x or "", y or "", k) for x, y in zip(ta, tb)],
+            pa.int64(),
+        )
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"], "permille": pm})
+        return out.filter(pc.greater_equal(out["permille"], pa.scalar(permille_threshold, pa.int64())))
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -589,6 +667,60 @@ class SimHashStage:
         valid = np.asarray([t is not None for t in texts])
         arr = pa.array(hs, pa.uint64(), mask=~valid)
         return pa.table({self.id_col: batch[self.id_col], "simhash": arr})
+
+
+def simhash_dup_pairs(
+    docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """Token-bag duplicate pairs via SimHash blocking: docs sharing a
+    simhash (hash exchange on the 64-bit key) are candidates; a verify pass
+    over re-attached texts keeps only EXACT token-multiset equality.
+
+    Equal bags ⇒ equal simhash, so recall is 1 by construction; the verify
+    kills hash collisions — the result is exactly the SQL
+    group-by-sorted-token-list pair set."""
+    hashed = docs.map_batches(SimHashStage(id_col=id_col, text_col=text_col),
+                              batch_format="pyarrow")
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        s = part.sort_by([("simhash", "ascending"), (id_col, "ascending")])
+        ids = s[id_col].to_numpy(zero_copy_only=False)
+        h = s["simhash"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pair_schema.empty_table()
+        change = np.ones(n, dtype=bool)
+        change[1:] = h[1:] != h[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        a, b = [], []
+        for st, en in zip(starts, ends):
+            size = en - st
+            if size < 2:
+                continue
+            iu, ju = np.triu_indices(size, k=1)
+            a.append(ids[st:en][iu])
+            b.append(ids[st:en][ju])
+        if not a:
+            return pair_schema.empty_table()
+        return pa.table({"id_a": pa.array(np.concatenate(a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(b), pa.int64())})
+
+    cand = hash_group_exchange(hashed, ["simhash"], pairs, pair_schema)
+    withtext = attach_pair_texts(cand, docs, id_col=id_col, text_col=text_col)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        keep = pa.array(
+            [sorted(_TOKEN_RE.findall((x or "").lower()))
+             == sorted(_TOKEN_RE.findall((y or "").lower()))
+             for x, y in zip(ta, tb)]
+        )
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"]}).filter(keep)
+
+    return withtext.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,7 @@ IMAGE_META_SCHEMA = pa.schema(
         pa.field("width", pa.int32()),
         pa.field("height", pa.int32()),
         pa.field("n_bytes", pa.int64()),
+        pa.field("px_sum", pa.int64()),
         pa.field("sha1", pa.string()),
         pa.field("mean_luma", pa.float64()),
     ]
@@ -95,6 +96,9 @@ class ImageDecoder:
             rows["width"].append(hdr["width"] if hdr else 0)
             rows["height"].append(hdr["height"] if hdr else 0)
             rows["n_bytes"].append(len(buf))
+            # integer pixel-byte sum: exact content feature (SQL-oracle-able,
+            # unlike the float luma) proving decode → pixels round-trip
+            rows["px_sum"].append(int(px.sum()) if px is not None else -1)
             rows["sha1"].append(hashlib.sha1(buf).hexdigest())
             rows["mean_luma"].append(float((px @ self.luma).mean()) if px is not None else -1.0)
         return pa.Table.from_pydict(rows, schema=IMAGE_META_SCHEMA)
@@ -142,6 +146,7 @@ class AudioFrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_out: List = []
         frame_idx: List[int] = []
+        n_samples: List[int] = []
         rms: List[float] = []
         for i, buf in zip(batch[self.id_col].to_pylist(), batch[self.bin_col].to_pylist()):
             buf = buf or b""
@@ -155,11 +160,13 @@ class AudioFrameSampler:
                 frame = pcm[start : start + self.hop].astype(np.float64)
                 ids_out.append(i)
                 frame_idx.append(f)
+                n_samples.append(len(frame))
                 rms.append(float(np.sqrt((frame * frame).mean())) if len(frame) else 0.0)
         return pa.table(
             {
                 self.id_col: pa.array(ids_out, pa.int64()),
                 "frame": pa.array(frame_idx, pa.int32()),
+                "n_samples": pa.array(n_samples, pa.int64()),
                 "rms": pa.array(rms, pa.float64()),
             }
         )
@@ -167,12 +174,13 @@ class AudioFrameSampler:
 
 def synthesize_payloads(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Deterministic fake media per document (test/bench corpus synthesis):
-    an 8×8 RGB image whose pixels derive from the text's sha1 stream."""
+    an 8×8 RGB image with pixel j = (doc_id·31 + j·7) mod 256 — pure id
+    arithmetic, so a SQL oracle can recompute content features
+    (``SELECT SUM((doc_id*31 + j*7)%256) ...``) without decoding bytes."""
     ids = batch[id_col].to_pylist()
-    texts = batch[text_col].to_pylist()
     payloads: List[bytes] = []
-    for t in texts:
-        seed = hashlib.sha1((t or "").encode()).digest()
-        px = np.frombuffer((seed * ((8 * 8 * 3) // len(seed) + 1))[: 8 * 8 * 3], dtype=np.uint8)
+    j = np.arange(8 * 8 * 3, dtype=np.int64)
+    for i in ids:
+        px = ((i * 31 + j * 7) % 256).astype(np.uint8)
         payloads.append(pack_payload("img", 8, 8, 1, px.tobytes()))
     return pa.table({id_col: pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})

@@ -48,10 +48,13 @@ def text_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") 
 # BPE-ish subword token counting (regex pre-tokenizer, GPT-2 style)
 # ---------------------------------------------------------------------------
 
-# public GPT-2 pre-tokenizer pattern (Radford et al. 2019, released regex)
-_BPEISH = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
-)
+# BPE-ish pre-tokenizer modeled on the public GPT-2 regex (Radford et al.
+# 2019) with the `\s+(?!\S)` lookahead dropped: RE2 (DuckDB oracle) has no
+# lookarounds, and the lookahead only moves ONE space from a whitespace run
+# into the following token — the match COUNT is identical, which is all the
+# token counter uses.  Keep this string in sync with SQL_TEXT_TOKENS.
+BPEISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPEISH = re.compile(BPEISH_PATTERN)
 
 
 class TokenCounter:
@@ -84,62 +87,65 @@ _STOPWORDS = frozenset(
 )
 
 
-class QualityScorer:
-    """Heuristic document-quality signals (Gopher/C4-style filters):
-    mean word length, stopword ratio, punctuation ratio, uppercase ratio,
-    repetition (fraction of duplicate lines), plus a composite 0-100 score.
+QUALITY_COLUMNS = (
+    "n_words", "sum_word_len", "n_stop", "n_punct", "n_upper",
+    "n_chars", "n_lines", "n_dup_lines", "quality_score",
+)
 
-    Deterministic, integer/fixed-point outputs where feasible (score is an
-    int) so retries and cross-run comparisons are exact."""
+
+class QualityScorer:
+    """Heuristic document-quality signals (Gopher/C4-style filters): word
+    count / total word length (mean), stopword count, punctuation count,
+    uppercase count, duplicate-line count, plus a composite 0-100 score.
+
+    ALL outputs are integers, and every threshold in the score is evaluated
+    as exact integer arithmetic (mean_word_len ∈ [3,10] ⇔ 3·n_words ≤
+    sum_word_len ≤ 10·n_words, etc.) — so the DuckDB oracle reproduces the
+    score bit-exactly with no float rounding surface.  Keep in sync with
+    ``dataq.SQL_TEXT_QUALITY``."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.word_re = re.compile(r"[A-Za-z']+")
+        self.punct_re = re.compile(r"[^A-Za-z0-9\s]")
+        self.upper_re = re.compile(r"[A-Z]")
         self.text_col, self.id_col = text_col, id_col
 
-    def score_one(self, t: str) -> Dict[str, float]:
+    def score_one(self, t: str) -> Dict[str, int]:
         words = self.word_re.findall(t)
         n_words = len(words)
+        sum_wl = sum(map(len, words))
         n_chars = len(t)
-        mean_wl = (sum(map(len, words)) / n_words) if n_words else 0.0
-        stop = sum(1 for w in words if w.lower() in _STOPWORDS)
-        stop_ratio = stop / n_words if n_words else 0.0
-        punct = sum(1 for c in t if not c.isalnum() and not c.isspace())
-        punct_ratio = punct / n_chars if n_chars else 0.0
-        upper = sum(1 for c in t if c.isupper())
-        upper_ratio = upper / n_chars if n_chars else 0.0
-        lines = [ln for ln in t.splitlines() if ln.strip()]
-        dup_lines = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+        n_stop = sum(1 for w in words if w.lower() in _STOPWORDS)
+        n_punct = len(self.punct_re.findall(t))
+        n_upper = len(self.upper_re.findall(t))
+        lines = [ln for ln in t.split("\n") if ln.strip()]
+        n_lines = len(lines)
+        n_dup = n_lines - len(set(lines))
         score = 100
-        if not 3.0 <= mean_wl <= 10.0:
-            score -= 25
-        if stop_ratio < 0.01:
-            score -= 25
-        if punct_ratio > 0.2:
-            score -= 20
-        if upper_ratio > 0.3:
-            score -= 15
-        if dup_lines > 0.3:
-            score -= 15
+        if n_words == 0 or not (3 * n_words <= sum_wl <= 10 * n_words):
+            score -= 25  # mean word length outside [3, 10]
+        if 100 * n_stop < n_words or n_words == 0:
+            score -= 25  # stopword ratio < 1%
+        if 5 * n_punct > n_chars:
+            score -= 20  # punctuation ratio > 20%
+        if 10 * n_upper > 3 * n_chars:
+            score -= 15  # uppercase ratio > 30%
+        if 10 * n_dup > 3 * n_lines:
+            score -= 15  # duplicate-line ratio > 30%
         if n_words < 5:
             score -= 40
         return dict(
-            n_words=n_words,
-            mean_word_len=round(mean_wl, 4),
-            stopword_ratio=round(stop_ratio, 4),
-            punct_ratio=round(punct_ratio, 4),
-            upper_ratio=round(upper_ratio, 4),
-            dup_line_ratio=round(dup_lines, 4),
-            quality_score=max(0, score),
+            n_words=n_words, sum_word_len=sum_wl, n_stop=n_stop,
+            n_punct=n_punct, n_upper=n_upper, n_chars=n_chars,
+            n_lines=n_lines, n_dup_lines=n_dup, quality_score=max(0, score),
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         rows = [self.score_one(t or "") for t in texts]
         out = {self.id_col: batch[self.id_col]}
-        out["n_words"] = pa.array([r["n_words"] for r in rows], pa.int64())
-        for k in ("mean_word_len", "stopword_ratio", "punct_ratio", "upper_ratio", "dup_line_ratio"):
-            out[k] = pa.array([r[k] for r in rows], pa.float64())
-        out["quality_score"] = pa.array([r["quality_score"] for r in rows], pa.int64())
+        for k in QUALITY_COLUMNS:
+            out[k] = pa.array([r[k] for r in rows], pa.int64())
         return pa.table(out)
 
 

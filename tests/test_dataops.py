@@ -144,7 +144,8 @@ def test_quality_scorer_ordering():
     good = qs.score_one("The quick brown fox jumps over the lazy dog. It was a fine day, and the fox was pleased with itself.")
     bad = qs.score_one("$$$ ###")
     assert good["quality_score"] > bad["quality_score"]
-    assert good["stopword_ratio"] > 0.1
+    # stopword ratio > 10%: 10·n_stop > n_words (all-integer signals)
+    assert 10 * good["n_stop"] > good["n_words"]
 
 
 def test_fingerprint_content_addressed():
