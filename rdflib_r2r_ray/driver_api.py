@@ -338,6 +338,74 @@ GROUP BY entity
 """
 
 
+# ---------------------------------------------------------------------------
+# R2RML-TTL-driven queries (mapping parsed from Turtle at query time)
+# ---------------------------------------------------------------------------
+
+def q_kg_r2rml_docs(sf_dir: str) -> rd.Dataset:
+    """Mapping loader end-to-end (reference TTL ingestion,
+    ``sql_converter.py:246-267``): the documents mapping is PARSED from an
+    R2RML Turtle document, then emitted by the same vectorized rule engine."""
+    from .fixtures_r2rml import DOCUMENTS_TTL
+    from .r2rml import load_r2rml
+
+    mapping, views = load_r2rml(DOCUMENTS_TTL)
+    assert not views
+    table = mapping.triples_maps[0].table
+    ds = read_table(sf_dir, table, columns=mapping.triples_maps[0].columns())
+    out = ds.map_batches(EmitTriples(mapping, table), batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
+def q_kg_r2rml_view(sf_dir: str) -> rd.Dataset:
+    """SQL-view logical table from TTL (``rr:sqlQuery``, reference
+    ``sql_view.py:12-108``): the view's simple-select shape compiles to a
+    streaming pruned read + fused filter; the mapping then applies as usual."""
+    from .fixtures_r2rml import DOCUMENTS_VIEW_TTL
+    from .r2rml import load_r2rml
+    from .sources.sqlview import view_dataset
+
+    mapping, views = load_r2rml(DOCUMENTS_VIEW_TTL)
+    (vname, sql), = views.items()
+    tables = {"documents": f"{sf_dir}/documents.parquet"}
+    ds = view_dataset(sql, sf_dir, tables)
+    out = ds.map_batches(EmitTriples(mapping, vname), batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
+def q_kg_ref_join(sf_dir: str) -> rd.Dataset:
+    """Join-requiring referencing object map from TTL (reference
+    ``sql_converter.py:164-176``): the parent subject template uses a
+    non-joined column, so the object is minted by an actual child⋈parent
+    join (``pipelines.kg.ref_join_triples`` through the join planner)."""
+    from .fixtures_r2rml import NATION_REGION_REF_TTL
+    from .pipelines.kg import emit_graph
+    from .r2rml import load_r2rml
+
+    mapping, views = load_r2rml(NATION_REGION_REF_TTL)
+    assert not views
+    datasets = {
+        "nation": read_table(sf_dir, "nation"),
+        "region": read_table(sf_dir, "region"),
+    }
+    return emit_graph(datasets, mapping).select_columns(["subj", "pred", "obj"])
+
+
+def _sql_kg_ref_join() -> str:
+    return """
+SELECT subj, pred, obj FROM (
+  SELECT '<http://example.com/base/nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>' AS subj,
+         '<http://example.com/base/nation#inRegionNamed>' AS pred,
+         '<http://example.com/base/region/' || replace(r_name, ' ', '%20') || '>' AS obj
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT '<http://example.com/base/region/' || replace(r_name, ' ', '%20') || '>',
+         '<http://example.com/base/region#r_name>', r_name
+  FROM region
+) t
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     from . import dataq, relq
 
@@ -351,6 +419,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_bgp_join": q_kg_bgp_join,
         "kg_entity_counts": q_kg_entity_counts,
         "kg_path_query": q_kg_path_query,
+        "kg_r2rml_docs": q_kg_r2rml_docs,
+        "kg_r2rml_view": q_kg_r2rml_view,
+        "kg_ref_join": q_kg_ref_join,
     }
     out.update(relq.queries())
     out.update(dataq.queries())
@@ -370,6 +441,9 @@ def oracle_sql() -> Dict[str, str]:
         "kg_bgp_join": _sql_kg_bgp_join(),
         "kg_entity_counts": _sql_kg_entity_counts(),
         "kg_path_query": _sql_kg_path_query(),
+        "kg_r2rml_docs": _sql_kg_doc_meta(),
+        "kg_r2rml_view": _sql_kg_view_filtered(),
+        "kg_ref_join": _sql_kg_ref_join(),
     }
     out.update(relq.oracle_sql())
     out.update(dataq.oracle_sql())

@@ -170,7 +170,11 @@ def kg_construct(
     sized as a FIXED pool at ~3/4 of cluster CPUs: Ray Data's autoscaling
     pools were measured ramping to only ~2.5 actors against a (1, 16) spec,
     serializing the pipeline; a fixed pool starts all actors up front while
-    the remaining CPUs keep the task stages (read, dedup shuffle) flowing."""
+    the remaining CPUs keep the task stages (read, exchange splits) flowing.
+    (A 1-actor-per-CPU pool at fractional num_cpus was measured 2.5× SLOWER
+    — oversubscribing Python workers thrashes, Ray's logical accounting
+    notwithstanding.)"""
+    num_cpus = 1
     if linker_concurrency is None:
         try:
             total = int(ray.cluster_resources().get("CPU", 4))
@@ -189,10 +193,107 @@ def kg_construct(
         ),
         batch_format="pyarrow",
         concurrency=linker_concurrency,
+        num_cpus=num_cpus,
     )
     if dedup:
         triples = dedupe_triples(triples)
     return triples
+
+
+def ref_join_triples(
+    child_ds: rd.Dataset,
+    parent_ds: rd.Dataset,
+    mapping: Mapping,
+    tm: TriplesMap,
+    pm: PredicateObjectMap,
+) -> rd.Dataset:
+    """Join-requiring referencing object map (reference joinCondition
+    handling, ``sql_converter.py:164-176``): when the parent subject is NOT
+    derivable from child columns (``retarget_ref_to_template`` returns
+    None — e.g. the parent subject template uses non-joined columns), the
+    child and parent Datasets are joined on the rr:joinCondition columns
+    and the object is the PARENT row's minted subject.
+
+    The join goes through the broadcast-vs-shuffle planner: a dimension-like
+    parent broadcasts; two fact tables fall back to the distributed hash
+    join keyed on the raw join columns."""
+    from ..relational import planned_join
+    from ..stages.emit import term_array
+
+    obj = pm.object
+    assert obj.kind == "ref" and obj.parent_subject is not None
+    child_cols = [c for c, _ in obj.join]
+    parent_cols = [p for _, p in obj.join]
+
+    def child_side(batch: pa.Table, _tm=tm, _base=mapping.base, _cols=child_cols) -> pa.Table:
+        subj = term_array(_tm.subject, batch, _base, "s", _tm.table)
+        out = {"subj": subj}
+        for c in _cols:
+            out[c] = batch[c]
+        return pa.table(out)
+
+    def parent_side(batch: pa.Table, _obj=obj, _base=mapping.base, _cols=parent_cols) -> pa.Table:
+        pobj = term_array(_obj.parent_subject, batch, _base, "s", _obj.parent_table)
+        out = {"obj": pobj}
+        for p in _cols:
+            out[p] = batch[p]
+        return pa.table(out)
+
+    child = child_ds.map_batches(child_side, batch_format="pyarrow")
+    parent = parent_ds.map_batches(parent_side, batch_format="pyarrow")
+    j = planned_join(child, parent, on=child_cols, right_on=parent_cols)
+    pred_const = pm.predicate.constant  # constant in all supported cases
+    assert pred_const, "ref pomap predicates must be constant"
+    g = pm.graph or tm.graph
+
+    def finish(batch: pa.Table, _pred=pred_const, _g=g) -> pa.Table:
+        n = len(batch)
+        t = pa.table(
+            {
+                "subj": batch["subj"],
+                "pred": pa.array([_pred] * n, pa.string()),
+                "obj": batch["obj"],
+                "graph": pa.array([_g] * n, pa.string()),
+            },
+            schema=TRIPLE_SCHEMA,
+        )
+        mask = pc.and_(pc.is_valid(t["subj"]), pc.is_valid(t["obj"]))
+        return t.filter(mask)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def emit_graph(datasets: Dict[str, rd.Dataset], mapping: Mapping) -> rd.Dataset:
+    """Emit the full graph for a multi-table mapping: per logical table one
+    vectorized EmitTriples pass (join-free rules), plus one
+    ``ref_join_triples`` branch per join-requiring referencing object map,
+    unioned into a single triples Dataset.
+
+    This is the general driver for R2RML mappings loaded from TTL
+    (``r2rml.load_r2rml``): the reference compiles the same structure to a
+    SQL UNION ALL with joins inlined (``sql_converter.py:164-176``)."""
+    from ..mapping import retarget_ref_to_template
+
+    outs: List[rd.Dataset] = []
+    for table in mapping.by_table():
+        ds = datasets[table]
+        outs.append(
+            ds.map_batches(EmitTriples(mapping, table, skip_unfoldable_refs=True),
+                           batch_format="pyarrow")
+        )
+    for tm in mapping.triples_maps:
+        for pm in tm.pomaps:
+            if pm.object.kind == "ref" and retarget_ref_to_template(pm.object) is None:
+                outs.append(
+                    ref_join_triples(
+                        datasets[tm.table], datasets[pm.object.parent_table],
+                        mapping, tm, pm,
+                    )
+                )
+    out = outs[0]
+    for other in outs[1:]:
+        out = out.union(other)
+    return out
 
 
 def materialize_graph(

@@ -139,7 +139,8 @@ def term_array(tm: TermMap, batch: pa.Table, base: str, position: str, table: st
         if folded is None:
             raise NotImplementedError(
                 "referencing object map whose parent subject is not "
-                "template-derivable requires a join stage (see pipelines.kg.ref_join)"
+                "template-derivable requires a join stage — route this pomap "
+                "through pipelines.kg.ref_join_triples(child_ds, parent_ds, ...)"
             )
         # assumes FK integrity (parent row exists); exact under the fixtures'
         # referential integrity, like the reference's chain-map shortcut.
@@ -148,9 +149,18 @@ def term_array(tm: TermMap, batch: pa.Table, base: str, position: str, table: st
     raise ValueError(f"unknown term map kind {tm.kind}")
 
 
-def emit_triples_batch(batch: pa.Table, tmaps: Sequence[TriplesMap], base: str) -> pa.Table:
+def _is_unfoldable_ref(tm_obj: TermMap) -> bool:
+    return tm_obj.kind == "ref" and retarget_ref_to_template(tm_obj) is None
+
+
+def emit_triples_batch(batch: pa.Table, tmaps: Sequence[TriplesMap], base: str,
+                       skip_unfoldable_refs: bool = False) -> pa.Table:
     """Apply every rule of ``tmaps`` (all on this batch's logical table) and
-    return the concatenated triples table ``(subj, pred, obj, graph)``."""
+    return the concatenated triples table ``(subj, pred, obj, graph)``.
+
+    ``skip_unfoldable_refs``: silently skip ref object maps that need a real
+    join — the pipeline builder (``pipelines.kg.emit_graph``) emits those
+    separately via ``ref_join_triples`` and unions the results."""
     outs: List[pa.Table] = []
     n = len(batch)
     if n == 0:
@@ -176,6 +186,8 @@ def emit_triples_batch(batch: pa.Table, tmaps: Sequence[TriplesMap], base: str) 
                 graph_val,
             )
         for pm in tm.pomaps:
+            if skip_unfoldable_refs and _is_unfoldable_ref(pm.object):
+                continue
             pred = term_array(pm.predicate, batch, base, "p", tm.table)
             obj = term_array(pm.object, batch, base, "o", tm.table)
             _mk(pred, obj, pm.graph or graph_val)
@@ -192,9 +204,10 @@ class EmitTriples:
     mappings with heavy precompute pass it as a class to get an actor pool.
     """
 
-    def __init__(self, mapping: Mapping, table: str):
+    def __init__(self, mapping: Mapping, table: str, skip_unfoldable_refs: bool = False):
         self.tmaps = [tm for tm in mapping.triples_maps if tm.table == table]
         self.base = mapping.base
+        self.skip_unfoldable_refs = skip_unfoldable_refs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return emit_triples_batch(batch, self.tmaps, self.base)
+        return emit_triples_batch(batch, self.tmaps, self.base, self.skip_unfoldable_refs)
