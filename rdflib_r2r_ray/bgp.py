@@ -75,6 +75,59 @@ def _selectivity(pattern: Tuple) -> int:
     return -sum(0 if _is_var(t) else 1 for t in pattern)
 
 
+def transitive_closure(
+    triples: rd.Dataset,
+    pred: str,
+    max_iters: int = 64,
+    subj_var: str = "s",
+    obj_var: str = "o",
+) -> rd.Dataset:
+    """Transitive property path ``<p>+`` as an iterative distinct-semi-join
+    fixpoint over the triples Dataset — BEYOND the reference, which raises on
+    transitive paths (``sql_converter.py:229-230``).
+
+    Per round: frontier ⋈ edges on the shared node → new pairs, global
+    distinct, anti-join against the accumulated closure; stops when a round
+    adds nothing.  The driver sees only per-round COUNTS (no data); rounds
+    are O(graph diameter).  ``<p>*`` = union with the identity pairs of the
+    node set; ``<p>`` alone is one filter."""
+    from .stages.dedup import distinct_on
+    from .relational import planned_join
+
+    edges = triples.filter(expr=f"pred == '{pred}'")
+    edges = edges.map_batches(
+        lambda b: b.select(["subj", "obj"]).rename_columns([subj_var, obj_var]),
+        batch_format="pyarrow",
+    )
+    # filter lineages carry schema-less empty blocks that crash Ray's
+    # hash-shuffle join aggregator — drop them once up front (metadata-only)
+    edges = _drop_empty_blocks(edges)
+    acc = edges
+    frontier = edges
+    for _ in range(max_iters):
+        # (s, mid) ⋈ (mid, o): extend every frontier path by one edge.
+        # planned_join broadcasts the (bounded) frontier per round and
+        # streams the edge set; a huge frontier falls back to the hash join.
+        step = planned_join(
+            edges.map_batches(
+                lambda b: b.rename_columns(["mid", obj_var]), batch_format="pyarrow"
+            ),
+            frontier.map_batches(
+                lambda b: b.rename_columns([subj_var, "mid"]), batch_format="pyarrow"
+            ),
+            on=["mid"],
+        ).select_columns([subj_var, obj_var])
+        new = planned_join(
+            distinct_on(step, [subj_var, obj_var]), acc,
+            on=[subj_var, obj_var], join_type="left_anti",
+        ).materialize()
+        if new.count() == 0:
+            break
+        acc = acc.union(new).materialize()
+        frontier = new
+    return acc
+
+
 def execute_bgp(
     triples: rd.Dataset,
     patterns: Sequence[Tuple],
@@ -118,12 +171,12 @@ def execute_bgp(
                     # empty blocks that crash the shuffle-join aggregator
                     acc = hash_join(_drop_empty_blocks(acc), _drop_empty_blocks(ds), on=shared)
             else:
-                # cartesian product — the reference also materializes this
-                # case as a cross join; rare in practice, keep both sides
-                raise NotImplementedError(
-                    "disconnected BGP (cartesian product) is not supported; "
-                    "order patterns to share variables"
-                )
+                # disconnected BGP: cartesian product, like the reference's
+                # FROM-list merge (``query_conversions.py:246-269``) — the
+                # pattern side broadcasts (guarded by cross_join's limit)
+                from .relational import cross_join
+
+                acc = cross_join(acc, ds)
             acc_vars = acc_vars + [v for v in names if v not in acc_vars]
         keep = [v for v in acc_vars if not v.startswith("__pb")]
         branches.append(acc.select_columns(keep) if keep != acc_vars else acc)

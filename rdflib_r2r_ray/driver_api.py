@@ -338,6 +338,94 @@ GROUP BY entity
 """
 
 
+def q_kg_bgp_cross(sf_dir: str) -> rd.Dataset:
+    """Disconnected BGP → cartesian product (reference ``queryJoin`` merges
+    FROM lists when patterns share no variable,
+    ``query_conversions.py:246-269``): the pattern side broadcasts through
+    ``relational.cross_join`` (size-guarded)."""
+    from .bgp import execute_bgp
+    from .paths import Var
+
+    mapping = _nation_region_mapping()
+    nat = read_table(sf_dir, "nation").map_batches(
+        EmitTriples(mapping, "nation"), batch_format="pyarrow"
+    )
+    reg = read_table(sf_dir, "region").map_batches(
+        EmitTriples(mapping, "region"), batch_format="pyarrow"
+    )
+    triples = nat.union(reg).select_columns(["subj", "pred", "obj"])
+    out = execute_bgp(
+        triples,
+        [
+            (Var("n"), f"<{BASE}nation#n_name>", Var("name")),
+            (Var("r"), f"<{BASE}region#r_name>", Var("rname")),
+        ],
+    )
+    return out.select_columns(["n", "name", "r", "rname"])
+
+
+def _sql_kg_bgp_cross() -> str:
+    n = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    r = f"'<{BASE}region/r_regionkey=' || CAST(r_regionkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {n} AS n, n_name AS name, {r} AS r, r_name AS rname
+FROM nation CROSS JOIN region
+"""
+
+
+def q_kg_path_transitive(sf_dir: str) -> rd.Dataset:
+    """Transitive property path ``<parent>+`` over a derived document tree
+    (doc i → doc i/2): iterative distinct-semi-join fixpoint over the
+    triples Dataset — BEYOND the reference, which raises on transitive
+    paths (``sql_converter.py:229-230``).  Oracle: DuckDB recursive CTE."""
+    import pyarrow.compute as pc
+
+    from .bgp import transitive_closure
+    from .stages.emit import TRIPLE_SCHEMA
+
+    PARENT = "http://kg.ex/p/parent"
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["doc_id"], 0))
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        subj = pc.binary_join_element_wise(
+            "<http://kg.ex/doc/", pc.cast(ids, pa.string()), ">", ""
+        )
+        par = pc.cast(pc.divide(ids, pa.scalar(2, pa.int64())), pa.int64())
+        obj = pc.binary_join_element_wise(
+            "<http://kg.ex/doc/", pc.cast(par, pa.string()), ">", ""
+        )
+        n = len(b)
+        return pa.table(
+            {"subj": subj, "pred": pa.array([f"<{PARENT}>"] * n, pa.string()),
+             "obj": obj, "graph": pa.array([None] * n, pa.string())},
+            schema=TRIPLE_SCHEMA,
+        )
+
+    triples = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        mk_edges, batch_format="pyarrow"
+    )
+    clos = transitive_closure(triples, f"<{PARENT}>")
+    return clos.map_batches(
+        lambda b: b.rename_columns(["subj", "obj"]), batch_format="pyarrow"
+    )
+
+
+def _sql_kg_path_transitive() -> str:
+    return """
+WITH RECURSIVE anc AS (
+  SELECT doc_id AS s, doc_id // 2 AS o FROM documents WHERE doc_id > 0
+  UNION
+  SELECT a.s, a.o // 2 AS o FROM anc a WHERE a.o > 0
+)
+SELECT '<http://kg.ex/doc/' || CAST(s AS VARCHAR) || '>' AS subj,
+       '<http://kg.ex/doc/' || CAST(o AS VARCHAR) || '>' AS obj
+FROM anc
+"""
+
+
 # ---------------------------------------------------------------------------
 # R2RML-TTL-driven queries (mapping parsed from Turtle at query time)
 # ---------------------------------------------------------------------------
@@ -419,6 +507,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_bgp_join": q_kg_bgp_join,
         "kg_entity_counts": q_kg_entity_counts,
         "kg_path_query": q_kg_path_query,
+        "kg_bgp_cross": q_kg_bgp_cross,
+        "kg_path_transitive": q_kg_path_transitive,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
         "kg_ref_join": q_kg_ref_join,
@@ -441,6 +531,8 @@ def oracle_sql() -> Dict[str, str]:
         "kg_bgp_join": _sql_kg_bgp_join(),
         "kg_entity_counts": _sql_kg_entity_counts(),
         "kg_path_query": _sql_kg_path_query(),
+        "kg_bgp_cross": _sql_kg_bgp_cross(),
+        "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),
         "kg_ref_join": _sql_kg_ref_join(),

@@ -355,6 +355,58 @@ def topk(
     ).limit(k)
 
 
+def topk_offset(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    k: int,
+    offset: int,
+    descending: bool | Sequence[bool] = True,
+) -> rd.Dataset:
+    """ORDER BY … LIMIT k OFFSET n (reference ``queryProject`` slice
+    lowering, ``query_conversions.py:292-319``): the distributed part is a
+    partial top-(n+k) per block + global sort over the partials only; the
+    offset drop then touches ≤ n+k rows — never a full-data skip."""
+    top = topk(ds, keys, k + offset, descending=descending)
+    tbl = pa.concat_tables([t for t in ray.get(top.materialize().to_arrow_refs()) if t.num_rows])
+    return rd.from_arrow(tbl.slice(offset, k))
+
+
+def cross_join(left: rd.Dataset, right: rd.Dataset, broadcast_limit: int = 100_000) -> rd.Dataset:
+    """Cartesian product (disconnected BGP / reference ``queryJoin`` FROM-list
+    merge, ``query_conversions.py:246-269``): the smaller side is broadcast
+    once and each left batch emits batch × small via vectorized take.
+    Refuses (loudly) when the build side exceeds ``broadcast_limit`` — a
+    large×large cartesian product is a modeling error at any scale."""
+    mat = right.materialize()
+    m = mat.count()
+    if m > broadcast_limit:
+        raise ValueError(
+            f"cross_join build side has {m} rows (> {broadcast_limit}); "
+            "a large-large cartesian product would be quadratic — restructure the query"
+        )
+    tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        s = mat.schema()
+        tables = [pa.schema(list(zip(s.names, s.types))).empty_table()]
+    small = pa.concat_tables(tables).combine_chunks()
+    small_ref = ray.put(small)
+
+    def cross(batch: pa.Table, _ref=small_ref) -> pa.Table:
+        rhs = ray.get(_ref)
+        n, m = len(batch), len(rhs)
+        if n == 0 or m == 0:
+            cols = {c: batch[c].take(pa.array([], pa.int64())) for c in batch.column_names}
+            cols.update({c: rhs[c].take(pa.array([], pa.int64())) for c in rhs.column_names})
+            return pa.table(cols)
+        li = pa.array(np.repeat(np.arange(n), m))
+        ri = pa.array(np.tile(np.arange(m), n))
+        cols = {c: batch[c].take(li) for c in batch.column_names}
+        cols.update({c: rhs[c].take(ri) for c in rhs.column_names})
+        return pa.table(cols)
+
+    return left.map_batches(cross, batch_format="pyarrow")
+
+
 def distinct(ds: rd.Dataset, keys: Optional[Sequence[str]] = None) -> rd.Dataset:
     """SELECT DISTINCT (reference Q12): projection + global exact distinct
     via the hash-bucket exchange."""

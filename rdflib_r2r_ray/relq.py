@@ -250,6 +250,42 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+# --- Q12/Q13 OFFSET --------------------------------------------------------
+
+def q_rel_offset(sf_dir: str) -> rd.Dataset:
+    """ORDER BY … LIMIT k OFFSET n (reference slice lowering,
+    ``query_conversions.py:292-319``): partial top-(n+k) per block, global
+    sort over partials, offset drop on ≤ n+k rows."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return R.topk_offset(ds, ["o_totalprice", "o_orderkey"], 10, 5, descending=[True, False])
+
+
+SQL_REL_OFFSET = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5
+"""
+
+
+# --- Q10 SAMPLE aggregate --------------------------------------------------
+
+def q_rel_sample(sf_dir: str) -> rd.Dataset:
+    """SAMPLE aggregate (reference ``query_conversions.py:57-81``): SAMPLE
+    may return ANY group member; this engine picks the MINIMUM so retries,
+    re-runs and the SQL oracle all agree on one deterministic witness."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderkey"])
+    agg = R.grouped_agg(ds, ["o_orderpriority"], mins=["o_orderkey"])
+    return agg.map_batches(
+        lambda b: b.rename_columns(["o_orderpriority", "sample_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REL_SAMPLE = """
+SELECT o_orderpriority, MIN(o_orderkey) AS sample_orderkey
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --- Q10 count-distinct ----------------------------------------------------
 
 def q_rel_count_distinct(sf_dir: str) -> rd.Dataset:
@@ -483,6 +519,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_except": q_rel_except,
         "rel_distinct": q_rel_distinct,
         "rel_topk": q_rel_topk,
+        "rel_offset": q_rel_offset,
+        "rel_sample": q_rel_sample,
         "rel_count_distinct": q_rel_count_distinct,
         "rel_group_concat": q_rel_group_concat,
         "rel_values_join": q_rel_values_join,
@@ -505,6 +543,8 @@ def oracle_sql() -> Dict[str, str]:
         "rel_except": SQL_REL_EXCEPT,
         "rel_distinct": SQL_REL_DISTINCT,
         "rel_topk": SQL_REL_TOPK,
+        "rel_offset": SQL_REL_OFFSET,
+        "rel_sample": SQL_REL_SAMPLE,
         "rel_count_distinct": SQL_REL_COUNT_DISTINCT,
         "rel_group_concat": SQL_REL_GROUP_CONCAT,
         "rel_values_join": SQL_REL_VALUES_JOIN,

@@ -46,50 +46,55 @@ def label_propagation_components(
     edges: rd.Dataset, max_iters: int = 20
 ) -> rd.Dataset:
     """Distributed connected components over an edge Dataset ``(a, b)`` via
-    iterative min-label propagation (each round: label(x) = min over
-    neighbourhood; implemented as flat edge expansion + groupby-min).
-    Converges in O(diameter) rounds; for entity-dup graphs the diameter is
-    tiny.  Returns Dataset ``(node, label)`` with label = component min."""
+    iterative min-label propagation — every round is a pair of keyed JOINS
+    plus a grouped min, and the driver only ever sees a change COUNT (the
+    label table itself never leaves the cluster, unlike a broadcast-dict
+    fixpoint, which caps out at driver memory).
+
+    Round: labels flow across edges in both directions
+    (``label(x) = min(label(x), min over neighbours)``); converges in
+    O(diameter) rounds — tiny for entity-dup graphs.  Returns Dataset
+    ``(node, label)`` with label = component minimum."""
+    from ..relational import grouped_agg, hash_join, planned_join
 
     def seed(batch: pa.Table) -> pa.Table:
-        node = pa.concat_arrays(
-            [batch["a"].combine_chunks(), batch["b"].combine_chunks()]
-        )
-        label = pa.concat_arrays(
-            [
-                pc.min_element_wise(batch["a"].combine_chunks(), batch["b"].combine_chunks()),
-            ]
-            * 2
-        )
+        a = batch["a"].combine_chunks() if isinstance(batch["a"], pa.ChunkedArray) else batch["a"]
+        b = batch["b"].combine_chunks() if isinstance(batch["b"], pa.ChunkedArray) else batch["b"]
+        node = pa.concat_arrays([a, b])
+        label = pa.concat_arrays([pc.min_element_wise(a, b)] * 2)
         return pa.table({"node": node, "label": label})
 
-    labels = edges.map_batches(seed, batch_format="pyarrow")
-    labels = labels.groupby("node").min("label").rename_columns(["node", "label"])
     edges_m = edges.materialize()
+    labels = grouped_agg(
+        edges_m.map_batches(seed, batch_format="pyarrow"), ["node"], mins=["label"]
+    ).materialize()
+
     for _ in range(max_iters):
-        lab_map = {r["node"]: r["label"] for r in labels.take_all()}
-        ref = ray.put(lab_map)
-
-        def relabel(batch: pa.Table, _ref=ref) -> pa.Table:
-            m = ray.get(_ref)
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            la = [m.get(x, x) for x in a]
-            lb = [m.get(x, x) for x in b]
-            lo = [x if x < y else y for x, y in zip(la, lb)]
-            return pa.table(
-                {
-                    "node": pa.array(a + b, pa.string()),
-                    "label": pa.array(lo + lo, pa.string()),
-                }
-            )
-
-        new = edges_m.map_batches(relabel, batch_format="pyarrow")
-        new = new.groupby("node").min("label").rename_columns(["node", "label"])
-        new_map = {r["node"]: r["label"] for r in new.take_all()}
-        if new_map == lab_map:
+        # labels cross each edge in both directions: (a,b) sends label(a)→b
+        # and label(b)→a; planned_join broadcasts the smaller side per round
+        la = planned_join(edges_m, labels, on=["a"], right_on=["node"]) \
+            .map_batches(lambda t: t.select(["b", "label"]).rename_columns(["node", "label"]),
+                         batch_format="pyarrow")
+        lb = planned_join(edges_m, labels, on=["b"], right_on=["node"]) \
+            .map_batches(lambda t: t.select(["a", "label"]).rename_columns(["node", "label"]),
+                         batch_format="pyarrow")
+        candidates = labels.union(la).union(lb)
+        new = grouped_agg(candidates, ["node"], mins=["label"]).materialize()
+        # convergence check WITHOUT pulling labels: count strict improvements
+        improved = planned_join(
+            new.map_batches(lambda t: t.rename_columns(["node", "new_label"]),
+                            batch_format="pyarrow"),
+            labels, on=["node"], right_on=["node"],
+        ).map_batches(
+            lambda t: t.filter(pc.less(t["new_label"], t["label"])),
+            batch_format="pyarrow",
+        )
+        n_improved = improved.count()
+        labels = new.map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        ).materialize()
+        if n_improved == 0:
             break
-        labels = new
     return labels
 
 

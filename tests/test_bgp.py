@@ -89,11 +89,18 @@ def test_broadcast_join_path(ray_session):
     assert got == {("<a>", '"Bob"'), ("<b>", '"Carol"')}
 
 
-def test_disconnected_bgp_raises(ray_session):
+def test_disconnected_bgp_cross_product(ray_session):
+    """Disconnected patterns produce the cartesian product of their match
+    sets (reference queryJoin FROM-list merge)."""
     from rdflib_r2r_ray.bgp import execute_bgp
 
-    with pytest.raises(NotImplementedError):
-        execute_bgp(
-            _graph(),
-            [(Var("x"), "<knows>", Var("y")), (Var("p"), "<name>", Var("q"))],
-        ).take_all()
+    rows = execute_bgp(
+        _graph(),
+        [(Var("x"), "<knows>", Var("y")), (Var("p"), "<name>", Var("q"))],
+    ).take_all()
+    knows = {(r["x"], r["y"]) for r in rows}
+    names = {(r["p"], r["q"]) for r in rows}
+    n_knows = len(knows)
+    n_names = len(names)
+    assert len(rows) == n_knows * n_names
+    assert all(set(r) == {"x", "y", "p", "q"} for r in rows)

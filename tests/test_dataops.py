@@ -248,3 +248,42 @@ def test_salted_groupby_count_head_key_distribution(ray_session):
     assert out["head"] == 9000
     assert all(out[f"tail{i}"] == 10 for i in range(100))
     assert len(out) == 101
+
+
+def test_label_propagation_components_distributed(ray_session):
+    """Min-label propagation over a 2-component graph; the fixpoint runs as
+    keyed joins + grouped min — no driver-side label dict."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.canonicalize import label_propagation_components
+
+    edges = rd.from_items(
+        [
+            {"a": "e2", "b": "e5"}, {"a": "e5", "b": "e9"}, {"a": "e9", "b": "e1"},
+            {"a": "x3", "b": "x7"}, {"a": "x7", "b": "x4"},
+        ],
+        override_num_blocks=3,
+    )
+    labels = {r["node"]: r["label"] for r in label_propagation_components(edges).take_all()}
+    assert labels == {
+        "e1": "e1", "e2": "e1", "e5": "e1", "e9": "e1",
+        "x3": "x3", "x4": "x3", "x7": "x3",
+    }
+
+
+def test_transitive_closure_chain(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray.bgp import transitive_closure
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>", "<x>"],
+        "pred": ["<p>", "<p>", "<p>", "<q>"],
+        "obj": ["<b>", "<c>", "<d>", "<y>"],
+    }))
+    pairs = {(r["s"], r["o"]) for r in transitive_closure(triples, "<p>").take_all()}
+    assert pairs == {
+        ("<a>", "<b>"), ("<b>", "<c>"), ("<c>", "<d>"),
+        ("<a>", "<c>"), ("<b>", "<d>"), ("<a>", "<d>"),
+    }
