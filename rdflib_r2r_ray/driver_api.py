@@ -427,6 +427,104 @@ FROM anc
 
 
 # ---------------------------------------------------------------------------
+# SPARQL string front end (parser + algebra → Dataset compiler)
+# ---------------------------------------------------------------------------
+
+def _nation_region_triples(sf_dir: str) -> rd.Dataset:
+    mapping = _nation_region_mapping()
+    nat = read_table(sf_dir, "nation").map_batches(
+        EmitTriples(mapping, "nation"), batch_format="pyarrow"
+    )
+    reg = read_table(sf_dir, "region").map_batches(
+        EmitTriples(mapping, "region"), batch_format="pyarrow"
+    )
+    return nat.union(reg).select_columns(["subj", "pred", "obj"])
+
+
+def q_sparql_bgp_filter(sf_dir: str) -> rd.Dataset:
+    """SPARQL STRING end-to-end (reference ``r2r_store.py:59-93``): parse →
+    algebra → BGP join through the planner → vectorized numeric FILTER on
+    the typed-literal column."""
+    from . import sparql
+
+    q = f"""
+    SELECT ?n ?name ?key WHERE {{
+      ?n <{BASE}nation#ref-n_regionkey> ?r .
+      ?r <{BASE}region#r_name> ?name .
+      ?n <{BASE}nation#n_nationkey> ?key .
+      FILTER(?key >= 10)
+    }}
+    """
+    return sparql.execute(_nation_region_triples(sf_dir), q)
+
+
+def _sql_sparql_bgp_filter() -> str:
+    n = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    k = f"'\"' || CAST(n_nationkey AS VARCHAR) || '\"^^<{XSD_INT}>'"
+    return f"""
+SELECT {n} AS n, r_name AS name, {k} AS key
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_nationkey >= 10
+"""
+
+
+def q_sparql_order_limit(sf_dir: str) -> rd.Dataset:
+    """SPARQL solution modifiers: DISTINCT + ORDER BY + LIMIT/OFFSET compile
+    to hash-distinct + partial-top-k."""
+    from . import sparql
+
+    q = f"""
+    SELECT DISTINCT ?d ?c WHERE {{
+      ?d <http://kg.ex/p/n_chars> ?c .
+      FILTER(?c >= 100)
+    }} ORDER BY ?d LIMIT 20 OFFSET 5
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    from .pipelines.kg import documents_mapping
+
+    triples = ds.map_batches(
+        EmitTriples(documents_mapping(), "documents"), batch_format="pyarrow"
+    ).select_columns(["subj", "pred", "obj"])
+    return sparql.execute(triples, q)
+
+
+def _sql_sparql_order_limit() -> str:
+    return f"""
+SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' AS c
+FROM documents WHERE n_chars >= 100
+ORDER BY d LIMIT 20 OFFSET 5
+"""
+
+
+def q_sparql_init_bindings(sf_dir: str) -> rd.Dataset:
+    """Dedicated initBindings surface (reference ``r2r_store.py:62-75``):
+    the binding substitutes into the pattern BEFORE execution, so the
+    constant fuses into the scan filter."""
+    from . import sparql
+
+    q = f"""
+    SELECT ?n ?name WHERE {{
+      ?n <{BASE}nation#ref-n_regionkey> ?r .
+      ?r <{BASE}region#r_name> ?name .
+    }}
+    """
+    return sparql.execute(
+        _nation_region_triples(sf_dir), q,
+        init_bindings={"r": f"<{BASE}region/r_regionkey=1>"},
+    )
+
+
+def _sql_sparql_init_bindings() -> str:
+    n = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {n} AS n, r_name AS name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_regionkey = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # R2RML-TTL-driven queries (mapping parsed from Turtle at query time)
 # ---------------------------------------------------------------------------
 
@@ -508,6 +606,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_entity_counts": q_kg_entity_counts,
         "kg_path_query": q_kg_path_query,
         "kg_bgp_cross": q_kg_bgp_cross,
+        "sparql_bgp_filter": q_sparql_bgp_filter,
+        "sparql_order_limit": q_sparql_order_limit,
+        "sparql_init_bindings": q_sparql_init_bindings,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
@@ -532,6 +633,9 @@ def oracle_sql() -> Dict[str, str]:
         "kg_entity_counts": _sql_kg_entity_counts(),
         "kg_path_query": _sql_kg_path_query(),
         "kg_bgp_cross": _sql_kg_bgp_cross(),
+        "sparql_bgp_filter": _sql_sparql_bgp_filter(),
+        "sparql_order_limit": _sql_sparql_order_limit(),
+        "sparql_init_bindings": _sql_sparql_init_bindings(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),

@@ -168,7 +168,21 @@ def salted_groupby_count(
         return _salted_partial(batch, key, count_col, salt_buckets)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    desalted = partials.groupby([key, "salt"]).sum(count_col)
-    col = f"sum({count_col})"
-    out = desalted.groupby(key).sum(col)
-    return out.rename_columns([key, count_col])
+
+    # de-salt through the raw hash exchange (NOT Ray's sort-based groupby,
+    # whose driver coordination floor dominated this query at ~8 s): each
+    # reduce partition holds complete key groups and sums the partials
+    # vectorized.  A hot key's reducer input is bounded at one row per
+    # (batch, salt) thanks to the combiner above.
+    from .dedup import hash_group_exchange
+
+    out_schema = pa.schema([(key, pa.string()), (count_col, pa.int64())])
+
+    def desalt(part: pa.Table) -> pa.Table:
+        g = part.select([key, count_col]).group_by(key).aggregate([(count_col, "sum")])
+        return pa.table(
+            {key: g[key], count_col: pc.cast(g[f"{count_col}_sum"], pa.int64())},
+            schema=out_schema,
+        )
+
+    return hash_group_exchange(partials, [key], desalt, out_schema)

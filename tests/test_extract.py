@@ -34,3 +34,22 @@ def test_extract_stage_drops_html_column():
 
 def test_empty_text_roundtrip():
     assert extract_text(make_html("", "http://x/")) == ""
+
+
+def test_vectorized_extract_equals_scalar_reference():
+    """extract_text_array must be byte-identical to the pinned scalar
+    extractor over make_html corpora (the per-url invariant)."""
+    import pyarrow as pa
+
+    from rdflib_r2r_ray.stages.extract import (
+        extract_text, extract_text_array, make_html)
+
+    texts = [
+        "", "one", "a b c " * 40, "x & y < z > w", 'quotes " and \' inside',
+        "ampersand soup &amp; &lt; raw", "unicode-free plain words here",
+    ]
+    htmls = [make_html(t, f"http://e/{i}") for i, t in enumerate(texts)]
+    arr = pa.array(htmls, pa.binary())
+    vec = extract_text_array(arr).to_pylist()
+    ref = [extract_text(h) for h in htmls]
+    assert vec == ref
