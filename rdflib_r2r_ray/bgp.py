@@ -103,17 +103,17 @@ def transitive_closure(
     # hash-shuffle join aggregator — drop them once up front (metadata-only)
     edges = _drop_empty_blocks(edges)
     acc = edges
-    frontier = edges
     for _ in range(max_iters):
-        # (s, mid) ⋈ (mid, o): extend every frontier path by one edge.
-        # planned_join broadcasts the (bounded) frontier per round and
-        # streams the edge set; a huge frontier falls back to the hash join.
+        # path DOUBLING (repeated squaring): acc ⋈ acc doubles the maximum
+        # path length per round, so convergence takes ⌈log₂ diameter⌉
+        # rounds instead of diameter — each round is one planner-routed
+        # join + distinct + anti-join, and the driver sees only the count.
         step = planned_join(
-            edges.map_batches(
-                lambda b: b.rename_columns(["mid", obj_var]), batch_format="pyarrow"
-            ),
-            frontier.map_batches(
+            acc.map_batches(
                 lambda b: b.rename_columns([subj_var, "mid"]), batch_format="pyarrow"
+            ),
+            acc.map_batches(
+                lambda b: b.rename_columns(["mid", obj_var]), batch_format="pyarrow"
             ),
             on=["mid"],
         ).select_columns([subj_var, obj_var])
@@ -124,7 +124,6 @@ def transitive_closure(
         if new.count() == 0:
             break
         acc = acc.union(new).materialize()
-        frontier = new
     return acc
 
 

@@ -469,6 +469,41 @@ FROM d JOIN fr ON f * 1024 < n
 """
 
 
+def q_mm_video_frames(sf_dir: str) -> rd.Dataset:
+    """Binary video column → strided frame sampling (every 2nd frame) with
+    an integer content feature per sampled frame.  Frame pixels are doc_id
+    arithmetic → full SQL oracle for count, indices AND content."""
+
+    def synth_video(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        j = np.arange(4 * 4 * 3, dtype=np.int64)
+        for i in ids:
+            nf = 2 + i % 4
+            frames = [((i * 13 + f * 5 + j * 3) % 256).astype(np.uint8).tobytes()
+                      for f in range(nf)]
+            payloads.append(MM.pack_payload("vid", 4, 4, nf, b"".join(frames)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(synth_video, batch_format="pyarrow")
+    return ds.map_batches(
+        MM.VideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+
+SQL_MM_VIDEO_FRAMES = """
+WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+     fr AS (SELECT unnest(range(0, 6)) AS f),
+     px AS (SELECT unnest(range(0, 48)) AS j)
+SELECT doc_id, CAST(f AS INTEGER) AS frame,
+  CAST(SUM((doc_id * 13 + f * 5 + j * 3) % 256) AS BIGINT) AS px_sum
+FROM d JOIN fr ON f < nf AND f % 2 = 0
+CROSS JOIN px
+GROUP BY doc_id, f
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "dd_exact": q_dd_exact,
@@ -486,6 +521,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_fingerprint": q_text_fingerprint,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_frames": q_mm_audio_frames,
+        "mm_video_frames": q_mm_video_frames,
     }
 
 
@@ -506,4 +542,5 @@ def oracle_sql() -> Dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,
+        "mm_video_frames": SQL_MM_VIDEO_FRAMES,
     }

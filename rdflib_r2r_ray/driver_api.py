@@ -438,7 +438,10 @@ def _nation_region_triples(sf_dir: str) -> rd.Dataset:
     reg = read_table(sf_dir, "region").map_batches(
         EmitTriples(mapping, "region"), batch_format="pyarrow"
     )
-    return nat.union(reg).select_columns(["subj", "pred", "obj"])
+    # materialize the queried graph ONCE: a SPARQL query touches the triples
+    # Dataset once per pattern, and without this the emit lineage would
+    # re-execute for every pattern-side materialize in the planner
+    return nat.union(reg).select_columns(["subj", "pred", "obj"]).materialize()
 
 
 def q_sparql_bgp_filter(sf_dir: str) -> rd.Dataset:

@@ -172,6 +172,47 @@ class AudioFrameSampler:
         )
 
 
+class VideoFrameSampler:
+    """Actor-pool stage: MMB1 'vid' payloads (concatenated w×h×3 RGB frames)
+    → every ``stride``-th frame's integer pixel sum (content feature).
+    Real containers (MP4/WebM) would demux via ffmpeg at the marked stub —
+    the Ray-side plumbing (small batches, frame fan-out rows, payload drop)
+    is real and oracle-tested."""
+
+    def __init__(self, stride: int = 2, bin_col: str = "payload", id_col: str = "doc_id",
+                 strict: bool = False):
+        self.stride, self.bin_col, self.id_col, self.strict = stride, bin_col, id_col, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: List = []
+        frame_idx: List[int] = []
+        px_sum: List[int] = []
+        for i, buf in zip(batch[self.id_col].to_pylist(), batch[self.bin_col].to_pylist()):
+            buf = buf or b""
+            hdr = unpack_header(buf)
+            if hdr is None or hdr["kind"] != "vid":
+                if self.strict:
+                    raise NotImplementedError("real video demuxers unavailable in this environment")
+                continue
+            w, h, n_frames = hdr["width"], hdr["height"], hdr["frames"]
+            fsize = w * h * 3
+            data = buf[_HEADER_SIZE : _HEADER_SIZE + hdr["payload_len"]]
+            for f in range(0, n_frames, self.stride):
+                frame = np.frombuffer(data[f * fsize : (f + 1) * fsize], dtype=np.uint8)
+                if len(frame) != fsize:
+                    continue
+                ids_out.append(i)
+                frame_idx.append(f)
+                px_sum.append(int(frame.sum()))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids_out, pa.int64()),
+                "frame": pa.array(frame_idx, pa.int32()),
+                "px_sum": pa.array(px_sum, pa.int64()),
+            }
+        )
+
+
 def synthesize_payloads(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Deterministic fake media per document (test/bench corpus synthesis):
     an 8×8 RGB image with pixel j = (doc_id·31 + j·7) mod 256 — pure id
