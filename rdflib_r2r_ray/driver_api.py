@@ -527,6 +527,59 @@ WHERE r_regionkey = 1
 """
 
 
+def q_sparql_optional(sf_dir: str) -> rd.Dataset:
+    """OPTIONAL → left-outer join on shared variables (reference OPTIONAL →
+    LEFT JOIN, ``query_conversions.py:349-374``): docs without a source keep
+    their row with a null binding."""
+    from . import sparql
+    from .pipelines.kg import documents_mapping
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    triples = ds.map_batches(
+        EmitTriples(documents_mapping(), "documents"), batch_format="pyarrow"
+    ).select_columns(["subj", "pred", "obj"]).materialize()
+    q = """
+    SELECT ?d ?src WHERE {
+      ?d a <http://kg.ex/c/Document> .
+      OPTIONAL { ?d <http://kg.ex/p/source> ?src }
+    }
+    """
+    return sparql.execute(triples, q)
+
+
+def _sql_sparql_optional() -> str:
+    return """
+SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       source AS src
+FROM documents
+"""
+
+
+def q_sparql_union(sf_dir: str) -> rd.Dataset:
+    """{A} UNION {B} → null-padded union of independently executed branches
+    (reference ``results_union``)."""
+    from . import sparql
+
+    q = f"""
+    SELECT ?x ?v WHERE {{
+      {{ ?x <{BASE}nation#n_name> ?v . }}
+      UNION
+      {{ ?x <{BASE}region#r_name> ?v . }}
+    }}
+    """
+    return sparql.execute(_nation_region_triples(sf_dir), q)
+
+
+def _sql_sparql_union() -> str:
+    n = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    r = f"'<{BASE}region/r_regionkey=' || CAST(r_regionkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {n} AS x, n_name AS v FROM nation
+UNION ALL
+SELECT {r}, r_name FROM region
+"""
+
+
 # ---------------------------------------------------------------------------
 # R2RML-TTL-driven queries (mapping parsed from Turtle at query time)
 # ---------------------------------------------------------------------------
@@ -612,6 +665,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_bgp_filter": q_sparql_bgp_filter,
         "sparql_order_limit": q_sparql_order_limit,
         "sparql_init_bindings": q_sparql_init_bindings,
+        "sparql_optional": q_sparql_optional,
+        "sparql_union": q_sparql_union,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
@@ -639,6 +694,8 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_bgp_filter": _sql_sparql_bgp_filter(),
         "sparql_order_limit": _sql_sparql_order_limit(),
         "sparql_init_bindings": _sql_sparql_init_bindings(),
+        "sparql_optional": _sql_sparql_optional(),
+        "sparql_union": _sql_sparql_union(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),

@@ -20,9 +20,11 @@ builds a small algebra (dataclasses below), and ``execute`` lowers it:
 
 Supported subset: SELECT queries, basic graph patterns with constant or
 variable terms, property paths (seq/alt/inverse/one-or-more on constant
-predicates), conjunctive FILTER over comparisons, solution modifiers.
-Not supported (raises): OPTIONAL/UNION/GROUP BY in the STRING syntax —
-those execute through the operator layer directly (``relational``).
+predicates), conjunctive FILTER over comparisons, OPTIONAL blocks (→
+left-outer join on shared variables), top-level ``{A} UNION {B}`` groups
+(→ null-padded union), solution modifiers.  Not supported (raises):
+GROUP BY / MINUS in the STRING syntax — compose those through the
+relational operator layer directly.
 """
 
 from __future__ import annotations
@@ -74,6 +76,11 @@ class SelectQuery:
     order_by: Tuple[Tuple[str, bool], ...] = ()  # (var, descending)
     limit: Optional[int] = None
     offset: int = 0
+    # OPTIONAL { ... } blocks: each is a pattern group left-joined on the
+    # variables it shares with the required part
+    optionals: Tuple[Tuple[Tuple, ...], ...] = ()
+    # { A } UNION { B }: the group bodies of each branch (patterns, filters)
+    union_branches: Tuple[Tuple[Tuple[Tuple, ...], Tuple[BoolExpr, ...]], ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +184,9 @@ class SparqlParser:
             if k == "var":
                 self._next()
                 return Var(v[1:])
+            if k == "word" and v == "a":
+                self._next()
+                return "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
             p = self._iri(self._next())
             k2, v2 = self._peek()
             if v2 == "+":
@@ -279,6 +289,30 @@ class SparqlParser:
         self._expect("{")
         patterns: List[Tuple] = []
         filters: List[BoolExpr] = []
+        optionals: List[Tuple[Tuple, ...]] = []
+        union_branches: List = []
+
+        def parse_simple_group():
+            """{ triples + filters } — the body of a UNION branch."""
+            pats: List[Tuple] = []
+            fils: List[BoolExpr] = []
+            self._expect("{")
+            while True:
+                k2, v2 = self._peek()
+                if v2 == "}":
+                    self._next()
+                    return tuple(pats), tuple(fils)
+                if v2 == ".":
+                    self._next()
+                    continue
+                if v2 == "FILTER":
+                    self._next()
+                    self._expect("(")
+                    fils.append(self._filter_expr())
+                    self._expect(")")
+                    continue
+                pats.append((self._term(), self._path(), self._term()))
+
         while True:
             k, v = self._peek()
             if v == "}":
@@ -293,7 +327,24 @@ class SparqlParser:
                 filters.append(self._filter_expr())
                 self._expect(")")
                 continue
-            if k == "word" and v.upper() in ("OPTIONAL", "UNION", "GROUP", "MINUS"):
+            if k == "word" and v.upper() == "OPTIONAL":
+                self._next()
+                pats, fils = parse_simple_group()
+                if fils:
+                    raise NotImplementedError("FILTER inside OPTIONAL is not supported")
+                optionals.append(pats)
+                continue
+            if v == "{":
+                # { A } UNION { B } [UNION { C } ...]
+                branches = [parse_simple_group()]
+                while self._peek()[1] is not None and str(self._peek()[1]).upper() == "UNION":
+                    self._next()
+                    branches.append(parse_simple_group())
+                if len(branches) < 2:
+                    raise ValueError("a braced group must be part of a UNION")
+                union_branches.extend(branches)
+                continue
+            if k == "word" and v.upper() in ("UNION", "GROUP", "MINUS"):
                 raise NotImplementedError(
                     f"{v} is not supported in the string front end — compose it "
                     "through the relational operator layer instead"
@@ -334,6 +385,11 @@ class SparqlParser:
                 break
             else:
                 raise ValueError(f"unexpected trailing token {v!r}")
+        if union_branches and (patterns or optionals):
+            raise NotImplementedError(
+                "UNION mixed with other group elements is not supported — "
+                "use a single { A } UNION { B } group"
+            )
         return SelectQuery(
             variables=tuple(variables),
             patterns=tuple(patterns),
@@ -342,6 +398,8 @@ class SparqlParser:
             order_by=tuple(order),
             limit=limit,
             offset=offset,
+            optionals=tuple(optionals),
+            union_branches=tuple(union_branches),
         )
 
 
@@ -397,13 +455,13 @@ def _compile_filter(expr: BoolExpr, batch: pa.Table) -> pa.Array:
     raise ValueError(expr.kind)
 
 
-def _expand_transitive(q: SelectQuery, triples: rd.Dataset):
+def _expand_transitive(in_patterns, triples: rd.Dataset):
     """Rewrite ``(s, ('transitive', p), o)`` patterns: the closure pairs
     become an auxiliary predicate in an augmented triples Dataset."""
     patterns = []
     aug = triples
     n = 0
-    for s, p, o in q.patterns:
+    for s, p, o in in_patterns:
         if isinstance(p, tuple) and p and p[0] == "transitive":
             n += 1
             closure_pred = f"<urn:closure:{n}>"
@@ -434,26 +492,53 @@ def execute(
     pre-bindings, applied as an inline single-row VALUES join — the
     restriction reaches the BGP before any data moves."""
     q = SparqlParser(query).parse()
-    patterns, aug = _expand_transitive(q, triples)
 
-    # initBindings: substitute constants straight into the patterns (the
-    # cheapest possible join: the pattern filter fuses with the scan)
-    if init_bindings:
+    def bind(pats):
+        if not init_bindings:
+            return list(pats)
         bound = dict(init_bindings)
-        patterns = [
-            tuple(
-                bound.get(t.name, t) if isinstance(t, Var) else t
-                for t in pat
-            )
-            for pat in patterns
+        return [
+            tuple(bound.get(t.name, t) if isinstance(t, Var) else t for t in pat)
+            for pat in pats
         ]
 
-    out = execute_bgp(aug, patterns, broadcast_threshold=broadcast_threshold)
+    def exec_group(pats, fils) -> rd.Dataset:
+        pats2, aug = _expand_transitive(bind(pats), triples)
+        g = execute_bgp(aug, pats2, broadcast_threshold=broadcast_threshold)
+        for f in fils:
+            g = g.map_batches(
+                lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"
+            )
+        return g
 
-    for f in q.filters:
-        out = out.map_batches(
-            lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"
-        )
+    if q.union_branches:
+        # { A } UNION { B }: branches execute independently, results align
+        # with null padding (reference results_union semantics)
+        from .relational import union_pad
+
+        out = union_pad(*[exec_group(p, f) for p, f in q.union_branches])
+        for f in q.filters:
+            out = out.map_batches(
+                lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"
+            )
+    else:
+        out = exec_group(q.patterns, ())
+        # OPTIONAL blocks: left-outer join on the shared variables
+        # (reference OPTIONAL → LEFT JOIN, query_conversions.py:349-374)
+        from .relational import planned_join
+
+        for opt in q.optionals:
+            opt_pats, aug = _expand_transitive(bind(opt), triples)
+            opt_out = execute_bgp(aug, opt_pats, broadcast_threshold=broadcast_threshold)
+            left_vars = set(out.schema().names)
+            shared = [v for v in opt_out.schema().names if v in left_vars]
+            if not shared:
+                raise NotImplementedError("OPTIONAL sharing no variable with the required part")
+            out = planned_join(out, opt_out, on=shared, join_type="left_outer")
+        for f in q.filters:
+            out = out.map_batches(
+                lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"
+            )
 
     if q.variables:
         out = out.select_columns(list(q.variables))

@@ -81,8 +81,36 @@ def test_transitive_path_in_query(ray_session):
     assert got == [("<a>", "<a>"), ("<a>", "<b>"), ("<a>", "<c>")]
 
 
-def test_optional_raises():
+def test_optional_left_join(ray_session):
+    """OPTIONAL keeps unmatched required rows with nulls (left join)."""
+    out = execute(_graph(), """
+      SELECT ?x ?y ?nm WHERE { ?x <knows> ?y . OPTIONAL { ?x <name> ?nm } }
+    """)
+    rows = {(r["x"], r["y"], r["nm"]) for r in out.take_all()}
+    assert rows == {
+        ("<a>", "<b>", "Alice"),
+        ("<b>", "<c>", "Bob"),
+        ("<c>", "<a>", None),   # <c> has no <name> — preserved with null
+    }
+
+
+def test_union_branches(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x ?v WHERE {
+        { ?x <name> ?v . FILTER(?v = "Alice") }
+        UNION
+        { ?x <age> ?v . FILTER(?v > 35) }
+      }
+    """)
+    rows = {(r["x"], r["v"]) for r in out.take_all()}
+    assert rows == {
+        ("<a>", "Alice"),
+        ("<c>", '"40"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    }
+
+
+def test_group_by_still_raises():
     with pytest.raises(NotImplementedError):
         SparqlParser(
-            "SELECT ?x WHERE { ?x <p> ?y . OPTIONAL { ?x <q> ?z } }"
+            "SELECT ?x WHERE { ?x <p> ?y . MINUS { ?x <q> ?z } }"
         ).parse()
