@@ -21,10 +21,10 @@ builds a small algebra (dataclasses below), and ``execute`` lowers it:
 Supported subset: SELECT queries, basic graph patterns with constant or
 variable terms, property paths (seq/alt/inverse/one-or-more on constant
 predicates), conjunctive FILTER over comparisons, OPTIONAL blocks (→
-left-outer join on shared variables), top-level ``{A} UNION {B}`` groups
-(→ null-padded union), solution modifiers.  Not supported (raises):
-GROUP BY / MINUS in the STRING syntax — compose those through the
-relational operator layer directly.
+left-outer join on shared variables), MINUS blocks (→ anti-join on shared
+variables), top-level ``{A} UNION {B}`` groups (→ null-padded union),
+solution modifiers.  Not supported (raises): GROUP BY / aggregates in the
+STRING syntax — compose those through the relational operator layer.
 """
 
 from __future__ import annotations
@@ -79,6 +79,8 @@ class SelectQuery:
     # OPTIONAL { ... } blocks: each is a pattern group left-joined on the
     # variables it shares with the required part
     optionals: Tuple[Tuple[Tuple, ...], ...] = ()
+    # MINUS { ... } blocks: anti-joined on shared variables
+    minuses: Tuple[Tuple[Tuple, ...], ...] = ()
     # { A } UNION { B }: the group bodies of each branch (patterns, filters)
     union_branches: Tuple[Tuple[Tuple[Tuple, ...], Tuple[BoolExpr, ...]], ...] = ()
 
@@ -290,6 +292,7 @@ class SparqlParser:
         patterns: List[Tuple] = []
         filters: List[BoolExpr] = []
         optionals: List[Tuple[Tuple, ...]] = []
+        minuses: List[Tuple[Tuple, ...]] = []
         union_branches: List = []
 
         def parse_simple_group():
@@ -334,6 +337,13 @@ class SparqlParser:
                     raise NotImplementedError("FILTER inside OPTIONAL is not supported")
                 optionals.append(pats)
                 continue
+            if k == "word" and v.upper() == "MINUS":
+                self._next()
+                pats, fils = parse_simple_group()
+                if fils:
+                    raise NotImplementedError("FILTER inside MINUS is not supported")
+                minuses.append(pats)
+                continue
             if v == "{":
                 # { A } UNION { B } [UNION { C } ...]
                 branches = [parse_simple_group()]
@@ -344,7 +354,7 @@ class SparqlParser:
                     raise ValueError("a braced group must be part of a UNION")
                 union_branches.extend(branches)
                 continue
-            if k == "word" and v.upper() in ("UNION", "GROUP", "MINUS"):
+            if k == "word" and v.upper() in ("UNION", "GROUP"):
                 raise NotImplementedError(
                     f"{v} is not supported in the string front end — compose it "
                     "through the relational operator layer instead"
@@ -385,7 +395,7 @@ class SparqlParser:
                 break
             else:
                 raise ValueError(f"unexpected trailing token {v!r}")
-        if union_branches and (patterns or optionals):
+        if union_branches and (patterns or optionals or minuses):
             raise NotImplementedError(
                 "UNION mixed with other group elements is not supported — "
                 "use a single { A } UNION { B } group"
@@ -399,6 +409,7 @@ class SparqlParser:
             limit=limit,
             offset=offset,
             optionals=tuple(optionals),
+            minuses=tuple(minuses),
             union_branches=tuple(union_branches),
         )
 
@@ -535,6 +546,18 @@ def execute(
             if not shared:
                 raise NotImplementedError("OPTIONAL sharing no variable with the required part")
             out = planned_join(out, opt_out, on=shared, join_type="left_outer")
+        # MINUS blocks: anti-join on shared variables (reference MINUS →
+        # NOT EXISTS, query_conversions.py:403-406; exact because BGP
+        # solutions always bind their variables)
+        for mns in q.minuses:
+            m_pats, aug = _expand_transitive(bind(mns), triples)
+            m_out = execute_bgp(aug, m_pats, broadcast_threshold=broadcast_threshold)
+            left_vars = set(out.schema().names)
+            shared = [v for v in m_out.schema().names if v in left_vars]
+            if not shared:
+                raise NotImplementedError("MINUS sharing no variable with the required part")
+            out = planned_join(out, m_out.select_columns(shared), on=shared,
+                               join_type="left_anti")
         for f in q.filters:
             out = out.map_batches(
                 lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"

@@ -109,8 +109,10 @@ def test_union_branches(ray_session):
     }
 
 
-def test_group_by_still_raises():
-    with pytest.raises(NotImplementedError):
-        SparqlParser(
-            "SELECT ?x WHERE { ?x <p> ?y . MINUS { ?x <q> ?z } }"
-        ).parse()
+def test_minus_anti_join(ray_session):
+    """MINUS removes solutions matching the minus group on shared vars."""
+    out = execute(_graph(), """
+      SELECT ?x ?y WHERE { ?x <knows> ?y . MINUS { ?x <name> ?nm } }
+    """)
+    rows = {(r["x"], r["y"]) for r in out.take_all()}
+    assert rows == {("<c>", "<a>")}  # <a>, <b> have names -> removed
