@@ -580,6 +580,27 @@ SELECT {r}, r_name FROM region
 """
 
 
+def q_sparql_group_count(sf_dir: str) -> rd.Dataset:
+    """GROUP BY + COUNT aggregate through the string front end (reference
+    F11 aggregates, ``query_conversions.py:57-81``), lowered onto the
+    map-side-combined grouped aggregation."""
+    from . import sparql
+
+    q = f"""
+    SELECT ?r (COUNT(?n) AS ?cnt) WHERE {{
+      ?n <{BASE}nation#ref-n_regionkey> ?r .
+    }} GROUP BY ?r
+    """
+    return sparql.execute(_nation_region_triples(sf_dir), q)
+
+
+def _sql_sparql_group_count() -> str:
+    r = f"'<{BASE}region/r_regionkey=' || CAST(n_regionkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {r} AS r, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # R2RML-TTL-driven queries (mapping parsed from Turtle at query time)
 # ---------------------------------------------------------------------------
@@ -667,6 +688,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_init_bindings": q_sparql_init_bindings,
         "sparql_optional": q_sparql_optional,
         "sparql_union": q_sparql_union,
+        "sparql_group_count": q_sparql_group_count,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
@@ -696,6 +718,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_init_bindings": _sql_sparql_init_bindings(),
         "sparql_optional": _sql_sparql_optional(),
         "sparql_union": _sql_sparql_union(),
+        "sparql_group_count": _sql_sparql_group_count(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),

@@ -68,6 +68,13 @@ class BoolExpr:
 
 
 @dataclass(frozen=True)
+class Aggregate:
+    fn: str        # count | sum | min | max | sample
+    var: Optional[str]  # None = COUNT(*)
+    alias: str
+
+
+@dataclass(frozen=True)
 class SelectQuery:
     variables: Tuple[str, ...]   # () = SELECT *
     patterns: Tuple[Tuple, ...]  # triple patterns (terms: Var | str | Path)
@@ -83,6 +90,9 @@ class SelectQuery:
     minuses: Tuple[Tuple[Tuple, ...], ...] = ()
     # { A } UNION { B }: the group bodies of each branch (patterns, filters)
     union_branches: Tuple[Tuple[Tuple[Tuple, ...], Tuple[BoolExpr, ...]], ...] = ()
+    # (COUNT(?y) AS ?n)-style projections + GROUP BY keys
+    aggregates: Tuple[Aggregate, ...] = ()
+    group_by: Tuple[str, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +286,7 @@ class SparqlParser:
             self._next()
             distinct = True
         variables: List[str] = []
+        aggregates: List[Aggregate] = []
         while True:
             k, v = self._peek()
             if v == "*":
@@ -284,6 +295,24 @@ class SparqlParser:
             if k == "var":
                 self._next()
                 variables.append(v[1:])
+                continue
+            if v == "(":
+                # (COUNT(?y) AS ?n) | (SUM/MIN/MAX/SAMPLE(?y) AS ?n)
+                self._next()
+                fk, fv = self._next()
+                fn = str(fv).lower()
+                if fn not in ("count", "sum", "min", "max", "sample"):
+                    raise NotImplementedError(f"aggregate {fv!r} not supported")
+                self._expect("(")
+                ak, av = self._next()
+                agg_var = None if av == "*" else av[1:]
+                self._expect(")")
+                wk, wv = self._next()
+                if str(wv).upper() != "AS":
+                    raise ValueError(f"expected AS in aggregate projection, got {wv!r}")
+                _, alias_v = self._next()
+                self._expect(")")
+                aggregates.append(Aggregate(fn=fn, var=agg_var, alias=alias_v[1:]))
                 continue
             break
         if self._peek()[1] == "WHERE":
@@ -354,7 +383,7 @@ class SparqlParser:
                     raise ValueError("a braced group must be part of a UNION")
                 union_branches.extend(branches)
                 continue
-            if k == "word" and v.upper() in ("UNION", "GROUP"):
+            if k == "word" and v.upper() == "UNION":
                 raise NotImplementedError(
                     f"{v} is not supported in the string front end — compose it "
                     "through the relational operator layer instead"
@@ -364,10 +393,18 @@ class SparqlParser:
             o = self._term()
             patterns.append((s, p, o))
         order: List[Tuple[str, bool]] = []
+        group_by: List[str] = []
         limit = None
         offset = 0
         while True:
             k, v = self._peek()
+            if k == "word" and v.upper() == "GROUP":
+                self._next()
+                self._expect("BY")
+                while self._peek()[0] == "var":
+                    _, gv = self._next()
+                    group_by.append(gv[1:])
+                continue
             if v == "ORDER":
                 self._next()
                 self._expect("BY")
@@ -411,6 +448,8 @@ class SparqlParser:
             optionals=tuple(optionals),
             minuses=tuple(minuses),
             union_branches=tuple(union_branches),
+            aggregates=tuple(aggregates),
+            group_by=tuple(group_by),
         )
 
 
@@ -563,7 +602,49 @@ def execute(
                 lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"
             )
 
-    if q.variables:
+    if q.aggregates:
+        # GROUP BY + aggregates (reference F11 family,
+        # ``query_conversions.py:57-81``) via the map-side-combined
+        # grouped_agg; SAMPLE = deterministic min witness; SUM decodes
+        # typed-literal lexical forms to float64 per batch.
+        from .relational import extend, grouped_agg
+
+        keys = list(q.group_by)
+        if not keys:
+            raise NotImplementedError("aggregates require GROUP BY in this front end")
+        mins, maxs, sums = [], [], []
+        count_alias = None
+        prep_cols = {}
+        for a in q.aggregates:
+            if a.fn == "count":
+                if count_alias is not None:
+                    raise NotImplementedError("multiple COUNTs in one query")
+                count_alias = a.alias
+            elif a.fn in ("min", "sample"):
+                prep_cols[a.alias] = a.var
+                mins.append(a.alias)
+            elif a.fn == "max":
+                prep_cols[a.alias] = a.var
+                maxs.append(a.alias)
+            elif a.fn == "sum":
+                prep_cols[a.alias] = ("num", a.var)
+                sums.append(a.alias)
+        if prep_cols:
+            out = extend(out, **{
+                alias: (
+                    (lambda b, _v=spec[1]: _numeric_col(b, _v))
+                    if isinstance(spec, tuple)
+                    else (lambda b, _v=spec: b[_v])
+                )
+                for alias, spec in prep_cols.items()
+            })
+        out = grouped_agg(
+            out.select_columns(keys + list(prep_cols)),
+            keys, sums=sums, mins=mins, maxs=maxs, count_as=count_alias,
+        )
+        proj = keys + [a.alias for a in q.aggregates]
+        out = out.select_columns([c for c in proj])
+    elif q.variables:
         out = out.select_columns(list(q.variables))
     if q.distinct:
         out = distinct_on(out, list(q.variables) if q.variables else out.schema().names)

@@ -116,3 +116,18 @@ def test_minus_anti_join(ray_session):
     """)
     rows = {(r["x"], r["y"]) for r in out.take_all()}
     assert rows == {("<c>", "<a>")}  # <a>, <b> have names -> removed
+
+
+def test_group_by_aggregates(ray_session):
+    import ray.data as rd
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>"],
+        "pred": ["<in>", "<in>", "<in>"],
+        "obj": ["<g1>", "<g1>", "<g2>"],
+    }))
+    out = execute(triples, """
+      SELECT ?g (COUNT(?x) AS ?n) WHERE { ?x <in> ?g . } GROUP BY ?g
+    """)
+    rows = sorted((r["g"], r["n"]) for r in out.take_all())
+    assert rows == [("<g1>", 2), ("<g2>", 1)]
