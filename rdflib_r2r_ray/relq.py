@@ -357,6 +357,54 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_rel_window_hopping(sf_dir: str) -> rd.Dataset:
+    """HOPPING (sliding) window aggregate: 1-hour windows every 30 minutes —
+    each event lands in windows_size/hop = 2 windows, assigned by a
+    vectorized flat expansion inside map_batches (no per-row Python), then
+    the map-side-combined groupby.  The windowed-aggregate custom operator
+    the Dataset API lacks, composed from primitives."""
+    import numpy as np
+
+    HOP_US = 30 * 60 * 1_000_000
+    N_HOPS = 2  # window = 2 hops
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = R.money_cents(batch, "value").to_numpy(zero_copy_only=False)
+        # window starts: floor(ts/hop)*hop - k*hop for k in 0..N_HOPS-1
+        base = (ts // HOP_US) * HOP_US
+        rows_uid = np.repeat(uid, N_HOPS)
+        rows_cents = np.repeat(cents, N_HOPS)
+        offs = np.tile(np.arange(N_HOPS, dtype=np.int64) * HOP_US, len(ts))
+        starts = np.repeat(base, N_HOPS) - offs
+        return pa.table({
+            "user_id": pa.array(rows_uid),
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "value_cents": pa.array(rows_cents, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return R.grouped_agg(
+        expanded, ["user_id", "window_start"], sums=["value_cents"], count_as="n_events",
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "window_start", "sum_value_cents", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REL_WINDOW_HOPPING = """
+WITH hops AS (SELECT unnest(range(0, 2)) AS k)
+SELECT user_id,
+  make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - k * 1800000000) AS window_start,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+  COUNT(*) AS n_events
+FROM events CROSS JOIN hops
+GROUP BY user_id, window_start
+"""
+
+
 # --- sessionization (stateful per-key op via groupby().map_groups) ---------
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
@@ -525,6 +573,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_group_concat": q_rel_group_concat,
         "rel_values_join": q_rel_values_join,
         "rel_window_tumbling": q_rel_window_tumbling,
+        "rel_window_hopping": q_rel_window_hopping,
         "rel_sessionize": q_rel_sessionize,
         "rel_scalar_funcs": q_rel_scalar_funcs,
         "curate_corpus": q_curate_corpus,
@@ -549,6 +598,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_group_concat": SQL_REL_GROUP_CONCAT,
         "rel_values_join": SQL_REL_VALUES_JOIN,
         "rel_window_tumbling": SQL_REL_WINDOW,
+        "rel_window_hopping": SQL_REL_WINDOW_HOPPING,
         "rel_sessionize": SQL_REL_SESSIONIZE,
         "rel_scalar_funcs": SQL_REL_SCALAR_FUNCS,
         "curate_corpus": SQL_CURATE_CORPUS,
