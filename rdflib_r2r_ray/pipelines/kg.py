@@ -168,6 +168,7 @@ def _cached_emitter(mapping: Mapping, table: str, alias_ref, canon_ref,
     # across tasks (each task unpickles its own mapping object)
     key = (hash(mapping), table,
            alias_ref.hex() if hasattr(alias_ref, "hex") else id(alias_ref),
+           canon_ref.hex() if hasattr(canon_ref, "hex") else id(canon_ref),
            text_col, extract_html)
     em = _EMITTER_CACHE.get(key)
     if em is None:

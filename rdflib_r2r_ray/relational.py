@@ -367,7 +367,14 @@ def topk_offset(
     partial top-(n+k) per block + global sort over the partials only; the
     offset drop then touches ≤ n+k rows — never a full-data skip."""
     top = topk(ds, keys, k + offset, descending=descending)
-    tbl = pa.concat_tables([t for t in ray.get(top.materialize().to_arrow_refs()) if t.num_rows])
+    mat = top.materialize()
+    tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        # result smaller than OFFSET / no matches: typed empty table, not a
+        # concat_tables([]) ArrowInvalid
+        s = mat.schema()
+        return rd.from_arrow(pa.schema(list(zip(s.names, s.types))).empty_table())
+    tbl = pa.concat_tables(tables)
     return rd.from_arrow(tbl.slice(offset, k))
 
 

@@ -665,8 +665,11 @@ def execute(
         if q.offset:
             import ray
 
-            tbl = pa.concat_tables(
-                [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
-            )
-            out = rd.from_arrow(tbl.slice(q.offset, q.limit))
+            mat = out.materialize()
+            tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+            if tables:
+                out = rd.from_arrow(pa.concat_tables(tables).slice(q.offset, q.limit))
+            else:
+                s = mat.schema()
+                out = rd.from_arrow(pa.schema(list(zip(s.names, s.types))).empty_table())
     return out

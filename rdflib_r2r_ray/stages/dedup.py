@@ -275,14 +275,17 @@ def exact_dedup_documents(ds: rd.Dataset, text_col: str = "text", id_col: str = 
     (Ray's sort-based groupby was measured with an ~8 s driver floor —
     every wide op in this engine uses the same exchange.)"""
     withh = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
-    out_schema = pa.schema([("content_hash", pa.string()), (id_col, pa.int64())])
+    # id column type comes from the INPUT schema (string doc ids keep their
+    # natural min-ordering); the min aggregate works for any orderable type
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema([("content_hash", pa.string()), (id_col, id_type)])
 
     def combine(batch: pa.Table) -> pa.Table:
         g = batch.select(["content_hash", id_col]).group_by("content_hash") \
                  .aggregate([(id_col, "min")])
         return pa.table(
             {"content_hash": g["content_hash"],
-             id_col: pc.cast(g[f"{id_col}_min"], pa.int64())},
+             id_col: pc.cast(g[f"{id_col}_min"], id_type)},
             schema=out_schema,
         )
 
@@ -459,6 +462,10 @@ class _DropCounter:
         self.dropped_pairs += pairs
         self.truncated_buckets += buckets
 
+    def reset(self):
+        self.dropped_pairs = 0
+        self.truncated_buckets = 0
+
     def get(self):
         return {"dropped_pairs": self.dropped_pairs,
                 "truncated_buckets": self.truncated_buckets}
@@ -500,6 +507,12 @@ def minhash_lsh_candidates(ds: rd.Dataset, *, num_perm: int = 64, bands: int = 1
     counter = ray.remote(_DropCounter).options(
         name="minhash_lsh_drop_counter", get_if_exists=True
     ).remote()
+    # counts must not leak across runs in one Ray session: reset SYNCHRONOUSLY
+    # before any band row is produced (the returned Dataset is lazy, so no
+    # bucket task can race this).  Reads via lsh_dropped_stats are ordered
+    # behind in-flight adds by the actor's single mailbox once the candidate
+    # dataset has been fully consumed.
+    ray.get(counter.reset.remote())
 
     def bucket_pairs(part: pa.Table, _counter=counter) -> pa.Table:
         """One exchange partition: complete (band_id, band_hash) groups;
