@@ -601,6 +601,177 @@ SELECT {r} AS r, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
 """
 
 
+def _documents_triples(sf_dir: str) -> rd.Dataset:
+    """documents table → triples, materialized ONCE (multi-pattern SPARQL
+    queries touch the Dataset once per pattern)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    return ds.map_batches(
+        EmitTriples(documents_mapping(), "documents"), batch_format="pyarrow"
+    ).select_columns(["subj", "pred", "obj"]).materialize()
+
+
+def q_sparql_bind_regex(sf_dir: str) -> rd.Dataset:
+    """FILTER REGEX + BIND arithmetic through the string front end
+    (reference expression compiler ``query_conversions.py:141-152`` REGEX,
+    ``:285-290`` Extend): the regex lowers to a vectorized RE2 kernel, the
+    BIND to a computed float64 column."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?nc2 WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      ?d <http://kg.ex/p/n_chars> ?c .
+      FILTER(REGEX(?l, "^e"))
+      BIND(?c * 2 AS ?nc2)
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_bind_regex() -> str:
+    return """
+SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       CAST(n_chars * 2 AS DOUBLE) AS nc2
+FROM documents WHERE lang IS NOT NULL AND regexp_matches(lang, '^e')
+"""
+
+
+def q_sparql_exists(sf_dir: str) -> rd.Dataset:
+    """FILTER EXISTS with an inner FILTER (reference ``convertExists``,
+    ``query_conversions.py:183-210``) → semi-join on the correlation
+    variable through the broadcast-vs-shuffle planner."""
+    from . import sparql
+
+    q = f"""
+    SELECT ?n ?name WHERE {{
+      ?n <{BASE}nation#n_name> ?name .
+      FILTER EXISTS {{
+        ?n <{BASE}nation#ref-n_regionkey> ?r .
+        ?r <{BASE}region#r_name> ?rn .
+        FILTER(?rn = "ASIA")
+      }}
+    }}
+    """
+    return sparql.execute(_nation_region_triples(sf_dir), q)
+
+
+def _sql_sparql_exists() -> str:
+    n = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {n} AS n, n_name AS name FROM nation
+WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+"""
+
+
+def q_sparql_values(sf_dir: str) -> rd.Dataset:
+    """VALUES inline table (reference ``queryValues``,
+    ``query_conversions.py:376-386``) joined on its variable — the typed
+    numeric literals match the emitted typed-literal terms exactly."""
+    from . import sparql
+
+    q = f"""
+    SELECT ?name ?k WHERE {{
+      ?n <{BASE}nation#n_nationkey> ?k .
+      ?n <{BASE}nation#n_name> ?name .
+      VALUES ?k {{ 0 5 10 }}
+    }}
+    """
+    return sparql.execute(_nation_region_triples(sf_dir), q)
+
+
+def _sql_sparql_values() -> str:
+    return f"""
+SELECT n_name AS name,
+       '"' || CAST(n_nationkey AS VARCHAR) || '"^^<{XSD_INT}>' AS k
+FROM nation WHERE n_nationkey IN (0, 5, 10)
+"""
+
+
+def q_sparql_having(sf_dir: str) -> rd.Dataset:
+    """GROUP BY + HAVING over an aggregate alias (reference
+    Filter-on-AggregateJoin → HAVING, ``query_conversions.py:212-232``)."""
+    from . import sparql
+
+    q = """
+    SELECT ?l (COUNT(?d) AS ?cnt) WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+    } GROUP BY ?l HAVING(?cnt >= 70)
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_having() -> str:
+    return """
+SELECT lang AS l, COUNT(*) AS cnt FROM documents
+WHERE lang IS NOT NULL GROUP BY lang HAVING COUNT(*) >= 70
+"""
+
+
+def q_sparql_avg(sf_dir: str) -> rd.Dataset:
+    """AVG + numeric MIN/MAX aggregates (reference aggregate table,
+    ``query_conversions.py:57-66``): AVG derives sum/count map-side; MIN/MAX
+    order NUMERICALLY over the decoded typed literals (ADVICE round-2 fix),
+    returning float64."""
+    from . import sparql
+
+    q = """
+    SELECT ?l (AVG(?c) AS ?avg_chars) (MAX(?c) AS ?max_chars) WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      ?d <http://kg.ex/p/n_chars> ?c .
+    } GROUP BY ?l
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_avg() -> str:
+    return """
+SELECT lang AS l, AVG(n_chars) AS avg_chars, CAST(MAX(n_chars) AS DOUBLE) AS max_chars
+FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang
+"""
+
+
+def q_sparql_agg_global(sf_dir: str) -> rd.Dataset:
+    """Global (keyless) aggregates — one group via a constant key, dropped
+    on output."""
+    from . import sparql
+
+    q = """
+    SELECT (COUNT(*) AS ?n) (AVG(?c) AS ?avg) WHERE {
+      ?d <http://kg.ex/p/n_chars> ?c .
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_agg_global() -> str:
+    return """
+SELECT COUNT(*) AS n, AVG(n_chars) AS avg FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
+def q_sparql_group_concat(sf_dir: str) -> rd.Dataset:
+    """GROUP_CONCAT with separator through the string front end — lowered
+    onto the exchange-based ``relational.group_concat`` (deterministic
+    sorted in-group order)."""
+    from . import sparql
+
+    q = f"""
+    SELECT ?r (GROUP_CONCAT(?nm ; SEPARATOR ",") AS ?names) WHERE {{
+      ?n <{BASE}nation#ref-n_regionkey> ?r .
+      ?n <{BASE}nation#n_name> ?nm .
+    }} GROUP BY ?r
+    """
+    return sparql.execute(_nation_region_triples(sf_dir), q)
+
+
+def _sql_sparql_group_concat() -> str:
+    r = f"'<{BASE}region/r_regionkey=' || CAST(n_regionkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {r} AS r, string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # R2RML-TTL-driven queries (mapping parsed from Turtle at query time)
 # ---------------------------------------------------------------------------
@@ -689,6 +860,13 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_optional": q_sparql_optional,
         "sparql_union": q_sparql_union,
         "sparql_group_count": q_sparql_group_count,
+        "sparql_bind_regex": q_sparql_bind_regex,
+        "sparql_exists": q_sparql_exists,
+        "sparql_values": q_sparql_values,
+        "sparql_having": q_sparql_having,
+        "sparql_avg": q_sparql_avg,
+        "sparql_agg_global": q_sparql_agg_global,
+        "sparql_group_concat": q_sparql_group_concat,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
@@ -719,6 +897,13 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_optional": _sql_sparql_optional(),
         "sparql_union": _sql_sparql_union(),
         "sparql_group_count": _sql_sparql_group_count(),
+        "sparql_bind_regex": _sql_sparql_bind_regex(),
+        "sparql_exists": _sql_sparql_exists(),
+        "sparql_values": _sql_sparql_values(),
+        "sparql_having": _sql_sparql_having(),
+        "sparql_avg": _sql_sparql_avg(),
+        "sparql_agg_global": _sql_sparql_agg_global(),
+        "sparql_group_concat": _sql_sparql_group_concat(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),

@@ -11,20 +11,41 @@ builds a small algebra (dataclasses below), and ``execute`` lowers it:
   paths) → ``bgp.execute_bgp`` (pattern filters fused with the scan, shared
   variables joined through the broadcast-vs-shuffle planner)
 - ``<p>+`` transitive paths → ``bgp.transitive_closure`` fixpoint
-- FILTER comparisons / && / || / ! → vectorized Arrow masks; numeric
-  comparisons decode typed-literal lexical forms per batch
-- initBindings (``r2r_store.py:62-75``) → inline VALUES Dataset joined on
-  the bound variables before anything else touches the data
+- FILTER expressions (reference expression compiler,
+  ``query_conversions.py:56-181``): comparisons, ``+ - * /`` arithmetic,
+  ``&& || !``, REGEX (``:141-152`` — full RE2 regex, a superset of the
+  reference's LIKE conversion), IF (``:153-159``), BOUND (``:137-139``),
+  XSD casts (``:111-114``), and registry UDF calls (``:115-120``) — all
+  lowered to vectorized Arrow masks; numeric comparisons decode
+  typed-literal lexical forms per batch
+- BIND(expr AS ?v) (reference ``queryExtend``, ``:285-290``) → computed
+  Arrow column
+- FILTER [NOT] EXISTS { ... } (reference ``convertExists``, ``:183-210``)
+  → semi/anti join on the correlation variables
+- VALUES (reference ``queryValues``, ``:376-386``) → inline Arrow table
+  joined through the planner
+- OPTIONAL / MINUS (with inner FILTERs whose variables live in the block)
+  → left-outer / anti join on shared variables
+- GROUP BY + COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT (reference
+  aggregate table ``:57-66``), multiple aggregates per query, global
+  (keyless) aggregates, and HAVING (reference Filter-on-AggregateJoin →
+  HAVING, ``:212-232``) — lowered onto the map-side-combined
+  ``relational.grouped_agg`` / exchange-based ``group_concat``
+- initBindings (``r2r_store.py:62-75``) → pattern substitution before
+  anything touches the data
 - SELECT [DISTINCT] / ORDER BY / LIMIT / OFFSET → project, hash-distinct,
   partial-top-k sort, bounded offset drop
 
-Supported subset: SELECT queries, basic graph patterns with constant or
-variable terms, property paths (seq/alt/inverse/one-or-more on constant
-predicates), conjunctive FILTER over comparisons, OPTIONAL blocks (→
-left-outer join on shared variables), MINUS blocks (→ anti-join on shared
-variables), top-level ``{A} UNION {B}`` groups (→ null-padded union),
-solution modifiers.  Not supported (raises): GROUP BY / aggregates in the
-STRING syntax — compose those through the relational operator layer.
+Semantics notes (documented divergences):
+- COUNT(?v) counts BOUND values only (per SPARQL; the round-2 row-count
+  lowering was fixed per ADVICE.md) — COUNT(*) counts solutions.
+- Numeric aggregates (SUM/AVG, and MIN/MAX over numeric columns) return
+  float64 NUMBERS, not re-encoded typed literals.
+- MIN/MAX and ORDER BY decide numeric-vs-lexical ordering from a bounded
+  sample of the column (``_probe_numeric``): an all-numeric column orders
+  numerically (typed-literal lexical forms decoded), anything else orders
+  by the raw N3 term string.  A mixed column falls to numeric with
+  non-numeric values → NULL (SPARQL type-error semantics).
 """
 
 from __future__ import annotations
@@ -45,54 +66,67 @@ from .stages.dedup import distinct_on
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
+_NUMERIC_XSD = {
+    "integer", "decimal", "double", "float", "long", "int", "short", "byte",
+    "nonNegativeInteger", "positiveInteger", "negativeInteger",
+    "nonPositiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte",
+}
+
 
 # ---------------------------------------------------------------------------
 # algebra
 # ---------------------------------------------------------------------------
 
 @dataclass(frozen=True)
-class Comparison:
-    var: str
-    op: str            # == != < <= > >=
-    value: object      # python str/int/float
-    numeric: bool
+class E:
+    """Expression node (reference ``queryExpr`` tree,
+    ``query_conversions.py:56-181``).
 
+    kinds: ``var num str iri cmp arith and or not neg bound regex if cast
+    call``.  ``op`` holds the comparison/arith operator; ``val`` the
+    variable name / literal value / cast datatype / UDF name."""
 
-@dataclass(frozen=True)
-class BoolExpr:
-    """Conjunction/disjunction tree over comparisons."""
-
-    kind: str          # 'cmp' | 'and' | 'or' | 'not'
-    cmp: Optional[Comparison] = None
-    args: Tuple["BoolExpr", ...] = ()
+    kind: str
+    op: Optional[str] = None
+    val: object = None
+    args: Tuple["E", ...] = ()
 
 
 @dataclass(frozen=True)
 class Aggregate:
-    fn: str        # count | sum | min | max | sample
+    fn: str             # count | sum | avg | min | max | sample | group_concat
     var: Optional[str]  # None = COUNT(*)
     alias: str
+    sep: str = ","      # group_concat separator
+
+
+@dataclass(frozen=True)
+class Group:
+    """A braced pattern group: OPTIONAL/MINUS/EXISTS/UNION-branch body."""
+
+    patterns: Tuple[Tuple, ...]
+    filters: Tuple[E, ...] = ()
 
 
 @dataclass(frozen=True)
 class SelectQuery:
     variables: Tuple[str, ...]   # () = SELECT *
     patterns: Tuple[Tuple, ...]  # triple patterns (terms: Var | str | Path)
-    filters: Tuple[BoolExpr, ...]
+    filters: Tuple[E, ...]
     distinct: bool = False
     order_by: Tuple[Tuple[str, bool], ...] = ()  # (var, descending)
     limit: Optional[int] = None
     offset: int = 0
-    # OPTIONAL { ... } blocks: each is a pattern group left-joined on the
-    # variables it shares with the required part
-    optionals: Tuple[Tuple[Tuple, ...], ...] = ()
-    # MINUS { ... } blocks: anti-joined on shared variables
-    minuses: Tuple[Tuple[Tuple, ...], ...] = ()
-    # { A } UNION { B }: the group bodies of each branch (patterns, filters)
-    union_branches: Tuple[Tuple[Tuple[Tuple, ...], Tuple[BoolExpr, ...]], ...] = ()
-    # (COUNT(?y) AS ?n)-style projections + GROUP BY keys
+    optionals: Tuple[Group, ...] = ()
+    minuses: Tuple[Group, ...] = ()
+    union_branches: Tuple[Group, ...] = ()
     aggregates: Tuple[Aggregate, ...] = ()
     group_by: Tuple[str, ...] = ()
+    binds: Tuple[Tuple[str, E], ...] = ()          # (alias, expr) in order
+    values: Tuple[Tuple[Tuple[str, ...], Tuple[Tuple, ...]], ...] = ()
+    exists: Tuple[Tuple[bool, Group], ...] = ()     # (negated, group)
+    having: Tuple[E, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -109,11 +143,13 @@ _SP_TOKEN = re.compile(
     | (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|ORDER|BY|ASC|DESC|LIMIT|OFFSET|VALUES)\b)
     | (?P<pname>[A-Za-z_][\w-]*)?:(?P<lname>[\w-]*)
     | (?P<word>[A-Za-z_][\w]*)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+|/^!=<>])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+\-|/^!=<>])
     | (?P<ws>\s+)
     """,
     re.X,
 )
+
+_CMP_OPS = {"=": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
 
 class SparqlParser:
@@ -137,8 +173,9 @@ class SparqlParser:
         self.i = 0
         self.prefixes: Dict[str, str] = {}
 
-    def _peek(self):
-        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+    def _peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else (None, None)
 
     def _next(self):
         t = self._peek()
@@ -222,55 +259,226 @@ class SparqlParser:
 
         return alt()
 
-    # --- filters -----------------------------------------------------------
+    # --- expressions (reference queryExpr, query_conversions.py:56-181) ----
 
-    def _filter_expr(self) -> BoolExpr:
-        def primary():
+    def _expr(self) -> E:
+        return self._or_expr()
+
+    def _or_expr(self) -> E:
+        parts = [self._and_expr()]
+        while self._peek()[1] == "||":
+            self._next()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else E("or", args=tuple(parts))
+
+    def _and_expr(self) -> E:
+        parts = [self._rel_expr()]
+        while self._peek()[1] == "&&":
+            self._next()
+            parts.append(self._rel_expr())
+        return parts[0] if len(parts) == 1 else E("and", args=tuple(parts))
+
+    def _rel_expr(self) -> E:
+        left = self._add_expr()
+        k, v = self._peek()
+        if v in _CMP_OPS:
+            self._next()
+            right = self._add_expr()
+            return E("cmp", op=_CMP_OPS[v], args=(left, right))
+        return left
+
+    def _add_expr(self) -> E:
+        out = self._mul_expr()
+        while True:
             k, v = self._peek()
-            if v == "!":
+            if v in ("+", "-"):
                 self._next()
-                return BoolExpr("not", args=(primary(),))
-            if v == "(":
+                out = E("arith", op=v, args=(out, self._mul_expr()))
+            elif k == "number" and v.startswith("-"):
+                # the tokenizer folds '- 5' into number(-5): treat as binary
+                # minus of the absolute value
                 self._next()
-                e = or_expr()
+                rhs = E("num", val=float(v[1:]) if "." in v else int(v[1:]))
+                out = E("arith", op="-", args=(out, rhs))
+            else:
+                return out
+
+    def _mul_expr(self) -> E:
+        out = self._unary_expr()
+        while self._peek()[1] in ("*", "/"):
+            _, v = self._next()
+            out = E("arith", op=v, args=(out, self._unary_expr()))
+        return out
+
+    def _unary_expr(self) -> E:
+        k, v = self._peek()
+        if v == "!":
+            self._next()
+            return E("not", args=(self._unary_expr(),))
+        if v == "-":
+            self._next()
+            return E("neg", args=(self._unary_expr(),))
+        return self._primary_expr()
+
+    def _primary_expr(self) -> E:
+        k, v = self._peek()
+        if v == "(":
+            self._next()
+            e = self._or_expr()
+            self._expect(")")
+            return e
+        if k == "var":
+            self._next()
+            return E("var", val=v[1:])
+        if k == "number":
+            self._next()
+            return E("num", val=float(v) if "." in v else int(v))
+        if k == "string":
+            self._next()
+            return E("str", val=v[1:-1].replace('\\"', '"'))
+        if k == "word":
+            u = v.upper()
+            if u == "REGEX":
+                self._next()
+                self._expect("(")
+                text = self._expr()
+                self._expect(",")
+                pk, pv = self._next()
+                if pk != "string":
+                    raise ValueError("REGEX pattern must be a string literal")
+                flags = ""
+                if self._peek()[1] == ",":
+                    self._next()
+                    fk, fv = self._next()
+                    if fk != "string":
+                        raise ValueError("REGEX flags must be a string literal")
+                    flags = fv[1:-1]
                 self._expect(")")
-                return e
-            # comparison: ?var op value   (or value op ?var)
-            k, v = self._next()
-            if k != "var":
-                raise ValueError(f"filter must compare a variable, got {v!r}")
-            var = v[1:]
-            _, op = self._next()
-            opmap = {"=": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
-            if op not in opmap:
-                raise ValueError(f"unsupported filter operator {op!r}")
-            vk, vv = self._next()
-            if vk == "number":
-                val = float(vv) if "." in vv else int(vv)
-                return BoolExpr("cmp", Comparison(var, opmap[op], val, numeric=True))
-            if vk == "string":
-                return BoolExpr("cmp", Comparison(var, opmap[op], vv[1:-1], numeric=False))
-            if vk in ("iri", "pname"):
-                return BoolExpr("cmp", Comparison(var, opmap[op], self._iri((vk, vv)), numeric=False))
-            raise ValueError(f"unsupported filter value {vv!r}")
-
-        def and_expr():
-            parts = [primary()]
-            while self._peek()[1] == "&&":
+                return E("regex", val=(pv[1:-1].replace('\\\\', '\\'), flags), args=(text,))
+            if u == "BOUND":
                 self._next()
-                parts.append(primary())
-            return parts[0] if len(parts) == 1 else BoolExpr("and", args=tuple(parts))
-
-        def or_expr():
-            parts = [and_expr()]
-            while self._peek()[1] == "||":
+                self._expect("(")
+                vk, vv = self._next()
+                if vk != "var":
+                    raise ValueError("BOUND takes a variable")
+                self._expect(")")
+                return E("bound", val=vv[1:])
+            if u == "IF":
                 self._next()
-                parts.append(and_expr())
-            return parts[0] if len(parts) == 1 else BoolExpr("or", args=tuple(parts))
+                self._expect("(")
+                c = self._expr()
+                self._expect(",")
+                a = self._expr()
+                self._expect(",")
+                b = self._expr()
+                self._expect(")")
+                return E("if", args=(c, a, b))
+            self._next()
+            raise ValueError(f"unsupported function {v!r} in expression")
+        if k in ("iri", "pname"):
+            # xsd:TYPE(expr) cast or sqlfunc UDF call
+            iri = self._iri(self._next())
+            if self._peek()[1] != "(":
+                return E("iri", val=iri)
+            self._expect("(")
+            args = [self._expr()]
+            while self._peek()[1] == ",":
+                self._next()
+                args.append(self._expr())
+            self._expect(")")
+            bare = iri[1:-1]
+            if bare.startswith(XSD):
+                return E("cast", val=bare[len(XSD):], args=tuple(args))
+            # reference UDF namespace http://daax.ai/sqlfunc/<NAME>
+            # (query_conversions.py:115-120) → functions.registry kernel
+            name = bare.rsplit("/", 1)[-1]
+            return E("call", val=name, args=tuple(args))
+        raise ValueError(f"unexpected token {v!r} in expression")
 
-        return or_expr()
+    # --- groups ------------------------------------------------------------
+
+    def _parse_group(self) -> Group:
+        """{ triples + FILTERs } — OPTIONAL/MINUS/EXISTS/UNION-branch body."""
+        pats: List[Tuple] = []
+        fils: List[E] = []
+        self._expect("{")
+        while True:
+            k2, v2 = self._peek()
+            if v2 == "}":
+                self._next()
+                return Group(tuple(pats), tuple(fils))
+            if v2 == ".":
+                self._next()
+                continue
+            if v2 == "FILTER":
+                self._next()
+                self._expect("(")
+                fils.append(self._expr())
+                self._expect(")")
+                continue
+            pats.append((self._term(), self._path(), self._term()))
+
+    def _parse_values(self):
+        """VALUES ?v { t... }  |  VALUES (?a ?b) { (t t) ... }"""
+        k, v = self._peek()
+        if k == "var":
+            self._next()
+            vars_ = (v[1:],)
+            rows = []
+            self._expect("{")
+            while self._peek()[1] != "}":
+                rows.append((self._term(),))
+            self._next()
+            return vars_, tuple(rows)
+        self._expect("(")
+        names: List[str] = []
+        while self._peek()[0] == "var":
+            names.append(self._next()[1][1:])
+        self._expect(")")
+        self._expect("{")
+        rows = []
+        while self._peek()[1] == "(":
+            self._next()
+            row = []
+            while self._peek()[1] != ")":
+                row.append(self._term())
+            self._next()
+            if len(row) != len(names):
+                raise ValueError("VALUES row arity mismatch")
+            rows.append(tuple(row))
+        self._expect("}")
+        return tuple(names), tuple(rows)
 
     # --- query -------------------------------------------------------------
+
+    def _parse_aggregate(self) -> Aggregate:
+        """( FN(?v) AS ?alias ) — the '(' is already consumed."""
+        fk, fv = self._next()
+        fn = str(fv).lower()
+        if fn not in ("count", "sum", "min", "max", "sample", "avg", "group_concat"):
+            raise NotImplementedError(f"aggregate {fv!r} not supported")
+        self._expect("(")
+        sep = ","
+        ak, av = self._next()
+        agg_var = None if av == "*" else av[1:]
+        if fn == "group_concat" and self._peek()[1] == ";":
+            self._next()
+            wk, wv = self._next()
+            if str(wv).upper() != "SEPARATOR":
+                raise ValueError(f"expected SEPARATOR, got {wv!r}")
+            if self._peek()[1] == "=":
+                self._next()
+            sk, sv = self._next()
+            if sk != "string":
+                raise ValueError("SEPARATOR must be a string literal")
+            sep = sv[1:-1]
+        self._expect(")")
+        wk, wv = self._next()
+        if str(wv).upper() != "AS":
+            raise ValueError(f"expected AS in aggregate projection, got {wv!r}")
+        _, alias_v = self._next()
+        self._expect(")")
+        return Aggregate(fn=fn, var=agg_var, alias=alias_v[1:], sep=sep)
 
     def parse(self) -> SelectQuery:
         while self._peek()[1] == "PREFIX":
@@ -297,53 +505,21 @@ class SparqlParser:
                 variables.append(v[1:])
                 continue
             if v == "(":
-                # (COUNT(?y) AS ?n) | (SUM/MIN/MAX/SAMPLE(?y) AS ?n)
                 self._next()
-                fk, fv = self._next()
-                fn = str(fv).lower()
-                if fn not in ("count", "sum", "min", "max", "sample"):
-                    raise NotImplementedError(f"aggregate {fv!r} not supported")
-                self._expect("(")
-                ak, av = self._next()
-                agg_var = None if av == "*" else av[1:]
-                self._expect(")")
-                wk, wv = self._next()
-                if str(wv).upper() != "AS":
-                    raise ValueError(f"expected AS in aggregate projection, got {wv!r}")
-                _, alias_v = self._next()
-                self._expect(")")
-                aggregates.append(Aggregate(fn=fn, var=agg_var, alias=alias_v[1:]))
+                aggregates.append(self._parse_aggregate())
                 continue
             break
         if self._peek()[1] == "WHERE":
             self._next()
         self._expect("{")
         patterns: List[Tuple] = []
-        filters: List[BoolExpr] = []
-        optionals: List[Tuple[Tuple, ...]] = []
-        minuses: List[Tuple[Tuple, ...]] = []
-        union_branches: List = []
-
-        def parse_simple_group():
-            """{ triples + filters } — the body of a UNION branch."""
-            pats: List[Tuple] = []
-            fils: List[BoolExpr] = []
-            self._expect("{")
-            while True:
-                k2, v2 = self._peek()
-                if v2 == "}":
-                    self._next()
-                    return tuple(pats), tuple(fils)
-                if v2 == ".":
-                    self._next()
-                    continue
-                if v2 == "FILTER":
-                    self._next()
-                    self._expect("(")
-                    fils.append(self._filter_expr())
-                    self._expect(")")
-                    continue
-                pats.append((self._term(), self._path(), self._term()))
+        filters: List[E] = []
+        optionals: List[Group] = []
+        minuses: List[Group] = []
+        union_branches: List[Group] = []
+        binds: List[Tuple[str, E]] = []
+        values: List = []
+        exists: List[Tuple[bool, Group]] = []
 
         while True:
             k, v = self._peek()
@@ -355,30 +531,53 @@ class SparqlParser:
                 continue
             if v == "FILTER":
                 self._next()
+                nk, nv = self._peek()
+                if nk == "word" and nv.upper() == "EXISTS":
+                    self._next()
+                    exists.append((False, self._parse_group()))
+                    continue
+                if nk == "word" and nv.upper() == "NOT":
+                    self._next()
+                    wk, wv = self._next()
+                    if str(wv).upper() != "EXISTS":
+                        raise ValueError(f"expected EXISTS after NOT, got {wv!r}")
+                    exists.append((True, self._parse_group()))
+                    continue
                 self._expect("(")
-                filters.append(self._filter_expr())
+                filters.append(self._expr())
                 self._expect(")")
+                continue
+            if k == "word" and v.upper() == "BIND":
+                self._next()
+                self._expect("(")
+                e = self._expr()
+                wk, wv = self._next()
+                if str(wv).upper() != "AS":
+                    raise ValueError(f"expected AS in BIND, got {wv!r}")
+                vk, vv = self._next()
+                if vk != "var":
+                    raise ValueError("BIND target must be a variable")
+                self._expect(")")
+                binds.append((vv[1:], e))
+                continue
+            if v == "VALUES":
+                self._next()
+                values.append(self._parse_values())
                 continue
             if k == "word" and v.upper() == "OPTIONAL":
                 self._next()
-                pats, fils = parse_simple_group()
-                if fils:
-                    raise NotImplementedError("FILTER inside OPTIONAL is not supported")
-                optionals.append(pats)
+                optionals.append(self._parse_group())
                 continue
             if k == "word" and v.upper() == "MINUS":
                 self._next()
-                pats, fils = parse_simple_group()
-                if fils:
-                    raise NotImplementedError("FILTER inside MINUS is not supported")
-                minuses.append(pats)
+                minuses.append(self._parse_group())
                 continue
             if v == "{":
                 # { A } UNION { B } [UNION { C } ...]
-                branches = [parse_simple_group()]
+                branches = [self._parse_group()]
                 while self._peek()[1] is not None and str(self._peek()[1]).upper() == "UNION":
                     self._next()
-                    branches.append(parse_simple_group())
+                    branches.append(self._parse_group())
                 if len(branches) < 2:
                     raise ValueError("a braced group must be part of a UNION")
                 union_branches.extend(branches)
@@ -394,6 +593,7 @@ class SparqlParser:
             patterns.append((s, p, o))
         order: List[Tuple[str, bool]] = []
         group_by: List[str] = []
+        having: List[E] = []
         limit = None
         offset = 0
         while True:
@@ -404,6 +604,12 @@ class SparqlParser:
                 while self._peek()[0] == "var":
                     _, gv = self._next()
                     group_by.append(gv[1:])
+                continue
+            if k == "word" and v.upper() == "HAVING":
+                self._next()
+                self._expect("(")
+                having.append(self._expr())
+                self._expect(")")
                 continue
             if v == "ORDER":
                 self._next()
@@ -450,59 +656,229 @@ class SparqlParser:
             union_branches=tuple(union_branches),
             aggregates=tuple(aggregates),
             group_by=tuple(group_by),
+            binds=tuple(binds),
+            values=tuple(values),
+            exists=tuple(exists),
+            having=tuple(having),
         )
+
+
+# ---------------------------------------------------------------------------
+# expression evaluation (vectorized Arrow kernels per batch)
+# ---------------------------------------------------------------------------
+
+_LEX_RE = r'^"(?P<lex>[^"]*)"'
+_NUM_RE = r"^-?\d+(\.\d+)?$"
+
+
+def _col(batch: pa.Table, name: str) -> pa.Array:
+    c = batch[name]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _lex_array(col: pa.Array) -> pa.Array:
+    """Lexical form of an N3 term column: quoted literals lose their quotes
+    and datatype/lang decoration; IRIs and bare literals pass through."""
+    lex = pc.extract_regex(col, _LEX_RE)
+    return pc.if_else(pc.is_valid(lex), pc.struct_field(lex, "lex"), col)
+
+
+def _decode_numeric(col: pa.Array) -> pa.Array:
+    """String term column → float64 (non-numeric → NULL, SPARQL type-error
+    semantics)."""
+    lex_vals = _lex_array(col)
+    is_num = pc.match_substring_regex(lex_vals, _NUM_RE)
+    safe = pc.if_else(pc.fill_null(is_num, False), lex_vals, pa.scalar(None, pa.string()))
+    return pc.cast(safe, pa.float64())
+
+
+def _numeric_col(batch: pa.Table, var: str) -> pa.Array:
+    """Decode a column to float64 for numeric use: native numeric columns
+    cast directly; string term columns decode typed-literal lexical forms."""
+    col = _col(batch, var)
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        return pc.cast(col, pa.float64())
+    return _decode_numeric(col)
+
+
+def _eval(e: E, batch: pa.Table):
+    """Evaluate an expression → (value, kind); value is a pa.Array or a
+    python scalar, kind ∈ {'num','str','bool','term'}."""
+    n = len(batch)
+    if e.kind == "var":
+        col = _col(batch, e.val)
+        if pa.types.is_boolean(col.type):
+            return col, "bool"
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return col, "term"
+        return col, "num"
+    if e.kind == "num":
+        return e.val, "num"
+    if e.kind == "str":
+        return e.val, "str"
+    if e.kind == "iri":
+        return e.val, "term"
+    if e.kind == "bound":
+        return pc.is_valid(_col(batch, e.val)), "bool"
+    if e.kind in ("and", "or"):
+        out = _to_bool(*_eval(e.args[0], batch))
+        fn = pc.and_ if e.kind == "and" else pc.or_
+        for a in e.args[1:]:
+            out = fn(out, _to_bool(*_eval(a, batch)))
+        return out, "bool"
+    if e.kind == "not":
+        return pc.invert(_to_bool(*_eval(e.args[0], batch))), "bool"
+    if e.kind == "neg":
+        return pc.negate(_to_num(*_eval(e.args[0], batch))), "num"
+    if e.kind == "arith":
+        l = _to_num(*_eval(e.args[0], batch))
+        r = _to_num(*_eval(e.args[1], batch))
+        fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply, "/": pc.divide}[e.op]
+        return fn(l, r), "num"
+    if e.kind == "cmp":
+        lv, lk = _eval(e.args[0], batch)
+        rv, rk = _eval(e.args[1], batch)
+        if lk == "num" or rk == "num":
+            lv, rv = _to_num(lv, lk), _to_num(rv, rk)
+        else:
+            lv, rv = _to_raw(lv, lk), _to_raw(rv, rk)
+        fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
+              ">": pc.greater, ">=": pc.greater_equal}[e.op]
+        return pc.fill_null(fn(lv, rv), False), "bool"
+    if e.kind == "regex":
+        pat, flags = e.val
+        tv, tk = _eval(e.args[0], batch)
+        txt = _to_lex(tv, tk, n)
+        return pc.fill_null(
+            pc.match_substring_regex(txt, pat, ignore_case="i" in flags), False
+        ), "bool"
+    if e.kind == "if":
+        cond = _to_bool(*_eval(e.args[0], batch))
+        av, ak = _eval(e.args[1], batch)
+        bv, bk = _eval(e.args[2], batch)
+        if ak == "num" or bk == "num":
+            return pc.if_else(cond, _to_num(av, ak), _to_num(bv, bk)), "num"
+        return pc.if_else(cond, _to_raw(av, ak), _to_raw(bv, bk)), (
+            "str" if ak == bk == "str" else "term"
+        )
+    if e.kind == "cast":
+        dt = e.val
+        av, ak = _eval(e.args[0], batch)
+        if dt in _NUMERIC_XSD:
+            num = _to_num(av, ak)
+            if dt in ("integer", "long", "int", "short", "byte"):
+                # trunc-toward-zero like SQL CAST
+                return pc.trunc(num), "num"
+            return num, "num"
+        if dt == "string":
+            return _to_lex(av, ak, n), "str"
+        if dt == "boolean":
+            return _to_bool(av, ak), "bool"
+        raise NotImplementedError(f"cast to xsd:{dt} not supported")
+    if e.kind == "call":
+        from .functions import registry
+
+        fn = registry.get(e.val)
+        args = [_to_lex(*_eval(a, batch), n) for a in e.args]
+        out = fn(*args)
+        if pa.types.is_string(out.type) or pa.types.is_large_string(out.type):
+            return out, "str"
+        if pa.types.is_boolean(out.type):
+            return out, "bool"
+        return out, "num"
+    raise ValueError(e.kind)
+
+
+def _bcast(v, typ, n):
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    return pa.array([v] * n, typ)
+
+
+def _to_bool(v, kind):
+    if kind == "bool":
+        return pc.fill_null(v, False) if isinstance(v, (pa.Array, pa.ChunkedArray)) else v
+    raise ValueError(f"expected boolean expression, got {kind}")
+
+
+def _to_num(v, kind):
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        if kind == "num":
+            return pc.cast(v, pa.float64())
+        if kind in ("term", "str"):
+            return _decode_numeric(v if not isinstance(v, pa.ChunkedArray) else v.combine_chunks())
+        raise ValueError(f"cannot use {kind} numerically")
+    if kind == "num":
+        return pa.scalar(float(v), pa.float64())
+    try:
+        return pa.scalar(float(v), pa.float64())
+    except (TypeError, ValueError):
+        raise ValueError(f"non-numeric literal {v!r} in numeric context")
+
+
+def _to_raw(v, kind):
+    """Raw N3 term string (IRIs keep <>, typed literals their decoration)."""
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    return pa.scalar(str(v), pa.string())
+
+
+def _to_lex(v, kind, n):
+    """Lexical string form for text functions (REGEX, UDFs)."""
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        if kind in ("term", "str"):
+            return _lex_array(v if not isinstance(v, pa.ChunkedArray) else v.combine_chunks())
+        return pc.cast(v, pa.string())
+    return pa.scalar(str(v), pa.string())
+
+
+def _expr_vars(e: E) -> set:
+    out = set()
+    if e.kind in ("var", "bound"):
+        out.add(e.val)
+    for a in e.args:
+        out |= _expr_vars(a)
+    return out
+
+
+def _filter_batches(ds: rd.Dataset, exprs: Sequence[E]) -> rd.Dataset:
+    for f in exprs:
+        ds = ds.map_batches(
+            lambda b, _f=f: b.filter(_to_bool(*_eval(_f, b))) if len(b) else b,
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def _bind_output(v, kind, n):
+    """BIND result → a typed Arrow column (num→float64, bool→bool, else str)."""
+    if kind == "num":
+        return _bcast(pc.cast(v, pa.float64()) if isinstance(v, (pa.Array, pa.ChunkedArray)) else v, pa.float64(), n)
+    if kind == "bool":
+        return _bcast(v, pa.bool_(), n)
+    return _bcast(v, pa.string(), n)
 
 
 # ---------------------------------------------------------------------------
 # compiler / executor
 # ---------------------------------------------------------------------------
 
-_LEX_RE = r'^"(?P<lex>[^"]*)"'
-
-
-def _numeric_col(batch: pa.Table, var: str) -> pa.Array:
-    """Decode a term column to float64 for numeric comparison: typed
-    literals ("5"^^<xsd:integer>) take their lexical form; bare numeric
-    strings cast directly; anything non-numeric becomes NULL (comparison
-    false — SPARQL type-error semantics)."""
-    col = batch[var]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    lex = pc.extract_regex(col, _LEX_RE)
-    lex_vals = pc.if_else(
-        pc.is_valid(lex), pc.struct_field(lex, "lex"), col
-    )
-    # cast with errors → null: pre-filter to numeric-looking strings
-    is_num = pc.match_substring_regex(lex_vals, r"^-?\d+(\.\d+)?$")
-    safe = pc.if_else(is_num, lex_vals, pa.scalar(None, pa.string()))
-    return pc.cast(safe, pa.float64())
-
-
-def _compile_filter(expr: BoolExpr, batch: pa.Table) -> pa.Array:
-    if expr.kind == "cmp":
-        c = expr.cmp
-        if c.numeric:
-            col = _numeric_col(batch, c.var)
-            val = pa.scalar(float(c.value), pa.float64())
-        else:
-            col = batch[c.var]
-            val = pa.scalar(c.value, pa.string())
-        fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
-              ">": pc.greater, ">=": pc.greater_equal}[c.op]
-        return pc.fill_null(fn(col, val), False)
-    if expr.kind == "and":
-        out = _compile_filter(expr.args[0], batch)
-        for a in expr.args[1:]:
-            out = pc.and_(out, _compile_filter(a, batch))
-        return out
-    if expr.kind == "or":
-        out = _compile_filter(expr.args[0], batch)
-        for a in expr.args[1:]:
-            out = pc.or_(out, _compile_filter(a, batch))
-        return out
-    if expr.kind == "not":
-        return pc.invert(_compile_filter(expr.args[0], batch))
-    raise ValueError(expr.kind)
+def _probe_numeric(ds: rd.Dataset, var: str, sample: int = 64) -> bool:
+    """Bounded-sample numeric sniff for MIN/MAX/ORDER BY semantics (see
+    module docstring): pulls ≤ ``sample`` rows through the streaming
+    executor (early stop) and checks every non-null value parses as a
+    number (native numeric column, bare numeric string, or numeric
+    typed literal)."""
+    schema = ds.schema()
+    typ = schema.types[schema.names.index(var)]
+    if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
+        return not pa.types.is_boolean(typ)
+    rows = ds.select_columns([var]).limit(sample).take_all()
+    vals = [r[var] for r in rows if r[var] is not None]
+    if not vals:
+        return False
+    pat = re.compile(r'^(-?\d+(\.\d+)?|"(-?\d+(\.\d+)?)"\^\^<[^>]*>)$')
+    return all(isinstance(v, str) and pat.match(v) for v in vals)
 
 
 def _expand_transitive(in_patterns, triples: rd.Dataset):
@@ -530,6 +906,16 @@ def _expand_transitive(in_patterns, triples: rd.Dataset):
     return patterns, aug
 
 
+def _values_table(vars_: Sequence[str], rows: Sequence[Tuple]) -> pa.Table:
+    cols = {v: [] for v in vars_}
+    for row in rows:
+        for v, t in zip(vars_, row):
+            if isinstance(t, Var):
+                raise NotImplementedError("UNDEF/variable in VALUES rows")
+            cols[v].append(t)
+    return pa.table({v: pa.array(cols[v], pa.string()) for v in vars_})
+
+
 def execute(
     triples: rd.Dataset,
     query: str,
@@ -539,11 +925,13 @@ def execute(
     """Run a SPARQL SELECT string over a triples Dataset.
 
     ``init_bindings`` (reference ``r2r_store.py:62-75``): variable → term
-    pre-bindings, applied as an inline single-row VALUES join — the
-    restriction reaches the BGP before any data moves."""
+    pre-bindings, applied as pattern substitution — the restriction reaches
+    the BGP before any data moves."""
+    from .relational import extend, grouped_agg, group_concat, planned_join, union_pad
+
     q = SparqlParser(query).parse()
 
-    def bind(pats):
+    def bind_pats(pats):
         if not init_bindings:
             return list(pats)
         bound = dict(init_bindings)
@@ -553,33 +941,30 @@ def execute(
         ]
 
     def exec_group(pats, fils) -> rd.Dataset:
-        pats2, aug = _expand_transitive(bind(pats), triples)
+        pats2, aug = _expand_transitive(bind_pats(pats), triples)
         g = execute_bgp(aug, pats2, broadcast_threshold=broadcast_threshold)
-        for f in fils:
-            g = g.map_batches(
-                lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"
-            )
-        return g
+        return _filter_batches(g, fils)
 
     if q.union_branches:
         # { A } UNION { B }: branches execute independently, results align
         # with null padding (reference results_union semantics)
-        from .relational import union_pad
-
-        out = union_pad(*[exec_group(p, f) for p, f in q.union_branches])
-        for f in q.filters:
-            out = out.map_batches(
-                lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"
-            )
+        out = union_pad(*[exec_group(g.patterns, g.filters) for g in q.union_branches])
     else:
         out = exec_group(q.patterns, ())
         # OPTIONAL blocks: left-outer join on the shared variables
-        # (reference OPTIONAL → LEFT JOIN, query_conversions.py:349-374)
-        from .relational import planned_join
-
+        # (reference OPTIONAL → LEFT JOIN, query_conversions.py:349-374);
+        # inner FILTERs apply to the block side before the join — exact when
+        # the filter's variables all live in the block (enforced), which is
+        # the reference's ON-clause case with no left-side references
         for opt in q.optionals:
-            opt_pats, aug = _expand_transitive(bind(opt), triples)
+            opt_pats, aug = _expand_transitive(bind_pats(opt.patterns), triples)
             opt_out = execute_bgp(aug, opt_pats, broadcast_threshold=broadcast_threshold)
+            opt_vars = set(opt_out.schema().names)
+            for f in opt.filters:
+                if not _expr_vars(f) <= opt_vars:
+                    raise NotImplementedError(
+                        "FILTER in OPTIONAL referencing outer variables")
+            opt_out = _filter_batches(opt_out, opt.filters)
             left_vars = set(out.schema().names)
             shared = [v for v in opt_out.schema().names if v in left_vars]
             if not shared:
@@ -589,77 +974,90 @@ def execute(
         # NOT EXISTS, query_conversions.py:403-406; exact because BGP
         # solutions always bind their variables)
         for mns in q.minuses:
-            m_pats, aug = _expand_transitive(bind(mns), triples)
+            m_pats, aug = _expand_transitive(bind_pats(mns.patterns), triples)
             m_out = execute_bgp(aug, m_pats, broadcast_threshold=broadcast_threshold)
+            m_vars = set(m_out.schema().names)
+            for f in mns.filters:
+                if not _expr_vars(f) <= m_vars:
+                    raise NotImplementedError("FILTER in MINUS referencing outer variables")
+            m_out = _filter_batches(m_out, mns.filters)
             left_vars = set(out.schema().names)
             shared = [v for v in m_out.schema().names if v in left_vars]
             if not shared:
                 raise NotImplementedError("MINUS sharing no variable with the required part")
             out = planned_join(out, m_out.select_columns(shared), on=shared,
                                join_type="left_anti")
-        for f in q.filters:
-            out = out.map_batches(
-                lambda b, _f=f: b.filter(_compile_filter(_f, b)), batch_format="pyarrow"
-            )
+
+    # BIND(expr AS ?v) → computed typed column (reference queryExtend)
+    for alias, e in q.binds:
+        out = out.map_batches(
+            lambda b, _a=alias, _e=e: b.append_column(
+                _a, _bind_output(*_eval(_e, b), len(b))
+            ) if len(b) else b,
+            batch_format="pyarrow",
+        )
+
+    # VALUES → inline table joined on its variables (reference queryValues)
+    for vars_, rows in q.values:
+        vt = _values_table(vars_, rows)
+        out_vars = set(out.schema().names)
+        shared = [v for v in vars_ if v in out_vars]
+        if not shared:
+            raise NotImplementedError("VALUES sharing no variable with the group")
+        from .relational import broadcast_join
+
+        out = broadcast_join(out, vt, on=shared)
+
+    # FILTER [NOT] EXISTS → semi/anti join on correlation variables
+    # (reference convertExists, query_conversions.py:183-210)
+    for negated, grp in q.exists:
+        sub_pats, aug = _expand_transitive(bind_pats(grp.patterns), triples)
+        sub = execute_bgp(aug, sub_pats, broadcast_threshold=broadcast_threshold)
+        sub = _filter_batches(sub, grp.filters)
+        out_vars = set(out.schema().names)
+        shared = [v for v in sub.schema().names if v in out_vars]
+        if not shared:
+            raise NotImplementedError("EXISTS sharing no variable with the group")
+        out = planned_join(out, sub.select_columns(shared), on=shared,
+                           join_type="left_anti" if negated else "left_semi")
+
+    out = _filter_batches(out, q.filters)
 
     if q.aggregates:
-        # GROUP BY + aggregates (reference F11 family,
-        # ``query_conversions.py:57-81``) via the map-side-combined
-        # grouped_agg; SAMPLE = deterministic min witness; SUM decodes
-        # typed-literal lexical forms to float64 per batch.
-        from .relational import extend, grouped_agg
-
-        keys = list(q.group_by)
-        if not keys:
-            raise NotImplementedError("aggregates require GROUP BY in this front end")
-        mins, maxs, sums = [], [], []
-        count_alias = None
-        prep_cols = {}
-        for a in q.aggregates:
-            if a.fn == "count":
-                if count_alias is not None:
-                    raise NotImplementedError("multiple COUNTs in one query")
-                count_alias = a.alias
-            elif a.fn in ("min", "sample"):
-                prep_cols[a.alias] = a.var
-                mins.append(a.alias)
-            elif a.fn == "max":
-                prep_cols[a.alias] = a.var
-                maxs.append(a.alias)
-            elif a.fn == "sum":
-                prep_cols[a.alias] = ("num", a.var)
-                sums.append(a.alias)
-        if prep_cols:
-            out = extend(out, **{
-                alias: (
-                    (lambda b, _v=spec[1]: _numeric_col(b, _v))
-                    if isinstance(spec, tuple)
-                    else (lambda b, _v=spec: b[_v])
-                )
-                for alias, spec in prep_cols.items()
-            })
-        out = grouped_agg(
-            out.select_columns(keys + list(prep_cols)),
-            keys, sums=sums, mins=mins, maxs=maxs, count_as=count_alias,
-        )
-        proj = keys + [a.alias for a in q.aggregates]
-        out = out.select_columns([c for c in proj])
+        out = _execute_aggregates(out, q)
     elif q.variables:
         out = out.select_columns(list(q.variables))
     if q.distinct:
         out = distinct_on(out, list(q.variables) if q.variables else out.schema().names)
     if q.order_by:
-        keys = [v for v, _ in q.order_by]
+        # numeric-vs-lexical ordering decided per key from a bounded sample
+        # (ADVICE.md round-2: N3 lexical sort misorders numeric literals)
+        sort_keys: List[str] = []
         desc = [d for _, d in q.order_by]
+        helpers: Dict[str, str] = {}
+        for i, (v, _) in enumerate(q.order_by):
+            if _probe_numeric(out, v):
+                h = f"__ord{i}"
+                helpers[h] = v
+                sort_keys.append(h)
+            else:
+                sort_keys.append(v)
+        if helpers:
+            out = extend(out, **{
+                h: (lambda b, _v=v: _numeric_col(b, _v)) for h, v in helpers.items()
+            })
         if q.limit is not None:
             if q.offset:
-                out = topk_offset(out, keys, q.limit, q.offset, descending=desc)
+                out = topk_offset(out, sort_keys, q.limit, q.offset, descending=desc)
             else:
-                out = topk(out, keys, q.limit, descending=desc)
+                out = topk(out, sort_keys, q.limit, descending=desc)
         else:
-            out = out.sort(keys, descending=desc)
+            out = out.sort(sort_keys, descending=desc)
             if q.offset:
                 raise NotImplementedError("OFFSET without LIMIT needs a LIMIT bound")
+        if helpers:
+            keep = [c for c in out.schema().names if c not in helpers]
+            out = out.select_columns(keep)
     elif q.limit is not None:
         out = out.limit(q.limit + q.offset)
         if q.offset:
@@ -673,3 +1071,100 @@ def execute(
                 s = mat.schema()
                 out = rd.from_arrow(pa.schema(list(zip(s.names, s.types))).empty_table())
     return out
+
+
+def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
+    """GROUP BY + aggregate lowering (reference aggregate table,
+    ``query_conversions.py:57-81``): COUNT(?v) counts bound values (an
+    is_valid indicator summed), COUNT(*) counts solutions, SUM/AVG decode
+    numeric lexical forms, MIN/MAX choose numeric or lexical ordering by a
+    bounded sample, SAMPLE is a deterministic min witness, GROUP_CONCAT
+    goes through the hash-exchange ``relational.group_concat``.  No GROUP
+    BY → one global group via a constant key.  HAVING filters the
+    aggregated (native-typed) result."""
+    from .relational import extend, grouped_agg, group_concat, planned_join
+
+    keys = list(q.group_by)
+    global_agg = not keys
+    if global_agg:
+        out = out.map_batches(
+            lambda b: b.append_column("__g", pa.array([0] * len(b), pa.int8())),
+            batch_format="pyarrow",
+        )
+        keys = ["__g"]
+
+    prep: Dict[str, object] = {}   # helper column name -> builder fn spec
+    sums: List[str] = []
+    mins: List[str] = []
+    maxs: List[str] = []
+    post_avg: List[Tuple[str, str, str]] = []  # (alias, sum_col, cnt_col)
+    gcs: List[Aggregate] = []
+    aliases: List[str] = []
+    for a in q.aggregates:
+        aliases.append(a.alias)
+        if a.fn == "count":
+            if a.var is None:
+                prep[a.alias] = ("ones", None)
+            else:
+                prep[a.alias] = ("valid", a.var)
+            sums.append(a.alias)
+        elif a.fn == "sum":
+            prep[a.alias] = ("num", a.var)
+            sums.append(a.alias)
+        elif a.fn == "avg":
+            s_col, c_col = a.alias + "__s", a.alias + "__c"
+            prep[s_col] = ("num", a.var)
+            prep[c_col] = ("valid", a.var)
+            sums.extend([s_col, c_col])
+            post_avg.append((a.alias, s_col, c_col))
+        elif a.fn in ("min", "max"):
+            numeric = _probe_numeric(out, a.var)
+            prep[a.alias] = ("num", a.var) if numeric else ("raw", a.var)
+            (mins if a.fn == "min" else maxs).append(a.alias)
+        elif a.fn == "sample":
+            prep[a.alias] = ("raw", a.var)
+            mins.append(a.alias)
+        elif a.fn == "group_concat":
+            gcs.append(a)
+        else:
+            raise NotImplementedError(a.fn)
+
+    parts: List[rd.Dataset] = []
+    if prep:
+        def build(spec):
+            kind, var = spec
+            if kind == "ones":
+                return lambda b: pa.array([1] * len(b), pa.int64())
+            if kind == "valid":
+                return lambda b, _v=var: pc.cast(pc.is_valid(_col(b, _v)), pa.int64())
+            if kind == "num":
+                return lambda b, _v=var: _numeric_col(b, _v)
+            return lambda b, _v=var: b[_v]
+
+        prepped = extend(out, **{name: build(spec) for name, spec in prep.items()})
+        agg = grouped_agg(
+            prepped.select_columns(keys + list(prep)),
+            keys, sums=sums, mins=mins, maxs=maxs,
+        )
+        if post_avg:
+            agg = extend(agg, **{
+                alias: (lambda b, _s=s, _c=c: pc.divide(
+                    pc.cast(b[_s], pa.float64()), pc.cast(b[_c], pa.float64())))
+                for alias, s, c in post_avg
+            })
+        parts.append(agg)
+    for a in gcs:
+        parts.append(group_concat(out.select_columns(keys + [a.var]), keys,
+                                  a.var, a.alias, sep=a.sep))
+    agg_out = parts[0]
+    for other in parts[1:]:
+        agg_out = planned_join(agg_out, other, on=keys)
+
+    for h in q.having:
+        agg_out = _filter_batches(agg_out, [h])
+
+    group_keys = [] if global_agg else list(q.group_by)
+    proj = list(dict.fromkeys(
+        (list(q.variables) if q.variables else group_keys) + aliases
+    ))
+    return agg_out.select_columns(proj)

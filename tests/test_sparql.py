@@ -131,3 +131,169 @@ def test_group_by_aggregates(ray_session):
     """)
     rows = sorted((r["g"], r["n"]) for r in out.take_all())
     assert rows == [("<g1>", 2), ("<g2>", 1)]
+
+
+# ---------------------------------------------------------------------------
+# round 3: full expression surface (BIND/REGEX/IF/casts, EXISTS, VALUES,
+# HAVING, AVG/GROUP_CONCAT/global/multiple aggregates, numeric ordering)
+# ---------------------------------------------------------------------------
+
+def test_filter_regex(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x WHERE { ?x <name> ?nm . FILTER(REGEX(?nm, "^ali", "i")) }
+    """)
+    assert [r["x"] for r in out.take_all()] == ["<a>"]
+
+
+def test_filter_arith_and_cast(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x WHERE { ?x <age> ?a . FILTER(?a * 2 >= 60 && ?a / 2 < 20) }
+    """)
+    assert sorted(r["x"] for r in out.take_all()) == ["<a>"]
+
+
+def test_bind_arith_and_if(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x ?dbl ?cls WHERE {
+        ?x <age> ?a .
+        BIND(?a * 2 AS ?dbl)
+        BIND(IF(?a >= 30, "old", "young") AS ?cls)
+      }
+    """)
+    rows = {(r["x"], r["dbl"], r["cls"]) for r in out.take_all()}
+    assert rows == {("<a>", 60.0, "old"), ("<b>", 50.0, "young"), ("<c>", 80.0, "old")}
+
+
+def test_filter_on_bound_alias(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x WHERE { ?x <age> ?a . BIND(?a + 1 AS ?b) FILTER(?b > 31) }
+    """)
+    assert sorted(r["x"] for r in out.take_all()) == ["<c>"]
+
+
+def test_exists_and_not_exists(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER EXISTS { ?x <name> ?nm } }
+    """)
+    assert {(r["x"], r["y"]) for r in out.take_all()} == {("<a>", "<b>"), ("<b>", "<c>")}
+    out2 = execute(_graph(), """
+      SELECT ?x ?y WHERE { ?x <knows> ?y . FILTER NOT EXISTS { ?x <name> ?nm } }
+    """)
+    assert {(r["x"], r["y"]) for r in out2.take_all()} == {("<c>", "<a>")}
+
+
+def test_values_join(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x ?y WHERE { ?x <knows> ?y . VALUES ?x { <a> <c> } }
+    """)
+    assert {(r["x"], r["y"]) for r in out.take_all()} == {("<a>", "<b>"), ("<c>", "<a>")}
+
+
+def test_having_and_multiple_counts(ray_session):
+    import ray.data as rd
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>", "<d>"],
+        "pred": ["<in>", "<in>", "<in>", "<in>"],
+        "obj": ["<g1>", "<g1>", "<g2>", "<g1>"],
+    }))
+    out = execute(triples, """
+      SELECT ?g (COUNT(?x) AS ?n) (COUNT(*) AS ?m) WHERE { ?x <in> ?g . }
+      GROUP BY ?g HAVING(?n >= 2)
+    """)
+    rows = [(r["g"], r["n"], r["m"]) for r in out.take_all()]
+    assert rows == [("<g1>", 3, 3)]
+
+
+def test_count_skips_unbound(ray_session):
+    """COUNT(?v) counts bound values only (ADVICE round-2 divergence)."""
+    out = execute(_graph(), """
+      SELECT ?y (COUNT(?nm) AS ?n) (COUNT(*) AS ?m) WHERE {
+        ?x <knows> ?y . OPTIONAL { ?y <name> ?nm }
+      } GROUP BY ?y
+    """)
+    rows = sorted((r["y"], r["n"], r["m"]) for r in out.take_all())
+    # <a> knows <b> (named Bob), <b> knows <c> (unnamed), <c> knows <a> (Alice)
+    assert rows == [("<a>", 1, 1), ("<b>", 1, 1), ("<c>", 0, 1)]
+
+
+def test_avg_sum_numeric_minmax(ray_session):
+    out = execute(_graph(), """
+      SELECT (AVG(?a) AS ?avg) (SUM(?a) AS ?sum) (MIN(?a) AS ?lo) (MAX(?a) AS ?hi)
+      WHERE { ?x <age> ?a . }
+    """)
+    rows = out.take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    # numeric MIN over {"30","25","40"}^^xsd:integer is 25, not lexical "25"
+    assert (r["avg"], r["sum"], r["lo"], r["hi"]) == (95.0 / 3, 95.0, 25.0, 40.0)
+
+
+def test_group_concat(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x (GROUP_CONCAT(?nm ; SEPARATOR "|") AS ?names)
+      WHERE { ?x <name> ?nm . } GROUP BY ?x
+    """)
+    rows = sorted((r["x"], r["names"]) for r in out.take_all())
+    assert rows == [("<a>", "Alice"), ("<b>", "Bob")]
+
+
+def test_order_by_numeric(ray_session):
+    """ORDER BY over numeric typed literals sorts numerically: 25 < 30 < 40
+    even though '\"25\"' > '\"40\"' compares wrong lexically after '\"1...\"'
+    style values; use a 9-vs-10 case to prove it."""
+    import ray.data as rd
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>"],
+        "pred": ["<age>", "<age>"],
+        "obj": [f'"9"^^<{XSD_INT}>', f'"10"^^<{XSD_INT}>'],
+    }))
+    out = execute(triples, """
+      SELECT ?x ?a WHERE { ?x <age> ?a . } ORDER BY ?a LIMIT 2
+    """)
+    assert [r["x"] for r in out.take_all()] == ["<a>", "<b>"]  # 9 before 10
+
+
+def test_min_max_numeric_9_vs_10(ray_session):
+    import ray.data as rd
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>"],
+        "pred": ["<age>", "<age>"],
+        "obj": [f'"9"^^<{XSD_INT}>', f'"10"^^<{XSD_INT}>'],
+    }))
+    out = execute(triples, """
+      SELECT (MIN(?a) AS ?lo) (MAX(?a) AS ?hi) WHERE { ?x <age> ?a . }
+    """)
+    r = out.take_all()[0]
+    assert (r["lo"], r["hi"]) == (9.0, 10.0)  # lexical MIN would say "10"
+
+
+def test_filter_inside_optional(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x ?y ?nm WHERE {
+        ?x <knows> ?y . OPTIONAL { ?x <name> ?nm FILTER(?nm = "Alice") }
+      }
+    """)
+    rows = {(r["x"], r["y"], r["nm"]) for r in out.take_all()}
+    assert rows == {("<a>", "<b>", "Alice"), ("<b>", "<c>", None), ("<c>", "<a>", None)}
+
+
+def test_udf_call_in_filter(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x WHERE {
+        ?x <name> ?nm . FILTER(<http://daax.ai/sqlfunc/LOWER>(?nm) = "alice")
+      }
+    """)
+    assert [r["x"] for r in out.take_all()] == ["<a>"]
+
+
+def test_cast_in_filter(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x WHERE {
+        ?x <age> ?a .
+        FILTER(<http://www.w3.org/2001/XMLSchema#integer>(?a) = 25)
+      }
+    """)
+    assert [r["x"] for r in out.take_all()] == ["<b>"]
