@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import re
 from typing import List, Optional, Sequence
 
@@ -70,40 +71,11 @@ def _row_hash_bucket(batch: pa.Table, keys: Sequence[str], num_buckets: int) -> 
     return pa.array((h % num_buckets).astype("int32"))
 
 
-def _split_by_bucket(tbl: pa.Table, keys: List[str], num_buckets: int):
-    """Map side of the exchange: local distinct (combiner), then partition
-    the block into ``num_buckets`` sub-tables by key hash.
-
-    Each bucket is materialized with ``take`` (compacted buffers), NOT a
-    sorted zero-copy slice: pyarrow pickles a slice with its FULL parent
-    buffers, so slice returns made every map task ship num_buckets × the
-    whole block through the object store (measured 48×117 MB per task —
-    the exchange was 10× slower and spilled)."""
-    if tbl.num_rows == 0 or any(k not in tbl.column_names for k in keys):
-        # repartition of a small dataset produces schema-less empty blocks
-        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
-    b = local_distinct(tbl, keys)
-    bucket = _row_hash_bucket(b, keys, num_buckets).to_numpy(zero_copy_only=False)
-    order = np.argsort(bucket, kind="stable")
-    bucket_sorted = bucket[order]
-    bounds = np.searchsorted(bucket_sorted, np.arange(num_buckets + 1))
-    out = tuple(
-        b.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets)
-    )
-    return out if num_buckets > 1 else out[0]
-
-
-def _split_group(keys: List[str], num_buckets: int, *tbls: pa.Table):
-    """Map task over a GROUP of blocks: concat (cheap, local), then local
-    distinct + hash-split.  Grouping amortizes per-task overhead and keeps
-    the driver's ref count at (blocks/G) × B."""
-    cap_threads()
-    live = [t for t in tbls if t is not None and t.num_rows]
-    if not live:
-        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
-    merged = live[0] if len(live) == 1 else pa.concat_tables(live).combine_chunks()
-    return _split_by_bucket(merged, keys, num_buckets)
-
+# NOTE on split returns: every bucket is materialized with ``take``
+# (compacted buffers), NOT a sorted zero-copy slice — pyarrow pickles a
+# slice with its FULL parent buffers, so slice returns made every map task
+# ship num_buckets × the whole block through the object store (measured
+# 48×117 MB per task — the exchange was 10× slower and spilled).
 
 def _merge_distinct(schema: pa.Schema, keys: List[str], *parts: pa.Table) -> pa.Table:
     cap_threads()
@@ -115,26 +87,70 @@ def _merge_distinct(schema: pa.Schema, keys: List[str], *parts: pa.Table) -> pa.
     return decode_triples(out)
 
 
-def distinct_on(
-    ds: rd.Dataset, keys: Sequence[str], num_buckets: int = 0
-) -> rd.Dataset:
-    """Global exact distinct on ``keys`` (full rows kept; row choice among
-    duplicates is arbitrary).
+def _split_task(keys: List[str], num_buckets: int, combine: bool, *tbls: pa.Table):
+    """Map task of the streaming exchange: concat the group's blocks,
+    optionally apply the local-distinct combiner, hash-split into
+    ``num_buckets`` ``take``-compacted sub-tables."""
+    cap_threads()
+    live = [
+        t for t in tbls
+        if t is not None and t.num_rows and not any(k not in t.column_names for k in keys)
+    ]
+    if not live:
+        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
+    b = live[0] if len(live) == 1 else pa.concat_tables(live).combine_chunks()
+    if combine:
+        b = local_distinct(b, keys)
+    bucket = _row_hash_bucket(b, keys, num_buckets).to_numpy(zero_copy_only=False)
+    order = np.argsort(bucket, kind="stable")
+    bounds = np.searchsorted(bucket[order], np.arange(num_buckets + 1))
+    out = tuple(b.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets))
+    return out if num_buckets > 1 else out[0]
 
-    Implemented as an explicit two-stage hash exchange with raw Ray tasks —
-    the one place the Dataset API is deliberately bypassed: Ray Data's
-    ``groupby`` is a sort-based shuffle whose driver-side coordination
-    measured ~8 s constant regardless of parallelism, capping scaling
-    efficiency; a pure hash partition needs no sort and no boundary
-    sampling.  Plan: per-block local distinct (combiner) → each block split
-    into B hash buckets (map, B object-store returns per block) → one merge
-    task per bucket (reduce, vectorized distinct).  Hot-key skew is
-    impossible by construction (uniform row hash).  At cluster scale B
-    should grow with data volume so a bucket's distinct rows fit worker
-    memory; driver holds O(blocks × B) tiny refs — for very large jobs use a
-    two-level exchange (bucket-of-buckets) to bound it.
+
+def _merge_partial(keys: List[str], combine: bool, *parts):
+    """Cascade (second-level) merge: fold many same-bucket parts into one
+    table so the driver's ref count stays bounded.  Applies the distinct
+    combiner when the exchange dedups (associative), plain concat otherwise
+    (a grouping exchange must hand COMPLETE groups to its reduce_fn)."""
+    cap_threads()
+    live = [p for p in parts if p is not None and p.num_rows]
+    if not live:
+        return None
+    t = live[0] if len(live) == 1 else pa.concat_tables(live).combine_chunks()
+    return local_distinct(t, keys) if combine else t
+
+
+def _exchange_partitions(
+    ds: rd.Dataset,
+    keys: List[str],
+    num_buckets: int = 0,
+    combine: bool = False,
+    cascade_width: int = 32,
+    group_rows: int = 0,
+):
+    """STREAMING two-level hash exchange core shared by :func:`distinct_on`
+    and :func:`hash_group_exchange`.
+
+    Upstream blocks are consumed as they are produced
+    (``execute_to_iterator`` — same pattern as
+    ``state/checkpoint.py::checkpointed_write``, which removed the
+    materialize() barrier that serialized the map stage against the
+    exchange); each ~``group_rows``-row group of blocks becomes one split
+    task immediately, so hashing/splitting overlaps the upstream compute.
+
+    Driver ref bound (the bucket-of-buckets level): whenever
+    ``cascade_width`` split tasks are outstanding, each bucket's parts fold
+    into ONE ref via a `_merge_partial` task — the driver holds
+    O(cascade_width × buckets + blocks_in_flight) refs regardless of input
+    size, not O(map_tasks × buckets).
+
+    Tiny inputs (drained before the first group fills) skip the exchange
+    spray entirely: one split task with a row-count-adaptive bucket count.
+
+    Returns ``(per_bucket_part_refs, schema)``.
     """
-    import math
+    import gc
 
     import ray
 
@@ -143,29 +159,89 @@ def distinct_on(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
+    B = num_buckets or max(16, (cpus * 3) // 2)
+    group_rows = group_rows or int(os.environ.get("GRAFT_EXCHANGE_GROUP_ROWS", "500000"))
+    schema = ds.schema().base_schema
 
-    mat = ds.materialize()
-    if not num_buckets:
-        num_buckets = _adaptive_buckets(mat.count(), cpus)
-    schema = mat.schema().base_schema
-    refs = mat.to_arrow_refs()
+    mapper = ray.remote(num_returns=B)(_split_task)
+    partial = ray.remote(_merge_partial)
+    buckets: List[List] = [[] for _ in range(B)]
+    pending: List = []
+    pending_rows = 0
+    total_rows = 0
+    n_map = 0
 
-    # Coalesce small blocks INSIDE the map task (plain concat of G refs) —
-    # measured ~2s cheaper than a repartition() all-to-all doing the same
-    # coalescing, and it bounds driver refs to (blocks/G) × B.
-    target_map_tasks = min(len(refs), max(8, (cpus * 3) // 2))
-    group = max(1, math.ceil(len(refs) / target_map_tasks))
-    groups = [refs[i : i + group] for i in range(0, len(refs), group)]
+    def _flush():
+        nonlocal pending, pending_rows, n_map
+        if not pending:
+            return
+        r = mapper.remote(keys, B, combine, *pending)
+        refs = [r] if B == 1 else r
+        for b in range(B):
+            buckets[b].append(refs[b])
+        pending, pending_rows = [], 0
+        n_map += 1
+        if len(buckets[0]) >= cascade_width:
+            for b in range(B):
+                buckets[b] = [partial.remote(keys, combine, *buckets[b])]
 
-    mapper = ray.remote(num_returns=num_buckets)(_split_group)
+    bundle_iter, _, executor = ds._plan.execute_to_iterator()
+    try:
+        for bundle in bundle_iter:
+            for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+                if not meta.num_rows:
+                    continue
+                pending.append(block_ref)
+                pending_rows += meta.num_rows
+                total_rows += meta.num_rows
+                if pending_rows >= group_rows or len(pending) >= 64:
+                    _flush()
+    finally:
+        # all three steps required to free a fixed actor pool's CPUs after
+        # the drain (Ray 2.49 ref-cycle leak — see checkpoint.py)
+        del bundle_iter
+        if executor is not None:
+            executor.shutdown(force=False)
+        gc.collect()
+
+    if n_map == 0:
+        # tiny input: size the bucket count to the DATA (no 48-task spray
+        # over 6k rows — measured ~1 s of pure overhead)
+        B2 = num_buckets or _adaptive_buckets(total_rows, cpus)
+        if not pending:
+            return [], schema
+        mapper2 = ray.remote(num_returns=B2)(_split_task)
+        r = mapper2.remote(keys, B2, combine, *pending)
+        refs = [r] if B2 == 1 else r
+        return [[refs[b]] for b in range(B2)], schema
+    _flush()
+    return buckets, schema
+
+
+def distinct_on(
+    ds: rd.Dataset, keys: Sequence[str], num_buckets: int = 0
+) -> rd.Dataset:
+    """Global exact distinct on ``keys`` (full rows kept; row choice among
+    duplicates is arbitrary).
+
+    Implemented as the STREAMING two-level hash exchange
+    (:func:`_exchange_partitions`) with raw Ray tasks — the one place the
+    Dataset API is deliberately bypassed: Ray Data's ``groupby`` is a
+    sort-based shuffle whose driver-side coordination measured ~8 s constant
+    regardless of parallelism, capping scaling efficiency; a pure hash
+    partition needs no sort and no boundary sampling.  Plan: per-group local
+    distinct (combiner) fused with the hash split (map, launched while the
+    upstream still runs) → cascade folds bound driver refs → one merge task
+    per bucket (reduce, vectorized distinct).  Hot-key skew is impossible by
+    construction (uniform row hash)."""
+    import ray
+
+    keys = list(keys)
+    buckets, schema = _exchange_partitions(ds, keys, num_buckets, combine=True)
+    if not buckets:
+        return rd.from_arrow(decode_triples(schema.empty_table()))
     reducer = ray.remote(_merge_distinct)
-    split_refs = [mapper.remote(keys, num_buckets, *g) for g in groups]
-    if num_buckets == 1:
-        split_refs = [[r] for r in split_refs]
-    out = [
-        reducer.remote(schema, keys, *[split_refs[m][b] for m in range(len(split_refs))])
-        for b in range(num_buckets)
-    ]
+    out = [reducer.remote(schema, keys, *parts) for parts in buckets]
     return rd.from_arrow_refs(out)
 
 
@@ -179,49 +255,22 @@ def _adaptive_buckets(rows: int, cpus: int) -> int:
     return max(1, per_volume, parallel)
 
 
-def _split_nocombine(keys: List[str], num_buckets: int, *tbls: pa.Table):
-    """Map side of the grouping exchange: concat + hash-split only (no
-    distinct combiner — rows are unique by construction for band rows)."""
-    cap_threads()
-    live = [t for t in tbls if t is not None and t.num_rows]
-    if not live:
-        return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
-    b = live[0] if len(live) == 1 else pa.concat_tables(live).combine_chunks()
-    bucket = _row_hash_bucket(b, keys, num_buckets).to_numpy(zero_copy_only=False)
-    order = np.argsort(bucket, kind="stable")
-    bounds = np.searchsorted(bucket[order], np.arange(num_buckets + 1))
-    out = tuple(b.take(order[bounds[i] : bounds[i + 1]]) for i in range(num_buckets))
-    return out if num_buckets > 1 else out[0]
-
-
 def hash_group_exchange(
     ds: rd.Dataset, keys: Sequence[str], reduce_fn, out_schema: pa.Schema
 ) -> rd.Dataset:
     """Generic hash-partitioned groupby: every row of a key group lands in
     exactly one reduce task, which applies ``reduce_fn(table) -> table``
-    over its partition (the fn sees complete groups).  Same raw-task
-    exchange as :func:`distinct_on` — replaces Ray Data's sort-based
-    ``groupby`` shuffle, whose driver-side coordination doesn't scale with
-    workers (measured flat ~8-15 s regardless of CPU count)."""
-    import math
-
+    over its partition (the fn sees complete groups).  Same STREAMING
+    two-level exchange as :func:`distinct_on` (no combiner — groups must
+    arrive complete) — replaces Ray Data's sort-based ``groupby`` shuffle,
+    whose driver-side coordination doesn't scale with workers (measured
+    flat ~8-15 s regardless of CPU count)."""
     import ray
 
     keys = list(keys)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    mat = ds.materialize()
-    num_buckets = _adaptive_buckets(mat.count(), cpus)
-    refs = mat.to_arrow_refs()
-    target_map_tasks = min(len(refs), max(8, (cpus * 3) // 2))
-    group = max(1, math.ceil(len(refs) / target_map_tasks))
-    groups = [refs[i : i + group] for i in range(0, len(refs), group)]
-    mapper = ray.remote(num_returns=num_buckets)(_split_nocombine)
-    split_refs = [mapper.remote(keys, num_buckets, *g) for g in groups]
-    if num_buckets == 1:
-        split_refs = [[r] for r in split_refs]
+    buckets, _schema = _exchange_partitions(ds, keys, combine=False)
+    if not buckets:
+        return rd.from_arrow(out_schema.empty_table())
 
     def reduce_task(*parts):
         cap_threads()
@@ -231,10 +280,7 @@ def hash_group_exchange(
         return reduce_fn(pa.concat_tables(live).combine_chunks())
 
     reducer = ray.remote(reduce_task)
-    out = [
-        reducer.remote(*[split_refs[m][b] for m in range(len(split_refs))])
-        for b in range(num_buckets)
-    ]
+    out = [reducer.remote(*parts) for parts in buckets]
     return rd.from_arrow_refs(out)
 
 

@@ -52,7 +52,7 @@ def _split_plain(tbl: pa.Table, keys: List[str], num_buckets: int):
     if tbl.num_rows == 0 or any(k not in tbl.column_names for k in keys):
         return tuple(None for _ in range(num_buckets)) if num_buckets > 1 else None
     # per-bucket take (compacted buffers) — a sorted zero-copy slice would
-    # pickle with its full parent buffers (see dedup._split_by_bucket)
+    # pickle with its full parent buffers (see dedup._split_task)
     bucket = _row_hash_bucket(tbl, keys, num_buckets).to_numpy(zero_copy_only=False)
     order = np.argsort(bucket, kind="stable")
     bucket_sorted = bucket[order]

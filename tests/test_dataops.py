@@ -287,3 +287,46 @@ def test_transitive_closure_chain(ray_session):
         ("<a>", "<b>"), ("<b>", "<c>"), ("<c>", "<d>"),
         ("<a>", "<c>"), ("<b>", "<d>"), ("<a>", "<d>"),
     }
+
+
+def test_streaming_exchange_cascade_bounds_refs(ray_session):
+    """The two-level exchange: with a tiny group size and cascade width the
+    driver's per-bucket part list stays bounded by cascade_width regardless
+    of how many map groups ran, and the result is still the exact distinct
+    set (VERDICT round-2 item 7)."""
+    import ray
+    import ray.data as rd
+    from rdflib_r2r_ray.stages.dedup import _exchange_partitions
+
+    tbl = pa.table({
+        "k": [f"key{i % 200}" for i in range(4000)],
+        "v": [i % 200 for i in range(4000)],
+    })
+    ds = rd.from_arrow(tbl).repartition(40)
+    buckets, schema = _exchange_partitions(
+        ds, ["k"], num_buckets=4, combine=True, cascade_width=2, group_rows=100
+    )
+    assert len(buckets) == 4
+    # cascade keeps every bucket's outstanding part list bounded
+    assert all(len(parts) <= 2 for parts in buckets)
+    rows = []
+    for parts in buckets:
+        for t in ray.get(list(parts)):
+            if t is not None and t.num_rows:
+                rows.extend(zip(t["k"].to_pylist(), t["v"].to_pylist()))
+    # per-bucket distinct + disjoint buckets ⇒ global distinct
+    assert sorted(rows) == sorted({(f"key{i}", i) for i in range(200)})
+
+
+def test_streaming_distinct_on_multigroup(ray_session, monkeypatch):
+    """distinct_on through the streaming multi-mapper path (forced small
+    exchange groups) matches the exact distinct set."""
+    import ray.data as rd
+    from rdflib_r2r_ray.stages.dedup import distinct_on
+
+    monkeypatch.setenv("GRAFT_EXCHANGE_GROUP_ROWS", "128")
+    tbl = pa.table({"a": [i % 97 for i in range(3000)],
+                    "b": [f"s{i % 97}" for i in range(3000)]})
+    out = distinct_on(rd.from_arrow(tbl).repartition(24), ["a", "b"])
+    got = sorted((r["a"], r["b"]) for r in out.take_all())
+    assert got == sorted({(i, f"s{i}") for i in range(97)})
