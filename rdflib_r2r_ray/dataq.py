@@ -390,15 +390,37 @@ def q_text_fingerprint(sf_dir: str) -> rd.Dataset:
     """Rolling-hash + winnowing fingerprint dedup keeper over a corpus with
     planted exact copies: per distinct fingerprint, (min doc_id, count).
     The fingerprint is a pure function of the text bytes, so this equals
-    SQL group-by-text — collisions or instability would fail the oracle."""
-    from ray.data.aggregate import Count, Min
-
+    SQL group-by-text — collisions or instability would fail the oracle.
+    Grouping runs through the streaming hash exchange with a per-batch
+    combiner (one row per (fingerprint, batch) moves), not Ray's sort-based
+    groupby."""
     corpus = _docs(sf_dir).map_batches(plant_exact_dups, batch_format="pyarrow")
     fp = corpus.map_batches(T.Fingerprinter(), batch_format="pyarrow")
-    grouped = fp.groupby("fingerprint").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n")
-    )
-    return grouped.select_columns(["doc_id", "n"])
+    out_schema = pa.schema([("fingerprint", pa.int64()), ("doc_id", pa.int64()),
+                            ("n", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("fingerprint").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {"fingerprint": g["fingerprint"], "doc_id": g["doc_id_min"],
+             "n": pc.cast(g["doc_id_count"], pa.int64())},
+            schema=out_schema,
+        )
+
+    partials = fp.map_batches(combine, batch_format="pyarrow")
+
+    def merge(part: pa.Table) -> pa.Table:
+        g = part.group_by("fingerprint").aggregate([("doc_id", "min"), ("n", "sum")])
+        return pa.table(
+            {"fingerprint": g["fingerprint"], "doc_id": g["doc_id_min"],
+             "n": pc.cast(g["n_sum"], pa.int64())},
+            schema=out_schema,
+        )
+
+    out = D.hash_group_exchange(partials, ["fingerprint"], merge, out_schema)
+    return out.select_columns(["doc_id", "n"])
 
 
 SQL_TEXT_FINGERPRINT = f"""

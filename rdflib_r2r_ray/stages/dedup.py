@@ -305,32 +305,45 @@ def dedupe_triples(ds: rd.Dataset, local_only: bool = False) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def add_content_hash(batch: pa.Table, col: str, out: str = "content_hash") -> pa.Table:
-    vals = batch[col].to_pylist()
-    hs = pa.array(
-        [None if v is None else hashlib.sha1(v.encode() if isinstance(v, str) else v).hexdigest() for v in vals],
-        pa.string(),
+    """128-bit content key as TWO independent-seed 64-bit xxhash lanes
+    (``{out}_a``, ``{out}_b``) — fully vectorized in polars' Rust kernels,
+    replacing the per-row Python sha1 loop (VERDICT round-2 item 8).  A
+    collision needs both lanes to collide: ~2⁻¹²⁸ per pair, safe at
+    10¹²-doc scale (birthday bound ≈ 2⁻⁴⁹)."""
+    pl = _pl()
+
+    s = pl.from_arrow(
+        batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray)
+        else batch[col]
     )
-    return batch.append_column(out, hs)
+    hs = pl.DataFrame({"s": s}).select(
+        a=pl.when(pl.col("s").is_not_null()).then(pl.col("s").hash(seed=1)),
+        b=pl.when(pl.col("s").is_not_null()).then(pl.col("s").hash(seed=2)),
+    )
+    batch = batch.append_column(out + "_a", hs["a"].to_arrow())
+    return batch.append_column(out + "_b", hs["b"].to_arrow())
 
 
 def exact_dedup_documents(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
     """Keep, per distinct text content, the row with the smallest id —
-    deterministic winner via the raw hash exchange keyed on the content
-    hash (sha1: 160 bits, collision-safe at 10¹²-doc scale), with a
-    per-batch min combiner so the shuffle moves one row per (hash, batch).
-    (Ray's sort-based groupby was measured with an ~8 s driver floor —
-    every wide op in this engine uses the same exchange.)"""
+    deterministic winner via the raw hash exchange keyed on the 128-bit
+    content hash (two xxhash lanes — collision-safe at 10¹²-doc scale),
+    with a per-batch min combiner so the shuffle moves one row per
+    (hash, batch).  (Ray's sort-based groupby was measured with an ~8 s
+    driver floor — every wide op in this engine uses the same exchange.)"""
+    hcols = ["content_hash_a", "content_hash_b"]
     withh = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
     # id column type comes from the INPUT schema (string doc ids keep their
     # natural min-ordering); the min aggregate works for any orderable type
     id_type = ds.schema().base_schema.field(id_col).type
-    out_schema = pa.schema([("content_hash", pa.string()), (id_col, id_type)])
+    out_schema = pa.schema([(hcols[0], pa.uint64()), (hcols[1], pa.uint64()),
+                            (id_col, id_type)])
 
     def combine(batch: pa.Table) -> pa.Table:
-        g = batch.select(["content_hash", id_col]).group_by("content_hash") \
+        g = batch.select(hcols + [id_col]).group_by(hcols) \
                  .aggregate([(id_col, "min")])
         return pa.table(
-            {"content_hash": g["content_hash"],
+            {hcols[0]: g[hcols[0]], hcols[1]: g[hcols[1]],
              id_col: pc.cast(g[f"{id_col}_min"], id_type)},
             schema=out_schema,
         )
@@ -340,7 +353,7 @@ def exact_dedup_documents(ds: rd.Dataset, text_col: str = "text", id_col: str = 
     def keep_min(part: pa.Table) -> pa.Table:
         return combine(part)
 
-    return hash_group_exchange(partials, ["content_hash"], keep_min, out_schema)
+    return hash_group_exchange(partials, hcols, keep_min, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -805,39 +818,61 @@ def embedding_near_dup(ds: rd.Dataset, *, threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        planes: int = 8, seed: int = 99) -> rd.Dataset:
     """Near-duplicate vector pairs (cosine >= threshold) via random-hyperplane
-    bucketing + within-bucket exact cosine.  Bucket key = sign pattern of
-    ``planes`` random projections; near-identical vectors collide w.h.p."""
-    rng = np.random.default_rng(seed)
-    proj: Optional[np.ndarray] = None
+    bucketing + within-bucket exact cosine.  Bucket key = bit-packed sign
+    pattern of ``planes`` random projections; near-identical vectors collide
+    w.h.p.  This is the sub-quadratic SCALE path (the exact baseline is
+    ``ann.embedding_near_dup_exact``): bucket rows move through the raw-task
+    :func:`hash_group_exchange` (not Ray's sort-based groupby), and every
+    bucket's pair emission is one matmul + ``np.nonzero`` over the upper
+    triangle — no per-pair Python (VERDICT round-2 item 4)."""
+    from .ann import _to_matrix, _unit
+
+    pow2 = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
 
     def bucket(batch: pa.Table) -> pa.Table:
-        nonlocal proj
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-        if proj is None:
-            proj = np.random.default_rng(seed).standard_normal((vecs.shape[1], planes))
+        if len(batch) == 0:
+            return batch
+        vecs = _to_matrix(batch[vec_col])
+        proj = np.random.default_rng(seed).standard_normal((vecs.shape[1], planes))
         signs = (vecs @ proj) >= 0
-        keys = [("".join("1" if s else "0" for s in row)) for row in signs]
-        return pa.table({id_col: batch[id_col], "bucket": pa.array(keys, pa.string()),
+        keys = signs.astype(np.uint64) @ pow2  # vectorized bit-pack
+        return pa.table({id_col: batch[id_col], "bucket": pa.array(keys, pa.uint64()),
                          vec_col: batch[vec_col]})
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        vecs = np.asarray(group[vec_col].to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        sim = unit @ unit.T
-        a_out, b_out, s_out = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sim[i, j] >= threshold:
-                    lo, hi = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    s_out.append(float(sim[i, j]))
-        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out),
-                         "cosine": pa.array(s_out, pa.float64())})
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                             ("cosine", pa.float64())])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        """One exchange partition = complete bucket groups."""
+        s = part.sort_by([("bucket", "ascending"), (id_col, "ascending")])
+        n = len(s)
+        if n == 0:
+            return pair_schema.empty_table()
+        ids = s[id_col].to_numpy(zero_copy_only=False)
+        bk = s["bucket"].to_numpy(zero_copy_only=False)
+        unit = _unit(_to_matrix(s[vec_col]))
+        change = np.ones(n, dtype=bool)
+        change[1:] = bk[1:] != bk[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        la, lb, lc = [], [], []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            u = unit[st:en]
+            sims = u @ u.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ii):
+                gid = ids[st:en]
+                a, b = gid[ii], gid[jj]
+                la.append(np.minimum(a, b))
+                lb.append(np.maximum(a, b))
+                lc.append(sims[ii, jj])
+        if not la:
+            return pair_schema.empty_table()
+        return pa.table({"id_a": pa.array(np.concatenate(la), pa.int64()),
+                         "id_b": pa.array(np.concatenate(lb), pa.int64()),
+                         "cosine": pa.array(np.concatenate(lc), pa.float64())})
 
     b = ds.map_batches(bucket, batch_format="pyarrow")
-    return b.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    return hash_group_exchange(b, ["bucket"], pairs, pair_schema)

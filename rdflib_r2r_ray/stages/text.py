@@ -15,6 +15,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .dedup import _pl  # thread-capped polars import (Rust kernels)
+
+
+def _count_re(col, pattern: str) -> np.ndarray:
+    """Vectorized per-row regex MATCH COUNT (RE2 — the same engine as the
+    DuckDB oracles) → int64 numpy, nulls as 0."""
+    c = pc.count_substring_regex(pc.cast(col, pa.string()), pattern)
+    return pc.fill_null(c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+
 # ---------------------------------------------------------------------------
 # token counting + simple integer text stats (SQL-oracle-able)
 # ---------------------------------------------------------------------------
@@ -66,12 +75,12 @@ class TokenCounter:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n_bpe = pa.array(
-            [0 if t is None else len(self.pat.findall(t)) for t in texts], pa.int64()
-        )
+        # one RE2 kernel per batch (same engine and pattern as the DuckDB
+        # oracle) — replaces the per-doc Python findall loop (VERDICT
+        # round-2 item 5; the pattern is lookahead-free by design)
+        n_bpe = pa.array(_count_re(batch[self.text_col], BPEISH_PATTERN), pa.int64())
         trimmed = pc.utf8_trim_whitespace(pc.cast(batch[self.text_col], pa.string()))
-        n_ws = pc.cast(pc.count_substring_regex(trimmed, r"\S+"), pa.int64())
+        n_ws = pc.cast(pc.fill_null(pc.count_substring_regex(trimmed, r"\S+"), 0), pa.int64())
         return pa.table(
             {self.id_col: batch[self.id_col], "n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe}
         )
@@ -141,11 +150,57 @@ class QualityScorer:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        rows = [self.score_one(t or "") for t in texts]
+        """Fully vectorized batch path (``score_one`` is the per-doc
+        reference kept for unit tests): char-class counts run as one RE2
+        kernel each; stopword hits and line stats run as polars
+        extract/explode/group passes — no per-doc Python (VERDICT round-2
+        item 5)."""
+        nd = len(batch)
+        col = pc.fill_null(pc.cast(batch[self.text_col], pa.string()), "")
+        n_words = _count_re(col, r"[A-Za-z']+")
+        # every char of every word is one single-char class match, so the
+        # total word length is the char-class count
+        sum_wl = _count_re(col, r"[A-Za-z']")
+        n_punct = _count_re(col, r"[^A-Za-z0-9\s]")
+        n_upper = _count_re(col, r"[A-Z]")
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        pl = _pl()
+        idx = np.arange(nd, dtype=np.int64)
+        s = pl.from_arrow(col if not isinstance(col, pa.ChunkedArray) else col.combine_chunks())
+        # stopword hits: extract words → explode → lowercase is_in → count
+        wdf = pl.DataFrame({"i": idx, "w": s.str.extract_all(r"[A-Za-z']+")}) \
+                .explode("w").drop_nulls("w")
+        st = wdf.filter(pl.col("w").str.to_lowercase().is_in(list(_STOPWORDS))) \
+                .group_by("i").len(name="ns")
+        n_stop = np.zeros(nd, dtype=np.int64)
+        n_stop[st["i"].to_numpy()] = st["ns"].to_numpy().astype(np.int64)
+        # line stats over non-blank lines (raw lines deduped, Python-strip
+        # blank test — same semantics as score_one)
+        ldf = pl.DataFrame({"i": idx, "l": s.str.split("\n")}).explode("l") \
+                .filter(pl.col("l").str.strip_chars().str.len_chars() > 0)
+        lag = ldf.group_by("i").agg(nl=pl.len(), nu=pl.col("l").n_unique())
+        n_lines = np.zeros(nd, dtype=np.int64)
+        n_dup = np.zeros(nd, dtype=np.int64)
+        li = lag["i"].to_numpy()
+        n_lines[li] = lag["nl"].to_numpy().astype(np.int64)
+        n_dup[li] = (lag["nl"].to_numpy() - lag["nu"].to_numpy()).astype(np.int64)
+
+        score = np.full(nd, 100, dtype=np.int64)
+        score -= 25 * ((n_words == 0) | ~((3 * n_words <= sum_wl) & (sum_wl <= 10 * n_words)))
+        score -= 25 * ((n_words == 0) | (100 * n_stop < n_words))
+        score -= 20 * (5 * n_punct > n_chars)
+        score -= 15 * (10 * n_upper > 3 * n_chars)
+        score -= 15 * (10 * n_dup > 3 * n_lines)
+        score -= 40 * (n_words < 5)
+        vals = dict(
+            n_words=n_words, sum_word_len=sum_wl, n_stop=n_stop, n_punct=n_punct,
+            n_upper=n_upper, n_chars=n_chars, n_lines=n_lines, n_dup_lines=n_dup,
+            quality_score=np.maximum(0, score),
+        )
         out = {self.id_col: batch[self.id_col]}
         for k in QUALITY_COLUMNS:
-            out[k] = pa.array([r[k] for r in rows], pa.int64())
+            out[k] = pa.array(vals[k], pa.int64())
         return pa.table(out)
 
 
@@ -179,6 +234,12 @@ class LanguageID:
         self.token_re = _TOKEN_RE
         self.min_conf = min_conf
         self.text_col, self.id_col = text_col, id_col
+        # (word, lang) lookup built once per actor/task instance: one join
+        # scores every language at once in the batch path
+        pl = _pl()
+        pairs = [(w, lang) for lang, prof in self.profiles.items() for w in prof]
+        self._lookup = pl.DataFrame({"w": [p[0] for p in pairs],
+                                     "lang": [p[1] for p in pairs]})
 
     def detect(self, t: str) -> str:
         if not t:
@@ -209,9 +270,45 @@ class LanguageID:
         return best_lang if best >= self.min_conf else "und"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        langs = pa.array([self.detect(t or "") for t in texts], pa.string())
-        return pa.table({self.id_col: batch[self.id_col], "lang_pred": langs})
+        """Vectorized batch path (``detect`` is the per-doc reference):
+        Unicode-block counts as RE2 char-class kernels; stopword-profile
+        scores via ONE polars join of the exploded lowercase tokens against
+        the (word, lang) lookup — no per-doc or per-char Python (VERDICT
+        round-2 item 5)."""
+        nd = len(batch)
+        col = pc.fill_null(pc.cast(batch[self.text_col], pa.string()), "")
+        n = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cjk = _count_re(col, "[一-鿿]")
+        kana = _count_re(col, "[぀-ヿ]")
+        cyr = _count_re(col, "[Ѐ-ӿ]")
+        arab = _count_re(col, "[؀-ۿ]")
+
+        pl = _pl()
+        idx = np.arange(nd, dtype=np.int64)
+        s = pl.from_arrow(col if not isinstance(col, pa.ChunkedArray) else col.combine_chunks())
+        toks = pl.DataFrame(
+            {"i": idx, "w": s.str.to_lowercase().str.extract_all(r"\p{L}+")}
+        ).explode("w").drop_nulls("w")
+        ntok = toks.group_by("i").len(name="ntok")
+        hits = toks.join(self._lookup, on="w").group_by(["i", "lang"]).len(name="hit")
+        best = hits.sort(["i", "hit", "lang"], descending=[False, True, False]) \
+                   .unique(subset=["i"], keep="first", maintain_order=True) \
+                   .join(ntok, on="i")
+
+        lang_pred = np.full(nd, "und", dtype=object)
+        bi = best["i"].to_numpy()
+        bh = best["hit"].to_numpy().astype(np.float64)
+        bn = best["ntok"].to_numpy().astype(np.float64)
+        ok = (bh / bn) >= self.min_conf
+        lang_pred[bi[ok]] = np.asarray(best["lang"].to_list(), dtype=object)[ok]
+        # script short-circuits take precedence (applied last, zh strongest)
+        nz = n > 0
+        lang_pred[nz & (5 * arab > n)] = "ar"
+        lang_pred[nz & (5 * cyr > n)] = "ru"
+        lang_pred[nz & (10 * kana > n)] = "ja"
+        lang_pred[nz & (5 * cjk > n)] = "zh"
+        return pa.table({self.id_col: batch[self.id_col],
+                         "lang_pred": pa.array(lang_pred, pa.string())})
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +352,12 @@ class Fingerprinter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        fps = pa.array(
-            [rolling_fingerprint(t or "", self.window) for t in texts], pa.uint64()
+        raw = np.array(
+            [rolling_fingerprint(t or "", self.window) for t in texts], dtype=np.uint64
         )
+        # emit the SIGNED reinterpretation (same 64-bit bijection): values
+        # above 2^63 in a uint64 column overflow Ray's int64 block coercion
+        # and fall back to pickled-object columns (unstable schema — broke
+        # the round-2 driver sweep tail)
+        fps = pa.array(raw.view(np.int64), pa.int64())
         return pa.table({self.id_col: batch[self.id_col], "fingerprint": fps})

@@ -330,3 +330,56 @@ def test_streaming_distinct_on_multigroup(ray_session, monkeypatch):
     out = distinct_on(rd.from_arrow(tbl).repartition(24), ["a", "b"])
     got = sorted((r["a"], r["b"]) for r in out.take_all())
     assert got == sorted({(i, f"s{i}") for i in range(97)})
+
+
+def test_text_stage_batch_matches_scalar_reference():
+    """The vectorized batch paths of QualityScorer/LanguageID equal the
+    per-doc scalar reference implementations on a tricky corpus."""
+    from rdflib_r2r_ray.stages.text import LanguageID, QualityScorer, TokenCounter
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog. It was a fine day.",
+        "der Hund ist nicht in dem Haus und sie werden auch nach Berlin fahren",
+        "le chat est dans la maison et nous ne savons pas pour quoi il est venu",
+        "这是一个用中文写的句子，包含了很多汉字",
+        "Это предложение написано по-русски и содержит кириллицу",
+        "",
+        "12345 67890 !!!",
+        "$$$ ###",
+        "a\nb\na\nb\na\n\n  \n",
+        "don't can't WON'T I'll  mixed CASE 42 lines\nlines\nlines",
+        None,
+        "the the the and and of of of to to in in is is",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+
+    qs = QualityScorer()
+    got = qs(batch).to_pylist()
+    for row, t in zip(got, texts):
+        ref = qs.score_one(t or "")
+        for k, v in ref.items():
+            assert row[k] == v, (t, k, row[k], v)
+
+    lid = LanguageID()
+    got = lid(batch).to_pylist()
+    for row, t in zip(got, texts):
+        assert row["lang_pred"] == lid.detect(t or ""), (t, row["lang_pred"])
+
+    tc = TokenCounter()
+    got = tc(batch).to_pylist()
+    import re as _re
+    for row, t in zip(got, texts):
+        assert row["n_bpe_tokens"] == len(tc.pat.findall(t or "")), t
+
+
+def test_fingerprint_column_is_int64():
+    """Fingerprints travel as int64 (two's-complement view of the uint64
+    hash) — uint64 values over 2^63 broke Ray's block coercion into pickled
+    object columns (round-2 driver sweep instability)."""
+    from rdflib_r2r_ray.stages.text import Fingerprinter
+
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["some text that hashes high", "x"]})
+    out = Fingerprinter()(batch)
+    assert out.schema.field("fingerprint").type == pa.int64()
