@@ -282,6 +282,22 @@ def ref_join_triples(
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def emit_bnode_table(ds: rd.Dataset, mapping: Mapping, table: str) -> rd.Dataset:
+    """Emit a no-PK (blank-node-subject) table with GLOBAL duplicate ranks:
+    rows are hash-partitioned on FULL row content through the streaming
+    exchange, so identical rows co-locate in one partition and
+    ``emit._bnode_ids`` assigns each duplicate a distinct rank — removing
+    the cross-block bnode-merge divergence (W3C D005 semantics; VERDICT
+    round-2 item 10).  The emit runs INSIDE the exchange reduce (one call
+    per complete partition), so Ray can never re-split a partition into
+    smaller batches that would restart the ranks."""
+    from ..stages.dedup import hash_group_exchange
+
+    emitter = EmitTriples(mapping, table, skip_unfoldable_refs=True)
+    cols = list(ds.schema().names)
+    return hash_group_exchange(ds, cols, emitter, TRIPLE_SCHEMA)
+
+
 def emit_graph(datasets: Dict[str, rd.Dataset], mapping: Mapping) -> rd.Dataset:
     """Emit the full graph for a multi-table mapping: per logical table one
     vectorized EmitTriples pass (join-free rules), plus one
@@ -296,6 +312,12 @@ def emit_graph(datasets: Dict[str, rd.Dataset], mapping: Mapping) -> rd.Dataset:
     outs: List[rd.Dataset] = []
     for table in mapping.by_table():
         ds = datasets[table]
+        tms = [tm for tm in mapping.triples_maps if tm.table == table]
+        if any(tm.subject.term_type == "bnode" for tm in tms):
+            # no-PK tables need content-partitioned emit for global
+            # duplicate-rank bnode ids (see emit_bnode_table)
+            outs.append(emit_bnode_table(ds, mapping, table))
+            continue
         outs.append(
             ds.map_batches(EmitTriples(mapping, table, skip_unfoldable_refs=True),
                            batch_format="pyarrow")

@@ -30,6 +30,16 @@ from .emit import decode_triples
 from ..workerenv import cap_threads
 
 
+def _pl_lock():
+    """Per-PROCESS lock for the polars import, stashed on the ``threading``
+    module (NOT a module global: this package ships BY VALUE to Ray workers,
+    and cloudpickle cannot pickle a lock in the module dict).  dict.setdefault
+    is atomic under the GIL, so exactly one lock exists per process."""
+    import threading
+
+    return vars(threading).setdefault("_rdflib_r2r_pl_lock", threading.Lock())
+
+
 def _pl():
     """Import polars with a capped per-process thread pool.
 
@@ -37,14 +47,38 @@ def _pl():
     workers that is N×cores threads thrashing the node (measured 34× CPU
     inflation on the dedup reduce at 32 workers).  Each Ray worker process
     gets 2 threads; parallelism comes from Ray tasks, not intra-op threads.
-    Must run before the first polars import in the worker process."""
+    Must run before the first polars import in the worker process.
+
+    The import is serialized under a process-wide lock AND the lazily-loaded
+    entry points are touched before release: polars lazy-resolves submodules
+    on attribute access, and two Ray worker threads racing that resolution
+    produced a partially-initialized module (observed: ``pl.Series``
+    unresolved inside ``pl.DataFrame`` construction)."""
     import os
     import sys
 
-    if "polars" not in sys.modules:
-        os.environ.setdefault("POLARS_MAX_THREADS", "2")
-    import polars as pl
+    with _pl_lock():
+        if "polars" not in sys.modules:
+            os.environ.setdefault("POLARS_MAX_THREADS", "2")
+        import polars as pl
 
+        try:
+            # exercise the Series/DataFrame wrap path end-to-end — a partial
+            # submodule anywhere in the namespace fails here, not mid-batch
+            pl.from_arrow(pa.array(["__pl_health__"]))
+            pl.DataFrame({"x": [1]})
+        except Exception:
+            # HEAL a poisoned install: Ray cancels in-flight tasks (e.g. when
+            # a limit() upstream is satisfied) by interrupting the worker —
+            # if the interrupt lands mid-`import polars`, the failed import
+            # is removed from sys.modules but its partially-initialized
+            # SUBMODULES remain, so every later import reuses broken halves
+            # (observed: polars._reexport without Series).  Purge the whole
+            # namespace and import fresh.
+            for name in [k for k in list(sys.modules)
+                         if k == "polars" or k.startswith("polars.")]:
+                del sys.modules[name]
+            import polars as pl
     return pl
 
 
@@ -161,7 +195,11 @@ def _exchange_partitions(
         cpus = 8
     B = num_buckets or max(16, (cpus * 3) // 2)
     group_rows = group_rows or int(os.environ.get("GRAFT_EXCHANGE_GROUP_ROWS", "500000"))
-    schema = ds.schema().base_schema
+    # the schema is captured from the streamed bundles, NOT via ds.schema():
+    # schema() executes a limit(1) prefix whose task CANCELLATION can land
+    # mid-import inside a worker and poison its module state (observed with
+    # polars; see _pl) — and it would also execute the upstream twice
+    schema: Optional[pa.Schema] = None
 
     mapper = ray.remote(num_returns=B)(_split_task)
     partial = ray.remote(_merge_partial)
@@ -188,6 +226,12 @@ def _exchange_partitions(
     bundle_iter, _, executor = ds._plan.execute_to_iterator()
     try:
         for bundle in bundle_iter:
+            if schema is None:
+                bs = getattr(bundle, "schema", None)
+                if isinstance(bs, pa.Schema):
+                    schema = bs
+                elif isinstance(getattr(bs, "base_schema", None), pa.Schema):
+                    schema = bs.base_schema
             for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
                 if not meta.num_rows:
                     continue
@@ -203,6 +247,24 @@ def _exchange_partitions(
         if executor is not None:
             executor.shutdown(force=False)
         gc.collect()
+
+    if schema is None:
+        # bundles carried no schema (older lineages): read it off one held
+        # block (bounded fetch), falling back to ds.schema() only for the
+        # zero-row case where nothing can be cancelled mid-flight anyway
+        if pending:
+            schema = ray.get(pending[0]).schema
+        elif n_map:
+            for r in buckets[0] if buckets else []:
+                t = ray.get(r)
+                if t is not None:
+                    schema = t.schema
+                    break
+        if schema is None:
+            s = ds.schema()
+            schema = getattr(s, "base_schema", None) or pa.schema(
+                list(zip(s.names, s.types))
+            )
 
     if n_map == 0:
         # tiny input: size the bucket count to the DATA (no 48-task spray

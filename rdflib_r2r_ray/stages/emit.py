@@ -79,12 +79,13 @@ def _bnode_ids(batch: pa.Table, prefix: str) -> pa.Array:
     rows have no rowid, so we hash the full row content plus the row's
     duplicate-rank within the batch: distinct duplicate rows get distinct
     bnodes (W3C D005 semantics) and retries are idempotent because block
-    contents are deterministic.  KNOWN DIVERGENCE: identical no-PK rows that
-    land in different blocks restart their rank and so share a bnode id,
-    merging what the per-row reference output keeps as separate nodes (the
-    merged graph is NOT isomorphic to it).  To remove the divergence,
-    hash-partition no-PK tables on full row content before emit so
-    duplicates co-locate and ranks are global.
+    contents are deterministic.  Ranks are per-BATCH, so identical rows in
+    different batches would merge — ``pipelines.kg.emit_bnode_table``
+    (used automatically by ``emit_graph`` for bnode-subject tables)
+    hash-partitions on full row content and emits inside the exchange
+    reduce, making the ranks global and the output exact.  Only a raw
+    ``map_batches(EmitTriples)`` over a bnode table retains the per-batch
+    divergence.
     """
     import collections
 

@@ -9,19 +9,32 @@ Match semantics (kept deliberately SQL-expressible for the correctness
 oracle): each alias is matched independently with a word-bounded,
 case-sensitive regex; a document links to the alias's best candidate entity
 (argmax prior, tie → min IRI).  Counting is non-overlapping per alias —
-identical in Python ``re``, Arrow RE2 and DuckDB RE2 for these alias shapes.
+identical in Python ``re``, Arrow RE2, polars (Rust regex) and DuckDB RE2
+for these alias shapes.
+
+Scale shape (VERDICT round-2 item 9): the corpus is NOT scanned once per
+alias.  Aliases are partitioned at compile time into **interference-free
+groups** — no member contains another or shares a word-aligned border with
+another, so within a group a single non-overlapping alternation scan
+reports exactly the per-alias independent counts — and each group costs ONE
+vectorized ``extract_all`` pass + one group_by over the matches.  Scan
+count = the conflict graph's greedy chromatic number (a handful for real
+alias tables), flat as the dictionary grows.
 """
 
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Sequence, Tuple
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+
+from .dedup import _pl
 
 MENTION_SCHEMA = pa.schema(
     [
@@ -36,6 +49,58 @@ MENTION_SCHEMA = pa.schema(
 
 def alias_pattern(alias: str) -> str:
     return r"\b" + re.escape(alias) + r"\b"
+
+
+def _words(alias: str) -> Tuple[str, ...]:
+    return tuple(re.findall(r"[A-Za-z0-9_]+", alias))
+
+
+def _interferes(wa: Tuple[str, ...], wb: Tuple[str, ...]) -> bool:
+    """True if non-overlapping alternation scanning could under-count one of
+    the two aliases: word-tuple containment either way, or a word-aligned
+    border (a suffix of one equals a prefix of the other)."""
+    la, lb = len(wa), len(wb)
+    for i in range(la - lb + 1):
+        if wa[i:i + lb] == wb:
+            return True
+    for i in range(lb - la + 1):
+        if wb[i:i + la] == wa:
+            return True
+    for k in range(1, min(la, lb) + 1):
+        if wa[-k:] == wb[:k] or wb[-k:] == wa[:k]:
+            return True
+    return False
+
+
+def plan_alias_groups(aliases: Sequence[str]) -> List[List[str]]:
+    """Greedy-color the alias interference graph into alternation-safe scan
+    groups.  Pairs are tested only when they share a word (bucketed), so
+    planning is near-linear for realistic dictionaries."""
+    words = {a: _words(a) for a in aliases}
+    byword: Dict[str, List[int]] = defaultdict(list)
+    ordered = sorted(aliases)
+    for idx, a in enumerate(ordered):
+        for w in set(words[a]):
+            byword[w].append(idx)
+    adj: Dict[int, set] = defaultdict(set)
+    for lst in byword.values():
+        for x in range(len(lst)):
+            for y in range(x + 1, len(lst)):
+                i, j = lst[x], lst[y]
+                if j not in adj[i] and _interferes(words[ordered[i]], words[ordered[j]]):
+                    adj[i].add(j)
+                    adj[j].add(i)
+    color: Dict[int, int] = {}
+    for idx in range(len(ordered)):
+        used = {color[n] for n in adj[idx] if n in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[idx] = c
+    groups: Dict[int, List[str]] = defaultdict(list)
+    for idx, a in enumerate(ordered):
+        groups[color[idx]].append(a)
+    return [groups[c] for c in sorted(groups)]
 
 
 class EntityLinker:
@@ -54,46 +119,71 @@ class EntityLinker:
     def __init__(self, alias_ref, subj_col: str = "subj", text_col: str = "text"):
         rows = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
         # best candidate per alias: argmax prior, tie -> min IRI
-        best = {}
+        best: Dict[str, Tuple[str, float]] = {}
         for a, iri, p in rows:
             cur = best.get(a)
             if cur is None or p > cur[1] or (p == cur[1] and iri < cur[0]):
                 best[a] = (iri, p)
-        self.aliases: List[Tuple[str, str, float, str]] = [
-            (a, iri, p, alias_pattern(a)) for a, (iri, p) in sorted(best.items())
+        self.meta = best
+        self.groups = plan_alias_groups(list(best))
+        self.patterns = [
+            r"\b(?:" + "|".join(re.escape(a) for a in grp) + r")\b"
+            for grp in self.groups
         ]
+        # alias → (entity, prior) lookup as parallel Arrow arrays (vectorized
+        # index_in + take in __call__; polars is deliberately NOT touched in
+        # __init__ — its lazy submodule resolution raced across Ray worker
+        # threads when first hit inside a task)
+        alias_list = list(best)
+        self._lk_alias = pa.array(alias_list, pa.string())
+        self._lk_entity = pa.array([best[a][0] for a in alias_list], pa.string())
+        self._lk_prior = pa.array([best[a][1] for a in alias_list], pa.float64())
         self.subj_col = subj_col
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        pl = _pl()
         text = batch[self.text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         subj = batch[self.subj_col]
         if isinstance(subj, pa.ChunkedArray):
             subj = subj.combine_chunks()
-        outs = []
         n = len(batch)
-        for alias, entity, prior, pat in self.aliases:
-            counts = pc.count_substring_regex(text, pat)
-            mask = pc.greater(pc.fill_null(counts, 0), 0)
-            if not pc.any(mask).as_py():
-                continue
-            idx = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
-            sel = pa.array(idx, pa.int64())
-            k = len(idx)
-            outs.append(
-                pa.table(
-                    {
-                        "subj": subj.take(sel),
-                        "alias": pa.array([alias] * k, pa.string()),
-                        "entity": pa.array([entity] * k, pa.string()),
-                        "n_mentions": pc.cast(counts.take(sel), pa.int64()),
-                        "prior": pa.array([prior] * k, pa.float64()),
-                    },
-                    schema=MENTION_SCHEMA,
-                )
-            )
-        if not outs:
+        if n == 0:
             return MENTION_SCHEMA.empty_table()
-        return pa.concat_tables(outs).combine_chunks()
+        s = pl.from_arrow(text).fill_null("")
+        idx = np.arange(n, dtype=np.int64)
+        doc_parts: List[np.ndarray] = []
+        match_parts: List[pa.Array] = []
+        for pat in self.patterns:
+            lst = s.str.extract_all(pat)
+            lens = lst.list.len().fill_null(0).to_numpy().astype(np.int64)
+            if not lens.sum():
+                continue
+            # explode() emits ONE null row per empty list — align a repeat
+            # of max(len, 1) per doc, then drop the null placeholders
+            exploded = lst.explode()
+            rep = np.repeat(idx, np.maximum(lens, 1))
+            mask = exploded.is_not_null().to_numpy()
+            doc_parts.append(rep[mask])
+            match_parts.append(pc.cast(exploded.drop_nulls().to_arrow(), pa.string()))
+        if not doc_parts:
+            return MENTION_SCHEMA.empty_table()
+        mt = pa.table({
+            "i": pa.array(np.concatenate(doc_parts), pa.int64()),
+            "alias": pa.concat_arrays(match_parts),
+        })
+        g = mt.group_by(["i", "alias"]).aggregate([("alias", "count")])
+        pos = pc.index_in(g["alias"], self._lk_alias)
+        sel = pc.cast(g["i"], pa.int64())
+        return pa.table(
+            {
+                "subj": pc.cast(subj.take(sel), pa.string()),
+                "alias": pc.cast(g["alias"], pa.string()),
+                "entity": pc.take(self._lk_entity, pos),
+                "n_mentions": pc.cast(g["alias_count"], pa.int64()),
+                "prior": pc.take(self._lk_prior, pos),
+            },
+            schema=MENTION_SCHEMA,
+        )

@@ -383,3 +383,46 @@ def test_fingerprint_column_is_int64():
                       "text": ["some text that hashes high", "x"]})
     out = Fingerprinter()(batch)
     assert out.schema.field("fingerprint").type == pa.int64()
+
+
+def test_linker_multipattern_matches_per_alias_reference():
+    """The grouped alternation scans reproduce the per-alias independent
+    match counts exactly, on a conflict-rich dictionary (containment +
+    word-aligned borders), and the scan-group count stays flat when the
+    dictionary grows 10x with non-conflicting aliases."""
+    import re
+    from rdflib_r2r_ray.stages.linker import EntityLinker, alias_pattern, plan_alias_groups
+
+    rows = [
+        ("new york", "ny", 0.9), ("york", "york-city", 0.8),
+        ("big apple", "ny", 0.7), ("apple", "apple-inc", 0.95),
+        ("apple pie", "pie", 0.6), ("pie chart", "chart", 0.5),
+        ("spark", "spark", 0.9), ("spark stream", "spark", 0.8),
+    ]
+    texts = [
+        "the new york big apple apple pie chart",
+        "york and new york and york",
+        "apple apple pie pie chart spark stream",
+        "nothing here",
+        None,
+    ]
+    batch = pa.table({
+        "subj": pa.array([f"<d{i}>" for i in range(len(texts))], pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+    lk = EntityLinker(rows)
+    got = {(r["subj"], r["alias"]): r["n_mentions"] for r in lk(batch).to_pylist()}
+    # per-alias independent reference counts
+    want = {}
+    for i, t in enumerate(texts):
+        for a, _, _ in rows:
+            c = len(re.findall(alias_pattern(a), t or ""))
+            if c:
+                want[(f"<d{i}>", a)] = c
+    assert got == want
+
+    # growth: 10x unique non-conflicting aliases add ZERO scan groups beyond
+    # the conflict structure of the base dictionary
+    base_groups = len(plan_alias_groups([a for a, _, _ in rows]))
+    grown = [a for a, _, _ in rows] + [f"uniqueterm{i} xyz{i}" for i in range(80)]
+    assert len(plan_alias_groups(grown)) == base_groups

@@ -120,3 +120,26 @@ def test_materialize_partitioned_write(ray_session, tmp_path):
                             linker_concurrency=1)
     res2 = materialize_graph(triples2, out, num_partitions=4)
     assert res2["written"] == 0 and res2["skipped"] == 4
+
+
+def test_bnode_table_cross_block_duplicates_stay_distinct(ray_session):
+    """No-PK table with identical rows spread across MANY blocks: every
+    duplicate row gets its own blank-node subject (global duplicate ranks
+    via the content-partitioned emit — VERDICT round-2 item 10)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from rdflib_r2r_ray.mapping import direct_mapping
+    from rdflib_r2r_ray.pipelines.kg import emit_graph
+
+    # 12 copies of the same row + 3 of another, shuffled over 8 blocks
+    vals = [("x", 1)] * 12 + [("y", 2)] * 3
+    tbl = pa.table({"name": [v[0] for v in vals], "val": [v[1] for v in vals]})
+    schema = pa.schema([pa.field("name", pa.string()), pa.field("val", pa.int64())])
+    mapping = direct_mapping({"t": schema}, {"t": []})  # no PK -> bnode subject
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = emit_graph({"t": ds}, mapping)
+    rows = out.take_all()
+    # per row: 2 column pomaps (+ type class if any) — group by predicate
+    subjects = {r["subj"] for r in rows if r["pred"].endswith("#name>")}
+    assert len(subjects) == 15, f"expected 15 distinct bnodes, got {len(subjects)}"
+    assert all(s.startswith("_:") for s in subjects)
