@@ -749,6 +749,97 @@ SELECT COUNT(*) AS n, AVG(n_chars) AS avg FROM documents WHERE n_chars IS NOT NU
 """
 
 
+def q_sparql_ask(sf_dir: str) -> rd.Dataset:
+    """ASK query (BEYOND the reference — its store marks ASK
+    expectedFailure, ``tests/test_store.py:24-28``): boolean existence,
+    evaluated with a limit(1) early stop."""
+    from . import sparql
+
+    q = f"""
+    ASK {{
+      ?n <{BASE}nation#ref-n_regionkey> ?r .
+      ?r <{BASE}region#r_name> "ASIA" .
+    }}
+    """
+    return sparql.execute(_nation_region_triples(sf_dir), q)
+
+
+def _sql_sparql_ask() -> str:
+    return """
+SELECT EXISTS(
+  SELECT 1 FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+) AS ask
+"""
+
+
+def q_kg_path_star(sf_dir: str) -> rd.Dataset:
+    """Zero-or-more property path ``<p>*`` through the SPARQL front end
+    (BEYOND the reference, which raises on closure paths): transitive
+    closure ∪ the zero-length identity over all graph terms."""
+    from . import sparql
+    from .stages.emit import TRIPLE_SCHEMA
+
+    PARENT = "http://kg.ex/p/parent"
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.greater(b["doc_id"], pa.scalar(0, pa.int64())))
+        ids = b["doc_id"]
+        subj = pc.binary_join_element_wise(
+            "<http://kg.ex/doc/", pc.cast(ids, pa.string()), ">", "")
+        parent = pc.binary_join_element_wise(
+            "<http://kg.ex/doc/",
+            pc.cast(pc.divide(ids, pa.scalar(2, pa.int64())), pa.string()),
+            ">", "")
+        n = len(b)
+        return pa.table(
+            {"subj": subj, "pred": pa.array([f"<{PARENT}>"] * n, pa.string()),
+             "obj": parent, "graph": pa.array([None] * n, pa.string())},
+            schema=TRIPLE_SCHEMA,
+        )
+
+    triples = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        mk_edges, batch_format="pyarrow"
+    ).select_columns(["subj", "pred", "obj"]).materialize()
+    from . import sparql as sp
+
+    # the second pattern anchors ?x to nodes with an outgoing edge, which
+    # bounds the identity component to the document nodes (mirrors WHERE
+    # s > 0 in the oracle); each doc has exactly one parent edge, so the
+    # extra binding adds no duplicate (x, z) rows
+    q = f"""
+    SELECT ?x ?z WHERE {{
+      ?x <{PARENT}>* ?z .
+      ?x <{PARENT}> ?p0 .
+    }}
+    """
+    res = sp.execute(triples, q)
+    return res.select_columns(["x", "z"])
+
+
+def _sql_kg_path_star() -> str:
+    iri = "'<http://kg.ex/doc/' || CAST({c} AS VARCHAR) || '>'"
+    return f"""
+WITH RECURSIVE anc AS (
+  SELECT doc_id AS s, doc_id // 2 AS o FROM documents WHERE doc_id > 0
+  UNION
+  SELECT a.s, a.o // 2 AS o FROM anc a WHERE a.o > 0
+), terms AS (
+  SELECT doc_id AS t FROM documents WHERE doc_id > 0
+  UNION
+  SELECT doc_id // 2 FROM documents WHERE doc_id > 0
+), star AS (
+  SELECT s, o FROM anc
+  UNION
+  SELECT t, t FROM terms
+)
+SELECT DISTINCT {iri.format(c='s')} AS x, {iri.format(c='o')} AS z
+FROM star WHERE s > 0
+"""
+
+
 def q_sparql_group_concat(sf_dir: str) -> rd.Dataset:
     """GROUP_CONCAT with separator through the string front end — lowered
     onto the exchange-based ``relational.group_concat`` (deterministic
@@ -867,6 +958,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_avg": q_sparql_avg,
         "sparql_agg_global": q_sparql_agg_global,
         "sparql_group_concat": q_sparql_group_concat,
+        "sparql_ask": q_sparql_ask,
+        "kg_path_star": q_kg_path_star,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
@@ -904,6 +997,8 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_avg": _sql_sparql_avg(),
         "sparql_agg_global": _sql_sparql_agg_global(),
         "sparql_group_concat": _sql_sparql_group_concat(),
+        "sparql_ask": _sql_sparql_ask(),
+        "kg_path_star": _sql_kg_path_star(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),

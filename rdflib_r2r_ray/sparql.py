@@ -127,6 +127,7 @@ class SelectQuery:
     values: Tuple[Tuple[Tuple[str, ...], Tuple[Tuple, ...]], ...] = ()
     exists: Tuple[Tuple[bool, Group], ...] = ()     # (negated, group)
     having: Tuple[E, ...] = ()
+    ask: bool = False                               # ASK query (boolean result)
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +144,7 @@ _SP_TOKEN = re.compile(
     | (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|ORDER|BY|ASC|DESC|LIMIT|OFFSET|VALUES)\b)
     | (?P<pname>[A-Za-z_][\w-]*)?:(?P<lname>[\w-]*)
     | (?P<word>[A-Za-z_][\w]*)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+\-|/^!=<>])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+\-|/^!=<>?])
     | (?P<ws>\s+)
     """,
     re.X,
@@ -241,6 +242,12 @@ class SparqlParser:
             if v2 == "+":
                 self._next()
                 return ("transitive", p)
+            if v2 == "*":
+                self._next()
+                return ("transitive0", p)  # zero-or-more
+            if v2 == "?":
+                self._next()
+                return ("opt_path", p)     # zero-or-one
             return p
 
         def seq():
@@ -488,27 +495,35 @@ class SparqlParser:
                 raise ValueError(f"bad PREFIX name {pv!r}")
             iv = self._next()
             self.prefixes[pv[:-1]] = iv[1][1:-1]
-        self._expect("SELECT")
+        ask = False
         distinct = False
-        if self._peek()[1] == "DISTINCT":
-            self._next()
-            distinct = True
         variables: List[str] = []
         aggregates: List[Aggregate] = []
-        while True:
-            k, v = self._peek()
-            if v == "*":
+        k0, v0 = self._peek()
+        if k0 == "word" and str(v0).upper() == "ASK":
+            # ASK queries — BEYOND the reference, which marks them
+            # expectedFailure (``tests/test_store.py:24-28``)
+            self._next()
+            ask = True
+        else:
+            self._expect("SELECT")
+            if self._peek()[1] == "DISTINCT":
                 self._next()
+                distinct = True
+            while True:
+                k, v = self._peek()
+                if v == "*":
+                    self._next()
+                    break
+                if k == "var":
+                    self._next()
+                    variables.append(v[1:])
+                    continue
+                if v == "(":
+                    self._next()
+                    aggregates.append(self._parse_aggregate())
+                    continue
                 break
-            if k == "var":
-                self._next()
-                variables.append(v[1:])
-                continue
-            if v == "(":
-                self._next()
-                aggregates.append(self._parse_aggregate())
-                continue
-            break
         if self._peek()[1] == "WHERE":
             self._next()
         self._expect("{")
@@ -660,6 +675,7 @@ class SparqlParser:
             values=tuple(values),
             exists=tuple(exists),
             having=tuple(having),
+            ask=ask,
         )
 
 
@@ -881,18 +897,47 @@ def _probe_numeric(ds: rd.Dataset, var: str, sample: int = 64) -> bool:
     return all(isinstance(v, str) and pat.match(v) for v in vals)
 
 
+def _identity_pairs(triples: rd.Dataset) -> rd.Dataset:
+    """(t, t) for every term of the graph (SPARQL zero-length-path
+    semantics: a zero-length path matches all graph terms)."""
+    subs = triples.map_batches(
+        lambda b: pa.table({"t": b["subj"]}), batch_format="pyarrow"
+    )
+    objs = triples.map_batches(
+        lambda b: pa.table({"t": b["obj"]}), batch_format="pyarrow"
+    )
+    terms = distinct_on(subs.union(objs), ["t"])
+    return terms.map_batches(
+        lambda b: pa.table({"s": b["t"], "o": b["t"]}), batch_format="pyarrow"
+    )
+
+
 def _expand_transitive(in_patterns, triples: rd.Dataset):
-    """Rewrite ``(s, ('transitive', p), o)`` patterns: the closure pairs
-    become an auxiliary predicate in an augmented triples Dataset."""
+    """Rewrite closure-path patterns — ``<p>+`` (one-or-more), ``<p>*``
+    (zero-or-more), ``<p>?`` (zero-or-one) — into auxiliary predicates over
+    an augmented triples Dataset.  ALL closure forms are BEYOND the
+    reference, which raises on transitive paths
+    (``sql_converter.py:229-230``).  SPARQL ALP semantics are duplicate-free,
+    so the zero-length identity union goes through a distinct."""
     patterns = []
     aug = triples
     n = 0
     for s, p, o in in_patterns:
-        if isinstance(p, tuple) and p and p[0] == "transitive":
+        if isinstance(p, tuple) and p and p[0] in ("transitive", "transitive0", "opt_path"):
             n += 1
             closure_pred = f"<urn:closure:{n}>"
-            clos = transitive_closure(triples, p[1])
-            clos_triples = clos.map_batches(
+            if p[0] == "transitive":
+                pairs = transitive_closure(triples, p[1])
+            else:
+                if p[0] == "opt_path":
+                    hops = triples.filter(expr=f"pred == '{p[1]}'").map_batches(
+                        lambda b: pa.table({"s": b["subj"], "o": b["obj"]}),
+                        batch_format="pyarrow",
+                    )
+                else:
+                    hops = transitive_closure(triples, p[1])
+                pairs = distinct_on(hops.union(_identity_pairs(triples)), ["s", "o"])
+            clos_triples = pairs.map_batches(
                 lambda b, _cp=closure_pred: pa.table(
                     {"subj": b["s"], "pred": pa.array([_cp] * len(b), pa.string()),
                      "obj": b["o"]}
@@ -1022,6 +1067,12 @@ def execute(
                            join_type="left_anti" if negated else "left_semi")
 
     out = _filter_batches(out, q.filters)
+
+    if q.ask:
+        # boolean result: does ANY solution exist?  limit(1) stops the
+        # stream at the first row (bounded work regardless of corpus size)
+        exists_any = len(out.limit(1).take_all()) > 0
+        return rd.from_arrow(pa.table({"ask": pa.array([exists_any], pa.bool_())}))
 
     if q.aggregates:
         out = _execute_aggregates(out, q)

@@ -297,3 +297,35 @@ def test_cast_in_filter(ray_session):
       }
     """)
     assert [r["x"] for r in out.take_all()] == ["<b>"]
+
+
+def test_ask_query(ray_session):
+    out = execute(_graph(), 'ASK { ?x <name> "Alice" }')
+    assert out.take_all() == [{"ask": True}]
+    out2 = execute(_graph(), 'ASK { ?x <name> "Nobody" }')
+    assert out2.take_all() == [{"ask": False}]
+
+
+def test_zero_or_more_path(ray_session):
+    out = execute(_graph(), """
+      SELECT ?z WHERE { ?x <knows>* ?z . FILTER(?x = <a>) }
+    """)
+    got = sorted(r["z"] for r in out.take_all())
+    # closure from the a->b->c->a cycle plus the zero-length identity —
+    # every node reachable incl. itself, each exactly once
+    assert got == ["<a>", "<b>", "<c>"]
+
+
+def test_zero_or_one_path(ray_session):
+    import ray.data as rd
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>"],
+        "pred": ["<p>", "<p>"],
+        "obj": ["<b>", "<c>"],
+    }))
+    out = execute(triples, """
+      SELECT ?x ?z WHERE { ?x <p>? ?z . FILTER(?x = <a>) }
+    """)
+    got = sorted((r["x"], r["z"]) for r in out.take_all())
+    assert got == [("<a>", "<a>"), ("<a>", "<b>")]
