@@ -102,12 +102,15 @@ def transitive_closure(
     # filter lineages carry schema-less empty blocks that crash Ray's
     # hash-shuffle join aggregator — drop them once up front (metadata-only)
     edges = _drop_empty_blocks(edges)
-    acc = edges
+    acc = distinct_on(edges, [subj_var, obj_var]).materialize()
+    n = acc.count()
     for _ in range(max_iters):
-        # path DOUBLING (repeated squaring): acc ⋈ acc doubles the maximum
-        # path length per round, so convergence takes ⌈log₂ diameter⌉
-        # rounds instead of diameter — each round is one planner-routed
-        # join + distinct + anti-join, and the driver sees only the count.
+        # path DOUBLING (repeated squaring): acc ∪ acc⋈acc doubles the
+        # maximum path length per round, so convergence takes
+        # ⌈log₂ diameter⌉ rounds.  Each round is exactly ONE planner-routed
+        # join + ONE distinct exchange; convergence is detected by the
+        # distinct COUNT (metadata-only — replaces the round-2 anti-join +
+        # extra materialize, measured ~2× fewer barriers per round).
         step = planned_join(
             acc.map_batches(
                 lambda b: b.rename_columns([subj_var, "mid"]), batch_format="pyarrow"
@@ -117,13 +120,11 @@ def transitive_closure(
             ),
             on=["mid"],
         ).select_columns([subj_var, obj_var])
-        new = planned_join(
-            distinct_on(step, [subj_var, obj_var]), acc,
-            on=[subj_var, obj_var], join_type="left_anti",
-        ).materialize()
-        if new.count() == 0:
+        acc2 = distinct_on(acc.union(step), [subj_var, obj_var]).materialize()
+        n2 = acc2.count()
+        if n2 == n:
             break
-        acc = acc.union(new).materialize()
+        acc, n = acc2, n2
     return acc
 
 
