@@ -840,6 +840,35 @@ FROM star WHERE s > 0
 """
 
 
+def q_sparql_construct(sf_dir: str) -> rd.Dataset:
+    """CONSTRUCT — triple templates instantiated per solution with set
+    semantics (BEYOND the reference store, which delegates CONSTRUCT to
+    rdflib): derives a new ``inRegionNamed`` edge plus region typing from
+    the nation⋈region BGP."""
+    from . import sparql
+
+    q = f"""
+    CONSTRUCT {{
+      ?n <http://kg.ex/p/inRegion> ?r .
+      ?r a <http://kg.ex/c/Region> .
+    }}
+    WHERE {{
+      ?n <{BASE}nation#ref-n_regionkey> ?r .
+    }}
+    """
+    return sparql.execute(_nation_region_triples(sf_dir), q)
+
+
+def _sql_sparql_construct() -> str:
+    n = f"'<{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) || '>'"
+    r = f"'<{BASE}region/r_regionkey=' || CAST(n_regionkey AS VARCHAR) || '>'"
+    return f"""
+SELECT {n} AS subj, '<http://kg.ex/p/inRegion>' AS pred, {r} AS obj FROM nation
+UNION
+SELECT DISTINCT {r}, '<{RDF_TYPE}>', '<http://kg.ex/c/Region>' FROM nation
+"""
+
+
 def q_sparql_group_concat(sf_dir: str) -> rd.Dataset:
     """GROUP_CONCAT with separator through the string front end — lowered
     onto the exchange-based ``relational.group_concat`` (deterministic
@@ -959,6 +988,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_agg_global": q_sparql_agg_global,
         "sparql_group_concat": q_sparql_group_concat,
         "sparql_ask": q_sparql_ask,
+        "sparql_construct": q_sparql_construct,
         "kg_path_star": q_kg_path_star,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_r2rml_docs": q_kg_r2rml_docs,
@@ -998,6 +1028,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_agg_global": _sql_sparql_agg_global(),
         "sparql_group_concat": _sql_sparql_group_concat(),
         "sparql_ask": _sql_sparql_ask(),
+        "sparql_construct": _sql_sparql_construct(),
         "kg_path_star": _sql_kg_path_star(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),

@@ -128,6 +128,7 @@ class SelectQuery:
     exists: Tuple[Tuple[bool, Group], ...] = ()     # (negated, group)
     having: Tuple[E, ...] = ()
     ask: bool = False                               # ASK query (boolean result)
+    construct: Tuple[Tuple, ...] = ()               # CONSTRUCT triple templates
 
 
 # ---------------------------------------------------------------------------
@@ -499,12 +500,28 @@ class SparqlParser:
         distinct = False
         variables: List[str] = []
         aggregates: List[Aggregate] = []
+        construct: List[Tuple] = []
         k0, v0 = self._peek()
         if k0 == "word" and str(v0).upper() == "ASK":
             # ASK queries — BEYOND the reference, which marks them
             # expectedFailure (``tests/test_store.py:24-28``)
             self._next()
             ask = True
+        elif k0 == "word" and str(v0).upper() == "CONSTRUCT":
+            # CONSTRUCT — the KG-native query form (the reference delegates
+            # it to rdflib above the store): triple templates instantiated
+            # per solution, set semantics on the emitted graph
+            self._next()
+            self._expect("{")
+            while self._peek()[1] != "}":
+                if self._peek()[1] == ".":
+                    self._next()
+                    continue
+                s = self._term()
+                p = self._term()
+                o = self._term()
+                construct.append((s, p, o))
+            self._next()
         else:
             self._expect("SELECT")
             if self._peek()[1] == "DISTINCT":
@@ -676,6 +693,7 @@ class SparqlParser:
             exists=tuple(exists),
             having=tuple(having),
             ask=ask,
+            construct=tuple(construct),
         )
 
 
@@ -1073,6 +1091,33 @@ def execute(
         # stream at the first row (bounded work regardless of corpus size)
         exists_any = len(out.limit(1).take_all()) > 0
         return rd.from_arrow(pa.table({"ask": pa.array([exists_any], pa.bool_())}))
+
+    if q.construct:
+        # instantiate each triple template per solution; rows with an
+        # unbound term (OPTIONAL nulls) emit no triple; the result graph is
+        # a SET → distinct through the hash exchange
+        def emit(b: pa.Table, _tmpl) -> pa.Table:
+            n = len(b)
+            cols = []
+            for t in _tmpl:
+                if isinstance(t, Var):
+                    cols.append(pc.cast(_col(b, t.name), pa.string()))
+                else:
+                    cols.append(pa.array([t] * n, pa.string()))
+            tbl = pa.table({"subj": cols[0], "pred": cols[1], "obj": cols[2]})
+            mask = pc.and_(
+                pc.and_(pc.is_valid(tbl["subj"]), pc.is_valid(tbl["pred"])),
+                pc.is_valid(tbl["obj"]),
+            )
+            return tbl.filter(mask)
+
+        graph = None
+        for tmpl in q.construct:
+            branch = out.map_batches(
+                lambda b, _t=tmpl: emit(b, _t), batch_format="pyarrow"
+            )
+            graph = branch if graph is None else graph.union(branch)
+        return distinct_on(graph, ["subj", "pred", "obj"])
 
     if q.aggregates:
         out = _execute_aggregates(out, q)

@@ -329,3 +329,18 @@ def test_zero_or_one_path(ray_session):
     """)
     got = sorted((r["x"], r["z"]) for r in out.take_all())
     assert got == [("<a>", "<a>"), ("<a>", "<b>")]
+
+
+def test_construct(ray_session):
+    out = execute(_graph(), """
+      CONSTRUCT { ?y <knownBy> ?x . ?x a <Person> }
+      WHERE { ?x <knows> ?y }
+    """)
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in out.take_all()}
+    assert rows == {
+        ("<b>", "<knownBy>", "<a>"), ("<c>", "<knownBy>", "<b>"),
+        ("<a>", "<knownBy>", "<c>"),
+        ("<a>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<Person>"),
+        ("<b>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<Person>"),
+        ("<c>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<Person>"),
+    }
