@@ -30,6 +30,7 @@ import ray.data as rd
 from .stages import ann as A
 from .stages import dedup as D
 from .stages import multimodal as MM
+from .stages import sketch as SK
 from .stages import text as T
 
 DUP_OFFSET = 10_000_000
@@ -432,6 +433,35 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM (
 """
 
 
+def q_sketch_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT) vs the exact exchange-based
+    distinct, gated at ±5 % (the ANN-recall oracle pattern: the approx
+    value is checked IN the pipeline; the emitted exact count is what the
+    SQL oracle verifies).  Deterministic: seeded hash ⇒ fixed error per
+    input."""
+    import pandas as pd
+
+    rows = []
+    for col in ["event_id", "user_id"]:
+        ds = _read(sf_dir, "events", columns=[col])
+        est = SK.approx_count_distinct(ds, col, p=12)
+        exact = D.distinct_on(ds, [col]).count()
+        rows.append({
+            "col": col,
+            "exact_distinct": exact,
+            "within_5pct": abs(est - exact) / max(1, exact) <= 0.05,
+        })
+    return pd.DataFrame(rows)
+
+
+SQL_SKETCH_DISTINCT = """
+SELECT 'event_id' AS col, COUNT(DISTINCT event_id) AS exact_distinct,
+       CAST(1 AS BOOLEAN) AS within_5pct FROM events
+UNION ALL
+SELECT 'user_id', COUNT(DISTINCT user_id), CAST(1 AS BOOLEAN) FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed codecs, real Ray plumbing)
 # ---------------------------------------------------------------------------
@@ -541,6 +571,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "sketch_distinct": q_sketch_distinct,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_frames": q_mm_audio_frames,
         "mm_video_frames": q_mm_video_frames,
@@ -562,6 +593,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": _sql_langid(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "sketch_distinct": SQL_SKETCH_DISTINCT,
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,
         "mm_video_frames": SQL_MM_VIDEO_FRAMES,

@@ -394,6 +394,43 @@ def topk_offset(
     return rd.from_arrow(tbl.slice(offset, k))
 
 
+def grouped_topk(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    order_by: Sequence[Tuple[str, bool]],
+    k: int,
+) -> rd.Dataset:
+    """Per-GROUP top-k (``row_number() OVER (PARTITION BY keys ORDER BY …)
+    <= k``) — the per-domain / per-source sampling primitive of corpus
+    curation.  ``order_by``: (column, descending) pairs; add a unique
+    tiebreak column for deterministic output.
+
+    Scale shape: a per-batch combiner keeps each group's local top-k (one
+    vectorized polars sort + group head per batch — never more than
+    k rows per (group, batch) move), then the hash exchange co-locates
+    groups and one final sort+head per partition finishes.  No Ray sort, no
+    per-group Python."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    keys = list(keys)
+    cols = keys + [c for c, _ in order_by if c not in keys]
+    s = ds.schema()
+    out_schema = pa.schema([(c, s.types[s.names.index(c)]) for c in cols])
+    sort_cols = [c for c, _ in order_by]
+    desc = [d for _, d in order_by]
+
+    def local_head(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        pl = _pl()
+        df = pl.from_arrow(batch.select(cols))
+        out = df.sort(sort_cols, descending=desc).group_by(keys).head(k)
+        return out.to_arrow().cast(out_schema)
+
+    partials = ds.map_batches(local_head, batch_format="pyarrow")
+    return hash_group_exchange(partials, keys, local_head, out_schema)
+
+
 def cross_join(left: rd.Dataset, right: rd.Dataset, broadcast_limit: int = 100_000) -> rd.Dataset:
     """Cartesian product (disconnected BGP / reference ``queryJoin`` FROM-list
     merge, ``query_conversions.py:246-269``): the smaller side is broadcast

@@ -555,9 +555,28 @@ SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
 """
 
 
+def q_rel_grouped_topk(sf_dir: str) -> rd.Dataset:
+    """Per-group top-k (row_number-over-partition ≤ k) — the per-domain /
+    per-source sampling primitive of corpus curation: keep the 3 longest
+    docs per source (ties → min doc_id).  Per-batch combiner + hash
+    exchange; no Ray sort, no per-group Python."""
+    ds = _read(sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
+    out = R.grouped_topk(
+        ds, ["source"], [("n_chars", True), ("doc_id", False)], k=3
+    )
+    return out.select_columns(["source", "doc_id", "n_chars"])
+
+
+SQL_REL_GROUPED_TOPK = """
+SELECT source, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
+        "rel_grouped_topk": q_rel_grouped_topk,
         "rel_pricing": q_rel_pricing,
         "rel_join_agg": q_rel_join_agg,
         "rel_left_join": q_rel_left_join,
@@ -583,6 +602,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
 def oracle_sql() -> Dict[str, str]:
     return {
         "rel_filter": SQL_REL_FILTER,
+        "rel_grouped_topk": SQL_REL_GROUPED_TOPK,
         "rel_pricing": SQL_REL_PRICING,
         "rel_join_agg": SQL_REL_JOIN_AGG,
         "rel_left_join": SQL_REL_LEFT_JOIN,

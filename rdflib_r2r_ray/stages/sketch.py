@@ -1,0 +1,88 @@
+"""Approximate-distinct sketch (HyperLogLog) — the cardinality primitive a
+100 TB curation pipeline needs where an exact ``COUNT(DISTINCT)`` exchange
+is not worth the shuffle (e.g. per-crawl URL/user cardinality dashboards).
+
+Shape: one vectorized register fold per batch (polars xxhash + numpy
+``maximum.at``) emitting ONE register row per block; the driver folds the
+O(blocks) tiny register rows (m bytes each) — no shuffle at all, bounded
+driver work.  Deterministic (seeded hash), so the relative error on a given
+input is FIXED, not a random variable — the registered query's 5 % gate is
+reproducible.
+
+Standard HLL estimator (Flajolet et al. 2007) with the linear-counting
+small-range correction; p=12 → m=4096 registers, ~1.6 % standard error.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .dedup import _pl
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit_length for uint64 (no float log2 — exact for
+    all 64 bits)."""
+    bl = np.zeros(x.shape, dtype=np.int64)
+    cur = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = cur >> np.uint64(s)
+        has = m > 0
+        bl[has] += s
+        cur[has] = m[has]
+    bl[x > 0] += 1
+    return bl
+
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """Fold a uint64 hash array into an m=2^p register array (uint8)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    idx = (values >> np.uint64(64 - p)).astype(np.int64)
+    rest = (values << np.uint64(p)) & np.uint64((1 << 64) - 1)
+    # rank = leading zeros of rest + 1; rest's low p bits are always zero,
+    # so a nonzero rest has bit_length in [p+1, 64] and rank in [1, 64-p]
+    rank = (64 - _bit_length_u64(rest) + 1).astype(np.uint8)
+    rank[rest == 0] = 64 - p + 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)  # linear-counting small-range fix
+    return float(est)
+
+
+def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Approximate ``COUNT(DISTINCT col)``: per-batch register fold (one
+    tiny row per block moves), driver-side maximum-merge of O(blocks)
+    m-byte rows."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl = _pl()
+        c = batch[col]
+        s = pl.from_arrow(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        h = s.drop_nulls().hash(seed=7).to_numpy()
+        regs = hll_partial(h.astype(np.uint64), p)
+        return pa.table({"reg": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(m, dtype=np.uint8)
+    for r in rows:
+        merged = np.maximum(merged, np.asarray(r["reg"], dtype=np.uint8))
+    return hll_estimate(merged)

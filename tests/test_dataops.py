@@ -426,3 +426,41 @@ def test_linker_multipattern_matches_per_alias_reference():
     base_groups = len(plan_alias_groups([a for a, _, _ in rows]))
     grown = [a for a, _, _ in rows] + [f"uniqueterm{i} xyz{i}" for i in range(80)]
     assert len(plan_alias_groups(grown)) == base_groups
+
+
+def test_hll_accuracy_and_merge():
+    """HLL estimate within 5% across cardinality regimes (linear-counting
+    and raw-estimator ranges), and register merge == whole-input fold."""
+    import numpy as np
+    from rdflib_r2r_ray.stages.dedup import _pl
+    from rdflib_r2r_ray.stages.sketch import hll_estimate, hll_partial
+
+    pl = _pl()
+    for n in (100, 3000, 50_000, 300_000):
+        vals = pl.Series([f"item-{i}" for i in range(n)]).hash(seed=7).to_numpy()
+        est = hll_estimate(hll_partial(vals.astype(np.uint64)))
+        assert abs(est - n) / n <= 0.05, (n, est)
+        # merge of two halves == fold of the whole
+        a = hll_partial(vals[: n // 2].astype(np.uint64))
+        b = hll_partial(vals[n // 2 :].astype(np.uint64))
+        assert hll_estimate(np.maximum(a, b)) == est
+
+
+def test_grouped_topk(ray_session):
+    import ray.data as rd
+    from rdflib_r2r_ray.relational import grouped_topk
+
+    tbl = pa.table({
+        "g": [f"g{i % 5}" for i in range(1000)] + [None] * 10,
+        "v": list(range(1000)) + list(range(10)),
+        "id": list(range(1010)),
+    })
+    out = grouped_topk(rd.from_arrow(tbl).repartition(8), ["g"],
+                       [("v", True), ("id", False)], k=2)
+    rows = sorted((r["g"] or "", r["v"]) for r in out.take_all())
+    want = []
+    for i in range(5):
+        top = sorted([v for v in range(1000) if v % 5 == i], reverse=True)[:2]
+        want.extend((f"g{i}", v) for v in top)
+    want.extend(("", v) for v in (9, 8))  # null group keeps its own top-2
+    assert rows == sorted(want)
