@@ -1023,16 +1023,37 @@ def execute(
             opt_pats, aug = _expand_transitive(bind_pats(opt.patterns), triples)
             opt_out = execute_bgp(aug, opt_pats, broadcast_threshold=broadcast_threshold)
             opt_vars = set(opt_out.schema().names)
-            for f in opt.filters:
-                if not _expr_vars(f) <= opt_vars:
-                    raise NotImplementedError(
-                        "FILTER in OPTIONAL referencing outer variables")
-            opt_out = _filter_batches(opt_out, opt.filters)
             left_vars = set(out.schema().names)
             shared = [v for v in opt_out.schema().names if v in left_vars]
             if not shared:
                 raise NotImplementedError("OPTIONAL sharing no variable with the required part")
-            out = planned_join(out, opt_out, on=shared, join_type="left_outer")
+            inner_fils = [f for f in opt.filters if _expr_vars(f) <= opt_vars]
+            cross_fils = [f for f in opt.filters if not _expr_vars(f) <= opt_vars]
+            opt_out = _filter_batches(opt_out, inner_fils)
+            if not cross_fils:
+                out = planned_join(out, opt_out, on=shared, join_type="left_outer")
+            else:
+                # the reference compiles a FILTER referencing OUTER vars into
+                # the LEFT JOIN's ON clause (query_conversions.py:349-374):
+                # a right match only counts if the filter passes, and a left
+                # row whose every match fails is kept once with nulls.
+                # Lowered as: matched = inner join + filter; remainder = left
+                # rows with no surviving match (anti-join on the full left
+                # row) padded with nulls.
+                for f in cross_fils:
+                    if not _expr_vars(f) <= (opt_vars | left_vars):
+                        raise NotImplementedError(
+                            "FILTER in OPTIONAL referencing variables bound nowhere")
+                matched = planned_join(out, opt_out, on=shared, join_type="inner")
+                matched = _filter_batches(matched, cross_fils)
+                left_cols = sorted(left_vars)
+                remainder = planned_join(
+                    out, matched.select_columns(left_cols),
+                    on=left_cols, join_type="left_anti",
+                )
+                from .relational import union_pad as _up
+
+                out = _up(matched, remainder)
         # MINUS blocks: anti-join on shared variables (reference MINUS →
         # NOT EXISTS, query_conversions.py:403-406; exact because BGP
         # solutions always bind their variables)

@@ -93,12 +93,42 @@ def completed_partitions(out_dir: str) -> Dict[int, dict]:
     return done
 
 
+def _nt_term_array(col: pa.Array) -> pa.Array:
+    """Serialize an N3-encoded term column to N-Triples term syntax:
+    ``<iri>`` / ``_:bnode`` / decorated literals pass through; BARE plain
+    literals (the engine's storage form) get escaped + quoted.  (Lexical
+    forms inside already-decorated literals are emitted as stored.)"""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    is_node = pc.match_substring_regex(col, r"^<|^_:")
+    is_decorated = pc.match_substring_regex(col, r'(?s)^".*"(\^\^<[^>]*>|@[A-Za-z0-9\-]+)$')
+    esc = col
+    for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        esc = pc.replace_substring(esc, a, b)
+    quoted = pc.binary_join_element_wise('"', esc, '"', "")
+    keep = pc.or_(pc.fill_null(is_node, False), pc.fill_null(is_decorated, False))
+    return pc.if_else(keep, col, quoted)
+
+
+def _nt_lines(tbl: pa.Table) -> bytes:
+    import pyarrow.compute as pc
+
+    lines = pc.binary_join_element_wise(
+        _nt_term_array(tbl["subj"]), _nt_term_array(tbl["pred"]),
+        _nt_term_array(tbl["obj"]), pa.scalar("."), " ",
+    )
+    return ("\n".join(lines.to_pylist()) + "\n").encode()
+
+
 def _write_partition(
     out_dir: str,
     part: int,
     keys: List[str],
     lineage: dict,
     distinct_keys: Optional[List[str]],
+    fmt: str,
     *tables: pa.Table,
 ) -> dict:
     """One committed partition: concat its shuffled splits, optional exact
@@ -132,11 +162,15 @@ def _write_partition(
         tbl = None
     pdir = _part_dir(out_dir, part)
     os.makedirs(pdir, exist_ok=True)
-    data_path = os.path.join(pdir, "data.parquet")
+    data_path = os.path.join(pdir, "data.nt" if fmt == "nt" else "data.parquet")
     tmp_path = data_path + ".tmp"
     n_rows, n_bytes, checksum = 0, 0, ""
     if tbl is not None:
-        pq.write_table(tbl, tmp_path)
+        if fmt == "nt":
+            with open(tmp_path, "wb") as f:
+                f.write(_nt_lines(tbl))
+        else:
+            pq.write_table(tbl, tmp_path)
         with open(tmp_path, "rb") as f:
             checksum = hashlib.sha1(f.read()).hexdigest()
             # fsync the DATA file before the rename: without it a power loss
@@ -178,6 +212,7 @@ def checkpointed_write(
     lineage: Optional[dict] = None,
     resume: bool = True,
     distinct_keys: Optional[Sequence[str]] = None,
+    fmt: str = "parquet",
 ) -> dict:
     """Write ``ds`` as hash-partitioned parquet (partition = row-hash of
     ``keys`` % num_partitions) with a per-partition manifest; skip already
@@ -276,7 +311,7 @@ def checkpointed_write(
     manifests = ray.get(
         [
             writer.remote(
-                out_dir, p, keys, lineage, distinct_keys,
+                out_dir, p, keys, lineage, distinct_keys, fmt,
                 *[split_refs[m][p] for m in range(len(split_refs))]
             )
             for p in todo
@@ -293,6 +328,26 @@ def checkpointed_write(
             "write": round(time.time() - t2, 2),
         },
     }
+
+
+def write_ntriples(
+    triples: rd.Dataset,
+    out_dir: str,
+    num_partitions: int = 64,
+    lineage: Optional[dict] = None,
+    resume: bool = True,
+) -> dict:
+    """N-Triples export sink — the reference's natural interchange form
+    (its conformance harness diffs sorted N-Triples,
+    ``old_tests/test_rdb2rdf.py:99-176``).  Same exchange + per-partition
+    manifest + atomic-commit + resume machinery as the parquet sink; output
+    is ``part=NNNNN/data.nt`` with exact (s,p,o) dedup and sorted lines
+    (deterministic bytes)."""
+    return checkpointed_write(
+        triples, out_dir, keys=["subj"], num_partitions=num_partitions,
+        lineage=dict(lineage or {}, pipeline="nt_export"), resume=resume,
+        distinct_keys=["subj", "pred", "obj"], fmt="nt",
+    )
 
 
 def read_checkpointed(out_dir: str) -> rd.Dataset:

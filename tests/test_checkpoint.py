@@ -78,3 +78,36 @@ def test_checkpoint_deterministic_bytes(ray_session, tmp_path):
     sa = {p: m["sha1"] for p, m in completed_partitions(a).items()}
     sb = {p: m["sha1"] for p, m in completed_partitions(b).items()}
     assert sa == sb
+
+
+def test_ntriples_export(ray_session, tmp_path):
+    """NT sink: bare plain literals get escaped+quoted, decorated terms pass
+    through, (s,p,o) dedup + sorted deterministic lines + manifests."""
+    import os
+    import pyarrow as pa
+    import ray.data as rd
+    from rdflib_r2r_ray.state.checkpoint import completed_partitions, write_ntriples
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    tbl = pa.table({
+        "subj": ["<http://e/a>"] * 4 + ["<http://e/b>"],
+        "pred": ["<http://e/p>"] * 5,
+        "obj": ['plain "quoted" text\nline2', f'"5"^^<{XSD_INT}>', "<http://e/o>",
+                'plain "quoted" text\nline2',  # duplicate -> deduped
+                "hello@en tagged? no — bare"],
+        "graph": pa.array([None] * 5, pa.string()),
+    })
+    out = str(tmp_path / "nt")
+    res = write_ntriples(rd.from_arrow(tbl), out, num_partitions=2, resume=False)
+    assert res["rows"] == 4  # one duplicate removed
+    lines = []
+    for p in completed_partitions(out):
+        path = os.path.join(out, f"part={p:05d}", "data.nt")
+        if os.path.exists(path):
+            lines += open(path).read().splitlines()
+    assert sorted(lines) == sorted([
+        '<http://e/a> <http://e/p> "plain \\"quoted\\" text\\nline2" .',
+        f'<http://e/a> <http://e/p> "5"^^<{XSD_INT}> .',
+        "<http://e/a> <http://e/p> <http://e/o> .",
+        '<http://e/b> <http://e/p> "hello@en tagged? no — bare" .',
+    ])

@@ -344,3 +344,21 @@ def test_construct(ray_session):
         ("<b>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<Person>"),
         ("<c>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<Person>"),
     }
+
+
+def test_optional_filter_referencing_outer_var(ray_session):
+    """LEFT-JOIN-ON semantics: the OPTIONAL filter compares an optional var
+    to an OUTER var; rows whose matches all fail keep nulls."""
+    out = execute(_graph(), """
+      SELECT ?x ?a ?nm WHERE {
+        ?x <age> ?a .
+        OPTIONAL { ?x <name> ?nm FILTER(?a > 26 && ?nm = "Alice") }
+      }
+    """)
+    rows = {(r["x"], r["a"], r["nm"]) for r in out.take_all()}
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    assert rows == {
+        ("<a>", f'"30"^^<{XSD}integer>', "Alice"),   # passes both conditions
+        ("<b>", f'"25"^^<{XSD}integer>', None),      # age fails -> null
+        ("<c>", f'"40"^^<{XSD}integer>', None),      # no name at all
+    }
