@@ -7,9 +7,11 @@ columns sorted by name).  Triples results expose (subj, pred, obj).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -749,6 +751,42 @@ SELECT COUNT(*) AS n, AVG(n_chars) AS avg FROM documents WHERE n_chars IS NOT NU
 """
 
 
+def q_kg_csv_source(sf_dir: str) -> rd.Dataset:
+    """Direct mapping over a CSV logical table (multi-format source layer,
+    ``sources/tables.py``): the nation parquet is transcoded to CSV once
+    under /tmp, read back with parse-time column projection, and emitted by
+    the SAME format-agnostic rule engine as ``kg_direct_nation`` — the
+    oracle is identical."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from .sources.tables import read_logical_table
+
+    csv_path = f"/tmp/graft_csv_src_{os.path.basename(sf_dir.rstrip('/'))}_nation.csv"
+    if not os.path.exists(csv_path):
+        tmp = csv_path + ".tmp"
+        pacsv.write_csv(pq.read_table(f"{sf_dir}/nation.parquet"), tmp)
+        os.replace(tmp, csv_path)
+    ds = read_logical_table(
+        csv_path, columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    # CSV loses the int32 physical type — restore the declared schema (the
+    # reference equally relies on declared column types for literals)
+    ds = ds.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("n_nationkey"), "n_nationkey",
+            pc.cast(b["n_nationkey"], pa.int32()),
+        ).set_column(
+            b.column_names.index("n_regionkey"), "n_regionkey",
+            pc.cast(b["n_regionkey"], pa.int32()),
+        ),
+        batch_format="pyarrow",
+    )
+    mapping = _nation_mapping()
+    out = ds.map_batches(EmitTriples(mapping, "nation"), batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
 def q_sparql_ask(sf_dir: str) -> rd.Dataset:
     """ASK query (BEYOND the reference — its store marks ASK
     expectedFailure, ``tests/test_store.py:24-28``): boolean existence,
@@ -991,6 +1029,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_construct": q_sparql_construct,
         "kg_path_star": q_kg_path_star,
         "kg_path_transitive": q_kg_path_transitive,
+        "kg_csv_source": q_kg_csv_source,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
         "kg_ref_join": q_kg_ref_join,
@@ -1031,6 +1070,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_construct": _sql_sparql_construct(),
         "kg_path_star": _sql_kg_path_star(),
         "kg_path_transitive": _sql_kg_path_transitive(),
+        "kg_csv_source": _sql_kg_direct_nation(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),
         "kg_ref_join": _sql_kg_ref_join(),

@@ -464,3 +464,29 @@ def test_grouped_topk(ray_session):
         want.extend((f"g{i}", v) for v in top)
     want.extend(("", v) for v in (9, 8))  # null group keeps its own top-2
     assert rows == sorted(want)
+
+
+def test_multiformat_sources(ray_session, tmp_path):
+    """CSV/JSON logical tables read through sources.tables produce the same
+    rows as the parquet path (format-agnostic downstream)."""
+    import json as _json
+    import pyarrow.csv as pacsv
+    from rdflib_r2r_ray.sources.tables import infer_format, read_logical_table
+
+    tbl = pa.table({"k": [1, 2, 3], "name": ["a", "b", "c"], "extra": [9, 9, 9]})
+    csv_p = str(tmp_path / "t.csv")
+    json_p = str(tmp_path / "t.jsonl")
+    pacsv.write_csv(tbl, csv_p)
+    with open(json_p, "w") as f:
+        for r in tbl.to_pylist():
+            f.write(_json.dumps(r) + "\n")
+    want = sorted((r["k"], r["name"]) for r in tbl.select(["k", "name"]).to_pylist())
+    for p in (csv_p, json_p):
+        ds = read_logical_table(p, columns=["k", "name"])
+        assert sorted(ds.schema().names) == ["k", "name"]  # pruned at read
+        got = sorted((r["k"], r["name"]) for r in ds.take_all())
+        assert got == want
+    assert infer_format("x.parquet") == "parquet"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        infer_format("x.unknownext")
