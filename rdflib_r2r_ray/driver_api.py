@@ -732,6 +732,28 @@ FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang
 """
 
 
+def q_sparql_agg_expr(sf_dir: str) -> rd.Dataset:
+    """Aggregates over full EXPRESSIONS (reference composes ``queryExpr``
+    into the aggregate, ``query_conversions.py:57-81``): the inner
+    arithmetic evaluates vectorized per batch before the map-side combine."""
+    from . import sparql
+
+    q = """
+    SELECT ?l (SUM(?c * 2) AS ?sum2) (AVG(?c + 1) AS ?avg1) WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      ?d <http://kg.ex/p/n_chars> ?c .
+    } GROUP BY ?l
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_agg_expr() -> str:
+    return """
+SELECT lang AS l, CAST(SUM(n_chars * 2) AS DOUBLE) AS sum2, AVG(n_chars + 1) AS avg1
+FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang
+"""
+
+
 def q_sparql_agg_global(sf_dir: str) -> rd.Dataset:
     """Global (keyless) aggregates — one group via a constant key, dropped
     on output."""
@@ -1024,6 +1046,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_having": q_sparql_having,
         "sparql_avg": q_sparql_avg,
         "sparql_agg_global": q_sparql_agg_global,
+        "sparql_agg_expr": q_sparql_agg_expr,
         "sparql_group_concat": q_sparql_group_concat,
         "sparql_ask": q_sparql_ask,
         "sparql_construct": q_sparql_construct,
@@ -1065,6 +1088,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_having": _sql_sparql_having(),
         "sparql_avg": _sql_sparql_avg(),
         "sparql_agg_global": _sql_sparql_agg_global(),
+        "sparql_agg_expr": _sql_sparql_agg_expr(),
         "sparql_group_concat": _sql_sparql_group_concat(),
         "sparql_ask": _sql_sparql_ask(),
         "sparql_construct": _sql_sparql_construct(),

@@ -96,9 +96,10 @@ class E:
 @dataclass(frozen=True)
 class Aggregate:
     fn: str             # count | sum | avg | min | max | sample | group_concat
-    var: Optional[str]  # None = COUNT(*)
+    var: Optional[str]  # None = COUNT(*) or expression aggregate
     alias: str
     sep: str = ","      # group_concat separator
+    expr: Optional["E"] = None  # aggregate over a full expression (SUM(?a*2))
 
 
 @dataclass(frozen=True)
@@ -467,8 +468,21 @@ class SparqlParser:
             raise NotImplementedError(f"aggregate {fv!r} not supported")
         self._expect("(")
         sep = ","
-        ak, av = self._next()
-        agg_var = None if av == "*" else av[1:]
+        expr: Optional[E] = None
+        if self._peek()[1] == "*":
+            self._next()
+            agg_var = None
+        else:
+            e = self._expr()
+            if e.kind == "var":
+                agg_var = e.val
+            else:
+                # aggregate over a full expression (reference composes
+                # queryExpr into the aggregate, query_conversions.py:57-81)
+                if fn in ("group_concat", "sample"):
+                    raise NotImplementedError(f"{fn} over an expression")
+                agg_var = None
+                expr = e
         if fn == "group_concat" and self._peek()[1] == ";":
             self._next()
             wk, wv = self._next()
@@ -486,7 +500,7 @@ class SparqlParser:
             raise ValueError(f"expected AS in aggregate projection, got {wv!r}")
         _, alias_v = self._next()
         self._expect(")")
-        return Aggregate(fn=fn, var=agg_var, alias=alias_v[1:], sep=sep)
+        return Aggregate(fn=fn, var=agg_var, alias=alias_v[1:], sep=sep, expr=expr)
 
     def parse(self) -> SelectQuery:
         while self._peek()[1] == "PREFIX":
@@ -897,6 +911,26 @@ def _bind_output(v, kind, n):
 # compiler / executor
 # ---------------------------------------------------------------------------
 
+def _static_kind(e: E) -> str:
+    """Plan-time value kind of an expression (for aggregate lane choice)."""
+    if e.kind in ("num", "arith", "neg"):
+        return "num"
+    if e.kind == "cast":
+        return "num" if e.val in _NUMERIC_XSD else "str"
+    if e.kind in ("cmp", "and", "or", "not", "bound", "regex"):
+        return "bool"
+    if e.kind in ("str", "if", "call"):
+        return "str"
+    return "term"
+
+
+def _full_array(v, typ: pa.DataType, n: int) -> pa.Array:
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return pc.cast(v if not isinstance(v, pa.ChunkedArray) else v.combine_chunks(), typ)
+    pyv = v.as_py() if isinstance(v, pa.Scalar) else v
+    return pa.array([pyv] * n, typ)
+
+
 def _probe_numeric(ds: rd.Dataset, var: str, sample: int = 64) -> bool:
     """Bounded-sample numeric sniff for MIN/MAX/ORDER BY semantics (see
     module docstring): pulls ≤ ``sample`` rows through the streaming
@@ -1220,23 +1254,33 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
     for a in q.aggregates:
         aliases.append(a.alias)
         if a.fn == "count":
-            if a.var is None:
+            if a.expr is not None:
+                prep[a.alias] = ("evalid", a.expr)
+            elif a.var is None:
                 prep[a.alias] = ("ones", None)
             else:
                 prep[a.alias] = ("valid", a.var)
             sums.append(a.alias)
         elif a.fn == "sum":
-            prep[a.alias] = ("num", a.var)
+            prep[a.alias] = ("enum", a.expr) if a.expr is not None else ("num", a.var)
             sums.append(a.alias)
         elif a.fn == "avg":
             s_col, c_col = a.alias + "__s", a.alias + "__c"
-            prep[s_col] = ("num", a.var)
-            prep[c_col] = ("valid", a.var)
+            if a.expr is not None:
+                prep[s_col] = ("enum", a.expr)
+                prep[c_col] = ("evalid", a.expr)
+            else:
+                prep[s_col] = ("num", a.var)
+                prep[c_col] = ("valid", a.var)
             sums.extend([s_col, c_col])
             post_avg.append((a.alias, s_col, c_col))
         elif a.fn in ("min", "max"):
-            numeric = _probe_numeric(out, a.var)
-            prep[a.alias] = ("num", a.var) if numeric else ("raw", a.var)
+            if a.expr is not None:
+                numeric = _static_kind(a.expr) == "num"
+                prep[a.alias] = ("enum", a.expr) if numeric else ("eraw", a.expr)
+            else:
+                numeric = _probe_numeric(out, a.var)
+                prep[a.alias] = ("num", a.var) if numeric else ("raw", a.var)
             (mins if a.fn == "min" else maxs).append(a.alias)
         elif a.fn == "sample":
             prep[a.alias] = ("raw", a.var)
@@ -1256,6 +1300,17 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
                 return lambda b, _v=var: pc.cast(pc.is_valid(_col(b, _v)), pa.int64())
             if kind == "num":
                 return lambda b, _v=var: _numeric_col(b, _v)
+            if kind == "enum":
+                return lambda b, _e=var: _full_array(_to_num(*_eval(_e, b)), pa.float64(), len(b))
+            if kind == "eraw":
+                return lambda b, _e=var: _full_array(_to_raw(*_eval(_e, b)), pa.string(), len(b))
+            if kind == "evalid":
+                return lambda b, _e=var: pc.cast(
+                    pc.is_valid(_full_array(_to_num(*_eval(_e, b)), pa.float64(), len(b))
+                                if _static_kind(_e) == "num"
+                                else _full_array(_to_raw(*_eval(_e, b)), pa.string(), len(b))),
+                    pa.int64(),
+                )
             return lambda b, _v=var: b[_v]
 
         prepped = extend(out, **{name: build(spec) for name, spec in prep.items()})

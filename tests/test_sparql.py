@@ -362,3 +362,12 @@ def test_optional_filter_referencing_outer_var(ray_session):
         ("<b>", f'"25"^^<{XSD}integer>', None),      # age fails -> null
         ("<c>", f'"40"^^<{XSD}integer>', None),      # no name at all
     }
+
+
+def test_aggregate_over_expression(ray_session):
+    out = execute(_graph(), """
+      SELECT (SUM(?a * 2) AS ?s2) (MAX(?a + 1) AS ?m1) (COUNT(?a * 0) AS ?n)
+      WHERE { ?x <age> ?a . }
+    """)
+    r = out.take_all()[0]
+    assert (r["s2"], r["m1"], r["n"]) == (190.0, 41.0, 3)
