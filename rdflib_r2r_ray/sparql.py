@@ -1148,6 +1148,12 @@ def execute(
         return rd.from_arrow(pa.table({"ask": pa.array([exists_any], pa.bool_())}))
 
     if q.construct:
+        # solution modifiers apply to the solution sequence BEFORE template
+        # instantiation; ORDER BY is meaningless for a set-semantics graph
+        if q.order_by:
+            raise NotImplementedError("ORDER BY with CONSTRUCT")
+        if q.limit is not None:
+            out = out.limit(q.limit + q.offset)
         # instantiate each triple template per solution; rows with an
         # unbound term (OPTIONAL nulls) emit no triple; the result graph is
         # a SET → distinct through the hash exchange
