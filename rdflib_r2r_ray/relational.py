@@ -39,7 +39,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from .stages.dedup import distinct_on, local_distinct
 
@@ -255,21 +254,20 @@ def grouped_agg(
     count_as: Optional[str] = None,
 ) -> rd.Dataset:
     """GROUP BY with map-side combine: each batch is pre-aggregated locally
-    (one row per group per block), then a small global ``groupby.aggregate``
-    merges partials. The shuffle moves O(blocks × groups) rows instead of the
-    whole input — the standard scale fix for Ray Data's sort-based groupby.
+    (one row per group per block), then the raw-task hash exchange merges
+    partials (one vectorized ``pa.group_by`` per partition — NOT Ray's
+    sort-based groupby, whose driver coordination measured an ~8 s floor;
+    the switch matters for HIGH-cardinality keys like windowed aggregates).
+    The shuffle moves O(blocks × groups) rows instead of the whole input.
 
     Output columns: ``keys + sums + mins + maxs [+ count_as]`` (sums/mins/
     maxs keep their input column names; count_as is a row count)."""
+    from .stages.dedup import hash_group_exchange
+
     keys, sums, mins, maxs = list(keys), list(sums), list(mins), list(maxs)
     cnt_col = "__cnt" if count_as else None
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch
-        gb = batch.select(keys + sums + mins + maxs)
-        if cnt_col:
-            gb = gb.append_column(cnt_col, pa.array(np.ones(len(batch), np.int64)))
+    def _agg_once(gb: pa.Table) -> pa.Table:
         aggs = (
             [(c, "sum") for c in sums]
             + [(c, "min") for c in mins]
@@ -284,13 +282,36 @@ def grouped_agg(
             ren[f"{cnt_col}_sum"] = cnt_col
         return out.rename_columns([ren.get(n, n) for n in out.column_names])
 
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        gb = batch.select(keys + sums + mins + maxs)
+        if cnt_col:
+            gb = gb.append_column(cnt_col, pa.array(np.ones(len(batch), np.int64)))
+        return _agg_once(gb)
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(c, alias_name=c) for c in sums]
-    aggs += [Min(c, alias_name=c) for c in mins]
-    aggs += [Max(c, alias_name=c) for c in maxs]
+
+    # output schema derived from the combine applied to a TYPED empty input
+    # (pa group_by types are deterministic; no data touched)
+    s = ds.schema()
+    empty_in = pa.schema(
+        [(n, t) for n, t in zip(s.names, s.types) if n in set(keys + sums + mins + maxs)]
+    ).empty_table()
     if cnt_col:
-        aggs.append(Sum(cnt_col, alias_name=count_as))
-    return partials.groupby(keys).aggregate(*aggs)
+        empty_in = empty_in.append_column(cnt_col, pa.array([], pa.int64()))
+    final_names = keys + sums + mins + maxs + ([count_as] if count_as else [])
+
+    def finalize(part: pa.Table) -> pa.Table:
+        out = _agg_once(part)
+        if cnt_col:
+            out = out.rename_columns(
+                [count_as if n == cnt_col else n for n in out.column_names]
+            )
+        return out.select(final_names)
+
+    out_schema = finalize(empty_in).schema
+    return hash_group_exchange(partials, keys, finalize, out_schema)
 
 
 def count_distinct(ds: rd.Dataset, keys: Sequence[str], col: str, alias: str) -> rd.Dataset:
