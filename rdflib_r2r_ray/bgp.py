@@ -28,6 +28,9 @@ import ray.data as rd
 
 from .paths import BNodeVar, Path, Var, resolve_paths
 from .relational import _drop_empty_blocks, broadcast_join, hash_join, union_pad
+# module-level, not function-level: the package ships by value to Ray
+# workers, where function-scope relative imports fail (see rayser.py)
+from .stages.dedup import _pl
 
 _POS = ("subj", "pred", "obj")
 
@@ -75,6 +78,35 @@ def _selectivity(pattern: Tuple) -> int:
     return -sum(0 if _is_var(t) else 1 for t in pattern)
 
 
+def _closure_fixpoint_local(subj_var, obj_var, max_iters, *tables):
+    """Whole-closure fixpoint inside ONE worker task (small-edge-set path):
+    polars self-join doubling until stable.  Runs only when the distinct edge
+    count is under ``_LOCAL_CLOSURE_MAX_EDGES`` — a tree/DAG closure is then
+    O(edges × diameter) rows, comfortably one worker's heap — and saves the
+    ~1s/round driver-coordinated exchange cost that dominates small inputs."""
+    pl = _pl()
+    tbl = pa.concat_tables([t for t in tables if t.num_rows])
+    acc = pl.from_arrow(tbl).unique()
+    n = acc.height
+    for _ in range(max_iters):
+        step = (
+            acc.rename({obj_var: "__mid"})
+            .join(acc.rename({subj_var: "__mid"}), on="__mid")
+            .select(subj_var, obj_var)
+        )
+        acc2 = pl.concat([acc, step]).unique()
+        if acc2.height == n:
+            break
+        acc, n = acc2, acc2.height
+    return acc.to_arrow().cast(tbl.schema)
+
+
+# one worker-task closure is cheaper than the distributed doubling loop up
+# to ~this many distinct edges (closure rows stay ≲ edges × diameter); the
+# distributed loop below remains the 100 TB path
+_LOCAL_CLOSURE_MAX_EDGES = 100_000
+
+
 def transitive_closure(
     triples: rd.Dataset,
     pred: str,
@@ -90,7 +122,9 @@ def transitive_closure(
     distinct, anti-join against the accumulated closure; stops when a round
     adds nothing.  The driver sees only per-round COUNTS (no data); rounds
     are O(graph diameter).  ``<p>*`` = union with the identity pairs of the
-    node set; ``<p>`` alone is one filter."""
+    node set; ``<p>`` alone is one filter.  Edge sets small enough for one
+    worker (count known from block metadata) take a single-task polars
+    fixpoint instead — same result, none of the per-round exchange barriers."""
     from .stages.dedup import distinct_on
     from .relational import planned_join
 
@@ -104,6 +138,11 @@ def transitive_closure(
     edges = _drop_empty_blocks(edges)
     acc = distinct_on(edges, [subj_var, obj_var]).materialize()
     n = acc.count()
+    if n <= _LOCAL_CLOSURE_MAX_EDGES:
+        out = ray.remote(_closure_fixpoint_local).remote(
+            subj_var, obj_var, max_iters, *acc.to_arrow_refs()
+        )
+        return rd.from_arrow_refs([out])
     for _ in range(max_iters):
         # path DOUBLING (repeated squaring): acc ∪ acc⋈acc doubles the
         # maximum path length per round, so convergence takes
