@@ -732,6 +732,34 @@ FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang
 """
 
 
+def q_sparql_subselect(sf_dir: str) -> rd.Dataset:
+    """Nested ``{ SELECT ... }`` sub-query (SPARQL 1.1 SubSelect; the
+    reference handles nesting via its recursive algebra conversion): the
+    inner aggregate evaluates bottom-up and joins the enclosing BGP on the
+    shared variable, then the outer FILTER sees the aggregate column."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?l ?cnt WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      { SELECT ?l (COUNT(?x) AS ?cnt) WHERE { ?x <http://kg.ex/p/lang> ?l . } GROUP BY ?l }
+      FILTER(?cnt >= 50)
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_subselect() -> str:
+    return """
+SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       lang AS l, g.cnt AS cnt
+FROM documents
+JOIN (SELECT lang, COUNT(*) AS cnt FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang) g USING (lang)
+WHERE lang IS NOT NULL AND g.cnt >= 50
+"""
+
+
 def q_sparql_agg_expr(sf_dir: str) -> rd.Dataset:
     """Aggregates over full EXPRESSIONS (reference composes ``queryExpr``
     into the aggregate, ``query_conversions.py:57-81``): the inner
@@ -1045,6 +1073,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_values": q_sparql_values,
         "sparql_having": q_sparql_having,
         "sparql_avg": q_sparql_avg,
+        "sparql_subselect": q_sparql_subselect,
         "sparql_agg_global": q_sparql_agg_global,
         "sparql_agg_expr": q_sparql_agg_expr,
         "sparql_group_concat": q_sparql_group_concat,
@@ -1087,6 +1116,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_values": _sql_sparql_values(),
         "sparql_having": _sql_sparql_having(),
         "sparql_avg": _sql_sparql_avg(),
+        "sparql_subselect": _sql_sparql_subselect(),
         "sparql_agg_global": _sql_sparql_agg_global(),
         "sparql_agg_expr": _sql_sparql_agg_expr(),
         "sparql_group_concat": _sql_sparql_group_concat(),

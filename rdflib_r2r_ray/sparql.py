@@ -130,6 +130,7 @@ class SelectQuery:
     having: Tuple[E, ...] = ()
     ask: bool = False                               # ASK query (boolean result)
     construct: Tuple[Tuple, ...] = ()               # CONSTRUCT triple templates
+    subselects: Tuple["SelectQuery", ...] = ()      # nested { SELECT ... } groups
 
 
 # ---------------------------------------------------------------------------
@@ -510,12 +511,22 @@ class SparqlParser:
                 raise ValueError(f"bad PREFIX name {pv!r}")
             iv = self._next()
             self.prefixes[pv[:-1]] = iv[1][1:-1]
+        return self._parse_query(nested=False)
+
+    def _parse_query(self, nested: bool) -> SelectQuery:
+        """One SELECT/ASK/CONSTRUCT query form.  ``nested=True`` parses a
+        sub-SELECT (reference: nested algebra via recursive ``convert_query``;
+        the SPARQL grammar's GroupGraphPattern → SubSelect production): SELECT
+        form only, and the trailing solution-modifier scan stops at the
+        enclosing group's ``}`` instead of end-of-input."""
         ask = False
         distinct = False
         variables: List[str] = []
         aggregates: List[Aggregate] = []
         construct: List[Tuple] = []
         k0, v0 = self._peek()
+        if nested and not (k0 == "kw" and v0 == "SELECT"):
+            raise ValueError(f"sub-query must be a SELECT, got {v0!r}")
         if k0 == "word" and str(v0).upper() == "ASK":
             # ASK queries — BEYOND the reference, which marks them
             # expectedFailure (``tests/test_store.py:24-28``)
@@ -566,6 +577,7 @@ class SparqlParser:
         binds: List[Tuple[str, E]] = []
         values: List = []
         exists: List[Tuple[bool, Group]] = []
+        subselects: List[SelectQuery] = []
 
         while True:
             k, v = self._peek()
@@ -619,6 +631,13 @@ class SparqlParser:
                 minuses.append(self._parse_group())
                 continue
             if v == "{":
+                if self._peek(1) == ("kw", "SELECT"):
+                    # { SELECT ... } sub-query: evaluated independently,
+                    # joined with the enclosing group on shared variables
+                    self._next()
+                    subselects.append(self._parse_query(nested=True))
+                    self._expect("}")
+                    continue
                 # { A } UNION { B } [UNION { C } ...]
                 branches = [self._parse_group()]
                 while self._peek()[1] is not None and str(self._peek()[1]).upper() == "UNION":
@@ -680,11 +699,11 @@ class SparqlParser:
             elif v == "OFFSET":
                 self._next()
                 offset = int(self._next()[1])
-            elif k is None:
+            elif k is None or (nested and v == "}"):
                 break
             else:
                 raise ValueError(f"unexpected trailing token {v!r}")
-        if union_branches and (patterns or optionals or minuses):
+        if union_branches and (patterns or optionals or minuses or subselects):
             raise NotImplementedError(
                 "UNION mixed with other group elements is not supported — "
                 "use a single { A } UNION { B } group"
@@ -708,6 +727,7 @@ class SparqlParser:
             having=tuple(having),
             ask=ask,
             construct=tuple(construct),
+            subselects=tuple(subselects),
         )
 
 
@@ -1024,9 +1044,17 @@ def execute(
     ``init_bindings`` (reference ``r2r_store.py:62-75``): variable → term
     pre-bindings, applied as pattern substitution — the restriction reaches
     the BGP before any data moves."""
-    from .relational import extend, grouped_agg, group_concat, planned_join, union_pad
-
     q = SparqlParser(query).parse()
+    return _execute_parsed(triples, q, init_bindings, broadcast_threshold)
+
+
+def _execute_parsed(
+    triples: rd.Dataset,
+    q: SelectQuery,
+    init_bindings: Optional[Dict[str, str]] = None,
+    broadcast_threshold: int = 100_000,
+) -> rd.Dataset:
+    from .relational import extend, grouped_agg, group_concat, planned_join, union_pad
 
     def bind_pats(pats):
         if not init_bindings:
@@ -1047,7 +1075,26 @@ def execute(
         # with null padding (reference results_union semantics)
         out = union_pad(*[exec_group(g.patterns, g.filters) for g in q.union_branches])
     else:
-        out = exec_group(q.patterns, ())
+        # { SELECT ... } sub-queries evaluate independently (bottom-up, like
+        # the reference's recursive algebra conversion) and join the
+        # enclosing group on shared variables
+        sub_outs = [
+            _execute_parsed(triples, sq, init_bindings, broadcast_threshold)
+            for sq in q.subselects
+        ]
+        if q.patterns:
+            out = exec_group(q.patterns, ())
+        elif sub_outs:
+            out = sub_outs.pop(0)
+        else:
+            out = exec_group(q.patterns, ())
+        for sub in sub_outs:
+            left_vars = set(out.schema().names)
+            shared = [v for v in sub.schema().names if v in left_vars]
+            if not shared:
+                raise NotImplementedError(
+                    "sub-SELECT sharing no variable with the enclosing group")
+            out = planned_join(out, sub, on=shared, join_type="inner")
         # OPTIONAL blocks: left-outer join on the shared variables
         # (reference OPTIONAL → LEFT JOIN, query_conversions.py:349-374);
         # inner FILTERs apply to the block side before the join — exact when

@@ -371,3 +371,46 @@ def test_aggregate_over_expression(ray_session):
     """)
     r = out.take_all()[0]
     assert (r["s2"], r["m1"], r["n"]) == (190.0, 41.0, 3)
+
+
+def test_subselect_aggregate_join(ray_session):
+    """{ SELECT ... } sub-query: inner COUNT per ?y joins the outer BGP on
+    the shared variable, and the outer FILTER sees the aggregate column."""
+    out = execute(_graph(), """
+      SELECT ?x ?y ?cnt WHERE {
+        ?x <knows> ?y .
+        { SELECT ?y (COUNT(?z) AS ?cnt) WHERE { ?z <knows> ?y . } GROUP BY ?y }
+      }
+    """)
+    rows = sorted((r["x"], r["y"], r["cnt"]) for r in out.take_all())
+    assert rows == [("<a>", "<b>", 1), ("<b>", "<c>", 1), ("<c>", "<a>", 1)]
+
+
+def test_subselect_alone_with_outer_modifiers(ray_session):
+    out = execute(_graph(), """
+      SELECT ?y ?cnt WHERE {
+        { SELECT ?y (COUNT(?z) AS ?cnt) WHERE { ?z <knows> ?y . } GROUP BY ?y }
+      } ORDER BY ?y LIMIT 2
+    """)
+    assert [(r["y"], r["cnt"]) for r in out.take_all()] == [("<a>", 1), ("<b>", 1)]
+
+
+def test_subselect_projection_restricts(ray_session):
+    """A plain (non-aggregate) sub-select acts as a projected restriction."""
+    out = execute(_graph(), """
+      SELECT ?x ?n WHERE {
+        ?x <age> ?n .
+        { SELECT ?x WHERE { ?x <name> "Alice" . } }
+      }
+    """)
+    assert [(r["x"], r["n"]) for r in out.take_all()] == [
+        ("<a>", f'"30"^^<{XSD_INT}>')]
+
+
+def test_subselect_rejects_union_mix():
+    with pytest.raises((NotImplementedError, ValueError)):
+        SparqlParser("""
+          SELECT ?x WHERE {
+            { SELECT ?x WHERE { ?x <p> ?y . } } UNION { ?x <q> ?z . }
+          }
+        """).parse()
