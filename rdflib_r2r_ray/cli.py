@@ -1,0 +1,214 @@
+"""Command-line entry points: ``python -m rdflib_r2r_ray <command>``.
+
+The reference is consumed as a library (an rdflib Store plugin); its users
+drive it from scripts.  This CLI covers the same end-to-end surface as a
+standalone tool over a directory of tables:
+
+- ``construct``: R2RML TTL (or direct mapping) over a table directory →
+  deduplicated, partitioned triples (parquet or N-Triples), resumable.
+- ``sparql``: run a SPARQL query string/file against the mapped graph and
+  print or write the solution table.
+
+The CLI owns its Ray session (the driver contract forbids ``ray.init`` in
+library code; scripts guard with ``is_initialized``)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _init_ray(num_cpus: Optional[int]) -> None:
+    from .rayser import register_for_ray
+
+    register_for_ray()  # ship the package by value to workers (any cwd)
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def _table_paths(data_dir: str) -> Dict[str, str]:
+    """All physical tables in the data directory, name → path."""
+    out: Dict[str, str] = {}
+    for pat in ("*.parquet", "*.pq", "*.csv", "*.json", "*.jsonl", "*.ndjson"):
+        for p in glob.glob(os.path.join(data_dir, pat)):
+            out[os.path.splitext(os.path.basename(p))[0]] = p
+    return out
+
+
+def _load_mapping(args):
+    """(Mapping, views) from --mapping TTL, or a direct mapping from the
+    parquet footers (``--direct``; reference direct-mapping generator)."""
+    from .mapping import direct_mapping
+    from .r2rml import load_r2rml
+
+    if args.mapping:
+        with open(args.mapping) as f:
+            return load_r2rml(f.read(), base=args.base or "")
+    if not args.direct:
+        raise SystemExit("pass --mapping FILE.ttl or --direct")
+    import pyarrow.parquet as pq
+
+    paths = _table_paths(args.data)
+    names = args.tables.split(",") if args.tables else sorted(paths)
+    schemas: Dict[str, pa.Schema] = {}
+    for n in names:
+        if n not in paths:
+            raise SystemExit(f"table {n!r} not found in {args.data}")
+        if not paths[n].endswith((".parquet", ".pq")):
+            raise SystemExit("--direct needs parquet tables (schema from footer)")
+        schemas[n] = pq.read_schema(paths[n])
+    pks = {}
+    for spec in args.pk or []:
+        t, _, cols = spec.partition("=")
+        pks[t] = cols.split(",")
+    fks: Dict[str, List] = {}
+    for spec in args.fk or []:
+        # child:col[,col]->parent:col[,col]
+        child, _, parent = spec.partition("->")
+        ct, _, ccols = child.partition(":")
+        pt, _, pcols = parent.partition(":")
+        fks.setdefault(ct, []).append((ccols.split(","), pt, pcols.split(",")))
+    return direct_mapping(schemas, pks, fks, base=args.base or "http://example.com/base/"), {}
+
+
+def _build_graph(args) -> rd.Dataset:
+    """Load every table the mapping touches (views included) and emit the
+    full triples Dataset through the vectorized rule engine."""
+    from .pipelines.kg import emit_graph
+    from .sources.sqlview import view_dataset
+    from .sources.tables import read_logical_table
+
+    mapping, views = _load_mapping(args)
+    paths = _table_paths(args.data)
+
+    needed = set(mapping.by_table())
+    for tm in mapping.triples_maps:
+        for pm in tm.pomaps:
+            if pm.object.kind == "ref":
+                needed.add(pm.object.parent_table)
+
+    cols: Dict[str, set] = {}
+    for tm in mapping.triples_maps:
+        cols.setdefault(tm.table, set()).update(tm.columns())
+        for pm in tm.pomaps:
+            if pm.object.kind == "ref":
+                pcols = {p for _, p in pm.object.join}
+                if pm.object.parent_subject is not None:
+                    pcols.update(pm.object.parent_subject.columns())
+                cols.setdefault(pm.object.parent_table, set()).update(pcols)
+
+    datasets: Dict[str, rd.Dataset] = {}
+    for name in needed:
+        if name in views:
+            parquet_tables = {t: p for t, p in paths.items()
+                              if p.endswith((".parquet", ".pq"))}
+            datasets[name] = view_dataset(views[name], args.data, parquet_tables)
+        elif name in paths:
+            want = sorted(cols.get(name, ())) or None
+            datasets[name] = read_logical_table(paths[name], columns=want)
+        else:
+            raise SystemExit(f"logical table {name!r} not found in {args.data}")
+    return emit_graph(datasets, mapping)
+
+
+def cmd_construct(args) -> int:
+    from .pipelines.kg import materialize_graph
+    from .state.checkpoint import write_ntriples
+
+    _init_ray(args.num_cpus)
+    triples = _build_graph(args)
+    if args.format == "nt":
+        report = write_ntriples(triples, args.out,
+                                num_partitions=args.num_partitions,
+                                resume=not args.no_resume)
+    else:
+        report = materialize_graph(triples, args.out,
+                                   num_partitions=args.num_partitions,
+                                   resume=not args.no_resume)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_sparql(args) -> int:
+    from . import sparql
+    from .stages.dedup import distinct_on
+
+    _init_ray(args.num_cpus)
+    if args.query_file:
+        with open(args.query_file) as f:
+            query = f.read()
+    elif args.query:
+        query = args.query
+    else:
+        raise SystemExit("pass --query STR or --query-file FILE")
+    triples = _build_graph(args)
+    # the queried graph is a SET: multiple rules may emit the same triple
+    graph = distinct_on(triples.select_columns(["subj", "pred", "obj"]),
+                        ["subj", "pred", "obj"])
+    out = sparql.execute(graph, query)
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+    df = out.limit(args.print_limit).to_pandas() if args.print_limit else out.to_pandas()
+    df.to_csv(sys.stdout, index=False)
+    return 0
+
+
+def _add_graph_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data", required=True, help="directory of tables")
+    p.add_argument("--mapping", help="R2RML Turtle mapping file")
+    p.add_argument("--direct", action="store_true",
+                   help="direct mapping from parquet schemas")
+    p.add_argument("--tables", help="comma list of tables (--direct; default all)")
+    p.add_argument("--pk", action="append", metavar="TABLE=COL[,COL]",
+                   help="primary key for --direct (repeatable)")
+    p.add_argument("--fk", action="append",
+                   metavar="CHILD:COL[,COL]->PARENT:COL[,COL]",
+                   help="foreign key for --direct (repeatable)")
+    p.add_argument("--base", help="IRI base")
+    p.add_argument("--num-cpus", type=int, default=None)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="rdflib_r2r_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("construct", help="materialize the mapped graph")
+    _add_graph_args(c)
+    c.add_argument("--out", required=True)
+    c.add_argument("--format", choices=["parquet", "nt"], default="parquet")
+    c.add_argument("--num-partitions", type=int, default=24)
+    c.add_argument("--no-resume", action="store_true")
+    c.set_defaults(fn=cmd_construct)
+
+    s = sub.add_parser("sparql", help="run a SPARQL query over the mapped graph")
+    _add_graph_args(s)
+    s.add_argument("--query")
+    s.add_argument("--query-file")
+    s.add_argument("--out", help="write solutions as parquet instead of stdout CSV")
+    s.add_argument("--print-limit", type=int, default=1000)
+    s.set_defaults(fn=cmd_sparql)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""CLI surface: construct (parquet + nt) and sparql over a tiny table dir."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_data")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": ["EAST", "WEST"],
+    }), str(d / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([10, 11, 12], pa.int64()),
+        "n_name": ["AAA", "BBB", "CCC"],
+        "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+    }), str(d / "nation.parquet"))
+    return str(d)
+
+
+def _run(args, cwd):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "rdflib_r2r_ray", *args],
+        capture_output=True, text=True, env=env, cwd=cwd, timeout=300,
+    )
+
+
+def test_cli_construct_and_sparql(data_dir, tmp_path):
+    out_dir = str(tmp_path / "graph")
+    r = _run([
+        "construct", "--data", data_dir, "--direct",
+        "--pk", "nation=n_nationkey", "--pk", "region=r_regionkey",
+        "--fk", "nation:n_regionkey->region:r_regionkey",
+        "--out", out_dir, "--num-partitions", "4", "--num-cpus", "4",
+    ], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    # nation: 3 cols + rdf:type + fk-ref = 5/row; region: 2 cols + type = 3/row
+    assert report["rows"] == 3 * 5 + 2 * 3
+    # resume: a second run skips every committed partition
+    r2 = _run([
+        "construct", "--data", data_dir, "--direct",
+        "--pk", "nation=n_nationkey", "--pk", "region=r_regionkey",
+        "--fk", "nation:n_regionkey->region:r_regionkey",
+        "--out", out_dir, "--num-partitions", "4", "--num-cpus", "4",
+    ], cwd=str(tmp_path))
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["skipped"] == 4
+
+    r3 = _run([
+        "sparql", "--data", data_dir, "--direct",
+        "--pk", "nation=n_nationkey", "--pk", "region=r_regionkey",
+        "--query",
+        "SELECT ?nm WHERE { ?n <http://example.com/base/nation#n_name> ?nm . }"
+        " ORDER BY DESC(?nm) LIMIT 2",
+        "--num-cpus", "4",
+    ], cwd=str(tmp_path))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    lines = [l for l in r3.stdout.strip().splitlines() if l and "," not in l or l]
+    assert lines[-2:] == ["CCC", "BBB"]
+
+
+def test_cli_construct_ntriples(data_dir, tmp_path):
+    out_dir = str(tmp_path / "nt")
+    r = _run([
+        "construct", "--data", data_dir, "--direct", "--tables", "region",
+        "--pk", "region=r_regionkey", "--format", "nt",
+        "--out", out_dir, "--num-partitions", "2", "--num-cpus", "4",
+    ], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = []
+    for part in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, part, "data.nt")
+        if os.path.exists(p):
+            lines += open(p).read().strip().splitlines()
+    assert len(lines) == 6 and all(l.endswith(" .") for l in lines)
+    assert any('"EAST"' in l for l in lines)
