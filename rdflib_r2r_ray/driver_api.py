@@ -760,6 +760,63 @@ WHERE lang IS NOT NULL AND g.cnt >= 50
 """
 
 
+def q_sparql_describe(sf_dir: str) -> rd.Dataset:
+    """DESCRIBE with a WHERE-bound variable (subject-triples description):
+    the described-node set is a distinct semi-join key against the graph —
+    no driver-side node list."""
+    from . import sparql
+
+    q = """
+    DESCRIBE ?d WHERE {
+      ?d <http://kg.ex/p/lang> "de" .
+      ?d <http://kg.ex/p/n_chars> ?c .
+      FILTER(?c >= 300)
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_describe() -> str:
+    # the described docs' full emitted row-triples (same four predicates the
+    # documents mapping emits), subject-filtered
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+WITH sel AS (SELECT * FROM documents WHERE lang = 'de' AND n_chars >= 300)
+SELECT {d} AS subj, '<{RDF_TYPE}>' AS pred, '<http://kg.ex/c/Document>' AS obj
+FROM sel
+UNION ALL
+SELECT {d}, '<http://kg.ex/p/lang>', lang FROM sel WHERE lang IS NOT NULL
+UNION ALL
+SELECT {d}, '<http://kg.ex/p/source>', source FROM sel WHERE source IS NOT NULL
+UNION ALL
+SELECT {d}, '<http://kg.ex/p/n_chars>',
+       '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>'
+FROM sel WHERE n_chars IS NOT NULL
+"""
+
+
+def q_sparql_proj_expr(sf_dir: str) -> rd.Dataset:
+    """Non-aggregate projection expression ``SELECT (expr AS ?v)`` (SPARQL
+    SelectClause expressions; lowered through Extend exactly like BIND)."""
+    from . import sparql
+
+    q = """
+    SELECT ?d (?c / 100 AS ?hundreds) WHERE {
+      ?d <http://kg.ex/p/n_chars> ?c .
+      FILTER(?c >= 400)
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_proj_expr() -> str:
+    return """
+SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       CAST(n_chars AS DOUBLE) / 100 AS hundreds
+FROM documents WHERE n_chars >= 400
+"""
+
+
 def q_sparql_agg_expr(sf_dir: str) -> rd.Dataset:
     """Aggregates over full EXPRESSIONS (reference composes ``queryExpr``
     into the aggregate, ``query_conversions.py:57-81``): the inner
@@ -1074,6 +1131,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_having": q_sparql_having,
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
+        "sparql_describe": q_sparql_describe,
+        "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
         "sparql_agg_expr": q_sparql_agg_expr,
         "sparql_group_concat": q_sparql_group_concat,
@@ -1117,6 +1176,8 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_having": _sql_sparql_having(),
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),
+        "sparql_describe": _sql_sparql_describe(),
+        "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),
         "sparql_agg_expr": _sql_sparql_agg_expr(),
         "sparql_group_concat": _sql_sparql_group_concat(),

@@ -131,6 +131,7 @@ class SelectQuery:
     ask: bool = False                               # ASK query (boolean result)
     construct: Tuple[Tuple, ...] = ()               # CONSTRUCT triple templates
     subselects: Tuple["SelectQuery", ...] = ()      # nested { SELECT ... } groups
+    describe: Tuple = ()                            # DESCRIBE resources (Var | str)
 
 
 # ---------------------------------------------------------------------------
@@ -524,6 +525,8 @@ class SparqlParser:
         variables: List[str] = []
         aggregates: List[Aggregate] = []
         construct: List[Tuple] = []
+        proj_exprs: List[Tuple[str, E]] = []
+        describe_terms: Tuple = ()
         k0, v0 = self._peek()
         if nested and not (k0 == "kw" and v0 == "SELECT"):
             raise ValueError(f"sub-query must be a SELECT, got {v0!r}")
@@ -532,6 +535,29 @@ class SparqlParser:
             # expectedFailure (``tests/test_store.py:24-28``)
             self._next()
             ask = True
+        elif k0 == "word" and str(v0).upper() == "DESCRIBE":
+            # DESCRIBE — subject-triples description (the common
+            # concise-bounded-description core): all triples whose subject
+            # is a described resource; resources come from constant IRIs
+            # and/or variables bound by the WHERE clause
+            self._next()
+            describe: List = []
+            while True:
+                dk, dv = self._peek()
+                if dk == "var":
+                    self._next()
+                    describe.append(Var(dv[1:]))
+                elif dk in ("iri", "pname"):
+                    describe.append(self._iri(self._next()))
+                else:
+                    break
+            if not describe:
+                raise ValueError("DESCRIBE needs at least one resource")
+            describe_terms = tuple(describe)
+            if self._peek()[0] is None:
+                return SelectQuery(variables=(), patterns=(), filters=(),
+                                   describe=describe_terms)
+            # fall through to the WHERE group below
         elif k0 == "word" and str(v0).upper() == "CONSTRUCT":
             # CONSTRUCT — the KG-native query form (the reference delegates
             # it to rdflib above the store): triple templates instantiated
@@ -563,7 +589,26 @@ class SparqlParser:
                     continue
                 if v == "(":
                     self._next()
-                    aggregates.append(self._parse_aggregate())
+                    nk, nv = self._peek()
+                    if (nk in ("word", "kw") and str(nv).lower() in (
+                            "count", "sum", "min", "max", "sample", "avg",
+                            "group_concat") and self._peek(1)[1] == "("):
+                        aggregates.append(self._parse_aggregate())
+                    else:
+                        # (expr AS ?alias) — non-aggregate projection
+                        # expression (SPARQL SelectClause; reference lowers
+                        # these through Extend like BIND)
+                        e = self._expr()
+                        wk, wv = self._next()
+                        if str(wv).upper() != "AS":
+                            raise ValueError(
+                                f"expected AS in projection expression, got {wv!r}")
+                        vk, vv = self._next()
+                        if vk != "var":
+                            raise ValueError("projection target must be a variable")
+                        self._expect(")")
+                        proj_exprs.append((vv[1:], e))
+                        variables.append(vv[1:])
                     continue
                 break
         if self._peek()[1] == "WHERE":
@@ -703,6 +748,11 @@ class SparqlParser:
                 break
             else:
                 raise ValueError(f"unexpected trailing token {v!r}")
+        if proj_exprs and aggregates:
+            raise NotImplementedError(
+                "projection expressions mixed with aggregates — alias the "
+                "expression with BIND or a sub-SELECT instead")
+        binds.extend(proj_exprs)  # evaluate exactly like BIND, post-group
         if union_branches and (patterns or optionals or minuses or subselects):
             raise NotImplementedError(
                 "UNION mixed with other group elements is not supported — "
@@ -728,6 +778,7 @@ class SparqlParser:
             ask=ask,
             construct=tuple(construct),
             subselects=tuple(subselects),
+            describe=describe_terms,
         )
 
 
@@ -1056,6 +1107,18 @@ def _execute_parsed(
 ) -> rd.Dataset:
     from .relational import extend, grouped_agg, group_concat, planned_join, union_pad
 
+    if q.describe and not q.patterns and not q.subselects and not q.union_branches:
+        # constants-only DESCRIBE (no WHERE): direct subject filter
+        consts = pa.array([t for t in q.describe if not isinstance(t, Var)],
+                          pa.string())
+        return distinct_on(
+            triples.select_columns(["subj", "pred", "obj"]).map_batches(
+                lambda b, _c=consts: b.filter(pc.is_in(b["subj"], value_set=_c)),
+                batch_format="pyarrow",
+            ),
+            ["subj", "pred", "obj"],
+        )
+
     def bind_pats(pats):
         if not init_bindings:
             return list(pats)
@@ -1187,6 +1250,33 @@ def _execute_parsed(
                            join_type="left_anti" if negated else "left_semi")
 
     out = _filter_batches(out, q.filters)
+
+    if q.describe:
+        # described nodes = constant IRIs ∪ distinct bindings of the
+        # DESCRIBE variables; description = semi-join of the graph on subj
+        nodes = None
+        for t in q.describe:
+            if isinstance(t, Var):
+                br = out.select_columns([t.name]).map_batches(
+                    lambda b: b.rename_columns(["subj"]).filter(
+                        pc.is_valid(b[0])),
+                    batch_format="pyarrow",
+                )
+            else:
+                br = rd.from_arrow(pa.table({"subj": pa.array([t], pa.string())}))
+            nodes = br if nodes is None else nodes.union(br)
+        nodes = distinct_on(nodes, ["subj"])
+        spo = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                         ("obj", pa.string())])
+        if nodes.schema() is None:
+            # empty solution set can leave a schema-less dataset (Ray emits
+            # no blocks); the description is the empty graph
+            return rd.from_arrow(spo.empty_table())
+        return distinct_on(
+            planned_join(triples.select_columns(["subj", "pred", "obj"]),
+                         nodes, on=["subj"], join_type="left_semi"),
+            ["subj", "pred", "obj"],
+        )
 
     if q.ask:
         # boolean result: does ANY solution exist?  limit(1) stops the

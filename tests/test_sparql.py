@@ -414,3 +414,36 @@ def test_subselect_rejects_union_mix():
             { SELECT ?x WHERE { ?x <p> ?y . } } UNION { ?x <q> ?z . }
           }
         """).parse()
+
+
+def test_projection_expression(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x (?a * 2 AS ?a2) WHERE { ?x <age> ?a . } ORDER BY ?x
+    """)
+    assert [(r["x"], r["a2"]) for r in out.take_all()] == [
+        ("<a>", 60.0), ("<b>", 50.0), ("<c>", 80.0)]
+
+
+def test_projection_expression_rejects_aggregate_mix():
+    with pytest.raises(NotImplementedError):
+        SparqlParser("""
+          SELECT (?a + 1 AS ?b) (COUNT(?x) AS ?n) WHERE { ?x <age> ?a . }
+        """).parse()
+
+
+def test_describe_constant(ray_session):
+    out = execute(_graph(), "DESCRIBE <a>")
+    rows = sorted((r["subj"], r["pred"], r["obj"]) for r in out.take_all())
+    assert [s for s, _, _ in rows] == ["<a>", "<a>", "<a>"] and len(rows) == 3
+
+
+def test_describe_variable_where(ray_session):
+    out = execute(_graph(), 'DESCRIBE ?x <c> WHERE { ?x <name> "Bob" . }')
+    subs = {r["subj"] for r in out.take_all()}
+    assert subs == {"<b>", "<c>"}
+    assert len(out.take_all()) == 5  # b: knows+age+name, c: knows+age
+
+
+def test_describe_empty_solution(ray_session):
+    out = execute(_graph(), 'DESCRIBE ?x WHERE { ?x <name> "Nobody" . }')
+    assert out.take_all() == []
