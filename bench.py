@@ -287,7 +287,9 @@ def run_scaling() -> dict:
     hi_n = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     primary = measure(lo_n, hi_n)
     out = {"metric": "scaling_efficiency", "sf": SF_DIR, **primary}
-    if os.environ.get("GRAFT_SCALING_SINGLE_PAIR") != "1":
+    if os.environ.get("GRAFT_SCALING_BOTH") == "1":
+        # opt-in second pair (2 vs 8): keeps the default --scaling run
+        # inside one driver budget; BASELINE.md records both pairs
         os.environ["GRAFT_SCALING_REPLICAS"] = os.environ.get(
             "GRAFT_SCALING_REPLICAS_2_8", "120")
         out["pair_2_8"] = measure(2, 8)

@@ -86,6 +86,8 @@ def _load_mapping(args):
 def _build_graph(args) -> rd.Dataset:
     """Load every table the mapping touches (views included) and emit the
     full triples Dataset through the vectorized rule engine."""
+    if not args.data:
+        raise SystemExit("pass --data DIR (directory of tables)")
     from .pipelines.kg import emit_graph
     from .sources.sqlview import view_dataset
     from .sources.tables import read_logical_table
@@ -153,10 +155,16 @@ def cmd_sparql(args) -> int:
         query = args.query
     else:
         raise SystemExit("pass --query STR or --query-file FILE")
-    triples = _build_graph(args)
-    # the queried graph is a SET: multiple rules may emit the same triple
-    graph = distinct_on(triples.select_columns(["subj", "pred", "obj"]),
-                        ["subj", "pred", "obj"])
+    if args.graph_nt:
+        from .sources.tables import read_ntriples
+
+        # an exported graph is already deduplicated (set semantics)
+        graph = read_ntriples(args.graph_nt)
+    else:
+        triples = _build_graph(args)
+        # the queried graph is a SET: multiple rules may emit the same triple
+        graph = distinct_on(triples.select_columns(["subj", "pred", "obj"]),
+                            ["subj", "pred", "obj"])
     out = sparql.execute(graph, query)
     if args.out:
         out.write_parquet(args.out)
@@ -168,7 +176,7 @@ def cmd_sparql(args) -> int:
 
 
 def _add_graph_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--data", required=True, help="directory of tables")
+    p.add_argument("--data", help="directory of tables")
     p.add_argument("--mapping", help="R2RML Turtle mapping file")
     p.add_argument("--direct", action="store_true",
                    help="direct mapping from parquet schemas")
@@ -198,6 +206,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     _add_graph_args(s)
     s.add_argument("--query")
     s.add_argument("--query-file")
+    s.add_argument("--graph-nt",
+                   help="query an exported N-Triples graph instead of mapping tables")
     s.add_argument("--out", help="write solutions as parquet instead of stdout CSV")
     s.add_argument("--print-limit", type=int, default=1000)
     s.set_defaults(fn=cmd_sparql)

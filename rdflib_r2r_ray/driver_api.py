@@ -732,6 +732,25 @@ FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang
 """
 
 
+def q_kg_nt_roundtrip(sf_dir: str) -> rd.Dataset:
+    """N-Triples sink → source round-trip: the documents metadata graph is
+    exported through the checkpointed N-Triples writer (sorted, deduped,
+    partitioned shards) and read back by the vectorized N-Triples reader —
+    the result must equal the directly-emitted graph (oracle =
+    ``_sql_kg_doc_meta``)."""
+    import hashlib
+    import shutil
+
+    from .sources.tables import read_ntriples
+    from .state.checkpoint import write_ntriples
+
+    triples = q_kg_doc_meta(sf_dir)
+    out_dir = "/tmp/nt_roundtrip_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_ntriples(triples, out_dir, num_partitions=8, resume=False)
+    return read_ntriples(out_dir)  # lazy: streams the shards back
+
+
 def q_sparql_subselect(sf_dir: str) -> rd.Dataset:
     """Nested ``{ SELECT ... }`` sub-query (SPARQL 1.1 SubSelect; the
     reference handles nesting via its recursive algebra conversion): the
@@ -1131,6 +1150,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_having": q_sparql_having,
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
+        "kg_nt_roundtrip": q_kg_nt_roundtrip,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -1176,6 +1196,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_having": _sql_sparql_having(),
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),
+        "kg_nt_roundtrip": _sql_kg_doc_meta(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),

@@ -58,3 +58,51 @@ def read_logical_table(
         ds = rd.read_json(path)
         return ds.select_columns(cols) if cols else ds
     raise ValueError(f"unsupported table format {fmt!r}")
+
+
+def read_ntriples(path: str) -> rd.Dataset:
+    """Read N-Triples (a file, or a directory of ``part=*/data.nt`` shards
+    from ``write_ntriples``) into the engine's (subj, pred, obj) storage
+    form — the exact inverse of ``state.checkpoint._nt_term_array``: IRIs /
+    bnodes / decorated literals pass through, plain ``"..."`` literals are
+    unescaped to the BARE storage encoding.
+
+    Parsing is one vectorized RE2 extraction + Arrow kernels per batch (no
+    per-line Python).  Scale shape: ``read_text`` shards by file/block, so
+    a partitioned export streams with the same parallelism it was written
+    with."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.nt"), recursive=True))
+        if not files:
+            raise ValueError(f"no .nt files under {path!r}")
+        ds = rd.read_text(files)
+    else:
+        ds = rd.read_text(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = batch["text"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        m = pc.extract_regex(lines, r"^(?P<s>\S+) (?P<p>\S+) (?P<o>.*) \.$")
+        mask = pc.is_valid(m)
+        m = m.filter(mask)
+        s = pc.struct_field(m, "s")
+        p = pc.struct_field(m, "p")
+        o = pc.struct_field(m, "o")
+        # plain quoted literal (no datatype/lang decoration) → bare storage
+        # form; the \x00 sentinel makes the sequential unescape single-pass
+        # (documents with NUL bytes are out of scope for the text sink)
+        plain = pc.match_substring_regex(o, r'(?s)^".*"$')
+        inner = pc.replace_substring_regex(o, r'(?s)^"(.*)"$', r"\1")
+        for a, b in (("\\\\", "\x00"), ('\\"', '"'), ("\\n", "\n"),
+                     ("\\r", "\r"), ("\\t", "\t"), ("\x00", "\\")):
+            inner = pc.replace_substring(inner, a, b)
+        o = pc.if_else(plain, inner, o)
+        return pa.table({"subj": s, "pred": p, "obj": o})
+
+    return ds.map_batches(parse, batch_format="pyarrow")

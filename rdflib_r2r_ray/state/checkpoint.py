@@ -38,7 +38,7 @@ import ray.data as rd
 
 # imported at module level: these run inside Ray workers, where the package
 # ships by value (function-scope imports would raise ModuleNotFoundError)
-from ..stages.dedup import _row_hash_bucket, local_distinct
+from ..stages.dedup import _pl, _row_hash_bucket, local_distinct
 from ..stages.emit import decode_triples
 from ..workerenv import cap_threads
 
@@ -148,8 +148,6 @@ def _write_partition(
         ts = time.time()
         # fused unique+sort in one polars pass (measured ~2× the separate
         # arrow distinct-then-sort on 500k-row partitions)
-        from ..stages.dedup import _pl
-
         pl = _pl()
         sort_cols = list(distinct_keys or keys)
         df = pl.from_arrow(tbl)

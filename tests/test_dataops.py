@@ -490,3 +490,31 @@ def test_multiformat_sources(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         infer_format("x.unknownext")
+
+
+def test_ntriples_roundtrip_escapes(ray_session, tmp_path):
+    """nt sink → nt source inverts exactly, including literal escapes and
+    decorated (typed/lang) literals."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray.sources.tables import read_ntriples
+    from rdflib_r2r_ray.state.checkpoint import write_ntriples
+
+    rows = [
+        ("<s1>", "<p>", 'line1\nline2\t"quoted" \\backslash'),
+        ("<s2>", "<p>", '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<s3>", "<p>", '"bonjour"@fr'),
+        ("<s4>", "<p>", "<http://ex/o>"),
+        ("_:b0", "<p>", "plain value"),
+    ]
+    t = pa.table({
+        "subj": [r[0] for r in rows],
+        "pred": [r[1] for r in rows],
+        "obj": [r[2] for r in rows],
+    })
+    out = str(tmp_path / "nt")
+    write_ntriples(rd.from_arrow(t), out, num_partitions=2, resume=False)
+    back = {(r["subj"], r["pred"], r["obj"])
+            for r in read_ntriples(out).take_all()}
+    assert back == set(rows)
