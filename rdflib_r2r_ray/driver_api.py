@@ -751,6 +751,24 @@ def q_kg_nt_roundtrip(sf_dir: str) -> rd.Dataset:
     return read_ntriples(out_dir)  # lazy: streams the shards back
 
 
+def q_kg_store_pattern(sf_dir: str) -> rd.Dataset:
+    """GraphStore single-pattern matching (reference ``SPARQLStore.triples``
+    iteration surface, ``r2r_store.py:59-93``): a (None, <p/lang>, None)
+    wildcard pattern filters vectorized per batch."""
+    from .store import GraphStore
+
+    st = GraphStore(_documents_triples(sf_dir))
+    return st.triples((None, "<http://kg.ex/p/lang>", None))
+
+
+def _sql_kg_store_pattern() -> str:
+    return """
+SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS subj,
+       '<http://kg.ex/p/lang>' AS pred, lang AS obj
+FROM documents WHERE lang IS NOT NULL
+"""
+
+
 def q_sparql_subselect(sf_dir: str) -> rd.Dataset:
     """Nested ``{ SELECT ... }`` sub-query (SPARQL 1.1 SubSelect; the
     reference handles nesting via its recursive algebra conversion): the
@@ -1151,6 +1169,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
+        "kg_store_pattern": q_kg_store_pattern,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -1197,6 +1216,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),
         "kg_nt_roundtrip": _sql_kg_doc_meta(),
+        "kg_store_pattern": _sql_kg_store_pattern(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),
