@@ -88,21 +88,40 @@ def read_ntriples(path: str) -> rd.Dataset:
         lines = batch["text"]
         if isinstance(lines, pa.ChunkedArray):
             lines = lines.combine_chunks()
-        m = pc.extract_regex(lines, r"^(?P<s>\S+) (?P<p>\S+) (?P<o>.*) \.$")
+        # whitespace-tolerant term separators (the N-Triples grammar allows
+        # tabs / runs of spaces); blank lines and comments are skipped;
+        # anything else unparseable raises LOUDLY — silent drops would turn
+        # malformed input into wrong query answers
+        m = pc.extract_regex(
+            lines, r"^\s*(?P<s>\S+)\s+(?P<p>\S+)\s+(?P<o>.*?)\s*\.\s*$")
         mask = pc.is_valid(m)
+        ignorable = pc.match_substring_regex(lines, r"^\s*(#|$)")
+        bad = pc.and_(pc.invert(mask), pc.invert(pc.fill_null(ignorable, True)))
+        n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+        if n_bad:
+            first = lines.filter(bad)[0].as_py()
+            raise ValueError(
+                f"{n_bad} unparseable N-Triples line(s), e.g. {first[:120]!r}")
         m = m.filter(mask)
         s = pc.struct_field(m, "s")
         p = pc.struct_field(m, "p")
         o = pc.struct_field(m, "o")
-        # plain quoted literal (no datatype/lang decoration) → bare storage
-        # form; the \x00 sentinel makes the sequential unescape single-pass
-        # (documents with NUL bytes are out of scope for the text sink)
+        # unescape (inverse of _nt_term_array): plain quoted literals lose
+        # their quotes + full unescape to the BARE storage form; decorated
+        # literals keep delimiters but unescape control chars; the \x00
+        # sentinel makes the sequential unescape single-pass (documents with
+        # NUL bytes are out of scope for the text sink)
         plain = pc.match_substring_regex(o, r'(?s)^".*"$')
+        quoted = pc.match_substring_regex(o, r'^"')
         inner = pc.replace_substring_regex(o, r'(?s)^"(.*)"$', r"\1")
         for a, b in (("\\\\", "\x00"), ('\\"', '"'), ("\\n", "\n"),
                      ("\\r", "\r"), ("\\t", "\t"), ("\x00", "\\")):
             inner = pc.replace_substring(inner, a, b)
-        o = pc.if_else(plain, inner, o)
+        dec = o
+        for a, b in (("\\\\", "\x00"), ("\\n", "\n"), ("\\r", "\r"),
+                     ("\\t", "\t"), ("\x00", "\\")):
+            dec = pc.replace_substring(dec, a, b)
+        o = pc.if_else(plain, inner, pc.if_else(quoted, dec, o))
         return pa.table({"subj": s, "pred": p, "obj": o})
 
     return ds.map_batches(parse, batch_format="pyarrow")

@@ -1107,8 +1107,16 @@ def _execute_parsed(
 ) -> rd.Dataset:
     from .relational import extend, grouped_agg, group_concat, planned_join, union_pad
 
-    if q.describe and not q.patterns and not q.subselects and not q.union_branches:
-        # constants-only DESCRIBE (no WHERE): direct subject filter
+    if q.describe and q.order_by:
+        # a DESCRIBE result is a set-semantics graph (same contract as the
+        # CONSTRUCT branch below)
+        raise NotImplementedError("ORDER BY with DESCRIBE")
+    if q.describe and not any((q.patterns, q.subselects, q.union_branches,
+                               q.values, q.binds, q.optionals, q.minuses,
+                               q.exists, q.filters)):
+        # constants-only DESCRIBE (empty WHERE): direct subject filter.
+        # Any body element falls through to the general path so variable
+        # bindings (VALUES/BIND/OPTIONAL...) are honored, never dropped.
         consts = pa.array([t for t in q.describe if not isinstance(t, Var)],
                           pa.string())
         return distinct_on(
@@ -1133,6 +1141,7 @@ def _execute_parsed(
         g = execute_bgp(aug, pats2, broadcast_threshold=broadcast_threshold)
         return _filter_batches(g, fils)
 
+    values_list = list(q.values)
     if q.union_branches:
         # { A } UNION { B }: branches execute independently, results align
         # with null padding (reference results_union semantics)
@@ -1149,6 +1158,10 @@ def _execute_parsed(
             out = exec_group(q.patterns, ())
         elif sub_outs:
             out = sub_outs.pop(0)
+        elif values_list:
+            # VALUES-only group: the inline table IS the base relation
+            vars_, rows = values_list.pop(0)
+            out = rd.from_arrow(_values_table(vars_, rows))
         else:
             out = exec_group(q.patterns, ())
         for sub in sub_outs:
@@ -1225,8 +1238,9 @@ def _execute_parsed(
             batch_format="pyarrow",
         )
 
-    # VALUES → inline table joined on its variables (reference queryValues)
-    for vars_, rows in q.values:
+    # VALUES → inline table joined on its variables (reference queryValues);
+    # a VALUES block already consumed as the base relation is skipped
+    for vars_, rows in values_list:
         vt = _values_table(vars_, rows)
         out_vars = set(out.schema().names)
         shared = [v for v in vars_ if v in out_vars]
@@ -1253,10 +1267,17 @@ def _execute_parsed(
 
     if q.describe:
         # described nodes = constant IRIs ∪ distinct bindings of the
-        # DESCRIBE variables; description = semi-join of the graph on subj
+        # DESCRIBE variables; description = semi-join of the graph on subj.
+        # LIMIT/OFFSET bound the SOLUTION sequence before node extraction
+        # (same contract as the CONSTRUCT branch below)
+        if q.limit is not None:
+            out = out.limit(q.limit + q.offset)
+        bound = set(out.schema().names or []) if out.schema() is not None else set()
         nodes = None
         for t in q.describe:
             if isinstance(t, Var):
+                if t.name not in bound:
+                    continue  # unbound DESCRIBE var contributes no nodes
                 br = out.select_columns([t.name]).map_batches(
                     lambda b: b.rename_columns(["subj"]).filter(
                         pc.is_valid(b[0])),
@@ -1265,6 +1286,10 @@ def _execute_parsed(
             else:
                 br = rd.from_arrow(pa.table({"subj": pa.array([t], pa.string())}))
             nodes = br if nodes is None else nodes.union(br)
+        if nodes is None:
+            return rd.from_arrow(pa.schema(
+                [("subj", pa.string()), ("pred", pa.string()),
+                 ("obj", pa.string())]).empty_table())
         nodes = distinct_on(nodes, ["subj"])
         spo = pa.schema([("subj", pa.string()), ("pred", pa.string()),
                          ("obj", pa.string())])

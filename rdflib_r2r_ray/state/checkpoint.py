@@ -95,9 +95,12 @@ def completed_partitions(out_dir: str) -> Dict[int, dict]:
 
 def _nt_term_array(col: pa.Array) -> pa.Array:
     """Serialize an N3-encoded term column to N-Triples term syntax:
-    ``<iri>`` / ``_:bnode`` / decorated literals pass through; BARE plain
-    literals (the engine's storage form) get escaped + quoted.  (Lexical
-    forms inside already-decorated literals are emitted as stored.)"""
+    ``<iri>`` / ``_:bnode`` pass through; BARE plain literals (the engine's
+    storage form) get fully escaped + quoted; decorated literals
+    (``"lex"^^<dt>`` / ``"lex"@lang``) keep their delimiters but get
+    control characters escaped — a raw newline in the lexical form would
+    otherwise split the triple across two physical lines (invalid
+    N-Triples, silently unreadable)."""
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
@@ -108,8 +111,11 @@ def _nt_term_array(col: pa.Array) -> pa.Array:
     for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
         esc = pc.replace_substring(esc, a, b)
     quoted = pc.binary_join_element_wise('"', esc, '"', "")
-    keep = pc.or_(pc.fill_null(is_node, False), pc.fill_null(is_decorated, False))
-    return pc.if_else(keep, col, quoted)
+    dec = col
+    for a, b in (("\\", "\\\\"), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        dec = pc.replace_substring(dec, a, b)
+    out = pc.if_else(pc.fill_null(is_decorated, False), dec, quoted)
+    return pc.if_else(pc.fill_null(is_node, False), col, out)
 
 
 def _nt_lines(tbl: pa.Table) -> bytes:

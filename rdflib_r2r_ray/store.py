@@ -17,8 +17,6 @@ access streams:
 
 from __future__ import annotations
 
-import glob
-import os
 from typing import Dict, Iterator, Optional, Tuple
 
 import pyarrow as pa
@@ -47,11 +45,12 @@ class GraphStore:
 
     @classmethod
     def from_parquet(cls, out_dir: str) -> "GraphStore":
-        """Open a ``materialize_graph`` export (already deduplicated)."""
-        files = sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
-        if not files:
-            raise ValueError(f"no part=*/data.parquet under {out_dir!r}")
-        return cls(rd.read_parquet(files))
+        """Open a ``materialize_graph`` export (already deduplicated) —
+        through the manifest-checked reader, so partitions whose writer
+        crashed mid-commit are excluded rather than read as data."""
+        from .state.checkpoint import read_checkpointed
+
+        return cls(read_checkpointed(out_dir))
 
     @classmethod
     def from_ntriples(cls, out_dir: str) -> "GraphStore":

@@ -65,7 +65,7 @@ def test_cli_construct_and_sparql(data_dir, tmp_path):
         "--num-cpus", "4",
     ], cwd=str(tmp_path))
     assert r3.returncode == 0, r3.stderr[-2000:]
-    lines = [l for l in r3.stdout.strip().splitlines() if l and "," not in l or l]
+    lines = [l for l in r3.stdout.strip().splitlines() if l]
     assert lines[-2:] == ["CCC", "BBB"]
 
 

@@ -518,3 +518,48 @@ def test_ntriples_roundtrip_escapes(ray_session, tmp_path):
     back = {(r["subj"], r["pred"], r["obj"])
             for r in read_ntriples(out).take_all()}
     assert back == set(rows)
+
+
+def test_ntriples_decorated_literal_with_newline(ray_session, tmp_path):
+    """A typed literal whose lexical form contains raw newlines/tabs must
+    survive the nt sink→source round-trip (review fix: the writer used to
+    emit it across two physical lines — invalid N-Triples, silently lost)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray.sources.tables import read_ntriples
+    from rdflib_r2r_ray.state.checkpoint import write_ntriples
+
+    rows = [
+        ("<s1>", "<p>", '"li\nne\twith \\ stuff"^^<http://ex/dt>'),
+        ("<s2>", "<p>", '"multi\nline"@en'),
+    ]
+    t = pa.table({"subj": [r[0] for r in rows], "pred": [r[1] for r in rows],
+                  "obj": [r[2] for r in rows]})
+    out = str(tmp_path / "nt")
+    write_ntriples(rd.from_arrow(t), out, num_partitions=1, resume=False)
+    data = open(str(tmp_path / "nt" / "part=00000" / "data.nt")).read()
+    assert len([l for l in data.splitlines() if l.strip()]) == 2  # one line per triple
+    back = {(r["subj"], r["pred"], r["obj"]) for r in read_ntriples(out).take_all()}
+    assert back == set(rows)
+
+
+def test_ntriples_reader_tolerates_whitespace_and_comments(ray_session, tmp_path):
+    from rdflib_r2r_ray.sources.tables import read_ntriples
+
+    p = tmp_path / "x.nt"
+    p.write_text("# comment\n\n<a>\t<p>   <b> .\n  <c> <p> \"v\" .  \n")
+    back = {(r["subj"], r["pred"], r["obj"])
+            for r in read_ntriples(str(p)).take_all()}
+    assert back == {("<a>", "<p>", "<b>"), ("<c>", "<p>", "v")}
+
+
+def test_ntriples_reader_raises_on_garbage(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from rdflib_r2r_ray.sources.tables import read_ntriples
+
+    p = tmp_path / "bad.nt"
+    p.write_text("<a> <p> <b> .\nthis is not a triple\n")
+    with _pytest.raises(Exception, match="unparseable"):
+        read_ntriples(str(p)).take_all()

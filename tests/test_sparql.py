@@ -447,3 +447,40 @@ def test_describe_variable_where(ray_session):
 def test_describe_empty_solution(ray_session):
     out = execute(_graph(), 'DESCRIBE ?x WHERE { ?x <name> "Nobody" . }')
     assert out.take_all() == []
+
+
+def test_describe_values_only_body(ray_session):
+    """DESCRIBE over a VALUES-only group: the inline table is the base
+    relation (review fix: the constants-only fast path must not swallow
+    variable bindings)."""
+    out = execute(_graph(), "DESCRIBE ?x WHERE { VALUES ?x { <a> <b> } }")
+    subs = {r["subj"] for r in out.take_all()}
+    assert subs == {"<a>", "<b>"}
+
+
+def test_describe_limit_bounds_solutions(ray_session):
+    out = execute(_graph(), "DESCRIBE ?x WHERE { ?x <age> ?a . } LIMIT 1")
+    subs = {r["subj"] for r in out.take_all()}
+    assert len(subs) == 1 and subs < {"<a>", "<b>", "<c>"}
+
+
+def test_describe_rejects_order_by():
+    with pytest.raises(NotImplementedError):
+        from rdflib_r2r_ray.sparql import execute as _e
+        import ray.data as rd
+        import pyarrow as pa
+        _e(rd.from_arrow(pa.table({"subj": ["<a>"], "pred": ["<p>"], "obj": ["<b>"]})),
+           "DESCRIBE ?x WHERE { ?x <p> ?o . } ORDER BY ?x")
+
+
+def test_describe_unbound_variable_is_empty(ray_session):
+    out = execute(_graph(), "DESCRIBE ?nowhere <a> WHERE { ?x <age> ?a . }")
+    subs = {r["subj"] for r in out.take_all()}
+    assert subs == {"<a>"}  # unbound var contributes nothing; constant kept
+
+
+def test_select_values_only_group(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x ?n WHERE { VALUES ?x { <a> <b> } ?x <age> ?n . }
+    """)
+    assert {(r["x"]) for r in out.take_all()} == {"<a>", "<b>"}
