@@ -573,6 +573,40 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <=
 """
 
 
+def q_rel_json_extract(sf_dir: str) -> rd.Dataset:
+    """Semi-structured column extraction: pull a typed field out of a JSON
+    string column vectorized (one RE2 kernel per batch — no per-row json
+    parse on the hot path), then a map-side-combined aggregate per
+    event_type.  The 100 TB shape for props/metadata columns: extract only
+    the needed field at the scan, never materialize parsed objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"].combine_chunks()
+                             if isinstance(b["props"], pa.ChunkedArray)
+                             else b["props"],
+                             r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({
+            "event_type": b["event_type"], "k": k,
+            "n_with_k": pc.cast(pc.is_valid(k), pa.int64()),
+        })
+
+    ds = ds.map_batches(extract, batch_format="pyarrow")
+    return R.grouped_agg(ds, ["event_type"], sums=["k", "n_with_k"])
+
+
+SQL_REL_JSON_EXTRACT = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k,
+       COUNT(json_extract_string(props, '$.k')) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -596,6 +630,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_sessionize": q_rel_sessionize,
         "rel_scalar_funcs": q_rel_scalar_funcs,
         "curate_corpus": q_curate_corpus,
+        "rel_json_extract": q_rel_json_extract,
     }
 
 
@@ -614,6 +649,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_topk": SQL_REL_TOPK,
         "rel_offset": SQL_REL_OFFSET,
         "rel_sample": SQL_REL_SAMPLE,
+        "rel_json_extract": SQL_REL_JSON_EXTRACT,
         "rel_count_distinct": SQL_REL_COUNT_DISTINCT,
         "rel_group_concat": SQL_REL_GROUP_CONCAT,
         "rel_values_join": SQL_REL_VALUES_JOIN,

@@ -563,3 +563,17 @@ def test_ntriples_reader_raises_on_garbage(ray_session, tmp_path):
     p.write_text("<a> <p> <b> .\nthis is not a triple\n")
     with _pytest.raises(Exception, match="unparseable"):
         read_ntriples(str(p)).take_all()
+
+
+def test_json_extract_missing_field(ray_session):
+    """Props rows without the field yield null → excluded from n_with_k."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relq import q_rel_json_extract  # noqa: F401 (shape ref)
+    import pyarrow.compute as pc
+
+    b = pa.table({"props": ['{"k": 3}', '{"other": 1}', None, '{"k": -2}']})
+    m = pc.extract_regex(b["props"].combine_chunks(), r'"k":\s*(?P<v>-?\d+)')
+    k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+    assert k.to_pylist() == [3, None, None, -2]
