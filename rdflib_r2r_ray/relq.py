@@ -601,7 +601,7 @@ def q_rel_json_extract(sf_dir: str) -> rd.Dataset:
 
 SQL_REL_JSON_EXTRACT = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k,
        COUNT(json_extract_string(props, '$.k')) AS n_with_k
 FROM events GROUP BY event_type
 """

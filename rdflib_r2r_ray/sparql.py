@@ -1084,6 +1084,70 @@ def _values_table(vars_: Sequence[str], rows: Sequence[Tuple]) -> pa.Table:
     return pa.table({v: pa.array(cols[v], pa.string()) for v in vars_})
 
 
+def explain(query: str) -> str:
+    """Compile-only plan description (reference ``getSQL``,
+    ``sql_converter.py:284-289`` — the compile-without-execute surface its
+    tests and demo app use).  Parses and reports the lowered plan shape;
+    raises exactly where ``execute`` would, so it doubles as a validator."""
+    q = SparqlParser(query).parse()
+    lines = []
+    form = ("ASK" if q.ask else "CONSTRUCT" if q.construct
+            else "DESCRIBE" if q.describe else "SELECT")
+    lines.append(f"form: {form}")
+    if q.patterns:
+        lines.append(f"bgp: {len(q.patterns)} pattern(s) -> planner joins on shared vars")
+    if q.union_branches:
+        lines.append(f"union: {len(q.union_branches)} branch(es) -> null-padded union")
+    for sq in q.subselects:
+        lines.append("subselect:")
+        lines.extend("  " + l for l in explain_parsed(sq).splitlines())
+    if q.optionals:
+        lines.append(f"optional: {len(q.optionals)} block(s) -> left-outer join")
+    if q.minuses:
+        lines.append(f"minus: {len(q.minuses)} block(s) -> anti join")
+    if q.exists:
+        lines.append(f"exists: {len(q.exists)} block(s) -> semi/anti join")
+    if q.values:
+        lines.append(f"values: {len(q.values)} inline table(s) -> broadcast join")
+    if q.binds:
+        lines.append(f"bind: {', '.join(a for a, _ in q.binds)} -> vectorized extend")
+    if q.filters:
+        lines.append(f"filter: {len(q.filters)} expression(s) -> per-batch Arrow kernels")
+    if q.aggregates:
+        fns = ", ".join(f"{a.fn}->{a.alias}" for a in q.aggregates)
+        kind = "map-side-combined grouped_agg"
+        lines.append(f"aggregate: {fns} ({kind}; group by {list(q.group_by) or 'GLOBAL'})")
+    if q.having:
+        lines.append(f"having: {len(q.having)} filter(s) over aggregate columns")
+    if q.distinct:
+        lines.append("distinct: hash exchange")
+    if q.order_by:
+        mode = "top-k" if q.limit is not None else "full sort"
+        lines.append(f"order: {list(q.order_by)} -> {mode}")
+    if q.limit is not None or q.offset:
+        parts = []
+        if q.limit is not None:
+            parts.append(f"limit={q.limit}")
+        if q.offset:
+            parts.append(f"offset={q.offset}")
+        lines.append("slice: " + " ".join(parts))
+    return "\n".join(lines)
+
+
+def explain_parsed(q: "SelectQuery") -> str:
+    return "\n".join(_explain_lines(q))
+
+
+def _explain_lines(q: SelectQuery):
+    yield f"select: {list(q.variables) or '*'}"
+    if q.patterns:
+        yield f"bgp: {len(q.patterns)} pattern(s)"
+    if q.aggregates:
+        yield f"aggregate: {[a.fn for a in q.aggregates]} group by {list(q.group_by)}"
+    if q.limit is not None:
+        yield f"limit: {q.limit}"
+
+
 def execute(
     triples: rd.Dataset,
     query: str,

@@ -484,3 +484,44 @@ def test_select_values_only_group(ray_session):
       SELECT ?x ?n WHERE { VALUES ?x { <a> <b> } ?x <age> ?n . }
     """)
     assert {(r["x"]) for r in out.take_all()} == {"<a>", "<b>"}
+
+
+def test_explain_reports_plan_shape():
+    from rdflib_r2r_ray.sparql import explain
+
+    out = explain("""
+      SELECT ?t (COUNT(?d) AS ?n) WHERE {
+        ?d <urn:p:type> ?t . ?d <urn:p:x> ?x .
+        OPTIONAL { ?d <urn:p:y> ?y }
+        BIND(?x * 2 AS ?x2)
+        VALUES ?t { "a" "b" }
+        FILTER(?x > 0)
+      } GROUP BY ?t HAVING(?n > 1) ORDER BY ?t LIMIT 5
+    """)
+    for frag in ("form: SELECT", "bgp: 2 pattern", "optional: 1",
+                 "values: 1", "bind: x2", "filter: 1",
+                 "count->n", "group by ['t']", "having: 1",
+                 "top-k", "limit=5"):
+        assert frag in out, f"{frag!r} missing from:\n{out}"
+
+
+def test_explain_subselect_and_ask():
+    from rdflib_r2r_ray.sparql import explain
+
+    out = explain("""
+      SELECT ?s WHERE {
+        { SELECT ?s WHERE { ?s <urn:p:a> ?o } LIMIT 3 }
+        ?s <urn:p:b> ?b .
+        FILTER EXISTS { ?s <urn:p:c> ?c }
+      } OFFSET 2
+    """)
+    assert "subselect:" in out and "limit: 3" in out
+    assert "exists: 1" in out and "slice: offset=2" in out
+    assert explain("ASK WHERE { ?s ?p ?o }").startswith("form: ASK")
+
+
+def test_explain_raises_like_execute():
+    from rdflib_r2r_ray.sparql import explain
+
+    with pytest.raises(ValueError):
+        explain("SELECT ?x WHERE { ?x <p> ?y } FROB")
