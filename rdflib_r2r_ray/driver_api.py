@@ -709,6 +709,31 @@ WHERE lang IS NOT NULL GROUP BY lang HAVING COUNT(*) >= 70
 """
 
 
+def q_sparql_in_having_order(sf_dir: str) -> rd.Dataset:
+    """IN-list filter (reference F1 IN, ``conversion_utils.py:382-393``),
+    HAVING over a raw aggregate call (no alias; reference
+    Filter-on-AggregateJoin, ``query_conversions.py:212-232``), and an
+    ORDER BY expression (reference Q13, ``query_conversions.py:321-332``)
+    in one query — each lowered onto the relational layer."""
+    from . import sparql
+
+    q = """
+    SELECT ?l (COUNT(?d) AS ?cnt) WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      FILTER(?l IN ("en", "de", "fr"))
+    } GROUP BY ?l HAVING(COUNT(?d) >= 10) ORDER BY DESC(?cnt * 2)
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_in_having_order() -> str:
+    return """
+SELECT lang AS l, COUNT(*) AS cnt FROM documents
+WHERE lang IN ('en', 'de', 'fr') GROUP BY lang HAVING COUNT(*) >= 10
+ORDER BY cnt * 2 DESC
+"""
+
+
 def q_sparql_avg(sf_dir: str) -> rd.Dataset:
     """AVG + numeric MIN/MAX aggregates (reference aggregate table,
     ``query_conversions.py:57-66``): AVG derives sum/count map-side; MIN/MAX
@@ -1166,6 +1191,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_exists": q_sparql_exists,
         "sparql_values": q_sparql_values,
         "sparql_having": q_sparql_having,
+        "sparql_in_having_order": q_sparql_in_having_order,
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
@@ -1213,6 +1239,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_exists": _sql_sparql_exists(),
         "sparql_values": _sql_sparql_values(),
         "sparql_having": _sql_sparql_having(),
+        "sparql_in_having_order": _sql_sparql_in_having_order(),
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),
         "kg_nt_roundtrip": _sql_kg_doc_meta(),

@@ -116,7 +116,7 @@ class SelectQuery:
     patterns: Tuple[Tuple, ...]  # triple patterns (terms: Var | str | Path)
     filters: Tuple[E, ...]
     distinct: bool = False
-    order_by: Tuple[Tuple[str, bool], ...] = ()  # (var, descending)
+    order_by: Tuple[Tuple[object, bool], ...] = ()  # (var | E expr, descending)
     limit: Optional[int] = None
     offset: int = 0
     optionals: Tuple[Group, ...] = ()
@@ -177,6 +177,9 @@ class SparqlParser:
                 self.toks.append((kind, m.group(0)))
         self.i = 0
         self.prefixes: Dict[str, str] = {}
+        # non-None only while parsing a HAVING expression: aggregate calls
+        # inside it synthesize hidden aggregates appended to this list
+        self._having_aggs: Optional[List[Aggregate]] = None
 
     def _peek(self, ahead: int = 0):
         j = self.i + ahead
@@ -296,6 +299,32 @@ class SparqlParser:
             self._next()
             right = self._add_expr()
             return E("cmp", op=_CMP_OPS[v], args=(left, right))
+        if k == "word" and str(v).upper() in ("IN", "NOT"):
+            # IN / NOT IN (reference F1 `op()` IN-list,
+            # ``conversion_utils.py:382-393``) — desugared to =/!= chains so
+            # type coercion matches the scalar comparison path exactly
+            neg = str(v).upper() == "NOT"
+            if neg:
+                k2, v2 = self._peek(1)
+                if not (k2 == "word" and str(v2).upper() == "IN"):
+                    return left
+                self._next()
+            self._next()
+            self._expect("(")
+            items: List[E] = []
+            if self._peek()[1] != ")":
+                items.append(self._expr())
+                while self._peek()[1] == ",":
+                    self._next()
+                    items.append(self._expr())
+            self._expect(")")
+            if not items:
+                # `x IN ()` is false, `x NOT IN ()` is true (SPARQL 17.4.1.9)
+                e: E = E("cmp", op="!=", args=(left, left))
+            else:
+                ors = tuple(E("cmp", op="==", args=(left, it)) for it in items)
+                e = ors[0] if len(ors) == 1 else E("or", args=ors)
+            return E("not", args=(e,)) if neg else e
         return left
 
     def _add_expr(self) -> E:
@@ -384,6 +413,15 @@ class SparqlParser:
                 b = self._expr()
                 self._expect(")")
                 return E("if", args=(c, a, b))
+            if (u in ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+                      "GROUP_CONCAT")
+                    and self._having_aggs is not None
+                    and self._peek(1)[1] == "("):
+                # raw aggregate call inside HAVING (reference
+                # Filter-on-AggregateJoin compiles the filter expr over the
+                # aggregate outputs, ``query_conversions.py:212-232``):
+                # synthesize a hidden aggregate and reference its alias
+                return self._parse_agg_call()
             self._next()
             raise ValueError(f"unsupported function {v!r} in expression")
         if k in ("iri", "pname"):
@@ -503,6 +541,31 @@ class SparqlParser:
         _, alias_v = self._next()
         self._expect(")")
         return Aggregate(fn=fn, var=agg_var, alias=alias_v[1:], sep=sep, expr=expr)
+
+    def _parse_agg_call(self) -> E:
+        """FN(expr) with no AS — only legal inside HAVING; synthesizes a
+        hidden ``__h<i>`` aggregate (dropped from the final projection)."""
+        _, fv = self._next()
+        fn = str(fv).lower()
+        self._expect("(")
+        sep = ","
+        expr: Optional[E] = None
+        agg_var: Optional[str] = None
+        if self._peek()[1] == "*":
+            self._next()
+        else:
+            e = self._expr()
+            if e.kind == "var":
+                agg_var = e.val
+            else:
+                if fn in ("group_concat", "sample"):
+                    raise NotImplementedError(f"{fn} over an expression")
+                expr = e
+        self._expect(")")
+        alias = f"__h{len(self._having_aggs)}"
+        self._having_aggs.append(
+            Aggregate(fn=fn, var=agg_var, alias=alias, sep=sep, expr=expr))
+        return E("var", val=alias)
 
     def parse(self) -> SelectQuery:
         while self._peek()[1] == "PREFIX":
@@ -718,7 +781,11 @@ class SparqlParser:
             if k == "word" and v.upper() == "HAVING":
                 self._next()
                 self._expect("(")
-                having.append(self._expr())
+                self._having_aggs = aggregates
+                try:
+                    having.append(self._expr())
+                finally:
+                    self._having_aggs = None
                 self._expect(")")
                 continue
             if v == "ORDER":
@@ -727,15 +794,25 @@ class SparqlParser:
                 while True:
                     k2, v2 = self._peek()
                     if v2 in ("ASC", "DESC"):
+                        # ASC/DESC(expr) — full OrderCondition expressions
+                        # (reference Q13 `ORDER BY expr [DESC]`,
+                        # ``query_conversions.py:321-332``); a bare variable
+                        # stays a named sort key, anything else becomes a
+                        # hidden computed column at execution
                         self._next()
                         desc = v2 == "DESC"
                         self._expect("(")
-                        _, vv = self._next()
+                        e = self._expr()
                         self._expect(")")
-                        order.append((vv[1:], desc))
+                        order.append((e.val if e.kind == "var" else e, desc))
                     elif k2 == "var":
                         self._next()
                         order.append((v2[1:], False))
+                    elif v2 == "(":
+                        self._next()
+                        e = self._expr()
+                        self._expect(")")
+                        order.append((e.val if e.kind == "var" else e, False))
                     else:
                         break
             elif v == "LIMIT":
@@ -1417,18 +1494,27 @@ def _execute_parsed(
         # (ADVICE.md round-2: N3 lexical sort misorders numeric literals)
         sort_keys: List[str] = []
         desc = [d for _, d in q.order_by]
-        helpers: Dict[str, str] = {}
+        helpers: Dict[str, object] = {}   # hidden column -> batch builder
         for i, (v, _) in enumerate(q.order_by):
-            if _probe_numeric(out, v):
+            if isinstance(v, E):
+                # ORDER BY expression → hidden computed column (numeric when
+                # the expression's static kind is numeric, else raw term)
                 h = f"__ord{i}"
-                helpers[h] = v
+                if _static_kind(v) == "num":
+                    helpers[h] = (lambda b, _e=v: _full_array(
+                        _to_num(*_eval(_e, b)), pa.float64(), len(b)))
+                else:
+                    helpers[h] = (lambda b, _e=v: _full_array(
+                        _to_raw(*_eval(_e, b)), pa.string(), len(b)))
+                sort_keys.append(h)
+            elif _probe_numeric(out, v):
+                h = f"__ord{i}"
+                helpers[h] = (lambda b, _v=v: _numeric_col(b, _v))
                 sort_keys.append(h)
             else:
                 sort_keys.append(v)
         if helpers:
-            out = extend(out, **{
-                h: (lambda b, _v=v: _numeric_col(b, _v)) for h, v in helpers.items()
-            })
+            out = extend(out, **helpers)
         if q.limit is not None:
             if q.offset:
                 out = topk_offset(out, sort_keys, q.limit, q.offset, descending=desc)
@@ -1568,7 +1654,8 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
         agg_out = _filter_batches(agg_out, [h])
 
     group_keys = [] if global_agg else list(q.group_by)
+    visible = [a for a in aliases if not a.startswith("__h")]
     proj = list(dict.fromkeys(
-        (list(q.variables) if q.variables else group_keys) + aliases
+        (list(q.variables) if q.variables else group_keys) + visible
     ))
     return agg_out.select_columns(proj)

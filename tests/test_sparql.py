@@ -525,3 +525,49 @@ def test_explain_raises_like_execute():
 
     with pytest.raises(ValueError):
         explain("SELECT ?x WHERE { ?x <p> ?y } FROB")
+
+
+def test_filter_in_and_not_in(ray_session):
+    g = _graph()
+    out = execute(g, """
+      SELECT ?s WHERE { ?s <age> ?a . FILTER(?a IN (25, 40)) } ORDER BY ?s
+    """).to_pandas()
+    assert list(out["s"]) == ["<b>", "<c>"]
+    out = execute(g, """
+      SELECT ?s WHERE { ?s <age> ?a . FILTER(?a NOT IN (25, 40)) }
+    """).to_pandas()
+    assert list(out["s"]) == ["<a>"]
+    # IN over term constants
+    out = execute(g, """
+      SELECT ?n WHERE { ?s <name> ?n . FILTER(?s IN (<a>)) }
+    """).to_pandas()
+    assert list(out["n"]) == ["Alice"]
+
+
+def test_order_by_expression(ray_session):
+    g = _graph()
+    out = execute(g, """
+      SELECT ?s ?a WHERE { ?s <age> ?a } ORDER BY DESC(?a * 2 - 1)
+    """).to_pandas()
+    assert list(out["s"]) == ["<c>", "<a>", "<b>"]
+    assert list(out.columns) == ["s", "a"]  # hidden sort column dropped
+
+
+def test_having_raw_aggregate(ray_session):
+    import ray.data as rd
+
+    g = rd.from_arrow(pa.table({
+        "subj": ["<d1>", "<d2>", "<d3>", "<d4>"],
+        "pred": ["<lang>"] * 4,
+        "obj": ["en", "en", "fr", "en"],
+    }))
+    out = execute(g, """
+      SELECT ?l WHERE { ?d <lang> ?l } GROUP BY ?l HAVING(COUNT(?d) >= 2)
+    """).to_pandas()
+    assert list(out.columns) == ["l"] and list(out["l"]) == ["en"]
+    out = execute(g, """
+      SELECT ?l (COUNT(*) AS ?n) WHERE { ?d <lang> ?l }
+      GROUP BY ?l HAVING(COUNT(?d) >= 1 && MIN(?l) != "zz")
+      ORDER BY DESC(?n)
+    """).to_pandas()
+    assert list(out["l"]) == ["en", "fr"] and list(out["n"]) == [3, 1]
