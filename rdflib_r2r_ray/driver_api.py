@@ -734,6 +734,60 @@ ORDER BY cnt * 2 DESC
 """
 
 
+def q_sparql_builtins(sf_dir: str) -> rd.Dataset:
+    """SPARQL builtin function library (STR/STRAFTER/UCASE/STRLEN/CONTAINS/
+    STRSTARTS/SUBSTR) — BEYOND the reference, whose only scalar-function
+    hook is the sqlfunc UDF pass-through (``query_conversions.py:115-120``);
+    every builtin is one vectorized Arrow kernel per batch."""
+    from . import sparql
+
+    q = """
+    SELECT ?id ?u (STRLEN(?s) AS ?len) (SUBSTR(?s, 1, 3) AS ?pre) WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      ?d <http://kg.ex/p/source> ?s .
+      BIND(STRAFTER(STR(?d), "doc/") AS ?id)
+      BIND(UCASE(?l) AS ?u)
+      FILTER(CONTAINS(?s, "1") && !STRSTARTS(?s, "src0"))
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_builtins() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS id, UPPER(lang) AS u,
+       CAST(LENGTH(source) AS DOUBLE) AS len, SUBSTR(source, 1, 3) AS pre
+FROM documents
+WHERE lang IS NOT NULL AND source IS NOT NULL
+  AND source LIKE '%1%' AND source NOT LIKE 'src0%'
+"""
+
+
+def q_sparql_count_distinct(sf_dir: str) -> rd.Dataset:
+    """DISTINCT inside aggregates (reference Q10,
+    ``query_conversions.py:57-81``): the (keys, value) stream dedups through
+    the hash exchange before the map-side-combined aggregate."""
+    from . import sparql
+
+    q = """
+    SELECT ?l (COUNT(DISTINCT ?s) AS ?nsrc) (AVG(DISTINCT ?c) AS ?ac) WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      ?d <http://kg.ex/p/source> ?s .
+      ?d <http://kg.ex/p/n_chars> ?c .
+    } GROUP BY ?l
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_count_distinct() -> str:
+    return """
+SELECT lang AS l, COUNT(DISTINCT source) AS nsrc, AVG(DISTINCT n_chars) AS ac
+FROM documents
+WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+GROUP BY lang
+"""
+
+
 def q_sparql_avg(sf_dir: str) -> rd.Dataset:
     """AVG + numeric MIN/MAX aggregates (reference aggregate table,
     ``query_conversions.py:57-66``): AVG derives sum/count map-side; MIN/MAX
@@ -1192,6 +1246,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_values": q_sparql_values,
         "sparql_having": q_sparql_having,
         "sparql_in_having_order": q_sparql_in_having_order,
+        "sparql_builtins": q_sparql_builtins,
+        "sparql_count_distinct": q_sparql_count_distinct,
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
@@ -1240,6 +1296,8 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_values": _sql_sparql_values(),
         "sparql_having": _sql_sparql_having(),
         "sparql_in_having_order": _sql_sparql_in_having_order(),
+        "sparql_builtins": _sql_sparql_builtins(),
+        "sparql_count_distinct": _sql_sparql_count_distinct(),
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),
         "kg_nt_roundtrip": _sql_kg_doc_meta(),

@@ -100,6 +100,7 @@ class Aggregate:
     alias: str
     sep: str = ","      # group_concat separator
     expr: Optional["E"] = None  # aggregate over a full expression (SUM(?a*2))
+    distinct: bool = False      # DISTINCT inside the aggregate (reference Q10)
 
 
 @dataclass(frozen=True)
@@ -413,6 +414,24 @@ class SparqlParser:
                 b = self._expr()
                 self._expect(")")
                 return E("if", args=(c, a, b))
+            if u in _BUILTIN_FNS and self._peek(1)[1] == "(":
+                # SPARQL builtin function library (BEYOND the reference,
+                # which only reaches scalar functions via the sqlfunc UDF
+                # pass-through, ``query_conversions.py:115-120``) — each
+                # lowered to one vectorized Arrow kernel per batch
+                self._next()
+                self._expect("(")
+                args: List[E] = []
+                if self._peek()[1] != ")":
+                    args.append(self._expr())
+                    while self._peek()[1] == ",":
+                        self._next()
+                        args.append(self._expr())
+                self._expect(")")
+                lo, hi = _BUILTIN_FNS[u]
+                if not (lo <= len(args) <= hi):
+                    raise ValueError(f"{u} takes {lo}..{hi} arguments")
+                return E("sfunc", op=u, args=tuple(args))
             if (u in ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
                       "GROUP_CONCAT")
                     and self._having_aggs is not None
@@ -507,6 +526,10 @@ class SparqlParser:
         if fn not in ("count", "sum", "min", "max", "sample", "avg", "group_concat"):
             raise NotImplementedError(f"aggregate {fv!r} not supported")
         self._expect("(")
+        distinct = False
+        if self._peek() == ("kw", "DISTINCT"):
+            self._next()
+            distinct = True
         sep = ","
         expr: Optional[E] = None
         if self._peek()[1] == "*":
@@ -540,7 +563,8 @@ class SparqlParser:
             raise ValueError(f"expected AS in aggregate projection, got {wv!r}")
         _, alias_v = self._next()
         self._expect(")")
-        return Aggregate(fn=fn, var=agg_var, alias=alias_v[1:], sep=sep, expr=expr)
+        return Aggregate(fn=fn, var=agg_var, alias=alias_v[1:], sep=sep, expr=expr,
+                         distinct=distinct)
 
     def _parse_agg_call(self) -> E:
         """FN(expr) with no AS — only legal inside HAVING; synthesizes a
@@ -548,6 +572,10 @@ class SparqlParser:
         _, fv = self._next()
         fn = str(fv).lower()
         self._expect("(")
+        distinct = False
+        if self._peek() == ("kw", "DISTINCT"):
+            self._next()
+            distinct = True
         sep = ","
         expr: Optional[E] = None
         agg_var: Optional[str] = None
@@ -564,7 +592,8 @@ class SparqlParser:
         self._expect(")")
         alias = f"__h{len(self._having_aggs)}"
         self._having_aggs.append(
-            Aggregate(fn=fn, var=agg_var, alias=alias, sep=sep, expr=expr))
+            Aggregate(fn=fn, var=agg_var, alias=alias, sep=sep, expr=expr,
+                      distinct=distinct))
         return E("var", val=alias)
 
     def parse(self) -> SelectQuery:
@@ -866,6 +895,21 @@ class SparqlParser:
 _LEX_RE = r'^"(?P<lex>[^"]*)"'
 _NUM_RE = r"^-?\d+(\.\d+)?$"
 
+# builtin name -> (min_args, max_args); parsed into E("sfunc", op=NAME)
+_BUILTIN_FNS: Dict[str, Tuple[int, int]] = {
+    "STR": (1, 1), "STRLEN": (1, 1), "UCASE": (1, 1), "LCASE": (1, 1),
+    "SUBSTR": (2, 3), "STRSTARTS": (2, 2), "STRENDS": (2, 2),
+    "CONTAINS": (2, 2), "STRBEFORE": (2, 2), "STRAFTER": (2, 2),
+    "CONCAT": (1, 64), "REPLACE": (3, 4),
+    "ABS": (1, 1), "CEIL": (1, 1), "FLOOR": (1, 1), "ROUND": (1, 1),
+    "COALESCE": (1, 64), "LANG": (1, 1), "DATATYPE": (1, 1),
+    "ISIRI": (1, 1), "ISURI": (1, 1), "ISLITERAL": (1, 1),
+    "ISBLANK": (1, 1), "ISNUMERIC": (1, 1), "SAMETERM": (2, 2),
+}
+_SFUNC_NUM = {"STRLEN", "ABS", "CEIL", "FLOOR", "ROUND"}
+_SFUNC_BOOL = {"STRSTARTS", "STRENDS", "CONTAINS", "ISIRI", "ISURI",
+               "ISLITERAL", "ISBLANK", "ISNUMERIC", "SAMETERM"}
+
 
 def _col(batch: pa.Table, name: str) -> pa.Array:
     c = batch[name]
@@ -971,6 +1015,8 @@ def _eval(e: E, batch: pa.Table):
         if dt == "boolean":
             return _to_bool(av, ak), "bool"
         raise NotImplementedError(f"cast to xsd:{dt} not supported")
+    if e.kind == "sfunc":
+        return _eval_sfunc(e, batch)
     if e.kind == "call":
         from .functions import registry
 
@@ -983,6 +1029,147 @@ def _eval(e: E, batch: pa.Table):
             return out, "bool"
         return out, "num"
     raise ValueError(e.kind)
+
+
+_RDF_LANGSTRING = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"
+_XSD_STRING = "<http://www.w3.org/2001/XMLSchema#string>"
+
+
+def _eval_sfunc(e: E, batch: pa.Table):
+    """SPARQL builtin library — one vectorized Arrow kernel per call.
+    BEYOND the reference (which reaches scalar functions only through the
+    sqlfunc UDF pass-through, ``query_conversions.py:115-120``)."""
+    n = len(batch)
+    op = e.op
+
+    def lex(i):
+        return _full_array(_to_lex(*_eval(e.args[i], batch), n), pa.string(), n)
+
+    def raw(i):
+        v, k = _eval(e.args[i], batch)
+        if k == "num":
+            return _full_array(_to_num(v, k), pa.float64(), n)
+        if k == "bool":
+            return _full_array(v, pa.bool_(), n)
+        return _full_array(_to_raw(v, k), pa.string(), n)
+
+    def cstr(i):
+        a = e.args[i]
+        if a.kind != "str":
+            raise NotImplementedError(
+                f"{op} argument {i + 1} must be a string literal")
+        return a.val
+
+    def cnum(i):
+        a = e.args[i]
+        if a.kind == "num":
+            return a.val
+        if a.kind == "neg" and a.args[0].kind == "num":
+            return -a.args[0].val
+        raise NotImplementedError(
+            f"{op} argument {i + 1} must be a numeric literal")
+
+    if op == "STR":
+        x = raw(0)
+        if not pa.types.is_string(x.type):
+            return pc.cast(x, pa.string()), "str"
+        stripped = _lex_array(x)
+        return pc.replace_substring_regex(stripped, r"^<(.*)>$", r"\1"), "str"
+    if op == "STRLEN":
+        return pc.utf8_length(lex(0)), "num"
+    if op == "UCASE":
+        return pc.utf8_upper(lex(0)), "str"
+    if op == "LCASE":
+        return pc.utf8_lower(lex(0)), "str"
+    if op == "SUBSTR":
+        start = int(cnum(1))
+        stop = start - 1 + int(cnum(2)) if len(e.args) == 3 else None
+        return pc.utf8_slice_codeunits(lex(0), start - 1, stop), "str"
+    if op in ("STRSTARTS", "STRENDS", "CONTAINS"):
+        pat = cstr(1)
+        fn = {"STRSTARTS": pc.starts_with, "STRENDS": pc.ends_with,
+              "CONTAINS": pc.match_substring}[op]
+        return pc.fill_null(fn(lex(0), pat), False), "bool"
+    if op == "STRBEFORE":
+        m = pc.extract_regex(lex(0), r"^(?P<m>.*?)" + re.escape(cstr(1)))
+        return pc.if_else(pc.is_valid(m), pc.struct_field(m, "m"), ""), "str"
+    if op == "STRAFTER":
+        m = pc.extract_regex(lex(0), r"^.*?" + re.escape(cstr(1)) + r"(?P<m>.*)$")
+        return pc.if_else(pc.is_valid(m), pc.struct_field(m, "m"), ""), "str"
+    if op == "CONCAT":
+        return pc.binary_join_element_wise(
+            *[lex(i) for i in range(len(e.args))], ""), "str"
+    if op == "REPLACE":
+        pat, rep = cstr(1), cstr(2)
+        if len(e.args) == 4 and "i" in cstr(3):
+            pat = "(?i)" + pat
+        rep = re.sub(r"\$(\d)", r"\\\1", rep)  # SPARQL $1 → RE2 \1
+        return pc.replace_substring_regex(lex(0), pattern=pat, replacement=rep), "str"
+    if op in ("ABS", "CEIL", "FLOOR"):
+        fn = {"ABS": pc.abs, "CEIL": pc.ceil, "FLOOR": pc.floor}[op]
+        return fn(_to_num(*_eval(e.args[0], batch))), "num"
+    if op == "ROUND":
+        # SPARQL fn:round ties go toward +inf (half_up)
+        return pc.round(_to_num(*_eval(e.args[0], batch)),
+                        round_mode="half_up"), "num"
+    if op == "COALESCE":
+        vals = [_eval(a, batch) for a in e.args]
+        if any(k == "num" for _, k in vals):
+            arrs = [_full_array(_to_num(v, k), pa.float64(), n) for v, k in vals]
+            return pc.coalesce(*arrs), "num"
+        arrs = [_full_array(_to_raw(v, k), pa.string(), n) for v, k in vals]
+        kind = "str" if all(k == "str" for _, k in vals) else "term"
+        return pc.coalesce(*arrs), kind
+    if op == "LANG":
+        x = raw(0)
+        if not pa.types.is_string(x.type):
+            return pa.array([""] * n, pa.string()), "str"
+        m = pc.extract_regex(x, r'@(?P<l>[A-Za-z0-9-]+)$')
+        return pc.if_else(pc.is_valid(m), pc.struct_field(m, "l"), ""), "str"
+    if op == "DATATYPE":
+        x = raw(0)
+        if not pa.types.is_string(x.type):
+            return pa.array(
+                ["<http://www.w3.org/2001/XMLSchema#double>"] * n, pa.string()
+            ), "term"
+        dtm = pc.extract_regex(x, r"\^\^<(?P<d>[^>]*)>$")
+        dt_iri = pc.binary_join_element_wise(
+            "<", pc.struct_field(dtm, "d"), ">", "")
+        has_lang = pc.fill_null(
+            pc.match_substring_regex(x, r'@[A-Za-z0-9-]+$'), False)
+        is_iri = pc.fill_null(pc.match_substring_regex(x, r"^<"), False)
+        out = pc.if_else(
+            pc.is_valid(dtm), dt_iri,
+            pc.if_else(has_lang, _RDF_LANGSTRING,
+                       pc.if_else(is_iri, pa.scalar(None, pa.string()),
+                                  _XSD_STRING)))
+        return out, "term"
+    if op in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL"):
+        x = raw(0)
+        if not pa.types.is_string(x.type):
+            val = op == "ISLITERAL"
+            return pa.array([val] * n, pa.bool_()), "bool"
+        iri = pc.fill_null(pc.match_substring_regex(x, r"^<"), False)
+        blank = pc.fill_null(pc.match_substring_regex(x, r"^_:"), False)
+        if op in ("ISIRI", "ISURI"):
+            return iri, "bool"
+        if op == "ISBLANK":
+            return blank, "bool"
+        return pc.and_(pc.and_(pc.invert(iri), pc.invert(blank)),
+                       pc.is_valid(x)), "bool"
+    if op == "ISNUMERIC":
+        v, k = _eval(e.args[0], batch)
+        if k == "num":
+            return pc.is_valid(_full_array(v, pa.float64(), n)), "bool"
+        return pc.is_valid(_decode_numeric(raw(0))), "bool"
+    if op == "SAMETERM":
+        (v0, k0), (v1, k1) = _eval(e.args[0], batch), _eval(e.args[1], batch)
+        if "num" in (k0, k1):
+            eq = pc.equal(_to_num(v0, k0), _to_num(v1, k1))
+        else:
+            eq = pc.equal(_to_raw(v0, k0), _to_raw(v1, k1))
+        return pc.fill_null(eq, False), "bool"
+    raise NotImplementedError(op)
 
 
 def _bcast(v, typ, n):
@@ -1067,6 +1254,16 @@ def _static_kind(e: E) -> str:
         return "num" if e.val in _NUMERIC_XSD else "str"
     if e.kind in ("cmp", "and", "or", "not", "bound", "regex"):
         return "bool"
+    if e.kind == "sfunc":
+        if e.op in _SFUNC_NUM:
+            return "num"
+        if e.op in _SFUNC_BOOL:
+            return "bool"
+        if e.op == "COALESCE":
+            return _static_kind(e.args[0])
+        if e.op == "DATATYPE":
+            return "term"
+        return "str"
     if e.kind in ("str", "if", "call"):
         return "str"
     return "term"
@@ -1568,9 +1765,20 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
     maxs: List[str] = []
     post_avg: List[Tuple[str, str, str]] = []  # (alias, sum_col, cnt_col)
     gcs: List[Aggregate] = []
+    dags: List[Aggregate] = []   # DISTINCT-inside aggregates (reference Q10)
     aliases: List[str] = []
     for a in q.aggregates:
         aliases.append(a.alias)
+        if a.distinct and a.fn in ("count", "sum", "avg", "group_concat"):
+            # COUNT/SUM/AVG/GROUP_CONCAT(DISTINCT ?v): dedup (keys, v)
+            # through the hash exchange first, then aggregate the deduped
+            # stream.  MIN/MAX/SAMPLE(DISTINCT) ≡ the plain aggregate and
+            # fall through.
+            if a.var is None:
+                raise NotImplementedError(
+                    f"{a.fn}(DISTINCT ...) needs a plain variable")
+            dags.append(a)
+            continue
         if a.fn == "count":
             if a.expr is not None:
                 prep[a.alias] = ("evalid", a.expr)
@@ -1646,6 +1854,37 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
     for a in gcs:
         parts.append(group_concat(out.select_columns(keys + [a.var]), keys,
                                   a.var, a.alias, sep=a.sep))
+    for a in dags:
+        sub = distinct_on(out.select_columns(keys + [a.var]), keys + [a.var])
+        if a.fn == "group_concat":
+            parts.append(group_concat(sub, keys, a.var, a.alias, sep=a.sep))
+            continue
+        if a.fn == "count":
+            dprep = {a.alias: (lambda b, _v=a.var: pc.cast(
+                pc.is_valid(_col(b, _v)), pa.int64()))}
+            dsums, davg = [a.alias], None
+        elif a.fn == "sum":
+            dprep = {a.alias: (lambda b, _v=a.var: _numeric_col(b, _v))}
+            dsums, davg = [a.alias], None
+        else:  # avg
+            s_col, c_col = a.alias + "__s", a.alias + "__c"
+            dprep = {
+                s_col: (lambda b, _v=a.var: _numeric_col(b, _v)),
+                c_col: (lambda b, _v=a.var: pc.cast(
+                    pc.is_valid(_col(b, _v)), pa.int64())),
+            }
+            dsums, davg = [s_col, c_col], (a.alias, s_col, c_col)
+        dagg = grouped_agg(
+            extend(sub, **dprep).select_columns(keys + list(dprep)),
+            keys, sums=dsums,
+        )
+        if davg:
+            alias, s_col, c_col = davg
+            dagg = extend(dagg, **{alias: (lambda b, _s=s_col, _c=c_col:
+                pc.divide(pc.cast(b[_s], pa.float64()),
+                          pc.cast(b[_c], pa.float64())))})
+            dagg = dagg.select_columns(keys + [alias])
+        parts.append(dagg)
     agg_out = parts[0]
     for other in parts[1:]:
         agg_out = planned_join(agg_out, other, on=keys)

@@ -571,3 +571,105 @@ def test_having_raw_aggregate(ray_session):
       ORDER BY DESC(?n)
     """).to_pandas()
     assert list(out["l"]) == ["en", "fr"] and list(out["n"]) == [3, 1]
+
+
+def test_builtin_string_functions(ray_session):
+    g = _graph()
+    out = execute(g, """
+      SELECT ?n (STRLEN(?n) AS ?l) (UCASE(?n) AS ?u) (LCASE(?n) AS ?d)
+      WHERE { ?s <name> ?n } ORDER BY ?n
+    """).to_pandas()
+    assert list(out["l"]) == [5.0, 3.0]
+    assert list(out["u"]) == ["ALICE", "BOB"]
+    assert list(out["d"]) == ["alice", "bob"]
+    out = execute(g, """
+      SELECT ?n WHERE { ?s <name> ?n .
+        FILTER(CONTAINS(?n, "li") || STRSTARTS(?n, "B")) } ORDER BY ?n
+    """).to_pandas()
+    assert list(out["n"]) == ["Alice", "Bob"]
+    out = execute(g, """
+      SELECT (SUBSTR("abcdef", 2, 3) AS ?a) (CONCAT("x", "-", "y") AS ?b)
+             (REPLACE("banana", "an", "$0$0") AS ?c)
+             (STRBEFORE("a-b", "-") AS ?d) (STRAFTER("a-b", "-") AS ?e)
+      WHERE { ?s <name> ?n } LIMIT 1
+    """).to_pandas()
+    assert out.iloc[0].tolist() == ["bcd", "x-y", "banananana", "a", "b"]
+
+
+def test_builtin_str_lang_datatype_tests(ray_session):
+    import ray.data as rd
+
+    g = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>"],
+        "pred": ["<p>"] * 3,
+        "obj": ['"hi"@en', f'"7"^^<{XSD_INT}>', "<http://x.org/i>"],
+    }))
+    out = execute(g, """
+      SELECT ?o (STR(?o) AS ?s) (LANG(?o) AS ?lg) WHERE { ?x <p> ?o } ORDER BY ?o
+    """).to_pandas().set_index("o")
+    assert out.loc['"hi"@en', "s"] == "hi" and out.loc['"hi"@en', "lg"] == "en"
+    assert out.loc["<http://x.org/i>", "s"] == "http://x.org/i"
+    assert out.loc["<http://x.org/i>", "lg"] == ""
+    dts = execute(g, """
+      SELECT ?o (DATATYPE(?o) AS ?dt) WHERE { ?x <p> ?o } ORDER BY ?o
+    """).to_pandas().set_index("o")["dt"]
+    assert dts[f'"7"^^<{XSD_INT}>'] == f"<{XSD_INT}>"
+    assert dts['"hi"@en'].endswith("langString>")
+    flt = execute(g, """
+      SELECT ?o WHERE { ?x <p> ?o . FILTER(ISIRI(?o)) }
+    """).to_pandas()
+    assert list(flt["o"]) == ["<http://x.org/i>"]
+    num = execute(g, """
+      SELECT ?o WHERE { ?x <p> ?o . FILTER(ISNUMERIC(?o)) }
+    """).to_pandas()
+    assert list(num["o"]) == [f'"7"^^<{XSD_INT}>']
+
+
+def test_builtin_numeric_and_coalesce(ray_session):
+    g = _graph()
+    out = execute(g, """
+      SELECT ?s WHERE { ?s <age> ?a . FILTER(CEIL(?a / 7) = 4) }
+    """).to_pandas()
+    assert list(out["s"]) == ["<b>"]
+    out = execute(g, """
+      SELECT (ABS(-3) AS ?a) (FLOOR(2.7) AS ?f) (ROUND(2.5) AS ?r)
+      WHERE { ?s <name> ?n } LIMIT 1
+    """).to_pandas()
+    assert out.iloc[0].tolist() == [3.0, 2.0, 3.0]
+    out = execute(g, """
+      SELECT ?x (COALESCE(?n, "none") AS ?nm)
+      WHERE { ?x <age> ?a . OPTIONAL { ?x <name> ?n } } ORDER BY ?x
+    """).to_pandas()
+    assert list(out["nm"]) == ["Alice", "Bob", "none"]
+
+
+def test_distinct_aggregates(ray_session):
+    import ray.data as rd
+
+    g = rd.from_arrow(pa.table({
+        "subj": ["<d1>", "<d2>", "<d3>", "<d4>", "<d5>"],
+        "pred": ["<src>"] * 5,
+        "obj": ["s1", "s1", "s2", "s2", "s3"],
+    }))
+    out = execute(g, """
+      SELECT (COUNT(DISTINCT ?o) AS ?n) (COUNT(?o) AS ?all)
+      WHERE { ?d <src> ?o }
+    """).to_pandas()
+    assert out.iloc[0].tolist() == [3, 5]
+    g2 = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<a>", "<a>", "<b>"],
+        "pred": ["<v>"] * 4,
+        "obj": [f'"10"^^<{XSD_INT}>', f'"10"^^<{XSD_INT}>',
+                f'"20"^^<{XSD_INT}>', f'"5"^^<{XSD_INT}>'],
+    }))
+    out = execute(g2, """
+      SELECT ?s (SUM(DISTINCT ?v) AS ?sd) (AVG(DISTINCT ?v) AS ?ad)
+      WHERE { ?s <v> ?v } GROUP BY ?s ORDER BY ?s
+    """).to_pandas()
+    assert list(out["sd"]) == [30.0, 5.0]
+    assert list(out["ad"]) == [15.0, 5.0]
+    out = execute(g, """
+      SELECT (GROUP_CONCAT(DISTINCT ?o ; SEPARATOR="|") AS ?c)
+      WHERE { ?d <src> ?o }
+    """).to_pandas()
+    assert sorted(out.iloc[0, 0].split("|")) == ["s1", "s2", "s3"]
