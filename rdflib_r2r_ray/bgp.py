@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .paths import BNodeVar, Path, Var, resolve_paths
+from .paths import BNodeVar, NegSet, Path, Var, resolve_paths
 from .relational import _drop_empty_blocks, broadcast_join, hash_join, union_pad
 # module-level, not function-level: the package ships by value to Ray
 # workers, where function-scope relative imports fail (see rayser.py)
@@ -58,6 +58,10 @@ def match_pattern(triples: rd.Dataset, pattern: Tuple) -> Tuple[rd.Dataset, List
                 exprs.append(f"({var_cols[name]} == {pos})")
             else:
                 var_cols[name] = pos
+        elif isinstance(term, NegSet):
+            # negated property set: keep rows whose predicate is outside it
+            for iri in term.iris:
+                exprs.append(f"({pos} != {iri!r})")
         else:
             exprs.append(f"({pos} == {term!r})")
     ds = triples
@@ -128,11 +132,12 @@ def transitive_closure(
     from .stages.dedup import distinct_on
     from .relational import planned_join
 
-    edges = triples.filter(expr=f"pred == '{pred}'")
-    edges = edges.map_batches(
-        lambda b: b.select(["subj", "obj"]).rename_columns([subj_var, obj_var]),
-        batch_format="pyarrow",
-    )
+    edges = path_edges(triples, pred)
+    if (subj_var, obj_var) != ("s", "o"):
+        edges = edges.map_batches(
+            lambda b: b.rename_columns([subj_var, obj_var]),
+            batch_format="pyarrow",
+        )
     # filter lineages carry schema-less empty blocks that crash Ray's
     # hash-shuffle join aggregator — drop them once up front (metadata-only)
     edges = _drop_empty_blocks(edges)
@@ -165,6 +170,24 @@ def transitive_closure(
             break
         acc, n = acc2, n2
     return acc
+
+
+def path_edges(triples: rd.Dataset, p) -> rd.Dataset:
+    """(s, o) hop pairs matched by an inner path: a bare IRI string is one
+    predicate filter; a composite path (Seq/Alt/Inv/NegSet) runs as a
+    one-pattern BGP — this is what lets quantifiers close over GROUPED
+    paths like ``(<a>/<b>)+`` (BEYOND the reference, which has no paths)."""
+    if isinstance(p, str):
+        hops = triples.filter(expr=f"pred == '{p}'")
+        return hops.map_batches(
+            lambda b: pa.table({"s": b["subj"], "o": b["obj"]}),
+            batch_format="pyarrow",
+        )
+    sub = execute_bgp(triples, [(Var("__cs"), p, Var("__co"))])
+    return sub.map_batches(
+        lambda b: pa.table({"s": b["__cs"], "o": b["__co"]}),
+        batch_format="pyarrow",
+    )
 
 
 def execute_bgp(

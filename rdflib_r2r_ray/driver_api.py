@@ -734,6 +734,31 @@ ORDER BY cnt * 2 DESC
 """
 
 
+def q_sparql_predlist_negset(sf_dir: str) -> rd.Dataset:
+    """Predicate-object list shorthand (``;``, SPARQL grammar [75]/[77])
+    with a constant-literal object, plus a negated property set
+    ``!(<p1>|<p2>|<p3>)`` (paths are BEYOND the reference,
+    ``sql_converter.py:229-230``) — the negation leaves only the
+    ``source`` predicate in the documents metadata graph."""
+    from . import sparql
+
+    q = f"""
+    SELECT ?id ?src WHERE {{
+      ?d <http://kg.ex/p/lang> "en" ;
+         !(<{RDF_TYPE}>|<http://kg.ex/p/lang>|<http://kg.ex/p/n_chars>) ?src .
+      BIND(STRAFTER(STR(?d), "doc/") AS ?id)
+    }}
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_predlist_negset() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS id, source AS src FROM documents
+WHERE lang = 'en' AND source IS NOT NULL
+"""
+
+
 def q_sparql_builtins(sf_dir: str) -> rd.Dataset:
     """SPARQL builtin function library (STR/STRAFTER/UCASE/STRLEN/CONTAINS/
     STRSTARTS/SUBSTR) — BEYOND the reference, whose only scalar-function
@@ -1247,6 +1272,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_having": q_sparql_having,
         "sparql_in_having_order": q_sparql_in_having_order,
         "sparql_builtins": q_sparql_builtins,
+        "sparql_predlist_negset": q_sparql_predlist_negset,
         "sparql_count_distinct": q_sparql_count_distinct,
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
@@ -1297,6 +1323,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_having": _sql_sparql_having(),
         "sparql_in_having_order": _sql_sparql_in_having_order(),
         "sparql_builtins": _sql_sparql_builtins(),
+        "sparql_predlist_negset": _sql_sparql_predlist_negset(),
         "sparql_count_distinct": _sql_sparql_count_distinct(),
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),

@@ -65,6 +65,15 @@ class Inv(Path):
 
 
 @dataclass(frozen=True)
+class NegSet(Path):
+    """Negated property set ``!<p>`` / ``!(<p1>|<p2>)`` — matches any
+    predicate NOT in the set (forward members only; inverse members raise
+    at parse time).  BEYOND the reference, which has no path support."""
+
+    iris: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class Transitive(Path):
     """``p*`` / ``p+`` — declared for completeness; resolution raises."""
 
@@ -120,6 +129,10 @@ def resolve_paths(
             "transitive property paths are unsupported (reference parity: "
             "sql_converter.py:229-230)"
         )
+    elif isinstance(p, NegSet):
+        # leaf: match_pattern lowers it to predicate != filters
+        for rest in resolve_paths(triples[1:], exclude):
+            yield [t0] + rest
     elif isinstance(p, Path) and not exclude(p):
         raise NotImplementedError(f"unsupported path type: {p}")
     else:

@@ -59,8 +59,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .bgp import execute_bgp, transitive_closure
-from .paths import Alt, Inv, Seq, Var
+from .bgp import execute_bgp, path_edges, transitive_closure
+from .paths import Alt, Inv, NegSet, Seq, Var
 from .relational import topk, topk_offset
 from .stages.dedup import distinct_on
 
@@ -147,6 +147,7 @@ _SP_TOKEN = re.compile(
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<number>-?\d+(?:\.\d+)?)
     | (?P<kw>(?i:PREFIX|SELECT|DISTINCT|WHERE|FILTER|ORDER|BY|ASC|DESC|LIMIT|OFFSET|VALUES)\b)
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)
     | (?P<pname>[A-Za-z_][\w-]*)?:(?P<lname>[\w-]*)
     | (?P<word>[A-Za-z_][\w]*)
     | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*+\-|/^!=<>?])
@@ -218,7 +219,19 @@ class SparqlParser:
         if k == "word" and v == "a":
             return "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
         if k == "string":
-            return v[1:-1].replace('\\"', '"')  # plain literals are stored bare
+            lex = v[1:-1].replace('\\"', '"')
+            nk, nv = self._peek()
+            if nk == "langtag":
+                # language-tagged literal: stored N3-decorated ("lex"@lang)
+                self._next()
+                return f'"{lex}"{nv}'
+            if nv == "^" and self._peek(1)[1] == "^":
+                # typed literal "lex"^^<datatype>
+                self._next()
+                self._next()
+                dt = self._iri(self._next())
+                return f'"{lex}"^^{dt}'
+            return lex  # plain literals are stored bare
         if k == "number":
             # typed-literal N3 encoding used by the emit layer
             if "." in v:
@@ -238,7 +251,42 @@ class SparqlParser:
                 self._next()
                 p = alt()
                 self._expect(")")
+                k2, v2 = self._peek()
+                if v2 == "+":
+                    self._next()
+                    return ("transitive", p)   # closure over a grouped path
+                if v2 == "*":
+                    self._next()
+                    return ("transitive0", p)
+                if v2 == "?":
+                    self._next()
+                    return ("opt_path", p)
                 return p
+            if v == "!":
+                # negated property set !<p> / !(<p1>|<p2>)
+                self._next()
+                members: List[str] = []
+
+                def neg_member() -> str:
+                    mk, mv = self._peek()
+                    if mv == "^":
+                        raise NotImplementedError(
+                            "inverse members in a negated property set")
+                    if mk == "word" and mv == "a":
+                        self._next()
+                        return "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+                    return self._iri(self._next())
+
+                if self._peek()[1] == "(":
+                    self._next()
+                    members.append(neg_member())
+                    while self._peek()[1] == "|":
+                        self._next()
+                        members.append(neg_member())
+                    self._expect(")")
+                else:
+                    members.append(neg_member())
+                return NegSet(tuple(members))
             if k == "var":
                 self._next()
                 return Var(v[1:])
@@ -484,7 +532,25 @@ class SparqlParser:
                 fils.append(self._expr())
                 self._expect(")")
                 continue
-            pats.append((self._term(), self._path(), self._term()))
+            self._parse_triple_block(pats)
+
+    def _parse_triple_block(self, pats: List[Tuple]) -> None:
+        """TriplesSameSubject with predicate-object lists (``;``) and
+        object lists (``,``) — SPARQL grammar [75]/[77]/[78] shorthand."""
+        s = self._term()
+        while True:
+            p = self._path()
+            pats.append((s, p, self._term()))
+            while self._peek()[1] == ",":
+                self._next()
+                pats.append((s, p, self._term()))
+            if self._peek()[1] == ";":
+                while self._peek()[1] == ";":
+                    self._next()
+                if self._peek()[1] in (".", "}", None):
+                    return
+                continue
+            return
 
     def _parse_values(self):
         """VALUES ?v { t... }  |  VALUES (?a ?b) { (t t) ... }"""
@@ -789,10 +855,7 @@ class SparqlParser:
                     f"{v} is not supported in the string front end — compose it "
                     "through the relational operator layer instead"
                 )
-            s = self._term()
-            p = self._path()
-            o = self._term()
-            patterns.append((s, p, o))
+            self._parse_triple_block(patterns)
         order: List[Tuple[str, bool]] = []
         group_by: List[str] = []
         having: List[E] = []
@@ -1327,10 +1390,7 @@ def _expand_transitive(in_patterns, triples: rd.Dataset):
                 pairs = transitive_closure(triples, p[1])
             else:
                 if p[0] == "opt_path":
-                    hops = triples.filter(expr=f"pred == '{p[1]}'").map_batches(
-                        lambda b: pa.table({"s": b["subj"], "o": b["obj"]}),
-                        batch_format="pyarrow",
-                    )
+                    hops = path_edges(triples, p[1])
                 else:
                     hops = transitive_closure(triples, p[1])
                 pairs = distinct_on(hops.union(_identity_pairs(triples)), ["s", "o"])

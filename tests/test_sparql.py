@@ -673,3 +673,53 @@ def test_distinct_aggregates(ray_session):
       WHERE { ?d <src> ?o }
     """).to_pandas()
     assert sorted(out.iloc[0, 0].split("|")) == ["s1", "s2", "s3"]
+
+
+def test_predicate_object_lists(ray_session):
+    g = _graph()
+    out = execute(g, """
+      SELECT ?s ?n ?a WHERE { ?s <name> ?n ; <age> ?a } ORDER BY ?s
+    """).to_pandas()
+    assert list(out["s"]) == ["<a>", "<b>"]
+    out = execute(g, """
+      SELECT ?s WHERE { ?s <knows> <b> , <c> }
+    """).to_pandas()
+    assert len(out) == 0  # nobody knows both b and c
+    out = execute(g, """
+      SELECT ?s WHERE { ?s <knows> ?x , ?y . FILTER(?x != ?y) }
+    """).to_pandas()
+    assert len(out) == 0  # each node knows exactly one
+
+
+def test_typed_and_lang_literal_objects(ray_session):
+    import ray.data as rd
+
+    g = _graph()
+    out = execute(g, f"""
+      SELECT ?s WHERE {{ ?s <age> "25"^^<{XSD_INT}> }}
+    """).to_pandas()
+    assert list(out["s"]) == ["<b>"]
+    g2 = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>"], "pred": ["<t>", "<t>"],
+        "obj": ['"x"@en', '"x"@fr'],
+    }))
+    out = execute(g2, 'SELECT ?s WHERE { ?s <t> "x"@en }').to_pandas()
+    assert list(out["s"]) == ["<a>"]
+
+
+def test_grouped_path_quantifier_and_negset(ray_session):
+    import ray.data as rd
+
+    g = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>", "<a>", "<x>", "<m>"],
+        "pred": ["<p>", "<p>", "<p>", "<q>", "<q>", "<r>"],
+        "obj": ["<b>", "<c>", "<d>", "<x>", "<y>", "<n>"],
+    }))
+    out = execute(g, "SELECT ?x ?y WHERE { ?x (<q>/<q>)+ ?y }").to_pandas()
+    assert out.to_dict("records") == [{"x": "<a>", "y": "<y>"}]
+    out = execute(g, "SELECT ?x ?y WHERE { ?x !(<p>|<q>) ?y }").to_pandas()
+    assert out.to_dict("records") == [{"x": "<m>", "y": "<n>"}]
+    out = execute(g, "SELECT ?y WHERE { <a> (<p>|<q>)* ?y } ORDER BY ?y").to_pandas()
+    assert list(out["y"]) == ["<a>", "<b>", "<c>", "<d>", "<x>", "<y>"]
+    with pytest.raises(NotImplementedError):
+        execute(g, "SELECT ?x WHERE { ?x !(^<p>) ?y }")
