@@ -759,6 +759,35 @@ WHERE lang = 'en' AND source IS NOT NULL
 """
 
 
+def q_sparql_union_join(sf_dir: str) -> rd.Dataset:
+    """UNION mixed with other group elements (SPARQL Join of a padded union
+    with the rest of the group; reference handles only whole-group unions
+    via ``results_union``, ``conversion_utils.py:92-131``): the union
+    relation joins the base BGP on the shared variable."""
+    from . import sparql
+
+    q = """
+    SELECT ?id ?v WHERE {
+      ?d <http://kg.ex/p/lang> "en" .
+      { ?d <http://kg.ex/p/source> ?v } UNION { ?d <http://kg.ex/p/n_chars> ?v }
+      BIND(STRAFTER(STR(?d), "doc/") AS ?id)
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_union_join() -> str:
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS id, v FROM (
+  SELECT doc_id, source AS v FROM documents
+  WHERE lang = 'en' AND source IS NOT NULL
+  UNION ALL
+  SELECT doc_id, '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' AS v
+  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+)
+"""
+
+
 def q_sparql_builtins(sf_dir: str) -> rd.Dataset:
     """SPARQL builtin function library (STR/STRAFTER/UCASE/STRLEN/CONTAINS/
     STRSTARTS/SUBSTR) — BEYOND the reference, whose only scalar-function
@@ -1273,6 +1302,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_in_having_order": q_sparql_in_having_order,
         "sparql_builtins": q_sparql_builtins,
         "sparql_predlist_negset": q_sparql_predlist_negset,
+        "sparql_union_join": q_sparql_union_join,
         "sparql_count_distinct": q_sparql_count_distinct,
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
@@ -1324,6 +1354,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_in_having_order": _sql_sparql_in_having_order(),
         "sparql_builtins": _sql_sparql_builtins(),
         "sparql_predlist_negset": _sql_sparql_predlist_negset(),
+        "sparql_union_join": _sql_sparql_union_join(),
         "sparql_count_distinct": _sql_sparql_count_distinct(),
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),

@@ -922,11 +922,6 @@ class SparqlParser:
                 "projection expressions mixed with aggregates — alias the "
                 "expression with BIND or a sub-SELECT instead")
         binds.extend(proj_exprs)  # evaluate exactly like BIND, post-group
-        if union_branches and (patterns or optionals or minuses or subselects):
-            raise NotImplementedError(
-                "UNION mixed with other group elements is not supported — "
-                "use a single { A } UNION { B } group"
-            )
         return SelectQuery(
             variables=tuple(variables),
             patterns=tuple(patterns),
@@ -1540,11 +1535,29 @@ def _execute_parsed(
         return _filter_batches(g, fils)
 
     values_list = list(q.values)
-    if q.union_branches:
-        # { A } UNION { B }: branches execute independently, results align
-        # with null padding (reference results_union semantics)
+    if q.union_branches and not (q.patterns or q.subselects or q.optionals
+                                 or q.minuses or values_list):
+        # { A } UNION { B } alone: branches execute independently, results
+        # align with null padding (reference results_union semantics)
         out = union_pad(*[exec_group(g.patterns, g.filters) for g in q.union_branches])
     else:
+        # union mixed with other group elements: the padded union is one
+        # more relation, joined to the rest on shared variables (SPARQL
+        # Join of the group's elements).  A join variable must be bound in
+        # EVERY branch — a null-padded key would need SPARQL compatibility
+        # semantics, not SQL equality.
+        uni = None
+        if q.union_branches:
+            for g in q.union_branches:
+                gv = {t.name for pat in g.patterns for t in pat
+                      if isinstance(t, Var)}
+                for f in g.filters:
+                    if not _expr_vars(f) <= gv:
+                        raise NotImplementedError(
+                            "FILTER in a UNION branch referencing outer "
+                            "variables")
+            uni = union_pad(*[exec_group(g.patterns, g.filters)
+                              for g in q.union_branches])
         # { SELECT ... } sub-queries evaluate independently (bottom-up, like
         # the reference's recursive algebra conversion) and join the
         # enclosing group on shared variables
@@ -1554,6 +1567,8 @@ def _execute_parsed(
         ]
         if q.patterns:
             out = exec_group(q.patterns, ())
+        elif uni is not None:
+            out, uni = uni, None
         elif sub_outs:
             out = sub_outs.pop(0)
         elif values_list:
@@ -1562,6 +1577,25 @@ def _execute_parsed(
             out = rd.from_arrow(_values_table(vars_, rows))
         else:
             out = exec_group(q.patterns, ())
+        if uni is not None:
+            left_vars = set(out.schema().names)
+            shared = [v for v in uni.schema().names if v in left_vars]
+            if shared:
+                branch_vars = [
+                    {t.name for pat in g.patterns for t in pat
+                     if isinstance(t, Var)}
+                    for g in q.union_branches
+                ]
+                for bv in branch_vars:
+                    if not set(shared) <= bv:
+                        raise NotImplementedError(
+                            "UNION branch leaves a shared join variable "
+                            "unbound (needs compatibility-join semantics)")
+                out = planned_join(out, uni, on=shared, join_type="inner")
+            else:
+                from .relational import cross_join
+
+                out = cross_join(out, uni)
         for sub in sub_outs:
             left_vars = set(out.schema().names)
             shared = [v for v in sub.schema().names if v in left_vars]

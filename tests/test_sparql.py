@@ -723,3 +723,31 @@ def test_grouped_path_quantifier_and_negset(ray_session):
     assert list(out["y"]) == ["<a>", "<b>", "<c>", "<d>", "<x>", "<y>"]
     with pytest.raises(NotImplementedError):
         execute(g, "SELECT ?x WHERE { ?x !(^<p>) ?y }")
+
+
+def test_union_mixed_with_patterns(ray_session):
+    g = _graph()
+    out = execute(g, """
+      SELECT ?x ?n ?v WHERE {
+        ?x <name> ?n .
+        { ?x <age> ?v } UNION { ?x <knows> ?v }
+      }
+    """).to_pandas()
+    assert len(out) == 4  # a,b each: one age + one knows (c has no name)
+    assert set(out["x"]) == {"<a>", "<b>"}
+    out = execute(g, """
+      SELECT ?x ?v WHERE {
+        { ?x <age> ?v . FILTER(?v > 26) } UNION { ?x <name> ?v }
+        OPTIONAL { ?x <knows> ?k }
+        FILTER(BOUND(?k))
+      }
+    """).to_pandas()
+    assert len(out) == 4
+    with pytest.raises(NotImplementedError):
+        # ?v unbound in the second branch -> needs compatibility join
+        execute(g, """
+          SELECT ?x WHERE {
+            ?x <age> ?v .
+            { ?x <knows> ?y . FILTER(?v > 0) } UNION { ?x <name> ?v }
+          }
+        """)
