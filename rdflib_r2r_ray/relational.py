@@ -494,3 +494,135 @@ def distinct(ds: rd.Dataset, keys: Optional[Sequence[str]] = None) -> rd.Dataset
     if keys is None:
         keys = ds.schema().names
     return distinct_on(ds.select_columns(list(keys)), list(keys))
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins the Dataset API lacks: as-of and range (band) joins.
+# Both ride the two-sided co-partitioned hash exchange
+# (stages/dedup.cogroup_exchange); the per-bucket kernel is one vectorized
+# polars call over complete key groups — no per-row Python, no sort-based
+# Ray Data shuffle.  Partitioning assumption: the equality key spreads the
+# data (one key's rows must fit a reduce task); a band join WITHOUT an
+# equality key needs time-bucketing instead (see range_join docstring).
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    strategy: str = "backward",
+    right_keep: Optional[Sequence[str]] = None,
+) -> rd.Dataset:
+    """INNER as-of join: for each left row, the single right row of the same
+    ``by`` key with the greatest ``right_on`` <= ``left_on`` (``backward``;
+    ``forward`` = smallest >=).  Matches DuckDB ``ASOF JOIN`` semantics.
+
+    Plan: co-partition both sides on the equality key through the streaming
+    hash exchange, then per bucket ONE ``polars.join_asof`` (sort by time +
+    binary search per group, fully vectorized).  Unmatched left rows drop
+    (inner).  ``right_keep`` selects which right columns survive (default:
+    the as-of time column only — deterministic even when several right rows
+    tie on the match time)."""
+    from .stages.dedup import _pl, cogroup_exchange
+
+    ls = left.schema()
+    rs = right.schema()
+    keep = [c for c in (list(right_keep) if right_keep is not None else [right_on])
+            if c not in ls.names]
+    rtypes = dict(zip(rs.names, rs.types))
+    out_fields = list(zip(ls.names, ls.types)) + [(c, rtypes[c]) for c in keep]
+    out_schema = pa.schema(out_fields)
+    lcols = list(ls.names)
+
+    def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        import warnings
+
+        warnings.filterwarnings("ignore", message="Sortedness")
+        pl = _pl()
+        ldf = pl.from_arrow(lt).sort(left_on)
+        # guard column collisions: right columns renamed with a private
+        # prefix, mapped back on output
+        ren = {c: f"__r_{c}" for c in rt.column_names}
+        rdf = pl.from_arrow(rt).rename(ren).sort(f"__r_{right_on}")
+        out = ldf.join_asof(
+            rdf,
+            left_on=left_on,
+            right_on=f"__r_{right_on}",
+            by_left=left_by,
+            by_right=f"__r_{right_by}",
+            strategy=strategy,
+        )
+        # inner semantics: drop left rows with no as-of match (matched time
+        # is never null — null right times are excluded by the sort+search)
+        out = out.filter(pl.col(f"__r_{right_on}").is_not_null())
+        out = out.select(lcols + [f"__r_{c}" for c in keep]).rename(
+            {f"__r_{c}": c for c in keep}
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return cogroup_exchange(
+        left, [left_by], right, [right_by], reduce_fn, out_schema
+    )
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    lower,
+    upper,
+) -> rd.Dataset:
+    """INNER range (band) join: all (left, right) pairs of the same ``by``
+    key with ``lower <= left_on - right_on <= upper`` (datetime columns:
+    ``lower``/``upper`` are ``numpy.timedelta64``-coercible).
+
+    Plan: co-partition on the equality key, then per bucket a vectorized
+    polars equi-join on the key followed by an Arrow band filter — the
+    row-pair blowup is bounded by real matches per key, never the corpus.
+    For a band join with NO equality key, derive one: bucket both sides by
+    ``floor(time / band_width)`` and join each left bucket to right buckets
+    {b-1, b} (emit right twice, shifted), then apply the same band filter —
+    the composition is this operator over the synthetic bucket key."""
+    from .stages.dedup import _pl, cogroup_exchange
+
+    ls = left.schema()
+    rs = right.schema()
+    lnames = set(ls.names)
+    # right_by is redundant on output (it equals left_by by the join)
+    out_fields = list(zip(ls.names, ls.types)) + [
+        (n, t) for n, t in zip(rs.names, rs.types)
+        if n not in lnames and n != right_by
+    ]
+    out_schema = pa.schema(out_fields)
+    rkeep = [n for n in rs.names if (n not in lnames and n != right_by) or n == right_by]
+
+    def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        pl = _pl()
+        ldf = pl.from_arrow(lt)
+        ren = {c: f"__r_{c}" for c in rt.column_names}
+        rdf = pl.from_arrow(rt.select(rkeep)).rename(ren)
+        out = ldf.join(
+            rdf, left_on=left_by, right_on=f"__r_{right_by}", how="inner",
+            coalesce=True,
+        )
+        delta = pl.col(left_on) - pl.col(f"__r_{right_on}")
+        out = out.filter((delta >= lower) & (delta <= upper))
+        keep = [c for c in out_schema.names if c in ldf.columns]
+        out = out.select(
+            keep + [f"__r_{c}" for c in out_schema.names if c not in keep]
+        ).rename({f"__r_{c}": c for c in out_schema.names if c not in keep})
+        return out.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return cogroup_exchange(
+        left, [left_by], right, [right_by], reduce_fn, out_schema
+    )

@@ -607,6 +607,68 @@ FROM events GROUP BY event_type
 """
 
 
+# --- temporal joins (as-of / range) -----------------------------------------
+
+def q_rel_asof_join(sf_dir: str) -> rd.Dataset:
+    """AS-OF join (an operator Ray Data's Dataset API lacks): each purchase
+    event matched to the user's most recent prior click — last-touch
+    attribution.  Composition: two-sided co-partitioned hash exchange on
+    user_id + one vectorized ``polars.join_asof`` per bucket
+    (``relational.asof_join``).  Oracle: DuckDB ``ASOF JOIN``."""
+    purchases = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]) \
+        .filter(expr="event_type == 'purchase'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    clicks = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]) \
+        .filter(expr="event_type == 'click'") \
+        .map_batches(lambda b: b.select(["user_id", "ts"]).rename_columns(
+            ["c_user", "click_ts"]), batch_format="pyarrow")
+    return R.asof_join(
+        purchases, clicks, "user_id", "c_user", "ts", "click_ts",
+    )
+
+
+SQL_REL_ASOF_JOIN = """
+SELECT p.event_id, p.user_id, p.ts, c.click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id AS c_user, ts AS click_ts FROM events WHERE event_type = 'click') c
+ON p.user_id = c.c_user AND p.ts >= c.click_ts
+"""
+
+
+def q_rel_range_join(sf_dir: str) -> rd.Dataset:
+    """Range (band) join: every (click, purchase) pair of the same user with
+    the purchase 0-6 h after the click.  Co-partitioned exchange on user_id
+    + per-bucket vectorized equi-join + Arrow band filter
+    (``relational.range_join``); pair blowup bounded by matches per key."""
+    import datetime as dt
+
+    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]) \
+        .filter(expr="event_type == 'click'") \
+        .map_batches(lambda b: b.select(["event_id", "user_id", "ts"]).rename_columns(
+            ["click_id", "user_id", "click_ts"]), batch_format="pyarrow")
+    purchases = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]) \
+        .filter(expr="event_type == 'purchase'") \
+        .map_batches(lambda b: b.select(["event_id", "user_id", "ts"]).rename_columns(
+            ["purchase_id", "p_user", "purchase_ts"]), batch_format="pyarrow")
+    # band: purchase_ts - click_ts in [0, 6h] == click side left with
+    # delta = purchase - click; express from the purchase side (left) so the
+    # operator's delta = left_on - right_on
+    return R.range_join(
+        purchases, clicks, "p_user", "user_id", "purchase_ts", "click_ts",
+        dt.timedelta(0), dt.timedelta(hours=6),
+    )
+
+
+SQL_REL_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id, p.user_id AS p_user, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id
+AND p.ts - c.ts >= INTERVAL 0 SECOND AND p.ts - c.ts <= INTERVAL 6 HOUR
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -631,6 +693,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_scalar_funcs": q_rel_scalar_funcs,
         "curate_corpus": q_curate_corpus,
         "rel_json_extract": q_rel_json_extract,
+        "rel_asof_join": q_rel_asof_join,
+        "rel_range_join": q_rel_range_join,
     }
 
 
@@ -658,4 +722,6 @@ def oracle_sql() -> Dict[str, str]:
         "rel_sessionize": SQL_REL_SESSIONIZE,
         "rel_scalar_funcs": SQL_REL_SCALAR_FUNCS,
         "curate_corpus": SQL_CURATE_CORPUS,
+        "rel_asof_join": SQL_REL_ASOF_JOIN,
+        "rel_range_join": SQL_REL_RANGE_JOIN,
     }

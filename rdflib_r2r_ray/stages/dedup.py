@@ -346,6 +346,68 @@ def hash_group_exchange(
     return rd.from_arrow_refs(out)
 
 
+def cogroup_exchange(
+    left: rd.Dataset,
+    lkeys: Sequence[str],
+    right: rd.Dataset,
+    rkeys: Sequence[str],
+    reduce_fn,
+    out_schema: pa.Schema,
+    num_buckets: int = 0,
+) -> rd.Dataset:
+    """Two-sided co-partitioned hash exchange (the primitive under the as-of
+    and range joins — operators Ray Data's Dataset API lacks).
+
+    Both inputs stream through the SAME two-level exchange as
+    :func:`distinct_on` with an IDENTICAL bucket count and hash function
+    (polars ``hash_rows``, value-based — verified name-independent and stable
+    across integer widths), so bucket *i* of the left holds exactly the key
+    groups of bucket *i* of the right.  ``reduce_fn(left_tbl, right_tbl) ->
+    table`` then runs once per bucket with COMPLETE key groups on both sides
+    — vectorized (polars/Arrow) inside, never per-row Python.
+
+    Caller contract: ``lkeys``/``rkeys`` must be value-compatible columns
+    (both sides' key tuples hash equal when equal).  Inner-style semantics:
+    a bucket with an empty side still calls ``reduce_fn`` with an empty
+    table so left/anti variants can be expressed.
+
+    Scale: two streaming exchanges (each overlapped with its upstream,
+    cascade-bounded driver refs) + one reduce wave; no Ray Data sort-based
+    shuffle, no driver materialization."""
+    import ray
+
+    lkeys, rkeys = list(lkeys), list(rkeys)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    B = num_buckets or max(16, (cpus * 3) // 2)
+    lbuckets, lschema = _exchange_partitions(left, lkeys, B)
+    rbuckets, rschema = _exchange_partitions(right, rkeys, B)
+    if not lbuckets and not rbuckets:
+        return rd.from_arrow(out_schema.empty_table())
+    # a drained-empty side still participates with empty partitions
+    lbuckets = lbuckets or [[] for _ in range(B)]
+    rbuckets = rbuckets or [[] for _ in range(B)]
+    if len(lbuckets) != len(rbuckets):  # pragma: no cover - guarded by fixed B
+        raise AssertionError("co-partition bucket counts diverged")
+
+    def reduce_task(n_left: int, *parts):
+        cap_threads()
+        lp = [p for p in parts[:n_left] if p is not None and p.num_rows]
+        rp = [p for p in parts[n_left:] if p is not None and p.num_rows]
+        lt = pa.concat_tables(lp).combine_chunks() if lp else lschema.empty_table()
+        rt = pa.concat_tables(rp).combine_chunks() if rp else rschema.empty_table()
+        out = reduce_fn(lt, rt)
+        return out if out is not None and out.num_rows else out_schema.empty_table()
+
+    reducer = ray.remote(reduce_task)
+    out = [
+        reducer.remote(len(lp), *lp, *rp) for lp, rp in zip(lbuckets, rbuckets)
+    ]
+    return rd.from_arrow_refs(out)
+
+
 def dedupe_triples(ds: rd.Dataset, local_only: bool = False) -> rd.Dataset:
     """Exact (subj, pred, obj) dedup of a triples Dataset — the set semantics
     rdflib applies on top of the reference's UNION ALL dump

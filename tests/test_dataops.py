@@ -577,3 +577,87 @@ def test_json_extract_missing_field(ray_session):
     m = pc.extract_regex(b["props"].combine_chunks(), r'"k":\s*(?P<v>-?\d+)')
     k = pc.cast(pc.struct_field(m, "v"), pa.int64())
     assert k.to_pylist() == [3, None, None, -2]
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (as-of / range) over the co-partitioned exchange
+# ---------------------------------------------------------------------------
+
+def _tj_tables():
+    import datetime as dt
+
+    T = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    left = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([10, 10, 20, 30], pa.int64()),
+        "t": pa.array([T(5), T(1), T(3), T(9)], pa.timestamp("us")),
+    })
+    right = pa.table({
+        "rk": pa.array([10, 10, 20, 40], pa.int64()),
+        "rt": pa.array([T(2), T(4), T(9), T(1)], pa.timestamp("us")),
+        "val": pa.array([100, 200, 300, 400], pa.int64()),
+    })
+    return left, right
+
+
+def test_asof_join_backward_inner(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import asof_join
+
+    left, right = _tj_tables()
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk", "t", "rt",
+        right_keep=["rt", "val"],
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    # id=1 (k=10, t=Jan5) -> rt=Jan4/200; id=2 (t=Jan1) -> no prior -> drop;
+    # id=3 (k=20, t=Jan3) -> rt=Jan9 is after -> drop; id=4 (k=30) -> no key
+    assert out["id"].tolist() == [1]
+    assert out["val"].tolist() == [200]
+
+
+def test_asof_join_forward(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import asof_join
+
+    left, right = _tj_tables()
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk", "t", "rt",
+        strategy="forward", right_keep=["val"],
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    # id=1 t=Jan5: no k=10 right at/after Jan5 -> drop; id=2 t=Jan1 -> Jan2/100
+    # id=3 k=20 t=Jan3 -> Jan9/300; id=4 no key
+    assert out["id"].tolist() == [2, 3]
+    assert out["val"].tolist() == [100, 300]
+
+
+def test_asof_join_empty_side(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import asof_join
+
+    left, right = _tj_tables()
+    empty_right = right.slice(0, 0)
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(empty_right), "k", "rk", "t", "rt",
+    )
+    assert out.count() == 0
+    # schema survives the empty exchange
+    assert set(out.schema().names) == {"id", "k", "t", "rt"}
+
+
+def test_range_join_band(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import range_join
+
+    left, right = _tj_tables()
+    out = range_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk", "t", "rt",
+        dt.timedelta(0), dt.timedelta(days=2),
+    ).to_pandas().sort_values(["id", "val"]).reset_index(drop=True)
+    # id=1 (k=10, t=Jan5): rt=Jan4 (d=1) -> 200; rt=Jan2 (d=3) out of band
+    assert list(zip(out["id"], out["val"])) == [(1, 200)]
