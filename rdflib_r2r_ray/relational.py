@@ -31,6 +31,7 @@ combine map-side before the shuffle so the exchange moves one row per
 
 from __future__ import annotations
 
+import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -252,6 +253,7 @@ def grouped_agg(
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
     count_as: Optional[str] = None,
+    in_schema: Optional[pa.Schema] = None,
 ) -> rd.Dataset:
     """GROUP BY with map-side combine: each batch is pre-aggregated locally
     (one row per group per block), then the raw-task hash exchange merges
@@ -293,8 +295,9 @@ def grouped_agg(
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     # output schema derived from the combine applied to a TYPED empty input
-    # (pa group_by types are deterministic; no data touched)
-    s = ds.schema()
+    # (pa group_by types are deterministic; no data touched).  ``in_schema``
+    # skips the probe — required when ``ds`` may be empty (schema() is None)
+    s = in_schema if in_schema is not None else ds.schema()
     empty_in = pa.schema(
         [(n, t) for n, t in zip(s.names, s.types) if n in set(keys + sums + mins + maxs)]
     ).empty_table()
@@ -420,11 +423,13 @@ def grouped_topk(
     keys: Sequence[str],
     order_by: Sequence[Tuple[str, bool]],
     k: int,
+    keep: Sequence[str] = (),
 ) -> rd.Dataset:
     """Per-GROUP top-k (``row_number() OVER (PARTITION BY keys ORDER BY …)
     <= k``) — the per-domain / per-source sampling primitive of corpus
     curation.  ``order_by``: (column, descending) pairs; add a unique
-    tiebreak column for deterministic output.
+    tiebreak column for deterministic output.  ``keep``: extra payload
+    columns carried through with the winning rows.
 
     Scale shape: a per-batch combiner keeps each group's local top-k (one
     vectorized polars sort + group head per batch — never more than
@@ -435,6 +440,7 @@ def grouped_topk(
 
     keys = list(keys)
     cols = keys + [c for c, _ in order_by if c not in keys]
+    cols += [c for c in keep if c not in cols]
     s = ds.schema()
     out_schema = pa.schema([(c, s.types[s.names.index(c)]) for c in cols])
     sort_cols = [c for c, _ in order_by]
@@ -494,6 +500,84 @@ def distinct(ds: rd.Dataset, keys: Optional[Sequence[str]] = None) -> rd.Dataset
     if keys is None:
         keys = ds.schema().names
     return distinct_on(ds.select_columns(list(keys)), list(keys))
+
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    keep: Sequence[str] = (),
+) -> rd.Dataset:
+    """Deterministic stratified sample: ``n_per_stratum`` rows per stratum,
+    chosen by a multiplicative hash of ``id_col`` (uniform, reproducible,
+    and SQL-expressible: ``(id * 2654435761) % 2^32`` — exact for ids <
+    2^32, which a sharded-id scheme satisfies per shard).
+
+    Composition: one vectorized hash column + :func:`grouped_topk` (per-batch
+    local head, hash exchange, final head) — the sample never requires a
+    global sort or a driver materialization; each stratum moves at most
+    ``n_per_stratum`` rows per input block."""
+    def add_hash(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+        return b.append_column("__h", pa.array(h.astype(np.int64)))
+
+    out = grouped_topk(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        list(strata),
+        [("__h", False), (id_col, False)],
+        n_per_stratum,
+        keep=[id_col, *keep],
+    )
+    names = [c for c in out.schema().names if c != "__h"]
+    return out.select_columns(names)
+
+
+def quantiles_disc(ds: rd.Dataset, col: str, qs: Sequence[float]) -> rd.Dataset:
+    """Exact discrete quantiles (DuckDB ``quantile_disc`` semantics: the
+    value at 1-indexed rank ``ceil(q*n)``) for a bounded-cardinality numeric
+    column, via a distributed value histogram: per-batch ``value_counts``
+    (combiner) → grouped count exchange keyed on the value → driver-side
+    cumulative walk over the SMALL (one row per distinct value) histogram.
+
+    Scale note: cost is O(distinct values), independent of row count — right
+    for discrete columns (lengths, scores, counts).  For continuous doubles
+    at corpus scale, bin first (``floor(x/w)*w``) and accept bin resolution,
+    or run a two-pass refine; this operator refuses nothing but the
+    histogram materialization is the caller's cardinality contract."""
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({col: b[col], "__cnt": pa.array([], pa.int64())})
+        vc = pc.value_counts(pc.drop_null(b[col]))
+        return pa.table({col: vc.field("values"), "__cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    vt = ds.schema().types[ds.schema().names.index(col)]
+    hist = grouped_agg(
+        ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
+        [col], sums=["__cnt"],
+        in_schema=pa.schema([(col, vt), ("__cnt", pa.int64())]),
+    )
+    tables = [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return rd.from_arrow(pa.table({"q": pa.array([], pa.float64()),
+                                       "value": pa.array([], vt)}))
+    h = pa.concat_tables(tables).combine_chunks().sort_by(col)
+    counts = h["__cnt"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    vals = h[col]
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(math.ceil(q * n)))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(vals[idx].as_py())
+    return rd.from_arrow(pa.table({"q": pa.array(out_q, pa.float64()),
+                                   "value": pa.array(out_v, vt)}))
 
 
 # ---------------------------------------------------------------------------

@@ -669,6 +669,43 @@ AND p.ts - c.ts >= INTERVAL 0 SECOND AND p.ts - c.ts <= INTERVAL 6 HOUR
 """
 
 
+# --- stratified sampling / quantiles ----------------------------------------
+
+def q_rel_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-stratum sample (20 docs per lang, multiplicative-
+    hash order): ``relational.stratified_sample`` — local head + hash
+    exchange, never a global sort.  Oracle: the same hash in a window
+    row_number."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return R.stratified_sample(ds, ["lang"], 20, "doc_id", keep=["n_chars"])
+
+
+SQL_REL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
+def q_rel_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact discrete quantiles of a bounded-cardinality numeric column via
+    a distributed value histogram (``relational.quantiles_disc``)."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    return R.quantiles_disc(ds, "n_chars", [0.5, 0.9, 0.99])
+
+
+SQL_REL_QUANTILES = """
+SELECT unnest([0.5, 0.9, 0.99]) AS q,
+       unnest([quantile_disc(n_chars, 0.5),
+               quantile_disc(n_chars, 0.9),
+               quantile_disc(n_chars, 0.99)]) AS value
+FROM documents
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -695,6 +732,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_json_extract": q_rel_json_extract,
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
+        "rel_stratified_sample": q_rel_stratified_sample,
+        "rel_quantiles": q_rel_quantiles,
     }
 
 
@@ -724,4 +763,6 @@ def oracle_sql() -> Dict[str, str]:
         "curate_corpus": SQL_CURATE_CORPUS,
         "rel_asof_join": SQL_REL_ASOF_JOIN,
         "rel_range_join": SQL_REL_RANGE_JOIN,
+        "rel_stratified_sample": SQL_REL_STRATIFIED_SAMPLE,
+        "rel_quantiles": SQL_REL_QUANTILES,
     }

@@ -661,3 +661,31 @@ def test_range_join_band(ray_session):
     ).to_pandas().sort_values(["id", "val"]).reset_index(drop=True)
     # id=1 (k=10, t=Jan5): rt=Jan4 (d=1) -> 200; rt=Jan2 (d=3) out of band
     assert list(zip(out["id"], out["val"])) == [(1, 200)]
+
+
+def test_quantiles_disc_empty_and_tiny(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import quantiles_disc
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert quantiles_disc(empty, "x", [0.5]).count() == 0
+    tiny = rd.from_arrow(pa.table({"x": pa.array([10, 20, 30, 40], pa.int64())}))
+    out = {r["q"]: r["value"] for r in quantiles_disc(tiny, "x", [0.25, 0.5, 0.9]).take_all()}
+    # DuckDB quantile_disc rule: value at 1-indexed rank ceil(q*n)
+    assert out == {0.25: 10, 0.5: 20, 0.9: 40}
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import stratified_sample
+
+    t = pa.table({
+        "id": pa.array(list(range(100)), pa.int64()),
+        "g": pa.array(["a" if i % 2 else "b" for i in range(100)]),
+    })
+    a = stratified_sample(rd.from_arrow(t), ["g"], 5, "id").to_pandas()
+    b = stratified_sample(rd.from_arrow(t), ["g"], 5, "id").to_pandas()
+    assert len(a) == 10 and set(a["g"]) == {"a", "b"}
+    assert sorted(map(tuple, a.itertuples(index=False))) == sorted(map(tuple, b.itertuples(index=False)))
