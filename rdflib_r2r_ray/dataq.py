@@ -301,6 +301,52 @@ FROM documents
 """
 
 
+BM25_TERMS = ["hash", "merge"]
+
+
+def q_text_bm25(sf_dir: str) -> rd.Dataset:
+    """BM25 relevance scores for a fixed query-term set: pass 1 is ONE
+    streaming corpus aggregate (N, avgdl, per-term document frequency —
+    single-row partials through the grouped-agg exchange), pass 2 a
+    vectorized scorer with the pass-1 constants captured by closure.
+    Scores ROUND to 6 dp on both sides so float hashing is stable."""
+    stats = T.bm25_corpus_stats(_docs(sf_dir), BM25_TERMS)
+    return _docs(sf_dir).map_batches(
+        T.BM25Scorer(BM25_TERMS, stats), batch_format="pyarrow"
+    )
+
+
+def _sql_text_bm25() -> str:
+    dl = ("CASE WHEN length(text) > 0 THEN "
+          "length(text) - length(replace(text, ' ', '')) + 1 ELSE 0 END")
+    tf = [
+        f"(length(text) - length(replace(text, '{t}', ''))) / {len(t)}"
+        for t in BM25_TERMS
+    ]
+    dfs = ", ".join(
+        f"SUM(CASE WHEN {tf[i]} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = " + ".join(
+        # same evaluation order as BM25Scorer: (idf*tf)/(tf+norm) with
+        # norm = k1*((1-b) + b*dl/avgdl)
+        f"ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * d.tf{i}"
+        f" / (d.tf{i} + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    tfs = ", ".join(f"{tf[i]} AS tf{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM({dl}) AS DOUBLE) / COUNT(*) AS avgdl,
+         {dfs}
+  FROM documents),
+d AS (SELECT doc_id, {dl} AS dl, {tfs} FROM documents)
+SELECT doc_id, ROUND({terms}, 6) AS score
+FROM d, s WHERE {" + ".join(f"d.tf{i}" for i in range(len(BM25_TERMS)))} > 0
+"""
+
+
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     """Gopher/C4-style quality signals + composite score — all-integer
     outputs with integer threshold arithmetic (bit-exact vs SQL)."""
@@ -568,6 +614,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
+        "text_bm25": q_text_bm25,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -590,6 +637,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_topk_ivf": SQL_ANN_RECALL_OK,
         "text_stats": SQL_TEXT_STATS,
         "text_tokens": SQL_TEXT_TOKENS,
+        "text_bm25": _sql_text_bm25(),
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": _sql_langid(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,

@@ -165,6 +165,28 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_kg_degree_hist(sf_dir: str) -> rd.Dataset:
+    """Graph-shape analytics over the emitted KG: subject out-degree
+    distribution (degree → number of subjects).  Two cascaded map-side-
+    combined aggregations — the second groups the ALREADY-small per-subject
+    counts, so the heavy exchange happens once, keyed on subj."""
+    from .relational import grouped_agg
+
+    triples = q_kg_full_documents(sf_dir).select_columns(["subj"])
+    deg = grouped_agg(triples, ["subj"], count_as="degree")
+    return grouped_agg(
+        deg.select_columns(["degree"]), ["degree"], count_as="n_subjects"
+    )
+
+
+def _sql_kg_degree_hist() -> str:
+    return f"""
+WITH triples AS ({_sql_kg_full_documents().strip()}),
+deg AS (SELECT subj, COUNT(*) AS degree FROM triples GROUP BY subj)
+SELECT degree, COUNT(*) AS n_subjects FROM deg GROUP BY degree
+"""
+
+
 def _nation_region_mapping():
     schemas = {
         "nation": pa.schema(
@@ -1308,6 +1330,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_subselect": q_sparql_subselect,
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
         "kg_store_pattern": q_kg_store_pattern,
+        "kg_degree_hist": q_kg_degree_hist,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -1360,6 +1383,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_subselect": _sql_sparql_subselect(),
         "kg_nt_roundtrip": _sql_kg_doc_meta(),
         "kg_store_pattern": _sql_kg_store_pattern(),
+        "kg_degree_hist": _sql_kg_degree_hist(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),

@@ -706,6 +706,67 @@ FROM documents
 """
 
 
+# --- grouping sets (ROLLUP) / pivot -----------------------------------------
+
+def q_rel_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(lang, source): the three grouping sets run as three
+    independent map-side-combined aggregations over the SAME streamed input
+    and union with null padding — no operator needs more than its own
+    grouping key's exchange."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    fine = R.grouped_agg(ds, ["lang", "source"], sums=["n_chars"], count_as="n_docs")
+    mid = R.grouped_agg(ds.select_columns(["lang", "n_chars"]), ["lang"],
+                        sums=["n_chars"], count_as="n_docs")
+    top = R.grouped_agg(
+        ds.map_batches(
+            lambda b: b.append_column("__g", pa.array([0] * len(b), pa.int8())),
+            batch_format="pyarrow",
+        ).select_columns(["__g", "n_chars"]),
+        ["__g"], sums=["n_chars"], count_as="n_docs",
+    ).map_batches(lambda b: b.drop_columns(["__g"]), batch_format="pyarrow")
+    out = R.union_pad(fine, mid, top)
+    return out.map_batches(
+        lambda b: b.select(["lang", "source", "n_chars", "n_docs"]).rename_columns(
+            ["lang", "source", "sum_n_chars", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REL_ROLLUP = """
+SELECT lang, source,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_rel_pivot(sf_dir: str) -> rd.Dataset:
+    """PIVOT (conditional aggregation): per source, document count per lang
+    as columns — lowered to indicator columns + ONE grouped sum (single
+    exchange, no per-pivot pass)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def indicators(b: pa.Table) -> pa.Table:
+        cols = {"source": b["source"]}
+        for l in PIVOT_LANGS:
+            cols[f"n_{l}"] = pc.cast(pc.equal(b["lang"], l), pa.int64())
+        return pa.table(cols)
+
+    return R.grouped_agg(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        ["source"], sums=[f"n_{l}" for l in PIVOT_LANGS],
+    )
+
+
+SQL_REL_PIVOT = f"""
+SELECT source,
+  {", ".join(f"CAST(SUM(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{l}" for l in PIVOT_LANGS)}
+FROM documents GROUP BY source
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -734,6 +795,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_range_join": q_rel_range_join,
         "rel_stratified_sample": q_rel_stratified_sample,
         "rel_quantiles": q_rel_quantiles,
+        "rel_rollup": q_rel_rollup,
+        "rel_pivot": q_rel_pivot,
     }
 
 
@@ -765,4 +828,6 @@ def oracle_sql() -> Dict[str, str]:
         "rel_range_join": SQL_REL_RANGE_JOIN,
         "rel_stratified_sample": SQL_REL_STRATIFIED_SAMPLE,
         "rel_quantiles": SQL_REL_QUANTILES,
+        "rel_rollup": SQL_REL_ROLLUP,
+        "rel_pivot": SQL_REL_PIVOT,
     }

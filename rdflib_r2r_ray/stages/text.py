@@ -361,3 +361,90 @@ class Fingerprinter:
         # the round-2 driver sweep tail)
         fps = pa.array(raw.view(np.int64), pa.int64())
         return pa.table({self.id_col: batch[self.id_col], "fingerprint": fps})
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (fixed query-term set)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_corpus_stats(ds, terms: List[str], text_col: str = "text"):
+    """Pass 1 of BM25: one streaming aggregate over the corpus → (N, avgdl,
+    df per term).  Per-batch partials are a single row each (vectorized
+    ``pc.count_substring``); the grouped-agg exchange folds them.  The
+    result is a tiny dict, broadcast into pass 2 by closure capture."""
+    from ..relational import grouped_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        dl = _doclen(txt)
+        cols = {
+            "__g": pa.array(np.zeros(len(b), np.int8)),
+            "n": pa.array(np.ones(len(b), np.int64)),
+            "sum_dl": pa.array(dl),
+        }
+        for i, t in enumerate(terms):
+            tf = pc.count_substring(txt, t).to_numpy(zero_copy_only=False)
+            cols[f"df{i}"] = pa.array((tf > 0).astype(np.int64))
+        return pa.table(cols)
+
+    sums = ["n", "sum_dl"] + [f"df{i}" for i in range(len(terms))]
+    agg = grouped_agg(
+        ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow"),
+        ["__g"], sums=sums,
+        in_schema=pa.schema([("__g", pa.int8())] + [(c, pa.int64()) for c in sums]),
+    )
+    row = agg.take_all()[0]
+    n = int(row["n"])
+    return {
+        "N": n,
+        "avgdl": float(row["sum_dl"]) / max(1, n),
+        "df": [int(row[f"df{i}"]) for i in range(len(terms))],
+    }
+
+
+def _doclen(txt: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Whitespace token count = spaces + 1 (0 for empty strings) — the same
+    closed form the SQL oracle uses, exact for single-space-joined text."""
+    total = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+    spaces = pc.count_substring(txt, " ").to_numpy(zero_copy_only=False)
+    return np.where(total > 0, spaces + 1, 0).astype(np.int64)
+
+
+class BM25Scorer:
+    """Pass 2: vectorized BM25 over the corpus with pass-1 constants.
+
+    score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).  Scores round to 6 dp so the
+    float result hashes identically to the SQL oracle's ROUND(x, 6)."""
+
+    def __init__(self, terms: List[str], stats: dict,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.terms, self.text_col, self.id_col = list(terms), text_col, id_col
+        self.N, self.avgdl = stats["N"], stats["avgdl"]
+        self.idf = [
+            float(np.log(1.0 + (self.N - df + 0.5) / (df + 0.5)))
+            for df in stats["df"]
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch[self.text_col]
+        dl = _doclen(txt).astype(np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+        score = np.zeros(len(batch), np.float64)
+        tf_total = np.zeros(len(batch), np.float64)
+        for t, idf in zip(self.terms, self.idf):
+            tf = pc.count_substring(txt, t).to_numpy(zero_copy_only=False).astype(np.float64)
+            tf_total += tf
+            score += idf * tf / (tf + norm)
+        score = np.round(score, 6)
+        # keep docs containing ANY query term (same predicate as the SQL
+        # oracle — score>0 would diverge when rounding hits exactly 0)
+        keep = tf_total > 0.0
+        return pa.table({
+            self.id_col: batch[self.id_col].filter(pa.array(keep)),
+            "score": pa.array(score[keep]),
+        })
