@@ -706,6 +706,133 @@ FROM documents
 """
 
 
+# --- window analytics (rank / lag) ------------------------------------------
+
+def q_rel_rank_window(sf_dir: str) -> rd.Dataset:
+    """RANK() OVER (PARTITION BY lang ORDER BY n_chars DESC): per-partition
+    vectorized rank over the hash exchange (complete groups per reduce task,
+    one polars rank kernel per partition — tie-stable, so deterministic
+    without a tiebreak column)."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_chars", pa.int64()), ("rnk", pa.int64()),
+    ])
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part)
+        out = df.with_columns(
+            pl.col("n_chars").rank(method="min", descending=True)
+            .over("lang").cast(pl.Int64).alias("rnk")
+        )
+        return out.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return hash_group_exchange(ds, ["lang"], rank_part, out_schema)
+
+
+SQL_REL_RANK_WINDOW = """
+SELECT doc_id, lang, n_chars,
+       RANK() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk
+FROM documents
+"""
+
+
+def q_rel_lag_delta(sf_dir: str) -> rd.Dataset:
+    """LAG deltas per key (time since the user's previous event): hash
+    exchange on user_id, one vectorized sort + shifted diff per partition
+    (same scale shape as sessionize; never per-group Python)."""
+    import numpy as np
+
+    from .stages.dedup import hash_group_exchange
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("delta_us", pa.int64()),
+    ])
+
+    def lag_part(part: pa.Table) -> pa.Table:
+        g = part.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        delta = np.empty(n, dtype=np.float64)
+        delta[0] = np.nan
+        if n > 1:
+            d = (ts[1:] - ts[:-1]).astype(np.float64)
+            d[uid[1:] != uid[:-1]] = np.nan
+            delta[1:] = d
+        mask = ~np.isnan(delta)
+        vals = pa.array(np.where(mask, delta, 0).astype(np.int64), pa.int64())
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "delta_us": pc.if_else(pa.array(mask), vals, pa.scalar(None, pa.int64())),
+        }, schema=out_schema)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return hash_group_exchange(ds, ["user_id"], lag_part, out_schema)
+
+
+SQL_REL_LAG_DELTA = """
+SELECT event_id, user_id,
+  CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+       PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS delta_us
+FROM events
+"""
+
+
+# --- web-corpus URL canonicalization + dedup ---------------------------------
+
+def q_dd_url_dedup(sf_dir: str) -> rd.Dataset:
+    """URL canonicalization + exact dedup (the Common-Crawl first pass):
+    synthesized crawl URLs (two variants per doc — tracking params / case /
+    trailing slash) normalize vectorized (lower, strip query+fragment, strip
+    trailing slash) and dedup keeps the MIN url_id per canonical URL via one
+    map-side-combined grouped MIN — no distinct exchange needed.
+
+    Fixture simplification (documented): the whole URL is case-folded; real
+    canonicalization folds only scheme+authority."""
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        base = [f"https://Example.com/d/{i}?ref=rss" for i in ids]
+        alt = [f"https://example.com/d/{i}/" for i in ids]
+        return pa.table({
+            "url_id": pa.array(np.concatenate([ids * 2, ids * 2 + 1]), pa.int64()),
+            "url": pa.array(base + alt, pa.string()),
+        })
+
+    def normalize(b: pa.Table) -> pa.Table:
+        u = pc.utf8_lower(b["url"])
+        u = pc.replace_substring_regex(u, r"[?#].*$", "")
+        u = pc.replace_substring_regex(u, r"/$", "")
+        return pa.table({"url_norm": u, "url_id": b["url_id"]})
+
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    urls = ds.map_batches(synth, batch_format="pyarrow") \
+             .map_batches(normalize, batch_format="pyarrow")
+    return R.grouped_agg(urls, ["url_norm"], mins=["url_id"])
+
+
+SQL_DD_URL_DEDUP = """
+WITH urls AS (
+  SELECT doc_id * 2 AS url_id, 'https://Example.com/d/' || doc_id || '?ref=rss' AS url FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, 'https://example.com/d/' || doc_id || '/' FROM documents
+),
+norm AS (
+  SELECT url_id,
+    regexp_replace(regexp_replace(lower(url), '[?#].*$', ''), '/$', '') AS url_norm
+  FROM urls)
+SELECT url_norm, MIN(url_id) AS url_id FROM norm GROUP BY url_norm
+"""
+
+
 # --- grouping sets (ROLLUP) / pivot -----------------------------------------
 
 def q_rel_rollup(sf_dir: str) -> rd.Dataset:
@@ -797,6 +924,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_quantiles": q_rel_quantiles,
         "rel_rollup": q_rel_rollup,
         "rel_pivot": q_rel_pivot,
+        "rel_rank_window": q_rel_rank_window,
+        "rel_lag_delta": q_rel_lag_delta,
+        "dd_url_dedup": q_dd_url_dedup,
     }
 
 
@@ -830,4 +960,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_quantiles": SQL_REL_QUANTILES,
         "rel_rollup": SQL_REL_ROLLUP,
         "rel_pivot": SQL_REL_PIVOT,
+        "rel_rank_window": SQL_REL_RANK_WINDOW,
+        "rel_lag_delta": SQL_REL_LAG_DELTA,
+        "dd_url_dedup": SQL_DD_URL_DEDUP,
     }
