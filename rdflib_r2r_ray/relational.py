@@ -505,6 +505,139 @@ def distinct(ds: rd.Dataset, keys: Optional[Sequence[str]] = None) -> rd.Dataset
 _KNUTH = 2654435761  # Knuth multiplicative hash constant
 
 
+def grouped_quantiles_disc(
+    ds: rd.Dataset, keys: Sequence[str], col: str, qs: Sequence[float]
+) -> rd.Dataset:
+    """Per-group exact discrete quantiles (``quantile_disc`` semantics,
+    rank = ceil(q·n) within each group): per-batch (key, value) count
+    combine → grouped-count exchange → per-key histogram walk, keyed on the
+    GROUP so no driver materialization at any cardinality (contrast
+    :func:`quantiles_disc`, whose global histogram lands on the driver)."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    keys = list(keys)
+    s = ds.schema()
+    tmap = dict(zip(s.names, s.types))
+    vt = tmap[col]
+    out_schema = pa.schema(
+        [(k, tmap[k]) for k in keys] + [("q", pa.float64()), ("value", vt)]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        gb = b.select(keys + [col]).drop_null().append_column(
+            "__cnt", pa.array(np.ones(len(b.drop_null()), np.int64)))
+        out = gb.group_by(keys + [col]).aggregate([("__cnt", "sum")])
+        return out.rename_columns(keys + [col, "__cnt"])
+
+    hist = grouped_agg(
+        ds.select_columns(keys + [col]).map_batches(partial, batch_format="pyarrow"),
+        keys + [col], sums=["__cnt"],
+        in_schema=pa.schema([(k, tmap[k]) for k in keys]
+                            + [(col, vt), ("__cnt", pa.int64())]),
+    )
+
+    def reduce_fn(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).sort(keys + [col])
+        frames = []
+        for q in qs:
+            f = (
+                df.with_columns(
+                    pl.col("__cnt").cum_sum().over(keys).alias("__cum"),
+                    (pl.col("__cnt").sum().over(keys) * q).ceil()
+                    .clip(lower_bound=1).alias("__rank"),
+                )
+                .filter(pl.col("__cum") >= pl.col("__rank"))
+                .group_by(keys, maintain_order=True)
+                .agg(pl.col(col).first().alias("value"))
+                .with_columns(pl.lit(float(q), dtype=pl.Float64).alias("q"))
+                .select(keys + ["q", "value"])
+            )
+            frames.append(f)
+        return pl.concat(frames).to_arrow().cast(out_schema)
+
+    return hash_group_exchange(hist, keys, reduce_fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join: scan-side pushdown before the exact join
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20          # 1 Mi bits = 128 KiB per filter
+_BLOOM_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _bloom_positions(keys: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized 64-bit mix (splitmix-style) → bit positions."""
+    x = keys.astype(np.uint64) + np.uint64(seed)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def _bloom_from_block(tbl: pa.Table, key: str) -> np.ndarray:
+    bits = np.zeros(_BLOOM_BITS // 64, dtype=np.uint64)
+    ks = pc.drop_null(tbl[key]).to_numpy(zero_copy_only=False)
+    for seed in _BLOOM_SEEDS:
+        pos = _bloom_positions(ks, seed)
+        np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    return bits
+
+
+def bloom_semi_join(
+    left: rd.Dataset, right: rd.Dataset, on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None, **kw,
+) -> rd.Dataset:
+    """Semi join with a Bloom-filter pushdown: the build side's integer key
+    column folds into a 128 KiB bit array (per-block partials OR-reduced in
+    a task tree, driver holds one ref), every probe batch drops non-members
+    BEFORE the exact semi join — at web scale the filter kills the bulk of
+    the probe stream at the scan, so the join's exchange moves only likely
+    matches.  False positives are removed by the exact join; the result
+    equals :func:`semi_join` exactly.  Single integer key only (the common
+    fact→dim case); compose hashes for multi-key."""
+    rkey = list(right_on or on)[0]
+    lkey = list(on)[0]
+
+    mat = right.materialize()
+    build = ray.remote(_bloom_from_block)
+    orfold = ray.remote(_bloom_or)
+    blooms = [build.remote(ref, rkey) for ref in mat.to_arrow_refs()]
+    while len(blooms) > 1:  # OR-reduce tree keeps driver refs O(log n)
+        blooms = [orfold.remote(*blooms[i:i + 8])
+                  for i in range(0, len(blooms), 8)]
+    bloom_ref = blooms[0] if blooms else ray.put(
+        np.zeros(_BLOOM_BITS // 64, dtype=np.uint64))
+
+    def probe(batch: pa.Table, _ref=bloom_ref) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        bits = ray.get(_ref)
+        valid = pc.is_valid(batch[lkey]).to_numpy(zero_copy_only=False)
+        ks = batch[lkey].to_numpy(zero_copy_only=False)
+        member = valid.copy()
+        kk = np.where(valid, ks, 0)
+        for seed in _BLOOM_SEEDS:
+            pos = _bloom_positions(kk, seed)
+            member &= ((bits[pos >> 6] >> (pos & 63).astype(np.uint64))
+                       & np.uint64(1)) > 0
+        return batch.filter(pa.array(member))
+
+    filtered = left.map_batches(probe, batch_format="pyarrow")
+    return planned_join(filtered, mat, on=on, right_on=right_on,
+                        join_type="left_semi", **kw)
+
+
+def _bloom_or(*parts: np.ndarray) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        out |= p
+    return out
+
+
 def stratified_sample(
     ds: rd.Dataset,
     strata: Sequence[str],

@@ -785,6 +785,40 @@ FROM events
 """
 
 
+# --- bloom-pushdown semi join / grouped quantiles ----------------------------
+
+def q_rel_bloom_semi_join(sf_dir: str) -> rd.Dataset:
+    """Semi join with a Bloom-filter scan pushdown
+    (``relational.bloom_semi_join``): the build side folds to a 128 KiB bit
+    array (task-tree OR-reduce), probe batches drop non-members at the scan,
+    the exact semi join removes false positives — identical result to
+    ``rel_exists``, a fraction of the exchange volume at scale."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    f_orders = R.filter_expr(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]),
+        "o_orderstatus == 'F'",
+    ).select_columns(["o_custkey"])
+    return R.bloom_semi_join(cust, f_orders, on=["c_custkey"], right_on=["o_custkey"])
+
+
+SQL_REL_BLOOM_SEMI_JOIN = SQL_REL_EXISTS
+
+
+def q_rel_grouped_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-group exact discrete quantiles (median/p90 n_chars per lang) via
+    the keyed histogram exchange (``relational.grouped_quantiles_disc``) —
+    no driver materialization at any group cardinality."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return R.grouped_quantiles_disc(ds, ["lang"], "n_chars", [0.5, 0.9])
+
+
+SQL_REL_GROUPED_QUANTILES = """
+SELECT lang, unnest([0.5, 0.9]) AS q,
+       unnest([quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.9)]) AS value
+FROM documents GROUP BY lang
+"""
+
+
 # --- web-corpus URL canonicalization + dedup ---------------------------------
 
 def q_dd_url_dedup(sf_dir: str) -> rd.Dataset:
@@ -840,18 +874,24 @@ def q_rel_rollup(sf_dir: str) -> rd.Dataset:
     independent map-side-combined aggregations over the SAME streamed input
     and union with null padding — no operator needs more than its own
     grouping key's exchange."""
+    import ray
+
     ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
-    fine = R.grouped_agg(ds, ["lang", "source"], sums=["n_chars"], count_as="n_docs")
-    mid = R.grouped_agg(ds.select_columns(["lang", "n_chars"]), ["lang"],
-                        sums=["n_chars"], count_as="n_docs")
-    top = R.grouped_agg(
-        ds.map_batches(
-            lambda b: b.append_column("__g", pa.array([0] * len(b), pa.int8())),
-            batch_format="pyarrow",
-        ).select_columns(["__g", "n_chars"]),
-        ["__g"], sums=["n_chars"], count_as="n_docs",
-    ).map_batches(lambda b: b.drop_columns(["__g"]), batch_format="pyarrow")
-    out = R.union_pad(fine, mid, top)
+    # rollup cascade: the corpus is read and exchanged exactly ONCE (the
+    # fine grouping); the coarser sets re-aggregate the |langs × sources|-row
+    # fine result — small by definition — with plain Arrow on the driver
+    fine = R.grouped_agg(ds, ["lang", "source"], sums=["n_chars"], count_as="n_docs").materialize()
+    ftbl = pa.concat_tables(
+        [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+    mid_tbl = ftbl.group_by(["lang"]).aggregate(
+        [("n_chars", "sum"), ("n_docs", "sum")]
+    ).rename_columns(["lang", "n_chars", "n_docs"])
+    top_tbl = pa.table({
+        "n_chars": pa.array([pc.sum(ftbl["n_chars"]).as_py()], pa.int64()),
+        "n_docs": pa.array([pc.sum(ftbl["n_docs"]).as_py()], pa.int64()),
+    })
+    out = R.union_pad(fine, rd.from_arrow(mid_tbl), rd.from_arrow(top_tbl))
     return out.map_batches(
         lambda b: b.select(["lang", "source", "n_chars", "n_docs"]).rename_columns(
             ["lang", "source", "sum_n_chars", "n_docs"]),
@@ -927,6 +967,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_rank_window": q_rel_rank_window,
         "rel_lag_delta": q_rel_lag_delta,
         "dd_url_dedup": q_dd_url_dedup,
+        "rel_bloom_semi_join": q_rel_bloom_semi_join,
+        "rel_grouped_quantiles": q_rel_grouped_quantiles,
     }
 
 
@@ -963,4 +1005,6 @@ def oracle_sql() -> Dict[str, str]:
         "rel_rank_window": SQL_REL_RANK_WINDOW,
         "rel_lag_delta": SQL_REL_LAG_DELTA,
         "dd_url_dedup": SQL_DD_URL_DEDUP,
+        "rel_bloom_semi_join": SQL_REL_BLOOM_SEMI_JOIN,
+        "rel_grouped_quantiles": SQL_REL_GROUPED_QUANTILES,
     }

@@ -689,3 +689,31 @@ def test_stratified_sample_deterministic(ray_session):
     b = stratified_sample(rd.from_arrow(t), ["g"], 5, "id").to_pandas()
     assert len(a) == 10 and set(a["g"]) == {"a", "b"}
     assert sorted(map(tuple, a.itertuples(index=False))) == sorted(map(tuple, b.itertuples(index=False)))
+
+
+def test_bloom_semi_join_equals_exact(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import bloom_semi_join, semi_join
+
+    left = pa.table({"k": pa.array(list(range(1000)), pa.int64()),
+                     "v": pa.array([f"x{i}" for i in range(1000)])})
+    right = pa.table({"rk": pa.array([2, 3, 5, 7, 11, 990], pa.int64())})
+    got = bloom_semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                          on=["k"], right_on=["rk"]).to_pandas()
+    assert sorted(got["k"]) == [2, 3, 5, 7, 11, 990]
+
+
+def test_grouped_quantiles_matches_rank_rule(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import grouped_quantiles_disc
+
+    t = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 5),
+        "x": pa.array([10, 20, 30, 40, 1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = {(r["g"], r["q"]): r["value"]
+           for r in grouped_quantiles_disc(rd.from_arrow(t), ["g"], "x", [0.5, 0.9]).take_all()}
+    # ceil(0.5*4)=2 -> 20; ceil(0.9*4)=4 -> 40; ceil(0.5*5)=3 -> 3; ceil(0.9*5)=5 -> 5
+    assert out == {("a", 0.5): 20, ("a", 0.9): 40, ("b", 0.5): 3, ("b", 0.9): 5}
