@@ -195,11 +195,23 @@ def execute_bgp(
     patterns: Sequence[Tuple],
     broadcast_threshold: int = 0,
 ) -> rd.Dataset:
+    """Execute a BGP — see :func:`execute_bgp_cols` (result Dataset only)."""
+    return execute_bgp_cols(triples, patterns, broadcast_threshold)[0]
+
+
+def execute_bgp_cols(
+    triples: rd.Dataset,
+    patterns: Sequence[Tuple],
+    broadcast_threshold: int = 0,
+) -> Tuple[rd.Dataset, List[str]]:
     """Execute a BGP (may contain property paths) over the triples Dataset.
 
-    Returns a Dataset with one column per named variable (``Var``);
-    intermediate path variables (``BNodeVar``) are joined on, then dropped.
-    Multiple path alternatives union with column padding."""
+    Returns ``(dataset, column_names)`` with one STRING column per named
+    variable (``Var``); intermediate path variables (``BNodeVar``) are
+    joined on, then dropped.  Multiple path alternatives union with column
+    padding.  The statically-known column list lets callers skip
+    ``ds.schema()`` probes, each of which would execute the whole lazy
+    branch once."""
     branches = []
     for bgp in resolve_paths(patterns):
         ordered = sorted(bgp, key=_selectivity)
@@ -241,7 +253,17 @@ def execute_bgp(
                 acc = cross_join(acc, ds)
             acc_vars = acc_vars + [v for v in names if v not in acc_vars]
         keep = [v for v in acc_vars if not v.startswith("__pb")]
-        branches.append(acc.select_columns(keep) if keep != acc_vars else acc)
+        branches.append(
+            (acc.select_columns(keep) if keep != acc_vars else acc, keep)
+        )
     if len(branches) == 1:
         return branches[0]
-    return union_pad(*branches)
+    all_names = sorted({n for _, names in branches for n in names})
+    return (
+        union_pad(
+            *[ds for ds, _ in branches],
+            schemas=[pa.schema([(n, pa.string()) for n in names])
+                     for _, names in branches],
+        ),
+        all_names,
+    )

@@ -213,11 +213,18 @@ def values_dataset(rows: List[dict]) -> rd.Dataset:
 # Union with padding (Q7)
 # ---------------------------------------------------------------------------
 
-def union_pad(*datasets: rd.Dataset) -> rd.Dataset:
+def union_pad(
+    *datasets: rd.Dataset, schemas: Optional[List[pa.Schema]] = None
+) -> rd.Dataset:
     """UNION ALL with column padding (reference ``results_union``,
     ``conversion_utils.py:92-131``): the united schema is the name-sorted
-    union of all columns; branches missing a column get typed nulls."""
-    schemas = [ds.schema() for ds in datasets]
+    union of all columns; branches missing a column get typed nulls.
+
+    Pass ``schemas`` when the branch schemas are statically known (e.g.
+    SPARQL solution relations: every column is a string term) — each
+    ``ds.schema()`` probe on a LAZY branch executes its whole prefix once,
+    so a 2-branch union without the hint runs every branch twice."""
+    schemas = schemas or [ds.schema() for ds in datasets]
     fields: Dict[str, pa.DataType] = {}
     for s in schemas:
         for name, typ in zip(s.names, s.types):

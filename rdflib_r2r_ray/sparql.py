@@ -59,7 +59,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .bgp import execute_bgp, path_edges, transitive_closure
+from .bgp import execute_bgp, execute_bgp_cols, path_edges, transitive_closure
 from .paths import Alt, Inv, NegSet, Seq, Var
 from .relational import topk, topk_offset
 from .stages.dedup import distinct_on
@@ -1529,24 +1529,38 @@ def _execute_parsed(
             for pat in pats
         ]
 
-    def exec_group(pats, fils) -> rd.Dataset:
+    def exec_group_cols(pats, fils):
+        """Returns ``(dataset, column_names)`` — names are statically known
+        (every SPARQL solution column is a string term), so downstream
+        composition never calls ``ds.schema()`` on a lazy relation (each
+        probe would execute the whole branch once — measured ~2× the wall
+        time of union/OPTIONAL queries)."""
         pats2, aug = _expand_transitive(bind_pats(pats), triples)
-        g = execute_bgp(aug, pats2, broadcast_threshold=broadcast_threshold)
-        return _filter_batches(g, fils)
+        g, names = execute_bgp_cols(aug, pats2, broadcast_threshold=broadcast_threshold)
+        return _filter_batches(g, fils), names
+
+    def exec_group(pats, fils) -> rd.Dataset:
+        return exec_group_cols(pats, fils)[0]
+
+    def _str_schema(names):
+        return pa.schema([(n, pa.string()) for n in names])
 
     values_list = list(q.values)
     if q.union_branches and not (q.patterns or q.subselects or q.optionals
                                  or q.minuses or values_list):
         # { A } UNION { B } alone: branches execute independently, results
         # align with null padding (reference results_union semantics)
-        out = union_pad(*[exec_group(g.patterns, g.filters) for g in q.union_branches])
+        branches = [exec_group_cols(g.patterns, g.filters) for g in q.union_branches]
+        out = union_pad(*[d for d, _ in branches],
+                        schemas=[_str_schema(ns) for _, ns in branches])
+        out_names = sorted({n for _, ns in branches for n in ns})
     else:
         # union mixed with other group elements: the padded union is one
         # more relation, joined to the rest on shared variables (SPARQL
         # Join of the group's elements).  A join variable must be bound in
         # EVERY branch — a null-padded key would need SPARQL compatibility
         # semantics, not SQL equality.
-        uni = None
+        uni = uni_names = None
         if q.union_branches:
             for g in q.union_branches:
                 gv = {t.name for pat in g.patterns for t in pat
@@ -1556,30 +1570,48 @@ def _execute_parsed(
                         raise NotImplementedError(
                             "FILTER in a UNION branch referencing outer "
                             "variables")
-            uni = union_pad(*[exec_group(g.patterns, g.filters)
-                              for g in q.union_branches])
+            branches = [exec_group_cols(g.patterns, g.filters)
+                        for g in q.union_branches]
+            uni = union_pad(*[d for d, _ in branches],
+                            schemas=[_str_schema(ns) for _, ns in branches])
+            uni_names = sorted({n for _, ns in branches for n in ns})
         # { SELECT ... } sub-queries evaluate independently (bottom-up, like
         # the reference's recursive algebra conversion) and join the
-        # enclosing group on shared variables
-        sub_outs = [
-            _execute_parsed(triples, sq, init_bindings, broadcast_threshold)
-            for sq in q.subselects
-        ]
+        # enclosing group on shared variables.  Their output columns are
+        # statically known from the sub-query's projection/aggregation, so
+        # joining them needs no schema probe.
+        def _sub_names(sq, ds) -> List[str]:
+            if sq.aggregates:
+                gk = list(sq.group_by)
+                visible = [a.alias for a in sq.aggregates
+                           if not a.alias.startswith("__h")]
+                return list(dict.fromkeys(
+                    (list(sq.variables) if sq.variables else gk) + visible))
+            if sq.variables:
+                return list(sq.variables)
+            return list(ds.schema().names)  # SELECT * sub-query: probe once
+
+        sub_outs = []
+        for sq in q.subselects:
+            sds = _execute_parsed(triples, sq, init_bindings, broadcast_threshold)
+            sub_outs.append((sds, _sub_names(sq, sds)))
         if q.patterns:
-            out = exec_group(q.patterns, ())
+            out, out_names = exec_group_cols(q.patterns, ())
         elif uni is not None:
-            out, uni = uni, None
+            out, out_names = uni, uni_names
+            uni = None
         elif sub_outs:
-            out = sub_outs.pop(0)
+            out, out_names = sub_outs.pop(0)
         elif values_list:
             # VALUES-only group: the inline table IS the base relation
             vars_, rows = values_list.pop(0)
             out = rd.from_arrow(_values_table(vars_, rows))
+            out_names = list(vars_)
         else:
-            out = exec_group(q.patterns, ())
+            out, out_names = exec_group_cols(q.patterns, ())
         if uni is not None:
-            left_vars = set(out.schema().names)
-            shared = [v for v in uni.schema().names if v in left_vars]
+            left_vars = set(out_names)
+            shared = [v for v in uni_names if v in left_vars]
             if shared:
                 branch_vars = [
                     {t.name for pat in g.patterns for t in pat
@@ -1596,13 +1628,15 @@ def _execute_parsed(
                 from .relational import cross_join
 
                 out = cross_join(out, uni)
-        for sub in sub_outs:
-            left_vars = set(out.schema().names)
-            shared = [v for v in sub.schema().names if v in left_vars]
+            out_names = out_names + [n for n in uni_names if n not in out_names]
+        for sub, sub_names in sub_outs:
+            left_vars = set(out_names)
+            shared = [v for v in sub_names if v in left_vars]
             if not shared:
                 raise NotImplementedError(
                     "sub-SELECT sharing no variable with the enclosing group")
             out = planned_join(out, sub, on=shared, join_type="inner")
+            out_names = out_names + [n for n in sub_names if n not in out_names]
         # OPTIONAL blocks: left-outer join on the shared variables
         # (reference OPTIONAL → LEFT JOIN, query_conversions.py:349-374);
         # inner FILTERs apply to the block side before the join — exact when
@@ -1610,10 +1644,11 @@ def _execute_parsed(
         # the reference's ON-clause case with no left-side references
         for opt in q.optionals:
             opt_pats, aug = _expand_transitive(bind_pats(opt.patterns), triples)
-            opt_out = execute_bgp(aug, opt_pats, broadcast_threshold=broadcast_threshold)
-            opt_vars = set(opt_out.schema().names)
-            left_vars = set(out.schema().names)
-            shared = [v for v in opt_out.schema().names if v in left_vars]
+            opt_out, opt_names = execute_bgp_cols(
+                aug, opt_pats, broadcast_threshold=broadcast_threshold)
+            opt_vars = set(opt_names)
+            left_vars = set(out_names)
+            shared = [v for v in opt_names if v in left_vars]
             if not shared:
                 raise NotImplementedError("OPTIONAL sharing no variable with the required part")
             inner_fils = [f for f in opt.filters if _expr_vars(f) <= opt_vars]
@@ -1642,20 +1677,24 @@ def _execute_parsed(
                 )
                 from .relational import union_pad as _up
 
-                out = _up(matched, remainder)
+                out = _up(matched, remainder,
+                          schemas=[_str_schema(sorted(left_vars | opt_vars)),
+                                   _str_schema(sorted(left_vars))])
+            out_names = out_names + [n for n in opt_names if n not in out_names]
         # MINUS blocks: anti-join on shared variables (reference MINUS →
         # NOT EXISTS, query_conversions.py:403-406; exact because BGP
         # solutions always bind their variables)
         for mns in q.minuses:
             m_pats, aug = _expand_transitive(bind_pats(mns.patterns), triples)
-            m_out = execute_bgp(aug, m_pats, broadcast_threshold=broadcast_threshold)
-            m_vars = set(m_out.schema().names)
+            m_out, m_names = execute_bgp_cols(
+                aug, m_pats, broadcast_threshold=broadcast_threshold)
+            m_vars = set(m_names)
             for f in mns.filters:
                 if not _expr_vars(f) <= m_vars:
                     raise NotImplementedError("FILTER in MINUS referencing outer variables")
             m_out = _filter_batches(m_out, mns.filters)
-            left_vars = set(out.schema().names)
-            shared = [v for v in m_out.schema().names if v in left_vars]
+            left_vars = set(out_names)
+            shared = [v for v in m_names if v in left_vars]
             if not shared:
                 raise NotImplementedError("MINUS sharing no variable with the required part")
             out = planned_join(out, m_out.select_columns(shared), on=shared,
@@ -1669,27 +1708,30 @@ def _execute_parsed(
             ) if len(b) else b,
             batch_format="pyarrow",
         )
+        out_names = out_names + [alias]
 
     # VALUES → inline table joined on its variables (reference queryValues);
     # a VALUES block already consumed as the base relation is skipped
     for vars_, rows in values_list:
         vt = _values_table(vars_, rows)
-        out_vars = set(out.schema().names)
+        out_vars = set(out_names)
         shared = [v for v in vars_ if v in out_vars]
         if not shared:
             raise NotImplementedError("VALUES sharing no variable with the group")
         from .relational import broadcast_join
 
         out = broadcast_join(out, vt, on=shared)
+        out_names = out_names + [v for v in vars_ if v not in out_names]
 
     # FILTER [NOT] EXISTS → semi/anti join on correlation variables
     # (reference convertExists, query_conversions.py:183-210)
     for negated, grp in q.exists:
         sub_pats, aug = _expand_transitive(bind_pats(grp.patterns), triples)
-        sub = execute_bgp(aug, sub_pats, broadcast_threshold=broadcast_threshold)
+        sub, sub_nm = execute_bgp_cols(
+            aug, sub_pats, broadcast_threshold=broadcast_threshold)
         sub = _filter_batches(sub, grp.filters)
-        out_vars = set(out.schema().names)
-        shared = [v for v in sub.schema().names if v in out_vars]
+        out_vars = set(out_names)
+        shared = [v for v in sub_nm if v in out_vars]
         if not shared:
             raise NotImplementedError("EXISTS sharing no variable with the group")
         out = planned_join(out, sub.select_columns(shared), on=shared,
@@ -1704,7 +1746,7 @@ def _execute_parsed(
         # (same contract as the CONSTRUCT branch below)
         if q.limit is not None:
             out = out.limit(q.limit + q.offset)
-        bound = set(out.schema().names or []) if out.schema() is not None else set()
+        bound = set(out_names)
         nodes = None
         for t in q.describe:
             if isinstance(t, Var):
@@ -1774,12 +1816,18 @@ def _execute_parsed(
             graph = branch if graph is None else graph.union(branch)
         return distinct_on(graph, ["subj", "pred", "obj"])
 
+    numeric_out_cols: set = set()
     if q.aggregates:
-        out = _execute_aggregates(out, q)
+        out, numeric_out_cols = _execute_aggregates(out, q)
+        gk = [] if not q.group_by else list(q.group_by)
+        visible = [a.alias for a in q.aggregates if not a.alias.startswith("__h")]
+        out_names = list(dict.fromkeys(
+            (list(q.variables) if q.variables else gk) + visible))
     elif q.variables:
         out = out.select_columns(list(q.variables))
+        out_names = list(q.variables)
     if q.distinct:
-        out = distinct_on(out, list(q.variables) if q.variables else out.schema().names)
+        out = distinct_on(out, list(q.variables) if q.variables else out_names)
     if q.order_by:
         # numeric-vs-lexical ordering decided per key from a bounded sample
         # (ADVICE.md round-2: N3 lexical sort misorders numeric literals)
@@ -1798,6 +1846,9 @@ def _execute_parsed(
                     helpers[h] = (lambda b, _e=v: _full_array(
                         _to_raw(*_eval(_e, b)), pa.string(), len(b)))
                 sort_keys.append(h)
+            elif v in numeric_out_cols:
+                # natively-typed aggregate output: sort directly, no probe
+                sort_keys.append(v)
             elif _probe_numeric(out, v):
                 h = f"__ord{i}"
                 helpers[h] = (lambda b, _v=v: _numeric_col(b, _v))
@@ -1816,8 +1867,7 @@ def _execute_parsed(
             if q.offset:
                 raise NotImplementedError("OFFSET without LIMIT needs a LIMIT bound")
         if helpers:
-            keep = [c for c in out.schema().names if c not in helpers]
-            out = out.select_columns(keep)
+            out = out.select_columns(list(out_names))
     elif q.limit is not None:
         out = out.limit(q.limit + q.offset)
         if q.offset:
@@ -1833,7 +1883,7 @@ def _execute_parsed(
     return out
 
 
-def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
+def _execute_aggregates(out: rd.Dataset, q: SelectQuery):
     """GROUP BY + aggregate lowering (reference aggregate table,
     ``query_conversions.py:57-81``): COUNT(?v) counts bound values (an
     is_valid indicator summed), COUNT(*) counts solutions, SUM/AVG decode
@@ -1934,9 +1984,19 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
             return lambda b, _v=var: b[_v]
 
         prepped = extend(out, **{name: build(spec) for name, spec in prep.items()})
+        # prep column types are statically known — the in_schema hint saves
+        # grouped_agg's ds.schema() probe (which would execute the whole
+        # lazy pre-aggregate pipeline once)
+        _SPEC_T = {"ones": pa.int64(), "valid": pa.int64(), "evalid": pa.int64(),
+                   "num": pa.float64(), "enum": pa.float64(),
+                   "raw": pa.string(), "eraw": pa.string()}
+        in_schema = pa.schema(
+            [(k, pa.int8() if k == "__g" else pa.string()) for k in keys]
+            + [(name, _SPEC_T[spec[0]]) for name, spec in prep.items()]
+        )
         agg = grouped_agg(
             prepped.select_columns(keys + list(prep)),
-            keys, sums=sums, mins=mins, maxs=maxs,
+            keys, sums=sums, mins=mins, maxs=maxs, in_schema=in_schema,
         )
         if post_avg:
             agg = extend(agg, **{
@@ -1991,4 +2051,13 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery) -> rd.Dataset:
     proj = list(dict.fromkeys(
         (list(q.variables) if q.variables else group_keys) + visible
     ))
-    return agg_out.select_columns(proj)
+    # aliases whose output column is NATIVELY numeric (count/sum/avg always;
+    # min/max when the numeric lowering was chosen) — lets ORDER BY sort them
+    # directly instead of probing the lazy aggregate (a probe executes it)
+    numeric_cols = set(sums) | {al for al, _, _ in post_avg}
+    numeric_cols |= {a.alias for a in q.aggregates
+                     if a.fn in ("count", "sum", "avg")}
+    for a in q.aggregates:
+        if a.fn in ("min", "max") and prep.get(a.alias, (None,))[0] in ("num", "enum"):
+            numeric_cols.add(a.alias)
+    return agg_out.select_columns(proj), numeric_cols & set(proj)
