@@ -330,25 +330,26 @@ def q_kg_entity_counts(sf_dir: str) -> rd.Dataset:
     """Canonicalization shuffle (north_star): per CANONICAL entity, the
     mention count across the corpus, aggregated with the skew-safe salted
     two-stage groupby (head entities follow a power law — a plain groupby
-    would send every head-entity row to one reducer)."""
+    would send every head-entity row to one reducer).  The linker runs as
+    TASKS with the per-worker cache (``linker.cached_linker``) — broadcast
+    alias state, no actor-pool spawn tax."""
     import ray
 
     from .aliases import alias_table, canonical_map
     from .pipelines.kg import AddSubject
     from .stages.canonicalize import CanonicalRewrite, salted_groupby_count
-    from .stages.linker import EntityLinker
+    from .stages.linker import cached_linker
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(AddSubject(documents_mapping(), "documents"), batch_format="pyarrow")
     alias_ref = ray.put(alias_table())
+    rewrite = CanonicalRewrite(canonical_map(), columns=["entity"])
+
+    def link_task(batch: pa.Table, _a=alias_ref, _rw=rewrite) -> pa.Table:
+        return _rw(cached_linker(_a)(batch))
+
     mentions = ds.select_columns(["subj", "text"]).map_batches(
-        EntityLinker,
-        fn_constructor_kwargs=dict(alias_ref=alias_ref),
-        batch_format="pyarrow",
-        concurrency=(1, _pool_size()),
-    )
-    mentions = mentions.map_batches(
-        CanonicalRewrite(canonical_map(), columns=["entity"]), batch_format="pyarrow"
+        link_task, batch_format="pyarrow"
     )
     return salted_groupby_count(mentions.select_columns(["entity"]), "entity", "n")
 

@@ -187,3 +187,23 @@ class EntityLinker:
             },
             schema=MENTION_SCHEMA,
         )
+
+
+# per-WORKER-process linker cache (same amortization pattern as
+# pipelines/kg._cached_emitter): Ray reuses pre-started worker processes
+# for tasks, so the first task on a worker builds the linker (alias ref
+# dereferenced, patterns compiled) and later tasks reuse it — actor-pool
+# amortization without the ~1.5 s pool-spawn tax, elastic over all CPUs.
+_LINKER_CACHE: Dict[tuple, "EntityLinker"] = {}
+
+
+def cached_linker(alias_ref, subj_col: str = "subj",
+                  text_col: str = "text") -> "EntityLinker":
+    key = (alias_ref.hex() if hasattr(alias_ref, "hex") else id(alias_ref),
+           subj_col, text_col)
+    lk = _LINKER_CACHE.get(key)
+    if lk is None:
+        lk = EntityLinker(alias_ref, subj_col=subj_col, text_col=text_col)
+        _LINKER_CACHE.clear()
+        _LINKER_CACHE[key] = lk
+    return lk
