@@ -347,6 +347,55 @@ FROM d, s WHERE {" + ".join(f"d.tf{i}" for i in range(len(BM25_TERMS)))} > 0
 """
 
 
+NGRAM_TOPK = 20
+
+
+def q_text_ngram_freq(sf_dir: str) -> rd.Dataset:
+    """Corpus-wide top-20 token bigrams: per-batch vectorized tokenize +
+    shift-join + LOCAL count (combiner — one row per distinct bigram per
+    block moves), grouped-count exchange, global deterministic top-k
+    (count desc, bigram asc).  The n-gram language-model / contamination-
+    check primitive.  Token class is explicit ASCII ``[a-z0-9_]+`` so the
+    polars (Rust regex) and DuckDB (RE2) sides agree on non-ASCII text."""
+    from .relational import grouped_agg, topk
+    from .stages.dedup import _pl
+
+    def bigram_counts(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b.select(["text"]))
+        out = (
+            df.select(pl.col("text").str.to_lowercase()
+                      .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .with_row_index("d")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .with_columns(pl.col("t").shift(-1).over("d").alias("nx"))
+            .filter(pl.col("nx").is_not_null())
+            .select((pl.col("t") + " " + pl.col("nx")).alias("bigram"))
+            .group_by("bigram").len(name="n")
+        )
+        return out.to_arrow().cast(
+            pa.schema([("bigram", pa.string()), ("n", pa.int64())]))
+
+    ds = _docs(sf_dir).map_batches(bigram_counts, batch_format="pyarrow")
+    agg = grouped_agg(
+        ds, ["bigram"], sums=["n"],
+        in_schema=pa.schema([("bigram", pa.string()), ("n", pa.int64())]),
+    )
+    return topk(agg, ["n", "bigram"], NGRAM_TOPK, descending=[True, False])
+
+
+SQL_TEXT_NGRAM_FREQ = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {NGRAM_TOPK}
+"""
+
+
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     """Gopher/C4-style quality signals + composite score — all-integer
     outputs with integer threshold arithmetic (bit-exact vs SQL)."""
@@ -615,6 +664,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "text_bm25": q_text_bm25,
+        "text_ngram_freq": q_text_ngram_freq,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -638,6 +688,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_bm25": _sql_text_bm25(),
+        "text_ngram_freq": SQL_TEXT_NGRAM_FREQ,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": _sql_langid(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,

@@ -165,6 +165,38 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_kg_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental construction (north_star resume semantics): the corpus
+    arrives as two shards, each shard constructs its triples independently
+    (exactly what a checkpoint-resumed run does per partition), and the
+    delta merges into the existing graph through the SAME set-semantics
+    dedup exchange — the merged graph is IDENTICAL to a from-scratch build
+    (oracle: the full-corpus SQL).  Per-doc rules + per-doc linking make
+    sharding safe by construction; only the final distinct is global."""
+    from .pipelines.kg import kg_construct
+    from .stages.dedup import dedupe_triples
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source", "n_chars"])
+    mapping = documents_mapping()
+
+    def shard(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(
+                pc.bit_wise_and(b.column("doc_id"), 1), parity))
+        return f
+
+    old = kg_construct(ds.map_batches(shard(0), batch_format="pyarrow"),
+                       mapping, "documents", dedup=False)
+    delta = kg_construct(ds.map_batches(shard(1), batch_format="pyarrow"),
+                         mapping, "documents", dedup=False)
+    return dedupe_triples(old.union(delta)).select_columns(["subj", "pred", "obj"])
+
+
+def _sql_kg_incremental() -> str:
+    return _sql_kg_full_documents()
+
+
 def q_kg_degree_hist(sf_dir: str) -> rd.Dataset:
     """Graph-shape analytics over the emitted KG: subject out-degree
     distribution (degree → number of subjects).  Two cascaded map-side-
@@ -1332,6 +1364,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
         "kg_store_pattern": q_kg_store_pattern,
         "kg_degree_hist": q_kg_degree_hist,
+        "kg_incremental": q_kg_incremental,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -1385,6 +1418,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_nt_roundtrip": _sql_kg_doc_meta(),
         "kg_store_pattern": _sql_kg_store_pattern(),
         "kg_degree_hist": _sql_kg_degree_hist(),
+        "kg_incremental": _sql_kg_incremental(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),

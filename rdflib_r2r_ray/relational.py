@@ -531,8 +531,8 @@ def grouped_quantiles_disc(
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        gb = b.select(keys + [col]).drop_null().append_column(
-            "__cnt", pa.array(np.ones(len(b.drop_null()), np.int64)))
+        sel = b.select(keys + [col]).drop_null()
+        gb = sel.append_column("__cnt", pa.array(np.ones(len(sel), np.int64)))
         out = gb.group_by(keys + [col]).aggregate([("__cnt", "sum")])
         return out.rename_columns(keys + [col, "__cnt"])
 
