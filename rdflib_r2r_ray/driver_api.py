@@ -109,30 +109,31 @@ SELECT subj, pred, obj FROM (
 
 def q_kg_mentions(sf_dir: str) -> rd.Dataset:
     """Entity linking + canonicalization: distinct (doc, mentions, entity)
-    triples over ``documents.text`` via the actor-pool linker."""
+    triples over ``documents.text``.  The linker runs as TASKS with the
+    per-worker cache (``linker.cached_linker``) — broadcast alias state,
+    no actor-pool spawn tax (same shape as ``q_kg_entity_counts``; the
+    actor-pool form of the same stage is exercised by `kg_full_documents`'s
+    emitter and the multimodal queries)."""
     import ray
 
     from .aliases import alias_table, canonical_map
-    from .pipelines.kg import AddSubject, MENTIONS_PRED, mentions_to_triples
+    from .pipelines.kg import AddSubject, mentions_to_triples
     from .stages.canonicalize import CanonicalRewrite
     from .stages.dedup import distinct_on
-    from .stages.linker import EntityLinker
+    from .stages.linker import cached_linker
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     mapping = documents_mapping()
     ds = ds.map_batches(AddSubject(mapping, "documents"), batch_format="pyarrow")
     alias_ref = ray.put(alias_table())
-    mentions = ds.select_columns(["subj", "text"]).map_batches(
-        EntityLinker,
-        fn_constructor_kwargs=dict(alias_ref=alias_ref),
-        batch_format="pyarrow",
-        concurrency=(1, _pool_size()),
+    rewrite = CanonicalRewrite(canonical_map(), columns=["entity"])
+
+    def link_task(batch: pa.Table, _a=alias_ref, _rw=rewrite) -> pa.Table:
+        return mentions_to_triples(_rw(cached_linker(_a)(batch)))
+
+    trips = ds.select_columns(["subj", "text"]).map_batches(
+        link_task, batch_format="pyarrow"
     )
-    mentions = mentions.map_batches(
-        CanonicalRewrite(canonical_map(), columns=["entity"]),
-        batch_format="pyarrow",
-    )
-    trips = mentions.map_batches(mentions_to_triples, batch_format="pyarrow")
     return distinct_on(trips, ["subj", "pred", "obj"]).select_columns(["subj", "pred", "obj"])
 
 
