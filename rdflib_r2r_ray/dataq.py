@@ -396,6 +396,81 @@ ORDER BY n DESC, bigram LIMIT {NGRAM_TOPK}
 """
 
 
+def plant_pii(batch: pa.Table) -> pa.Table:
+    """Deterministically plant PII from pure doc_id arithmetic (the base
+    corpus has none), so the DuckDB oracle replays the planting exactly:
+    doc_id%7==0 → an email, %5==0 → a NANP 555 phone, %11==0 → an IPv4."""
+    did = pc.cast(batch["doc_id"], pa.int64())
+    ds_ = pc.cast(did, pa.string())
+    empty = pa.scalar("", pa.string())
+
+    def when(mod: int, suffix):
+        # int64 pc.divide is integer division and doc_id >= 0, so this is
+        # exactly SQL's doc_id % mod (Arrow has no modulo kernel)
+        rem = pc.subtract(did, pc.multiply(pc.divide(did, mod), mod))
+        return pc.if_else(pc.equal(rem, 0), suffix, empty)
+
+    email = when(7, pc.binary_join_element_wise(
+        pa.scalar(" contact user"), ds_, pa.scalar("@example.com"), ""))
+    last4 = pc.utf8_lpad(pc.cast(
+        pc.subtract(did, pc.multiply(pc.divide(did, 10000), 10000)),
+        pa.string()), 4, "0")
+    phone = when(5, pc.binary_join_element_wise(
+        pa.scalar(" call 212-555-"), last4, ""))
+    oct3 = pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 256), 256)),
+                   pa.string())
+    oct4 = pc.cast(pc.subtract(pc.divide(did, 256),
+                               pc.multiply(pc.divide(did, 256 * 256), 256)),
+                   pa.string())
+    ip = when(11, pc.binary_join_element_wise(
+        pa.scalar(" from 10.0."), oct3, pa.scalar("."), oct4, ""))
+    txt = pc.binary_join_element_wise(
+        pc.cast(batch["text"], pa.string()), email, phone, ip, "")
+    return batch.set_column(batch.column_names.index("text"), "text", txt)
+
+
+def q_text_pii(sf_dir: str) -> rd.Dataset:
+    """PII detection + redaction (the pre-training privacy scrub): per-doc
+    email/phone/IPv4 match counts + redacted-text length, all RE2 kernels
+    (one count + one global replace per pattern per batch)."""
+    return (
+        _docs(sf_dir)
+        .map_batches(plant_pii, batch_format="pyarrow")
+        .map_batches(T.pii_scrub, batch_format="pyarrow")
+    )
+
+
+def _sql_text_pii() -> str:
+    from .stages.text import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    redact = "text"
+    for name, pat, tok in PII_PATTERNS:
+        redact = f"regexp_replace({redact}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 212-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pats["email"]}')) AS n_email,
+       len(regexp_extract_all(text, '{pats["phone"]}')) AS n_phone,
+       len(regexp_extract_all(text, '{pats["ipv4"]}')) AS n_ipv4,
+       length({redact}) AS clean_len
+FROM planted
+"""
+
+
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     """Gopher/C4-style quality signals + composite score — all-integer
     outputs with integer threshold arithmetic (bit-exact vs SQL)."""
@@ -665,6 +740,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_tokens": q_text_tokens,
         "text_bm25": q_text_bm25,
         "text_ngram_freq": q_text_ngram_freq,
+        "text_pii": q_text_pii,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -689,6 +765,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_tokens": SQL_TEXT_TOKENS,
         "text_bm25": _sql_text_bm25(),
         "text_ngram_freq": SQL_TEXT_NGRAM_FREQ,
+        "text_pii": _sql_text_pii(),
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": _sql_langid(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,

@@ -448,3 +448,47 @@ class BM25Scorer:
             self.id_col: batch[self.id_col].filter(pa.array(keep)),
             "score": pa.array(score[keep]),
         })
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (the pre-training privacy scrub pass)
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no lookarounds) so Arrow and the DuckDB oracle agree byte-for-
+# byte.  Email deliberately simple-but-standard; phone matches the NANP
+# 555-prefixed fixture shapes; IPv4 is the plain dotted quad.  Order of
+# redaction matters (emails contain digits): email → phone → ipv4.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-555-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_email, n_phone, n_ipv4, clean_len) — per-doc PII match
+    counts plus the length of the fully redacted text.  One RE2 count kernel
+    + one RE2 global replace per pattern per batch; no per-row Python.
+    Returning ``clean_len`` (not the redacted text) keeps the oracle
+    comparison exact while the full redacted column stays available to
+    callers via ``pii_redact``."""
+    txt = pc.cast(batch[text_col], pa.string())
+    counts = {name: _count_re(txt, pat) for name, pat, _ in PII_PATTERNS}
+    clean = pii_redact(txt)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_email": pa.array(counts["email"]),
+            "n_phone": pa.array(counts["phone"]),
+            "n_ipv4": pa.array(counts["ipv4"]),
+            "clean_len": pc.cast(pc.utf8_length(clean), pa.int64()),
+        }
+    )
+
+
+def pii_redact(txt: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Redact all PII_PATTERNS occurrences (global replace, fixed order)."""
+    for _, pat, token in PII_PATTERNS:
+        txt = pc.replace_substring_regex(txt, pat, token)
+    return txt

@@ -717,3 +717,28 @@ def test_grouped_quantiles_matches_rank_rule(ray_session):
            for r in grouped_quantiles_disc(rd.from_arrow(t), ["g"], "x", [0.5, 0.9]).take_all()}
     # ceil(0.5*4)=2 -> 20; ceil(0.9*4)=4 -> 40; ceil(0.5*5)=3 -> 3; ceil(0.9*5)=5 -> 5
     assert out == {("a", 0.5): 20, ("a", 0.9): 40, ("b", 0.5): 3, ("b", 0.9): 5}
+
+
+def test_pii_scrub_counts_and_redaction():
+    import pyarrow as pa
+
+    from rdflib_r2r_ray.stages.text import pii_redact, pii_scrub
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "mail a.b+c@ex-ample.co.uk or d@e.io, call 212-555-0199",
+            "server at 10.0.3.77 and 192.168.0.1; no mail",
+            "nothing sensitive here",
+        ],
+    })
+    out = pii_scrub(batch)
+    assert out["n_email"].to_pylist() == [2, 0, 0]
+    assert out["n_phone"].to_pylist() == [1, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0]
+    red = pii_redact(batch["text"]).to_pylist()
+    assert red[0] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert red[1] == "server at <IP> and <IP>; no mail"
+    assert red[2] == "nothing sensitive here"
+    # clean_len is the redacted length (codepoints), matching SQL length()
+    assert out["clean_len"].to_pylist() == [len(r) for r in red]
