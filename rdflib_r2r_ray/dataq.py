@@ -146,6 +146,83 @@ def q_dd_ngram_jaccard(sf_dir: str) -> rd.Dataset:
 SQL_DD_NGRAM_JACCARD = _sql_jaccard_pairs(800, with_permille=True)
 
 
+def q_dd_fuzzy_dedup(sf_dir: str) -> rd.Dataset:
+    """END-TO-END fuzzy dedup (the SlimPajama/NeMo-Curator shape): MinHash-
+    LSH candidates → exact-Jaccard verify → distributed connected components
+    (min-label propagation; keyed joins only, labels never on the driver) →
+    keeper = component-min doc_id → survivors anti-join.  Every stage is an
+    exchange or join already proven green on its own; this query gates the
+    COMPOSITION against a recursive-CTE SQL replica.  Near-dups are planted
+    for every 10th doc only — guarantees non-trivial components at every
+    scale while keeping the oracle's O(n²) verify join near base-corpus
+    size (planting ALL docs put the sf0.01 oracle at ~30 s; the Ray side
+    was 4 s either way)."""
+    from .relational import planned_join
+    from .stages.canonicalize import label_propagation_components
+
+    def plant_tenth(batch: pa.Table) -> pa.Table:
+        did = pc.cast(batch["doc_id"], pa.int64())
+        tenth = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 10), 10)), 0)
+        planted = plant_near_dups(batch.filter(tenth))
+        copies = planted.filter(
+            pc.greater_equal(planted["doc_id"], pa.scalar(DUP_OFFSET, pa.int64())))
+        return pa.concat_tables([batch, copies])
+
+    corpus = _docs(sf_dir).map_batches(plant_tenth, batch_format="pyarrow")
+    pairs = D.verified_near_dup_pairs(
+        corpus, num_perm=128, bands=32, permille_threshold=800
+    )
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["id_a"], "b": b["id_b"]})
+
+    labels = label_propagation_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow")
+    )
+
+    def losers(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["node"], b["label"])
+        return pa.table({"doc_id": b.filter(keep)["node"]})
+
+    non_keepers = labels.map_batches(losers, batch_format="pyarrow")
+    return planned_join(
+        corpus.select_columns(["doc_id"]), non_keepers,
+        on=["doc_id"], join_type="left_anti",
+    )
+
+
+def _sql_dd_fuzzy_dedup() -> str:
+    t = 800
+    shingles = _SQL_SHINGLES.replace("FROM documents", "FROM corpus")
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text || ' zzztail' FROM documents
+  WHERE doc_id % 10 = 0
+), sh AS ({shingles}
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND len(a.sh) * 1000 >= len(b.sh) * {t} AND len(b.sh) * 1000 >= len(a.sh) * {t}
+  WHERE len(list_intersect(a.sh, b.sh)) * 1000 >= len(list_distinct(a.sh || b.sh)) * {t}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+), labels AS (
+  SELECT x AS node, least(x, MIN(y)) AS label FROM reach GROUP BY x
+)
+SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+WHERE l.node IS NULL OR l.label = c.doc_id
+"""
+
+
 def q_dd_simhash(sf_dir: str) -> rd.Dataset:
     """SimHash blocking + exact token-bag verify over a corpus with planted
     exact duplicates: emits every bag-identical pair.  Equal bags ⇒ equal
@@ -729,6 +806,7 @@ GROUP BY doc_id, f
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "dd_exact": q_dd_exact,
+        "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_simhash": q_dd_simhash,
@@ -754,6 +832,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
 def oracle_sql() -> Dict[str, str]:
     return {
         "dd_exact": SQL_DD_EXACT,
+        "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,
         "dd_ngram_jaccard": SQL_DD_NGRAM_JACCARD,
         "dd_simhash": SQL_DD_SIMHASH,
