@@ -111,3 +111,30 @@ def test_ntriples_export(ray_session, tmp_path):
         "<http://e/a> <http://e/p> <http://e/o> .",
         '<http://e/b> <http://e/p> "hello@en tagged? no — bare" .',
     ])
+
+
+def test_checkpoint_detects_lost_data_rename(ray_session, tmp_path):
+    """The single-fsync commit protocol's recovery invariant: a manifest
+    whose data file is missing or size-mismatched (the crash window where
+    the manifest rename persisted but the data rename didn't) is NOT
+    treated as committed, and the partition re-runs."""
+    from rdflib_r2r_ray.state.checkpoint import (
+        checkpointed_write, completed_partitions)
+
+    out = str(tmp_path / "graph")
+    ds = _triples_ds()
+    checkpointed_write(ds, out, keys=["subj"], num_partitions=8)
+
+    # partition 2: data file vanished entirely (rename lost)
+    os.remove(os.path.join(out, "part=00002", "data.parquet"))
+    # partition 6: data file truncated (partial page-cache writeback)
+    p6 = os.path.join(out, "part=00006", "data.parquet")
+    with open(p6, "r+b") as f:
+        f.truncate(os.path.getsize(p6) // 2)
+
+    done = completed_partitions(out)
+    assert 2 not in done and 6 not in done and len(done) == 6
+
+    res = checkpointed_write(ds, out, keys=["subj"], num_partitions=8)
+    assert res["written"] == 2 and res["skipped"] == 6 and res["rows"] == 500
+    assert len(completed_partitions(out)) == 8
