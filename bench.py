@@ -95,10 +95,9 @@ def _headline(sf_dir: str) -> dict:
         # would coalesce all unit rows into a couple of giant serial tasks
         ds = ds.map_batches(build, batch_format="pyarrow", batch_size=1)
         triples = kg_construct(ds, documents_mapping(), "documents", has_html=True, dedup=False)
-        # ~500k triples (≈20/doc) per partition: larger partitions hit a
-        # sharp hash-dedup cliff on plasma-backed memory (24s vs 0.3s/task)
-        n_parts = max(24, n_docs // 25_000)
-        res = materialize_graph(triples, out_dir, num_partitions=n_parts, resume=False)
+        # adaptive partition count (~500k triples each) + batched-sync
+        # commit: the sink sizes the layout from streamed metadata
+        res = materialize_graph(triples, out_dir, resume=False)
         n_triples = res["rows"]
         dt = time.time() - t0
         phases = res.get("phase_sec", {})

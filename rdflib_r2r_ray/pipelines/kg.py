@@ -340,7 +340,7 @@ def emit_graph(datasets: Dict[str, rd.Dataset], mapping: Mapping) -> rd.Dataset:
 def materialize_graph(
     triples: rd.Dataset,
     out_dir: str,
-    num_partitions: int = 24,
+    num_partitions: "int | None" = None,
     rule_version: str = "v1",
     resume: bool = True,
 ) -> dict:
@@ -353,10 +353,12 @@ def materialize_graph(
     ``part=<hash(subj)%P>/data.parquet`` + ``_manifest.json`` — and replaces
     a separate dedup shuffle followed by a write (half the data movement).
 
-    Size ``num_partitions`` to ~500k triples each: the per-partition hash
+    ``num_partitions=None`` sizes the partition count adaptively from the
+    streamed output metadata (~500k triples each: the per-partition hash
     dedup degrades sharply (~40×) once a partition's working set outgrows
-    cache over plasma-backed memory.  The count is a layout contract —
-    resume requires the same value across runs."""
+    cache over plasma-backed memory, and a tiny output commits one file
+    instead of dozens of fsyncs).  The count is a layout contract — a
+    resumed run reuses the count recorded in the existing manifests."""
     from ..state.checkpoint import checkpointed_write
 
     return checkpointed_write(

@@ -93,9 +93,16 @@ def completed_partitions(out_dir: str) -> Dict[int, dict]:
             with open(mpath) as f:
                 m = json.load(f)
             if m.get("rows", 0):
-                data = os.path.join(
-                    pdir, "data.nt" if m.get("fmt") == "nt" else "data.parquet")
-                if os.path.getsize(data) != m.get("bytes"):
+                if "fmt" in m:
+                    candidates = ["data.nt" if m["fmt"] == "nt" else "data.parquet"]
+                else:
+                    # pre-'fmt' manifests (older nt checkpoints): accept
+                    # whichever data file exists with the recorded size
+                    candidates = ["data.parquet", "data.nt"]
+                if not any(
+                    os.path.exists(p) and os.path.getsize(p) == m.get("bytes")
+                    for p in (os.path.join(pdir, c) for c in candidates)
+                ):
                     continue  # data rename lost or truncated ⇒ recompute
             done[int(name.split("=", 1)[1])] = m
         except (OSError, ValueError, json.JSONDecodeError):
@@ -138,6 +145,18 @@ def _nt_lines(tbl: pa.Table) -> bytes:
     return ("\n".join(lines.to_pylist()) + "\n").encode()
 
 
+def _commit_manifest(pdir: str, manifest: dict) -> None:
+    """Write the manifest with tmp+rename (presence == committed).  The
+    manifest itself is never fsynced — ``completed_partitions`` re-verifies
+    the data file against it, so a lost manifest just re-runs the
+    partition."""
+    mtmp = os.path.join(pdir, MANIFEST + ".tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+    os.replace(mtmp, os.path.join(pdir, MANIFEST))
+
+
 def _write_partition(
     out_dir: str,
     part: int,
@@ -145,6 +164,7 @@ def _write_partition(
     lineage: dict,
     distinct_keys: Optional[List[str]],
     fmt: str,
+    fsync_data: bool,
     *tables: pa.Table,
 ) -> dict:
     """One committed partition: concat its shuffled splits, optional exact
@@ -194,11 +214,12 @@ def _write_partition(
         checksum = hashlib.sha1(data).hexdigest()
         with open(tmp_path, "wb") as f:
             f.write(data)
-            f.flush()
-            # fsync the DATA file before the rename: without it a power loss
-            # can leave a committed manifest pointing at an empty/partial
-            # data.parquet, which resume would silently treat as complete
-            os.fsync(f.fileno())
+            if fsync_data:
+                f.flush()
+                # per-partition fsync mode: the DATA file is durable before
+                # the rename, so a committed manifest can never point at an
+                # empty/partial data.parquet
+                os.fsync(f.fileno())
         n_rows, n_bytes = len(tbl), len(data)
         os.replace(tmp_path, data_path)  # atomic commit of the data file
     manifest = {
@@ -212,27 +233,68 @@ def _write_partition(
         "committed_at": time.time(),
         **lineage,
     }
-    mtmp = os.path.join(pdir, MANIFEST + ".tmp")
-    with open(mtmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-    os.replace(mtmp, os.path.join(pdir, MANIFEST))  # manifest last ⇒ committed
-    # The manifest and directory are NOT fsynced (only the data file is):
-    # recovery makes that safe — ``completed_partitions`` re-verifies the
-    # data file's existence and byte size against the manifest, so a crash
-    # that loses either rename (or persists the manifest without the data
-    # rename) just re-runs the partition.  This matters because the write
-    # wave is fsync-LATENCY-bound on a contended device (measured: a flat
-    # ~4.4 s floor at both 4 and 16 CPUs for 48 tiny partitions); one fsync
-    # per partition instead of three cuts the queued device round-trips 3×.
+    if fsync_data:
+        # strict mode commits the manifest in-task (manifest last ⇒
+        # committed); batched mode defers it to the driver, AFTER the single
+        # global flush, so no manifest can exist before its data is durable
+        _commit_manifest(pdir, manifest)
+    # The manifest and directory are never fsynced: recovery makes that safe
+    # — ``completed_partitions`` re-verifies the data file's existence and
+    # byte size against the manifest, so a crash that loses either rename
+    # (or persists the manifest without the data rename) just re-runs the
+    # partition.  The write wave is fsync-LATENCY-bound on a contended
+    # device (measured: a flat ~4.4 s floor at both 4 and 16 CPUs for 48
+    # tiny partitions), which is why batched mode replaces per-partition
+    # fsyncs with one ``os.sync()`` per write wave.
     return manifest
+
+
+#: Fixed map-side fan-out for adaptive mode: split into this many buckets
+#: while streaming (before the output size is known), then group contiguous
+#: bucket ranges into the chosen number of write partitions after the drain.
+SPLIT_BUCKETS = 64
+
+#: Target rows per committed partition in adaptive mode — measured sweet
+#: spot: the per-partition fused unique+sort degrades sharply once a
+#: partition's working set outgrows cache over plasma-backed memory, and
+#: below ~100k rows the fixed task + fsync cost dominates.
+ADAPTIVE_TARGET_ROWS = 500_000
+ADAPTIVE_TARGET_BYTES = 256 << 20  # in-memory Arrow bytes per partition
+
+
+def _adaptive_partitions(total_rows: int, total_bytes: int) -> int:
+    """Pick the write-partition count from streamed metadata: enough
+    partitions that none exceeds the row/byte targets AND (for wall-clock)
+    one partition per cluster CPU once there are ≥64k rows each, rounded UP
+    to a power-of-two divisor of SPLIT_BUCKETS (so each partition owns a
+    contiguous bucket range), capped at SPLIT_BUCKETS.  A tiny output
+    commits ONE file instead of 64 (round-3 regression: 64 fsyncs for a
+    6 MB sf0.1 output tripled the write phase); with the batched-sync
+    commit, extra partitions cost only a task, so the per-partition
+    distinct+sort — the write wave's critical path — shrinks with P."""
+    import math
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    need = max(
+        1,
+        math.ceil(total_rows / ADAPTIVE_TARGET_ROWS),
+        math.ceil(total_bytes / ADAPTIVE_TARGET_BYTES),
+        min(cpus, math.ceil(total_rows / 64_000)),
+    )
+    p = 1
+    while p < need and p < SPLIT_BUCKETS:
+        p *= 2
+    return p
 
 
 def checkpointed_write(
     ds: rd.Dataset,
     out_dir: str,
     keys: Sequence[str],
-    num_partitions: int = 64,
+    num_partitions: Optional[int] = None,
     lineage: Optional[dict] = None,
     resume: bool = True,
     distinct_keys: Optional[Sequence[str]] = None,
@@ -242,9 +304,26 @@ def checkpointed_write(
     ``keys`` % num_partitions) with a per-partition manifest; skip already
     committed partitions when resuming.
 
+    ``num_partitions=None`` (default) sizes the partition count ADAPTIVELY
+    from the streamed row/byte metadata (see ``_adaptive_partitions``); a
+    resumed adaptive run reuses the count recorded in the existing
+    manifests so the layout contract holds across runs.  Pass an explicit
+    count for a fixed layout (e.g. thousands of partitions at 100 TB).
+
     ``distinct_keys``: exact-dedup rows on these columns during the write
     (one fused exchange for dedup + materialize — exact when ``keys`` is a
     prefix/subset of ``distinct_keys`` so duplicates co-locate).
+
+    Commit protocol (default ``batched``): writers write+rename data files
+    WITHOUT per-file fsync and return their manifests; the driver then
+    issues ONE ``os.sync()`` for the whole wave and only afterwards writes
+    the manifests — no manifest can exist before its data is durable, and
+    the wave pays one device flush instead of one fsync per partition (the
+    round-3 regression).  ``GRAFT_COMMIT_FSYNC=per-partition`` restores the
+    strict per-file fsync + in-task manifest ordering — required when
+    writer tasks run on OTHER nodes writing node-local disks (the driver's
+    sync() only flushes its own node; shared filesystems with close-to-open
+    semantics are fine either way).
 
     Returns summary metrics ``{written, skipped, rows, bytes}``.
 
@@ -253,19 +332,23 @@ def checkpointed_write(
     shuffle for their reduce (their splits are still produced by the map —
     at very large scale pair this with input-side pruning via the
     ``inputs`` lineage field)."""
-    import math
-
     keys = list(keys)
     distinct_keys = list(distinct_keys) if distinct_keys else None
     lineage = dict(lineage or {})
     lineage.setdefault("keys", keys)
-    lineage.setdefault("num_partitions", num_partitions)
+    per_part_fsync = os.environ.get("GRAFT_COMMIT_FSYNC", "batched") == "per-partition"
 
     done = completed_partitions(out_dir) if resume else {}
-    todo = [p for p in range(num_partitions) if p not in done]
-    if not todo:
-        rows = sum(m.get("rows", 0) for m in done.values())
-        return {"written": 0, "skipped": len(done), "rows": rows, "bytes": None}
+    P = num_partitions
+    if P is None and done:
+        # adaptive resume: the layout is already on disk — reuse it
+        P = next(iter(done.values())).get("num_partitions") or SPLIT_BUCKETS
+    if P is not None:
+        todo = [p for p in range(P) if p not in done]
+        if not todo:
+            rows = sum(m.get("rows", 0) for m in done.values())
+            return {"written": 0, "skipped": len(done), "rows": rows, "bytes": None}
+    split_buckets = P if P is not None else SPLIT_BUCKETS
 
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
@@ -276,20 +359,22 @@ def checkpointed_write(
     # barrier (the barrier serialized emit against the exchange and capped
     # E2E scaling efficiency at ~0.7; only the per-partition reduce still
     # needs every map's output).
-    mapper = ray.remote(num_returns=num_partitions)(_split_plain_group)
+    mapper = ray.remote(num_returns=split_buckets)(_split_plain_group)
     split_refs: List = []
     pending: List = []
     pending_rows = 0
+    total_rows = 0
+    total_bytes = 0
     # rows per split task: chunky enough that (split tasks × partitions)
-    # stays a modest object count — each task emits num_partitions returns,
+    # stays a modest object count — each task emits split_buckets returns,
     # and the per-partition writer concats one piece per split task
     group_rows = int(os.environ.get("GRAFT_SPLIT_GROUP_ROWS", "500000"))
 
     def _flush():
         nonlocal pending, pending_rows
         if pending:
-            r = mapper.remote(keys, num_partitions, *pending)
-            split_refs.append([r] if num_partitions == 1 else r)
+            r = mapper.remote(keys, split_buckets, *pending)
+            split_refs.append([r] if split_buckets == 1 else r)
             pending, pending_rows = [], 0
 
     # execute_to_iterator (not iter_internal_ref_bundles) so we hold the
@@ -305,6 +390,8 @@ def checkpointed_write(
                     continue
                 pending.append(block_ref)
                 pending_rows += meta.num_rows
+                total_rows += meta.num_rows
+                total_bytes += meta.size_bytes or 0
                 if pending_rows >= group_rows or len(pending) >= 64:
                     _flush()
     finally:
@@ -328,6 +415,11 @@ def checkpointed_write(
         ray.wait(flat, num_returns=len(flat), fetch_local=False)
     t_map = time.time() - t1
     t2 = time.time()
+    if P is None:
+        P = _adaptive_partitions(total_rows, total_bytes)
+        todo = list(range(P))  # done was empty, else P came from its manifests
+    lineage.setdefault("num_partitions", P)
+    bucket_span = split_buckets // P  # contiguous buckets per write partition
     # NOTE: fractional-CPU writers (num_cpus=0.7) and 1M-row split groups
     # were both tried and measured SLOWER (write 2.4→5.0 s at 16 CPUs —
     # oversubscribed writers thrash; coarser splits lag the emit overlap)
@@ -335,12 +427,23 @@ def checkpointed_write(
     manifests = ray.get(
         [
             writer.remote(
-                out_dir, p, keys, lineage, distinct_keys, fmt,
-                *[split_refs[m][p] for m in range(len(split_refs))]
+                out_dir, p, keys, lineage, distinct_keys, fmt, per_part_fsync,
+                *[
+                    split_refs[m][p * bucket_span + j]
+                    for m in range(len(split_refs))
+                    for j in range(bucket_span)
+                ],
             )
             for p in todo
         ]
     )
+    if not per_part_fsync and manifests:
+        # ONE flush for the whole wave (data content + renames), THEN the
+        # manifests — a crash before this line re-runs every partition
+        # (work loss, never data loss: no manifest exists yet)
+        os.sync()
+        for m in manifests:
+            _commit_manifest(_part_dir(out_dir, m["partition"]), m)
     return {
         "written": len(manifests),
         "skipped": len(done),
@@ -357,7 +460,7 @@ def checkpointed_write(
 def write_ntriples(
     triples: rd.Dataset,
     out_dir: str,
-    num_partitions: int = 64,
+    num_partitions: Optional[int] = None,
     lineage: Optional[dict] = None,
     resume: bool = True,
 ) -> dict:

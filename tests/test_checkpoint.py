@@ -113,6 +113,48 @@ def test_ntriples_export(ray_session, tmp_path):
     ])
 
 
+def test_checkpoint_adaptive_partition_count(ray_session, tmp_path):
+    """num_partitions=None sizes the layout from streamed metadata: a tiny
+    output commits ONE partition (the round-3 regression was 64 fsyncs for
+    a 6 MB output), and a resumed adaptive run reuses the recorded count."""
+    from rdflib_r2r_ray.state.checkpoint import (
+        _adaptive_partitions, checkpointed_write, completed_partitions)
+
+    # sizing rule: tiny → 1; ~8 × target rows → 8 (power-of-two divisor of 64)
+    assert _adaptive_partitions(500, 10_000) == 1
+    assert _adaptive_partitions(3_980_040, 400 << 20) == 8
+    assert _adaptive_partitions(10**12, 10**15) == 64  # adaptive cap
+
+    out = str(tmp_path / "graph")
+    res = checkpointed_write(_triples_ds(), out, keys=["subj"])
+    assert res["written"] == 1 and res["rows"] == 500
+    done = completed_partitions(out)
+    assert set(done) == {0} and done[0]["num_partitions"] == 1
+
+    # adaptive resume: layout read back from the manifest, nothing re-runs
+    res2 = checkpointed_write(_triples_ds(), out, keys=["subj"])
+    assert res2["written"] == 0 and res2["skipped"] == 1 and res2["rows"] == 500
+
+    # lost partition re-runs under the recorded layout
+    os.remove(os.path.join(out, "part=00000", "_manifest.json"))
+    res3 = checkpointed_write(_triples_ds(), out, keys=["subj"])
+    assert res3["written"] == 1 and res3["rows"] == 500
+
+
+def test_checkpoint_per_partition_fsync_mode(ray_session, tmp_path, monkeypatch):
+    """GRAFT_COMMIT_FSYNC=per-partition restores the strict in-task
+    fsync+manifest protocol (multi-node local disks); results identical."""
+    monkeypatch.setenv("GRAFT_COMMIT_FSYNC", "per-partition")
+    from rdflib_r2r_ray.state.checkpoint import (
+        checkpointed_write, completed_partitions, read_checkpointed)
+
+    out = str(tmp_path / "graph")
+    res = checkpointed_write(_triples_ds(), out, keys=["subj"], num_partitions=4)
+    assert res["written"] == 4 and res["rows"] == 500
+    assert len(completed_partitions(out)) == 4
+    assert read_checkpointed(out).count() == 500
+
+
 def test_checkpoint_detects_lost_data_rename(ray_session, tmp_path):
     """The single-fsync commit protocol's recovery invariant: a manifest
     whose data file is missing or size-mismatched (the crash window where
