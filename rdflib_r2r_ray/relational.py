@@ -624,9 +624,13 @@ def bloom_semi_join(
             return batch
         bits = ray.get(_ref)
         valid = pc.is_valid(batch[lkey]).to_numpy(zero_copy_only=False)
-        ks = batch[lkey].to_numpy(zero_copy_only=False)
+        # fill nulls BEFORE to_numpy: a nullable int column otherwise comes
+        # back float64 (NaN-backed), losing precision above 2^53 and making
+        # negative-key float→uint64 conversion undefined — the probe would
+        # hash differently than the build side's int64 path and silently
+        # drop matching rows (false NEGATIVES)
+        kk = pc.fill_null(batch[lkey], 0).to_numpy(zero_copy_only=False)
         member = valid.copy()
-        kk = np.where(valid, ks, 0)
         for seed in _BLOOM_SEEDS:
             pos = _bloom_positions(kk, seed)
             member &= ((bits[pos >> 6] >> (pos & 63).astype(np.uint64))
@@ -754,6 +758,12 @@ def asof_join(
 
     ls = left.schema()
     rs = right.schema()
+    if right_keep is not None:
+        collide = [c for c in right_keep if c in ls.names]
+        if collide:
+            raise ValueError(
+                f"asof_join right_keep columns {collide} collide with left "
+                "column names — rename them on the right side first")
     keep = [c for c in (list(right_keep) if right_keep is not None else [right_on])
             if c not in ls.names]
     rtypes = dict(zip(rs.names, rs.types))
@@ -826,7 +836,14 @@ def range_join(
         if n not in lnames and n != right_by
     ]
     out_schema = pa.schema(out_fields)
-    rkeep = [n for n in rs.names if (n not in lnames and n != right_by) or n == right_by]
+    # right_on must ALWAYS ship into the reduce (the band filter references
+    # __r_<right_on> even when its name collides with a left column — it is
+    # renamed with the private prefix so the collision is harmless; a
+    # colliding right_on is simply absent from the output schema)
+    rkeep = list(dict.fromkeys(
+        [n for n in rs.names if (n not in lnames and n != right_by) or n == right_by]
+        + [right_on]
+    ))
 
     def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
         if lt.num_rows == 0 or rt.num_rows == 0:

@@ -1592,9 +1592,17 @@ def _execute_parsed(
             return list(ds.schema().names)  # SELECT * sub-query: probe once
 
         sub_outs = []
+        # columns that may NOT be plain string terms (sub-SELECT aggregate
+        # outputs are natively numeric — int64 COUNT, float64 AVG): any
+        # union_pad over a relation containing one must probe real schemas
+        # instead of declaring every column string, or pad() would silently
+        # cast 5 → '5' (changing ORDER BY and oracle comparison semantics)
+        nonstr_vars: set = set()
         for sq in q.subselects:
             sds = _execute_parsed(triples, sq, init_bindings, broadcast_threshold)
             sub_outs.append((sds, _sub_names(sq, sds)))
+            nonstr_vars.update(
+                a.alias for a in sq.aggregates if not a.alias.startswith("__h"))
         if q.patterns:
             out, out_names = exec_group_cols(q.patterns, ())
         elif uni is not None:
@@ -1677,9 +1685,14 @@ def _execute_parsed(
                 )
                 from .relational import union_pad as _up
 
-                out = _up(matched, remainder,
-                          schemas=[_str_schema(sorted(left_vars | opt_vars)),
-                                   _str_schema(sorted(left_vars))])
+                if nonstr_vars & (left_vars | opt_vars):
+                    # numeric sub-select columns present: probe the real
+                    # schemas (costs one extra branch execution — rare path)
+                    out = _up(matched, remainder)
+                else:
+                    out = _up(matched, remainder,
+                              schemas=[_str_schema(sorted(left_vars | opt_vars)),
+                                       _str_schema(sorted(left_vars))])
             out_names = out_names + [n for n in opt_names if n not in out_names]
         # MINUS blocks: anti-join on shared variables (reference MINUS →
         # NOT EXISTS, query_conversions.py:403-406; exact because BGP

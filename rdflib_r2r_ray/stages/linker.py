@@ -204,6 +204,10 @@ def cached_linker(alias_ref, subj_col: str = "subj",
     lk = _LINKER_CACHE.get(key)
     if lk is None:
         lk = EntityLinker(alias_ref, subj_col=subj_col, text_col=text_col)
-        _LINKER_CACHE.clear()
+        # bounded, NOT clear-on-insert: two pipelines with different alias
+        # refs interleaving batches on one worker must both stay cached, or
+        # the linker rebuild tax returns on nearly every batch
+        while len(_LINKER_CACHE) >= 4:
+            _LINKER_CACHE.pop(next(iter(_LINKER_CACHE)))
         _LINKER_CACHE[key] = lk
     return lk

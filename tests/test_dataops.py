@@ -663,6 +663,69 @@ def test_range_join_band(ray_session):
     assert list(zip(out["id"], out["val"])) == [(1, 200)]
 
 
+def test_range_join_shared_time_column_name(ray_session):
+    """Both sides naming the time column identically (e.g. both 'ts') must
+    not crash the band filter: right_on ships through the private __r_
+    rename even when its name collides with a left column."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import range_join
+
+    T = lambda d: dt.datetime(2024, 1, d)
+    left = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "k": pa.array([10, 10], pa.int64()),
+        "ts": pa.array([T(5), T(1)], pa.timestamp("us")),
+    })
+    right = pa.table({
+        "rk": pa.array([10, 10], pa.int64()),
+        "ts": pa.array([T(4), T(2)], pa.timestamp("us")),
+        "val": pa.array([100, 200], pa.int64()),
+    })
+    out = range_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk", "ts", "ts",
+        dt.timedelta(0), dt.timedelta(days=2),
+    ).to_pandas().sort_values(["id", "val"]).reset_index(drop=True)
+    # id=1 ts=Jan5: right Jan4 (d=1) -> 100; Jan2 (d=3) out of band
+    # id=2 ts=Jan1: both right rows are after -> negative delta -> drop
+    assert list(zip(out["id"], out["val"])) == [(1, 100)]
+    assert "ts" in out.columns  # left's ts survives; right's is internal
+
+
+def test_asof_join_colliding_right_keep_raises(ray_session):
+    import ray.data as rd
+    import pytest as _pytest
+
+    from rdflib_r2r_ray.relational import asof_join
+
+    left, right = _tj_tables()
+    renamed = right.rename_columns(["rk", "rt", "t"])  # 't' collides with left
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_arrow(left), rd.from_arrow(renamed),
+                  "k", "rk", "t", "rt", right_keep=["t"])
+
+
+def test_bloom_semi_join_nullable_and_negative_keys(ray_session):
+    """Nullable int probe keys must not round-trip through float64 (NaN
+    backing loses >2^53 precision and negative keys hit undefined
+    float→uint conversion) — result must equal the exact semi join."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.relational import bloom_semi_join, semi_join
+
+    big = (1 << 60) + 7
+    left = pa.table({
+        "k": pa.array([big, big + 1, -5, -6, None, 42], pa.int64()),
+        "tag": pa.array(list("abcdef")),
+    })
+    right = pa.table({"k": pa.array([big, -5, 42], pa.int64())})
+    out = bloom_semi_join(rd.from_arrow(left), rd.from_arrow(right), ["k"])
+    exact = semi_join(rd.from_arrow(left), rd.from_arrow(right), ["k"])
+    assert sorted(out.to_pandas()["tag"]) == sorted(exact.to_pandas()["tag"]) == ["a", "c", "f"]
+
+
 def test_quantiles_disc_empty_and_tiny(ray_session):
     import ray.data as rd
 
