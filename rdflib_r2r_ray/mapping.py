@@ -27,7 +27,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import pyarrow as pa
 
 from .terms import RDF_TYPE, iri_safe, natural_datatype
-from .template import template_columns
+from .template import split_template, template_columns
 
 
 @dataclass(frozen=True)
@@ -68,7 +68,9 @@ class TermMap:
 class PredicateObjectMap:
     predicate: TermMap  # constant in all reference-supported cases (sql_converter.py:261)
     object: TermMap
-    graph: Optional[str] = None
+    # rr:graphMap as a term map (constant/template/column, always IRI-typed);
+    # None = default graph
+    graph: Optional[TermMap] = None
 
 
 @dataclass(frozen=True)
@@ -85,7 +87,7 @@ class TriplesMap:
     subject: TermMap
     pomaps: Tuple[PredicateObjectMap, ...]
     classes: Tuple[str, ...] = ()  # rr:class IRIs -> rdf:type triples
-    graph: Optional[str] = None
+    graph: Optional[TermMap] = None  # subject-level rr:graphMap (None = default graph)
 
     def columns(self) -> List[str]:
         cols: List[str] = list(self.subject.columns())
@@ -202,13 +204,26 @@ def retarget_ref_to_template(obj: TermMap) -> Optional[TermMap]:
     Returns None when a real join is required (parent subject is a bnode or
     uses non-joined columns)."""
     ps = obj.parent_subject
-    if ps is None or ps.kind != "template" or (ps.term_type or "iri") != "iri":
+    if ps is None:
+        return None
+    if not obj.join:
+        # no rr:joinCondition: the parent's logical table is the same as the
+        # child's (R2RML spec §8) — the object is the parent subject minted
+        # from the SAME row, whatever its term-map kind (W3C R2RMLTC0008b)
+        return ps
+    if ps.kind != "template" or (ps.term_type or "iri") != "iri":
         return None
     parent_to_child = {p: c for c, p in obj.join}
     slots = template_columns(ps.template or "")
     if not all(s in parent_to_child for s in slots):
         return None
-    tpl = ps.template or ""
-    for s in slots:
-        tpl = tpl.replace("{%s}" % s, "{%s}" % parent_to_child[s])
-    return TermMap(kind="template", template=tpl, term_type="iri")
+    # rebuild from parsed parts, NOT string replace: the template's slot
+    # spelling may be delimited ('{"ID"}') while template_columns strips the
+    # quotes — a textual replace of '{ID}' would silently miss the slot and
+    # leave the CHILD's same-named column in place (wrong object IRIs)
+    parts = []
+    for prefix, col in split_template(ps.template or ""):
+        parts.append(prefix.replace("{", "\\{").replace("}", "\\}"))
+        if col is not None:
+            parts.append("{%s}" % parent_to_child[col])
+    return TermMap(kind="template", template="".join(parts), term_type="iri")

@@ -263,21 +263,30 @@ def ref_join_triples(
     j = planned_join(child, parent, on=child_cols, right_on=parent_cols)
     pred_const = pm.predicate.constant  # constant in all supported cases
     assert pred_const, "ref pomap predicates must be constant"
-    g = pm.graph or tm.graph
+    # R2RML §9.1: target graphs = subject-level ∪ pom-level graph maps
+    g_terms = [g for g in dict.fromkeys((tm.graph, pm.graph)) if g is not None]
+    for g_term in g_terms:
+        if g_term.kind != "constant":
+            raise NotImplementedError(
+                "non-constant rr:graphMap on a join-requiring ref pomap")
+    graphs = [g.constant for g in g_terms] or [None]
 
-    def finish(batch: pa.Table, _pred=pred_const, _g=g) -> pa.Table:
+    def finish(batch: pa.Table, _pred=pred_const, _graphs=tuple(graphs)) -> pa.Table:
         n = len(batch)
-        t = pa.table(
-            {
-                "subj": batch["subj"],
-                "pred": pa.array([_pred] * n, pa.string()),
-                "obj": batch["obj"],
-                "graph": pa.array([_g] * n, pa.string()),
-            },
-            schema=TRIPLE_SCHEMA,
-        )
-        mask = pc.and_(pc.is_valid(t["subj"]), pc.is_valid(t["obj"]))
-        return t.filter(mask)
+        outs = []
+        for _g in _graphs:
+            t = pa.table(
+                {
+                    "subj": batch["subj"],
+                    "pred": pa.array([_pred] * n, pa.string()),
+                    "obj": batch["obj"],
+                    "graph": pa.array([_g] * n, pa.string()),
+                },
+                schema=TRIPLE_SCHEMA,
+            )
+            mask = pc.and_(pc.is_valid(t["subj"]), pc.is_valid(t["obj"]))
+            outs.append(t.filter(mask))
+        return pa.concat_tables(outs)
 
     return j.map_batches(finish, batch_format="pyarrow")
 

@@ -45,17 +45,31 @@ _TOKEN = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
     | (?P<iri><[^>]*>)
+    | (?P<literal3>"{3}(?:[^"\\]|\\.|"(?!""))*"{3})
     | (?P<literal>"(?:[^"\\]|\\.)*")
     | (?P<dtype>\^\^)
     | (?P<kw_prefix2>@prefix|@base)
     | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<bool>\b(?:true|false)\b)
     | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<lname>[\w.-]*)
     | (?P<kw_a>\ba\b)
+    | (?P<number>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<punct>[;,.\[\]()])
     | (?P<ws>\s+)
     """,
     re.X,
 )
+
+_UESC = re.compile(r"\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})")
+
+
+def _unescape(body: str) -> str:
+    """Turtle string unescapes (incl. \\uXXXX — ``unicode_escape`` would
+    mangle non-ASCII text, so escapes resolve individually)."""
+    body = _UESC.sub(lambda m: chr(int(m.group(1) or m.group(2), 16)), body)
+    return (body.replace("\\\\", "\x00").replace('\\"', '"')
+                .replace("\\n", "\n").replace("\\t", "\t")
+                .replace("\\r", "\r").replace("\x00", "\\"))
 
 
 @dataclass
@@ -127,16 +141,23 @@ class TurtleParser:
                 iri = self.base + iri  # relative IRI
             return _Node("iri", iri)
         if k == "pname":
+            if v.startswith("_:"):
+                return _Node("bnode", v)  # labelled blank node
             return _Node("iri", self._resolve_pname(v))
         if k == "kw_a":
             return _Node("iri", RDF + "type")
-        if k == "literal":
-            body = v[1:-1]
-            # unescape the Turtle string escapes R2RML documents use
-            # (unicode_escape would mangle non-ASCII text)
-            body = (body.replace("\\\\", "\x00").replace('\\"', '"')
-                        .replace("\\n", "\n").replace("\\t", "\t")
-                        .replace("\x00", "\\"))
+        if k == "bool":
+            return _Node("literal", v, XSD + "boolean", None)
+        if k == "number":
+            if "e" in v.lower():
+                dt = XSD + "double"
+            elif "." in v:
+                dt = XSD + "decimal"
+            else:
+                dt = XSD + "integer"
+            return _Node("literal", v, dt, None)
+        if k in ("literal", "literal3"):
+            body = _unescape(v[3:-3] if k == "literal3" else v[1:-1])
             dtype = lang = None
             nk, nv = self._peek()
             if nk == "dtype":
@@ -148,7 +169,7 @@ class TurtleParser:
             return _Node("literal", body, dtype, lang)
         if v == "[":
             self.bnode_n += 1
-            bid = f"_:b{self.bnode_n}"
+            bid = f"_:__anon{self.bnode_n}"  # avoid colliding with document _:labels
             self._predicate_object_list(bid, stop="]")
             self._expect("]")
             return _Node("bnode", bid)
@@ -216,17 +237,58 @@ def _all(props: List[Tuple[str, _Node]], pred: str) -> List[_Node]:
     return [o for p, o in props if p == pred]
 
 
+def _ident(name: str) -> str:
+    """Strip SQL identifier delimiters: R2RML column references may be
+    delimited (``rr:column "\\"amount\\""``, suite D012) while the reflected
+    Arrow schema holds the bare name."""
+    if len(name) >= 2 and name[0] == '"' and name[-1] == '"':
+        return name[1:-1].replace('""', '"')
+    return name
+
+
 def _encode_constant(node: _Node) -> TermMap:
     if node.kind == "iri":
         return TermMap.iri_constant(node.value)
-    # literal constant, N3-encoded like terms.decorate_literal_array
-    lex = node.value.replace("\\", "\\\\").replace('"', '\\"')
-    enc = f'"{lex}"'
     if node.lang:
-        enc += f"@{node.lang}"
-    elif node.dtype and node.dtype != XSD + "string":
-        enc += f"^^<{node.dtype}>"
-    return TermMap.literal_constant(enc)
+        lex = node.value.replace("\\", "\\\\").replace('"', '\\"')
+        return TermMap.literal_constant(f'"{lex}"@{node.lang}')
+    if node.dtype and node.dtype != XSD + "string":
+        lex = node.value.replace("\\", "\\\\").replace('"', '\\"')
+        return TermMap.literal_constant(f'"{lex}"^^<{node.dtype}>')
+    # plain literal: the engine's storage form is the BARE lexical
+    # (terms.py wire format; quoting it would emit a quoted string value)
+    return TermMap.literal_constant(node.value)
+
+
+# BCP47-shaped language tag with an ISO-639 primary subtag (1-3 alpha).
+# R2RML requires a VALID language tag (spec §10.2); the W3C suite's negative
+# case R2RMLTC0015b uses "english" (7-letter primary subtag) and expects
+# rejection.
+_LANG_RE = re.compile(r"^[A-Za-z]{1,3}(-[A-Za-z0-9]{1,8})*$")
+
+
+def _graph_term(parser: TurtleParser, props: List[Tuple[str, _Node]]) -> Optional[TermMap]:
+    """rr:graph <iri> shorthand or rr:graphMap term map → IRI-typed TermMap;
+    ``rr:defaultGraph`` (or absence) → None.  Graph terms must be IRIs
+    (R2RML spec §9; suite negative case R2RMLTC0007h)."""
+    g = _one(props, RR + "graph")
+    if g is not None:
+        if g.kind != "iri":
+            raise ValueError("rr:graph must be an IRI")
+        return None if g.value == RR + "defaultGraph" else TermMap.iri_constant(g.value)
+    gm = _one(props, RR + "graphMap")
+    if gm is None:
+        return None
+    t = _parse_term_map(parser, gm, "g", {}, {})
+    if t.term_type in ("literal", "bnode"):
+        raise ValueError("rr:graphMap term must be an IRI")
+    if t.kind == "constant":
+        if not (t.constant or "").startswith("<"):
+            raise ValueError("rr:graphMap constant must be an IRI")
+        return None if t.constant == f"<{RR}defaultGraph>" else t
+    from dataclasses import replace as _replace
+
+    return _replace(t, term_type="iri")
 
 
 def _parse_term_map(parser: TurtleParser, node: _Node, position: str,
@@ -242,6 +304,8 @@ def _parse_term_map(parser: TurtleParser, node: _Node, position: str,
     lang_node = _one(props, RR + "language")
     dtype = dt_node.value if dt_node is not None else None
     lang = lang_node.value if lang_node is not None else None
+    if lang is not None and not _LANG_RE.match(lang):
+        raise ValueError(f"invalid rr:language tag {lang!r}")
 
     const = _one(props, RR + "constant")
     if const is not None:
@@ -249,8 +313,8 @@ def _parse_term_map(parser: TurtleParser, node: _Node, position: str,
         return base
     col = _one(props, RR + "column")
     if col is not None:
-        return TermMap(kind="column", column=col.value, term_type=term_type,
-                       datatype=dtype, language=lang)
+        return TermMap(kind="column", column=_ident(col.value),
+                       term_type=term_type, datatype=dtype, language=lang)
     tpl = _one(props, RR + "template")
     if tpl is not None:
         return TermMap(kind="template", template=tpl.value, term_type=term_type,
@@ -264,7 +328,7 @@ def _parse_term_map(parser: TurtleParser, node: _Node, position: str,
             par = _one(jprops, RR + "parent")
             if child is None or par is None:
                 raise ValueError("joinCondition needs rr:child and rr:parent")
-            joins.append((child.value, par.value))
+            joins.append((_ident(child.value), _ident(par.value)))
         return TermMap(
             kind="ref",
             parent_table=tm_tables[parent.value],
@@ -296,9 +360,14 @@ def load_r2rml(text: str, base: str = "") -> Tuple[Mapping, Dict[str, str]]:
         props = parser.spo[subj]
         lt = _one(props, RR + "logicalTable")
         lt_props = parser.spo.get(lt.value, []) if lt is not None else props
+        sv = _one(lt_props, RR + "sqlVersion")
+        if sv is not None and sv.value != RR + "SQL2008":
+            # only the Core SQL 2008 identifier is defined (R2RML spec §5.2;
+            # W3C negative case R2RMLTC0003a uses an undefined rr:SQL1979)
+            raise ValueError(f"undefined rr:sqlVersion {sv.value!r}")
         tn = _one(lt_props, RR + "tableName")
         if tn is not None:
-            tm_tables[subj] = tn.value.strip('"')
+            tm_tables[subj] = _ident(tn.value)
         else:
             sq = _one(lt_props, RR + "sqlQuery")
             if sq is None:
@@ -315,11 +384,18 @@ def load_r2rml(text: str, base: str = "") -> Tuple[Mapping, Dict[str, str]]:
         props = parser.spo[subj]
         sm = _one(props, RR + "subjectMap")
         if sm is not None:
+            if len(_all(props, RR + "subjectMap")) > 1:
+                # R2RML: exactly one subject map (suite negative R2RMLTC0012d)
+                raise ValueError(f"TriplesMap {subj}: multiple subjectMaps")
             smap = _parse_term_map(parser, sm, "s", {}, {})
+            if smap.term_type == "literal" or (
+                smap.kind == "constant" and not (smap.constant or "").startswith(("<", "_:"))
+            ):
+                # subjects must be IRIs or blank nodes (negative R2RMLTC0004b)
+                raise ValueError(f"TriplesMap {subj}: subject cannot be a literal")
             sprops = parser.spo.get(sm.value, [])
             classes[subj] = tuple(n.value for n in _all(sprops, RR + "class"))
-            g = _one(sprops, RR + "graph")
-            graphs[subj] = g.value if g is not None else None
+            graphs[subj] = _graph_term(parser, sprops)
         else:
             const = _one(props, RR + "subject")
             if const is None:
@@ -347,9 +423,11 @@ def load_r2rml(text: str, base: str = "") -> Tuple[Mapping, Dict[str, str]]:
             ]
             for om_node in _all(pprops, RR + "objectMap"):
                 objs.append(_parse_term_map(parser, om_node, "o", subj_maps, tm_tables))
+            pom_graph = _graph_term(parser, pprops)
             for p in preds:
                 for o in objs:
-                    pomaps.append(PredicateObjectMap(predicate=p, object=o))
+                    pomaps.append(PredicateObjectMap(predicate=p, object=o,
+                                                     graph=pom_graph))
         tmaps.append(
             TriplesMap(
                 name=subj,

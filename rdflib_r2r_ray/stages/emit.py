@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..mapping import Mapping, TermMap, TriplesMap, retarget_ref_to_template
-from ..template import format_template_array
+from ..template import format_template_array, template_columns
 from ..terms import (
     RDF_TYPE,
     decorate_literal_array,
@@ -115,10 +115,30 @@ def term_array(tm: TermMap, batch: pa.Table, base: str, position: str, table: st
         col = batch[tm.column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        tt = tm.term_type or "literal"
-        if tt == "iri":
+        # positional defaults (R2RML spec §7.4): subjects/predicates are
+        # IRIs, objects of column maps are literals
+        tt = tm.term_type or ("iri" if position in ("s", "p") else "literal")
+        if tt == "bnode":
+            # column-valued blank node (rr:termType rr:BlankNode over
+            # rr:column, e.g. a sqlQuery-concatenated id — W3C R2RMLTC0002d)
             lex = lexical_array(col)
-            return pc.binary_join_element_wise("<", lex, ">", "")
+            return pc.binary_join_element_wise("_:", lex, "")
+        if tt == "iri":
+            # R2RML IRI-valued columns (spec §7.4): absolute IRIs pass
+            # through, relative values resolve against the base IRI, and a
+            # value invalid even after resolution is a DATA ERROR
+            # (W3C R2RMLTC0019a positive / 0019b, 0020b negative)
+            lex = lexical_array(col)
+            absolute = pc.fill_null(
+                pc.match_substring_regex(lex, r"^[A-Za-z][A-Za-z0-9+.\-]*:"), True)
+            resolved = pc.if_else(
+                absolute, lex, pc.binary_join_element_wise(base or "", lex, ""))
+            ok = pc.match_substring_regex(
+                resolved, r'^[A-Za-z][A-Za-z0-9+.\-]*:[^ <>"{}|\\^`]*$')
+            if not pc.all(pc.fill_null(ok, True)).as_py():
+                raise ValueError(
+                    f"column {tm.column!r}: value is not a valid IRI (data error)")
+            return pc.binary_join_element_wise("<", resolved, ">", "")
         lex = lexical_array(col)
         dt = tm.datatype if tm.datatype is not None else natural_datatype(col.type)
         return decorate_literal_array(lex, dt, tm.language)
@@ -126,6 +146,13 @@ def term_array(tm: TermMap, batch: pa.Table, base: str, position: str, table: st
     if tm.kind == "template":
         tt = tm.term_type or ("iri" if position in ("s", "p") else "iri")
         if tt == "bnode":
+            if tm.template and template_columns(tm.template):
+                # R2RML bnode identity = the template EXPANSION: equal slot
+                # values mint the SAME blank node, duplicates collapse
+                # (suite R2RMLTC0012a/b)
+                body = format_template_array(tm.template, batch, encode=True)
+                return pc.binary_join_element_wise("_:", body, "")
+            # direct-mapping sentinel ("Table#", no slots): content+rank ids
             ids = _bnode_ids(batch, "_:" + (tm.template or table + "#"))
             return ids
         body = format_template_array(
@@ -168,10 +195,17 @@ def emit_triples_batch(batch: pa.Table, tmaps: Sequence[TriplesMap], base: str,
         return empty_triples()
     for tm in tmaps:
         subj = term_array(tm.subject, batch, base, "s", tm.table)
-        graph_val = tm.graph
 
-        def _mk(pred_arr: pa.Array, obj_arr: pa.Array, g: Optional[str]) -> None:
-            g_arr = pa.array([g] * n, type=pa.string())
+        def _garr(g: Optional[TermMap]) -> pa.Array:
+            # graph term map → per-row `<iri>` storage strings; None = default
+            # graph (NULL column)
+            if g is None:
+                return pa.array([None] * n, type=pa.string())
+            return term_array(g, batch, base, "g", tm.table)
+
+        graph_arr = _garr(tm.graph)
+
+        def _mk(pred_arr: pa.Array, obj_arr: pa.Array, g_arr: pa.Array) -> None:
             t = pa.table(
                 {"subj": subj, "pred": pred_arr, "obj": obj_arr, "graph": g_arr},
                 schema=TRIPLE_SCHEMA,
@@ -184,14 +218,21 @@ def emit_triples_batch(batch: pa.Table, tmaps: Sequence[TriplesMap], base: str,
             _mk(
                 pa.array([f"<{RDF_TYPE}>"] * n, type=pa.string()),
                 pa.array([f"<{cls}>"] * n, type=pa.string()),
-                graph_val,
+                graph_arr,
             )
         for pm in tm.pomaps:
             if skip_unfoldable_refs and _is_unfoldable_ref(pm.object):
                 continue
             pred = term_array(pm.predicate, batch, base, "p", tm.table)
             obj = term_array(pm.object, batch, base, "o", tm.table)
-            _mk(pred, obj, pm.graph or graph_val)
+            # R2RML §9.1: target graphs = subject-level ∪ pom-level graph
+            # maps (a triple lands in EACH); both absent = default graph
+            gterms = [g for g in (tm.graph, pm.graph) if g is not None]
+            if not gterms:
+                _mk(pred, obj, graph_arr)
+            else:
+                for g in dict.fromkeys(gterms):
+                    _mk(pred, obj, _garr(g))
     if not outs:
         return empty_triples()
     return pa.concat_tables(outs).combine_chunks()

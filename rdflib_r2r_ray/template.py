@@ -31,6 +31,9 @@ def split_template(template: str) -> List[Tuple[str, Optional[str]]]:
     Column names may be double-quoted (direct mapping writes ``{"col"}``,
     reference ``r2r_mapping.py:101``); quotes are stripped.
     """
+    # R2RML brace escapes are backslashed (``\{``/``\}``, spec §7.3) while
+    # Python's Formatter doubles them — normalize before parsing
+    template = template.replace("\\{", "{{").replace("\\}", "}}")
     out: List[Tuple[str, Optional[str]]] = []
     for prefix, colname, _, _ in Formatter().parse(template):
         if colname is not None:

@@ -108,6 +108,16 @@ def lexical_array(arr: pa.Array) -> pa.Array:
     if pa.types.is_integer(t) or pa.types.is_decimal(t):
         return pc.cast(arr, pa.string())
     if pa.types.is_floating(t):
+        if t == pa.float32():
+            # shortest round-trip form at FLOAT32 precision — repr(float(v))
+            # would print the double-extended noise ('1.649999976158142'
+            # instead of '1.65')
+            return pa.array(
+                [None if v is None
+                 else np.format_float_positional(np.float32(v), unique=True, trim="0")
+                 for v in arr.to_pylist()],
+                type=pa.string(),
+            )
         # Python repr-style shortest form, matching the pure-Python oracle
         return pa.array(
             [None if v is None else repr(float(v)) for v in arr.to_pylist()],
