@@ -1483,6 +1483,63 @@ SELECT x, v FROM (
 """
 
 
+def _events_triples(sf_dir: str) -> rd.Dataset:
+    """Events table → triples with a typed xsd:dateTime object column."""
+    from .mapping import Mapping, PredicateObjectMap, TermMap, TriplesMap
+
+    tm = TriplesMap(
+        name="events",
+        table="events",
+        subject=TermMap(kind="template", template="http://kg.ex/ev/{event_id}",
+                        term_type="iri"),
+        pomaps=(
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant("http://kg.ex/p/ts"),
+                object=TermMap(kind="column", column="ts"),
+            ),
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant("http://kg.ex/p/etype"),
+                object=TermMap(kind="column", column="event_type"),
+            ),
+        ),
+    )
+    mapping = Mapping(triples_maps=(tm,), base="http://kg.ex/")
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    return ds.map_batches(
+        EmitTriples(mapping, "events"), batch_format="pyarrow"
+    ).select_columns(["subj", "pred", "obj"]).materialize()
+
+
+def q_sparql_xsd_date_cast(sf_dir: str) -> rd.Dataset:
+    """F8 temporal casts: ``xsd:date`` / ``xsd:time`` / ``xsd:dateTime``
+    over a typed dateTime column (reference XSDToSQL,
+    ``conversion_utils.py:42-75``) — canonical ISO lexicals, so the
+    comparison FILTERs are chronologically correct."""
+    from . import sparql
+
+    q = """
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?e ?day ?midnight WHERE {
+      ?e <http://kg.ex/p/ts> ?ts .
+      BIND(xsd:date(?ts) AS ?day)
+      BIND(xsd:dateTime(xsd:date(?ts)) AS ?midnight)
+      FILTER(xsd:date(?ts) >= "2024-01-15" && xsd:time(?ts) < "06:00:00")
+    }
+    """
+    return sparql.execute(_events_triples(sf_dir), q)
+
+
+def _sql_sparql_xsd_date_cast() -> str:
+    return """
+SELECT '<http://kg.ex/ev/' || CAST(event_id AS VARCHAR) || '>' AS e,
+       strftime(ts, '%Y-%m-%d') AS day,
+       strftime(ts, '%Y-%m-%d') || 'T00:00:00' AS midnight
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+  AND CAST(ts AS TIME) < TIME '06:00:00'
+"""
+
+
 # Queries with a green row in some CORRECTNESS_r{1..3}.json (union).  The
 # driver's per-round correctness sweep records only the FIRST ~50 registry
 # entries, so ``_rotate`` moves never-driver-verified queries (anything not
@@ -1577,6 +1634,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_bsbm_bi_agg": q_sparql_bsbm_bi_agg,
         "sparql_bsbm_cross_optional": q_sparql_bsbm_cross_optional,
         "sparql_bsbm_union_order": q_sparql_bsbm_union_order,
+        "sparql_xsd_date_cast": q_sparql_xsd_date_cast,
     }
     out.update(relq.queries())
     out.update(dataq.queries())
@@ -1636,6 +1694,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_bsbm_bi_agg": _sql_sparql_bsbm_bi_agg(),
         "sparql_bsbm_cross_optional": _sql_sparql_bsbm_cross_optional(),
         "sparql_bsbm_union_order": _sql_sparql_bsbm_union_order(),
+        "sparql_xsd_date_cast": _sql_sparql_xsd_date_cast(),
     }
     out.update(relq.oracle_sql())
     out.update(dataq.oracle_sql())

@@ -1,25 +1,34 @@
 """SQL-view logical tables (``rr:sqlQuery``, reference ``sql_view.py:12-108``
 and ``r2r_mapping.py:33-40``) realized as Ray Datasets.
 
-Two paths:
+Three paths, fastest first:
 
 - :func:`translate_simple_select` — the common single-table
   ``SELECT cols FROM t [WHERE conjunctive comparisons]`` shape compiles to
   ``read_parquet(columns=…) + ds.filter(expr=…)``: column pruning happens
   at the read and the filter fuses with the scan, so the view STREAMS at
   any scale (never materialized).
-- :func:`view_dataset` falls back to DuckDB on the driver for arbitrary SQL
-  (joins, aggregates inside views).  The result is loaded into the object
-  store as Arrow — correct but bounded by driver memory, so it is only the
-  fallback; the reference has the same shape (it inlines the view SQL as a
-  subquery and lets ONE database execute it, ``sql_view.py``).
+- row-wise single-table SQL (expressions, functions, ``||`` concat, WHERE —
+  but no join/aggregate/order/distinct) executes as DISTRIBUTED DuckDB
+  fragments: an actor-pool ``map_batches`` stage runs the view SQL per
+  Arrow batch with the table name bound to the batch (zero-copy register).
+  Row-wise SQL is batch-decomposable by definition, so this also streams.
+- :func:`view_dataset` falls back to DuckDB on the driver for genuinely
+  global SQL (joins, aggregates inside views).  The result is loaded into
+  the object store as Arrow — bounded by driver memory, so it is guarded: a
+  COUNT(*) probe first, and any view beyond ``GRAFT_VIEW_FALLBACK_MAX_ROWS``
+  (default 5M) raises LOUDLY instead of silently OOMing the driver.  The
+  reference has the same single-engine shape (it inlines the view SQL as a
+  subquery, ``sql_view.py``).
 """
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Optional, Tuple
 
+import pyarrow as pa
 import ray.data as rd
 
 _SIMPLE = re.compile(
@@ -64,11 +73,51 @@ def translate_simple_select(sql: str) -> Optional[Tuple[str, Optional[List[str]]
     return table, columns, expr
 
 
+# constructs that make a view GLOBAL (not decomposable per batch)
+_NON_ROWWISE = re.compile(
+    r"\b(JOIN|GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET|DISTINCT|UNION|INTERSECT|"
+    r"EXCEPT|OVER|COUNT\s*\(|SUM\s*\(|AVG\s*\(|MIN\s*\(|MAX\s*\()", re.I)
+
+
+class _DuckBatchView:
+    """Actor-pool stage: run a row-wise single-table view SQL per Arrow
+    batch in an embedded DuckDB, the batch zero-copy-registered under the
+    view's table name.  Connection built once per actor (``__init__``)."""
+
+    def __init__(self, sql: str, table: str):
+        import duckdb
+
+        from ..workerenv import cap_threads
+
+        cap_threads()
+        self._con = duckdb.connect()
+        self._sql = sql.rstrip().rstrip(";")
+        self._table = table
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        self._con.register("___batch", batch)
+        self._con.execute(
+            f'CREATE OR REPLACE VIEW "{self._table}" AS SELECT * FROM ___batch')
+        return self._con.execute(self._sql).arrow()
+
+
+def _single_rowwise_table(sql: str, tables: Dict[str, str]) -> Optional[str]:
+    if _NON_ROWWISE.search(sql):
+        return None
+    refs = [name for name in tables
+            if re.search(rf'"{re.escape(name)}"|\b{re.escape(name)}\b', sql)]
+    return refs[0] if len(refs) == 1 else None
+
+
 def view_dataset(sql: str, sf_dir: str, tables: Dict[str, str]) -> rd.Dataset:
     """Realize a SQL-view logical table over parquet files as a Dataset.
 
-    ``tables`` maps table name → parquet path.  Simple selects stream;
-    everything else executes once in DuckDB on the driver (fallback)."""
+    ``tables`` maps table name → parquet path.  Simple selects stream as
+    pruned scans; row-wise single-table SQL streams as distributed DuckDB
+    batch fragments; genuinely global SQL executes once in DuckDB on the
+    driver behind a loud row-count guard (GRAFT_VIEW_FALLBACK_MAX_ROWS)."""
     simple = translate_simple_select(sql)
     if simple is not None:
         table, columns, expr = simple
@@ -76,9 +125,24 @@ def view_dataset(sql: str, sf_dir: str, tables: Dict[str, str]) -> rd.Dataset:
         if expr:
             ds = ds.filter(expr=expr)
         return ds
+    rowwise = _single_rowwise_table(sql, tables)
+    if rowwise is not None:
+        return rd.read_parquet(tables[rowwise]).map_batches(
+            _DuckBatchView, fn_constructor_args=(sql, rowwise),
+            batch_format="pyarrow", concurrency=(1, 8),
+        )
     import duckdb
 
     con = duckdb.connect()
     for name, path in tables.items():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
-    return rd.from_arrow(con.execute(sql).arrow())
+    cap = int(os.environ.get("GRAFT_VIEW_FALLBACK_MAX_ROWS", "5000000"))
+    probe = sql.rstrip().rstrip(";")
+    n = con.execute(f"SELECT COUNT(*) FROM ({probe}) __v").fetchone()[0]
+    if n > cap:
+        raise ValueError(
+            f"SQL-view fallback would materialize {n} rows on the driver "
+            f"(cap {cap}; raise GRAFT_VIEW_FALLBACK_MAX_ROWS to override). "
+            "Rewrite the view as a row-wise single-table query so it can "
+            "stream, or pre-materialize it to parquet.")
+    return rd.from_arrow(con.execute(probe).arrow())

@@ -1072,6 +1072,36 @@ def _eval(e: E, batch: pa.Table):
             return _to_lex(av, ak, n), "str"
         if dt == "boolean":
             return _to_bool(av, ak), "bool"
+        if dt in ("date", "dateTime", "time"):
+            # temporal casts (reference XSDToSQL map, conversion_utils.py:42-75)
+            # produce CANONICAL ISO-8601 lexicals as strings — ISO order ==
+            # chronological order, so <,>,= comparisons stay correct and the
+            # result is directly comparable to plain literals in FILTERs
+            lex = _full_array(_to_lex(av, ak, n), pa.string(), n)
+            lex = pc.replace_substring(lex, " ", "T")  # SQL datetime form
+            fb = lambda m: pc.fill_null(m, False)
+            is_dt = fb(pc.match_substring_regex(lex, r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}"))
+            is_d = fb(pc.match_substring_regex(lex, r"^\d{4}-\d{2}-\d{2}$"))
+            nulls = pa.nulls(n, pa.string())
+            if dt == "date":
+                ok = pc.or_(is_dt, is_d)
+                out = pc.if_else(ok, pc.utf8_slice_codeunits(lex, 0, 10), nulls)
+            elif dt == "dateTime":
+                out = pc.if_else(
+                    is_dt, lex,
+                    pc.if_else(
+                        is_d,
+                        pc.binary_join_element_wise(lex, "T00:00:00", ""),
+                        nulls,
+                    ),
+                )
+            else:  # time
+                is_t = fb(pc.match_substring_regex(lex, r"^\d{2}:\d{2}:\d{2}"))
+                out = pc.if_else(
+                    is_dt, pc.utf8_slice_codeunits(lex, 11, 2**30),
+                    pc.if_else(is_t, lex, nulls),
+                )
+            return out, "str"
         raise NotImplementedError(f"cast to xsd:{dt} not supported")
     if e.kind == "sfunc":
         return _eval_sfunc(e, batch)
