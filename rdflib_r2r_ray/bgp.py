@@ -19,7 +19,7 @@ side to a broadcast join instead of a shuffle.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
 
@@ -41,6 +41,42 @@ def _is_var(t) -> bool:
 
 def _var_name(t) -> str:
     return t.name
+
+
+# ---------------------------------------------------------------------------
+# X4 plugin hook — the analogue of the reference's SQLConverterPlugin
+# (``sql_converter.py:235``: user callables injected into the BGP worklist
+# ahead of the default matcher, ``:307-312``).  A plugin inspects one triple
+# pattern and either returns a complete binding relation ``(dataset,
+# var_names)`` for it — taking precedence over the default triple scan — or
+# None to pass.  Plugins run in registration order; the default matcher is
+# always the implicit last entry.
+# ---------------------------------------------------------------------------
+
+BGPPatternPlugin = Callable[[rd.Dataset, Tuple], Optional[Tuple[rd.Dataset, List[str]]]]
+_BGP_PLUGINS: List[BGPPatternPlugin] = []
+
+
+def register_bgp_plugin(fn: BGPPatternPlugin) -> BGPPatternPlugin:
+    """Register a custom pattern matcher (usable as a decorator)."""
+    _BGP_PLUGINS.append(fn)
+    return fn
+
+
+def unregister_bgp_plugin(fn: BGPPatternPlugin) -> None:
+    _BGP_PLUGINS.remove(fn)
+
+
+def clear_bgp_plugins() -> None:
+    _BGP_PLUGINS.clear()
+
+
+def _match_with_plugins(triples: rd.Dataset, pattern: Tuple) -> Tuple[rd.Dataset, List[str]]:
+    for plugin in _BGP_PLUGINS:
+        out = plugin(triples, pattern)
+        if out is not None:
+            return out
+    return match_pattern(triples, pattern)
 
 
 def match_pattern(triples: rd.Dataset, pattern: Tuple) -> Tuple[rd.Dataset, List[str]]:
@@ -218,7 +254,7 @@ def execute_bgp_cols(
         acc: Optional[rd.Dataset] = None
         acc_vars: List[str] = []
         for pat in ordered:
-            ds, names = match_pattern(triples, pat)
+            ds, names = _match_with_plugins(triples, pat)
             if acc is None:
                 acc, acc_vars = ds, names
                 continue

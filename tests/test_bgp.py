@@ -104,3 +104,45 @@ def test_disconnected_bgp_cross_product(ray_session):
     n_names = len(names)
     assert len(rows) == n_knows * n_names
     assert all(set(r) == {"x", "y", "p", "q"} for r in rows)
+
+
+def test_bgp_plugin_hook_rewrites_pattern(ray_session):
+    """X4 plugin surface (reference SQLConverterPlugin,
+    sql_converter.py:235,307-312): a registered matcher claims patterns on a
+    VIRTUAL predicate and serves their bindings from a rewrite — here
+    <shouts> is derived from <name> by uppercasing — and its relation joins
+    normally with default-matched patterns."""
+    import pyarrow.compute as pc
+
+    from rdflib_r2r_ray.bgp import (
+        clear_bgp_plugins, execute_bgp, register_bgp_plugin)
+    from rdflib_r2r_ray.paths import Var
+
+    g = _graph()
+
+    def shouts_matcher(triples, pattern):
+        s, p, o = pattern
+        if p != "<shouts>":
+            return None  # pass -> default matcher
+        base = triples.filter(expr="pred == '<name>'")
+        def rewrite(b):
+            return pa.table({
+                str(s.name): b["subj"],
+                str(o.name): pc.utf8_upper(b["obj"]),
+            })
+        return base.map_batches(rewrite, batch_format="pyarrow"), [s.name, o.name]
+
+    register_bgp_plugin(shouts_matcher)
+    try:
+        out = execute_bgp(g, [
+            (Var("x"), "<knows>", Var("y")),
+            (Var("y"), "<shouts>", Var("loud")),
+        ])
+        got = {(r["x"], r["y"], r["loud"]) for r in out.take_all()}
+        assert got == {("<a>", "<b>", '"BOB"'), ("<b>", "<c>", '"CAROL"')}
+    finally:
+        clear_bgp_plugins()
+
+    # after clearing, the virtual predicate matches nothing (default scan)
+    out2 = execute_bgp(g, [(Var("y"), "<shouts>", Var("loud"))])
+    assert out2.count() == 0
