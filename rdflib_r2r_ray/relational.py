@@ -397,9 +397,23 @@ def topk(
             return batch
         return batch.sort_by(order).slice(0, k)
 
-    return ds.map_batches(local, batch_format="pyarrow").sort(
-        keys, descending=list(descending)
-    ).limit(k)
+    partial = ds.map_batches(local, batch_format="pyarrow").materialize()
+    # the surviving set is ≤ blocks × k rows; when that is ONE task's worth,
+    # a single remote sort+slice replaces the global sort exchange (whose
+    # sample+shuffle rounds cost seconds even on tiny inputs — measured 4.1s
+    # for a 30-row final reduce).  Large partial sets (huge k or block
+    # counts) still take the distributed sort.
+    if partial.count() <= 2_000_000:
+        out = ray.remote(_topk_single).remote(order, k, *partial.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+    return partial.sort(keys, descending=list(descending)).limit(k)
+
+
+def _topk_single(order, k: int, *tables: pa.Table) -> pa.Table:
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return tables[0].slice(0, 0) if tables else pa.table({})
+    return pa.concat_tables(live).combine_chunks().sort_by(order).slice(0, k)
 
 
 def topk_offset(

@@ -57,6 +57,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from .bgp import execute_bgp, execute_bgp_cols, path_edges, transitive_closure
@@ -1364,6 +1365,16 @@ def _full_array(v, typ: pa.DataType, n: int) -> pa.Array:
     return pa.array([pyv] * n, typ)
 
 
+def _sample_column(var: str, n: int, *tables: pa.Table) -> list:
+    out = []
+    for t in tables:
+        if t is not None and t.num_rows and var in t.column_names:
+            out.extend(v for v in t[var].to_pylist()[:n] if v is not None)
+        if len(out) >= n:
+            break
+    return out[:n]
+
+
 def _probe_numeric(ds: rd.Dataset, var: str, sample: int = 64) -> bool:
     """Bounded-sample numeric sniff for MIN/MAX/ORDER BY semantics (see
     module docstring): pulls ≤ ``sample`` rows through the streaming
@@ -1374,8 +1385,21 @@ def _probe_numeric(ds: rd.Dataset, var: str, sample: int = 64) -> bool:
     typ = schema.types[schema.names.index(var)]
     if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
         return not pa.types.is_boolean(typ)
-    rows = ds.select_columns([var]).limit(sample).take_all()
-    vals = [r[var] for r in rows if r[var] is not None]
+    vals = None
+    try:
+        if ds._plan.has_computed_output():
+            # MATERIALIZED relation: sample straight from the computed block
+            # refs in one tiny task — skipping the streaming-executor spin-up
+            # (~0.8s fixed cost per probe, one probe per ORDER BY key)
+            refs = ds.to_arrow_refs()
+            if refs:
+                vals = ray.get(
+                    ray.remote(_sample_column).remote(var, sample, *refs[:16]))
+    except AttributeError:
+        pass
+    if vals is None:
+        rows = ds.select_columns([var]).limit(sample).take_all()
+        vals = [r[var] for r in rows if r[var] is not None]
     if not vals:
         return False
     pat = re.compile(r'^(-?\d+(\.\d+)?|"(-?\d+(\.\d+)?)"\^\^<[^>]*>)$')
@@ -1873,7 +1897,14 @@ def _execute_parsed(
         out = distinct_on(out, list(q.variables) if q.variables else out_names)
     if q.order_by:
         # numeric-vs-lexical ordering decided per key from a bounded sample
-        # (ADVICE.md round-2: N3 lexical sort misorders numeric literals)
+        # (ADVICE.md round-2: N3 lexical sort misorders numeric literals).
+        # Each probe needs schema() + a bounded take — on a LAZY relation
+        # those EXECUTE the whole lineage once per key, so materialize once
+        # first (the sort/top-k consumes every row anyway; measured 11s → 2s
+        # on the union-under-ORDER-BY shape)
+        if any(not isinstance(v, E) and v not in numeric_out_cols
+               for v, _ in q.order_by):
+            out = out.materialize()
         sort_keys: List[str] = []
         desc = [d for _, d in q.order_by]
         helpers: Dict[str, object] = {}   # hidden column -> batch builder
