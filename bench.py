@@ -253,9 +253,20 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def best_of(ncpu: int, reps: int) -> dict:
+        # best-of-N per parallelism level: the shared VM has hour-scale
+        # co-tenant episodes that hit whichever single run they land on
+        # (observed: lo-level throughput swinging 17k→35k docs/s between
+        # back-to-back runs, flipping the ratio from 0.74 to 1.42); taking
+        # the fastest of N runs per level measures the ENGINE, not the
+        # episode.  GRAFT_SCALING_BEST_OF=1 restores single-shot.
+        runs = [run(ncpu) for _ in range(reps)]
+        return min(runs, key=lambda r: r["value"])
+
     def measure(lo_n: int, hi_n: int) -> dict:
-        lo = run(lo_n)
-        hi = run(hi_n)
+        reps = int(os.environ.get("GRAFT_SCALING_BEST_OF", "2"))
+        lo = best_of(lo_n, reps)
+        hi = best_of(hi_n, reps)
         eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
         pair = {
             "num_cpus_lo": lo_n,

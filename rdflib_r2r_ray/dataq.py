@@ -803,6 +803,77 @@ GROUP BY doc_id, f
 """
 
 
+def q_mm_image_png_meta(sf_dir: str) -> rd.Dataset:
+    """REAL image decode: deterministic doc_id-arithmetic pixels are
+    PNG-ENCODED (zlib/IDAT, ``stages.codecs.encode_png``) and decoded back
+    by the dependency-free PNG codec inside the actor-pool decoder — the
+    integer px_sum recomputes in SQL, proving the full encode → chunk parse
+    → inflate → unfilter → pixels round-trip.  (The reference has no
+    multimodal surface at all.)"""
+    from .stages.codecs import encode_png
+
+    def synth_png(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        j = np.arange(8 * 8 * 3, dtype=np.int64)
+        payloads = [
+            encode_png(((i * 31 + j * 7) % 256).astype(np.uint8).reshape(8, 8, 3))
+            for i in ids
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(synth_png, batch_format="pyarrow")
+    meta = ds.map_batches(
+        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return meta.select_columns(["doc_id", "kind", "width", "height", "px_sum"])
+
+
+SQL_MM_IMAGE_PNG_META = """
+SELECT d.doc_id, 'png' AS kind, CAST(8 AS INTEGER) AS width,
+  CAST(8 AS INTEGER) AS height,
+  (SELECT CAST(SUM((d.doc_id * 31 + j * 7) % 256) AS BIGINT)
+   FROM generate_series(0, 191) t(j)) AS px_sum
+FROM documents d
+"""
+
+
+def q_mm_audio_wav_frames(sf_dir: str) -> rd.Dataset:
+    """REAL audio decode: deterministic PCM16 is WAV-ENCODED (RIFF header,
+    ``stages.codecs.encode_wav``) and decoded back by the dependency-free
+    WAV codec inside the frame sampler — the integer per-frame abs_sum
+    recomputes in SQL over the same arithmetic."""
+    from .stages.codecs import encode_wav
+
+    def synth_wav(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        j = np.arange(2048, dtype=np.int64)
+        payloads = [
+            encode_wav((((i * 13 + j * 5) % 997) - 498).astype(np.int16), rate=16000)
+            for i in ids
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(synth_wav, batch_format="pyarrow")
+    frames = ds.map_batches(
+        MM.AudioFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return frames.select_columns(["doc_id", "frame", "n_samples", "abs_sum"])
+
+
+SQL_MM_AUDIO_WAV_FRAMES = """
+WITH s AS (
+  SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,
+         ((d.doc_id * 13 + t.j * 5) % 997) - 498 AS v
+  FROM documents d CROSS JOIN generate_series(0, 2047) t(j)
+)
+SELECT doc_id, CAST(j // 1024 AS INTEGER) AS frame,
+       COUNT(*) AS n_samples, CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum
+FROM s GROUP BY doc_id, j // 1024
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "dd_exact": q_dd_exact,
@@ -826,6 +897,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_frames": q_mm_audio_frames,
         "mm_video_frames": q_mm_video_frames,
+        "mm_image_png_meta": q_mm_image_png_meta,
+        "mm_audio_wav_frames": q_mm_audio_wav_frames,
     }
 
 
@@ -852,4 +925,6 @@ def oracle_sql() -> Dict[str, str]:
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,
         "mm_video_frames": SQL_MM_VIDEO_FRAMES,
+        "mm_image_png_meta": SQL_MM_IMAGE_PNG_META,
+        "mm_audio_wav_frames": SQL_MM_AUDIO_WAV_FRAMES,
     }

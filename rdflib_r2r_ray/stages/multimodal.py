@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): ``ImageDecoder``/``AudioFrameSampler`` parse a deterministic
-container header (``MMB1`` — see ``pack_payload``) and, for real formats,
-raise ``NotImplementedError`` at the single clearly-marked point where a
-PIL/ffmpeg call would go.  Everything around the stub — schema contract,
-broadcast config, actor ``__init__`` state, small-batch sizing for large
-payloads, output layout — is real and tested.
+Decode support: PNG images and PCM16 WAV audio decode FOR REAL via the
+dependency-free codecs in :mod:`.codecs` (zlib chunk parsing + scanline
+unfiltering; RIFF parsing).  The deterministic ``MMB1`` container (see
+``pack_payload``) remains for synthetic corpora whose content features a
+SQL oracle can recompute.  Only formats that genuinely require external
+libraries (JPEG, MP4/WebM demux) raise ``NotImplementedError`` at the
+single clearly-marked point where PIL/ffmpeg would go.
 
 Scale notes: binary payloads are MBs, so these stages run with small
 ``batch_size`` (caller passes e.g. 16-64) and actor pools; payload columns
@@ -25,6 +25,10 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
+
+# module level, NOT function level: worker-side relative imports fail when
+# the package ships by value
+from .codecs import decode_png, decode_wav, png_info, wav_info
 
 MAGIC = b"MMB1"
 # struct.Struct objects don't pickle (the package ships by value to Ray
@@ -79,8 +83,9 @@ class ImageDecoder:
                 return px.reshape(header["height"], header["width"], 3)
             return None
         if self.strict:
-            # real formats (JPEG/PNG/...) would decode here via PIL/libvips
-            raise NotImplementedError("real image codecs unavailable in this environment")
+            # formats needing external libraries (JPEG/WebP) would decode
+            # here via PIL/libvips; PNG decodes for real below
+            raise NotImplementedError("non-PNG image codecs unavailable in this environment")
         return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -90,6 +95,28 @@ class ImageDecoder:
         for i, buf in zip(ids, bufs):
             buf = buf or b""
             hdr = unpack_header(buf)
+            if hdr is None:
+                pinfo = png_info(buf)
+                if pinfo is not None:
+                    # REAL decode path (dependency-free PNG codec)
+                    px = decode_png(buf)
+                    if px.shape[2] == 1:  # grayscale -> RGB for the luma dot
+                        px = np.repeat(px, 3, axis=2)
+                    elif px.shape[2] == 4:
+                        px = px[:, :, :3]
+                    elif px.shape[2] == 2:
+                        px = np.repeat(px[:, :, :1], 3, axis=2)
+                    hdr = dict(kind="png", width=pinfo["width"],
+                               height=pinfo["height"])
+                    rows["doc_id"].append(i)
+                    rows["kind"].append("png")
+                    rows["width"].append(pinfo["width"])
+                    rows["height"].append(pinfo["height"])
+                    rows["n_bytes"].append(len(buf))
+                    rows["px_sum"].append(int(px.sum()))
+                    rows["sha1"].append(hashlib.sha1(buf).hexdigest())
+                    rows["mean_luma"].append(float((px @ self.luma).mean()))
+                    continue
             px = self.decode_pixels(hdr, buf[_HEADER_SIZE:] if hdr else b"")
             rows["doc_id"].append(i)
             rows["kind"].append(hdr["kind"] if hdr else "unknown")
@@ -148,26 +175,36 @@ class AudioFrameSampler:
         frame_idx: List[int] = []
         n_samples: List[int] = []
         rms: List[float] = []
+        abs_sum: List[int] = []  # integer content feature (SQL-oracle-able)
         for i, buf in zip(batch[self.id_col].to_pylist(), batch[self.bin_col].to_pylist()):
             buf = buf or b""
             hdr = unpack_header(buf)
-            if hdr is None or hdr["kind"] != "aud":
+            if hdr is None and wav_info(buf) is not None:
+                # REAL decode path (dependency-free PCM16 WAV codec);
+                # multi-channel clips mix down to mono for the frame stats
+                samples, _rate, _ch = decode_wav(buf)
+                pcm = samples.mean(axis=1).astype(np.int16) if _ch > 1 else samples[:, 0]
+            elif hdr is None or hdr["kind"] != "aud":
                 if self.strict:
-                    raise NotImplementedError("real audio codecs unavailable in this environment")
+                    raise NotImplementedError(
+                        "non-WAV audio codecs unavailable in this environment")
                 continue
-            pcm = np.frombuffer(buf[_HEADER_SIZE : _HEADER_SIZE + hdr["payload_len"]], dtype=np.int16)
+            else:
+                pcm = np.frombuffer(buf[_HEADER_SIZE : _HEADER_SIZE + hdr["payload_len"]], dtype=np.int16)
             for f, start in enumerate(range(0, len(pcm), self.hop)):
                 frame = pcm[start : start + self.hop].astype(np.float64)
                 ids_out.append(i)
                 frame_idx.append(f)
                 n_samples.append(len(frame))
                 rms.append(float(np.sqrt((frame * frame).mean())) if len(frame) else 0.0)
+                abs_sum.append(int(np.abs(frame).sum()))
         return pa.table(
             {
                 self.id_col: pa.array(ids_out, pa.int64()),
                 "frame": pa.array(frame_idx, pa.int32()),
                 "n_samples": pa.array(n_samples, pa.int64()),
                 "rms": pa.array(rms, pa.float64()),
+                "abs_sum": pa.array(abs_sum, pa.int64()),
             }
         )
 

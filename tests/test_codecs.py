@@ -1,0 +1,133 @@
+"""Dependency-free PNG/WAV codecs: round-trips, all five PNG filter types,
+and the multimodal stages' real-decode paths."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rdflib_r2r_ray.stages.codecs import (
+    decode_png, decode_wav, encode_png, encode_wav, png_info, wav_info)
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(ch):
+    img = _rng(ch).integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+    buf = encode_png(img)
+    info = png_info(buf)
+    assert info["width"] == 9 and info["height"] == 13 and info["channels"] == ch
+    out = decode_png(buf)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def _encode_with_filters(img: np.ndarray, ftypes) -> bytes:
+    """Test-local PNG encoder applying a GIVEN filter type per scanline
+    (the library encoder always writes filter 0) — exercises the decoder's
+    Sub/Up/Average/Paeth unfiltering."""
+    h, w, ch = img.shape
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        ft = ftypes[y % len(ftypes)]
+        raw.append(ft)
+        for i in range(stride):
+            left = int(cur[i - ch]) if i >= ch else 0
+            up = int(prev[i])
+            ul = int(prev[i - ch]) if i >= ch else 0
+            if ft == 0:
+                v = cur[i]
+            elif ft == 1:
+                v = cur[i] - left
+            elif ft == 2:
+                v = cur[i] - up
+            elif ft == 3:
+                v = cur[i] - ((left + up) >> 1)
+            else:
+                v = cur[i] - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prev = cur
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[ch], 0, 0, 0)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decoder_handles_all_filter_types():
+    img = _rng(11).integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    for ftypes in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        buf = _encode_with_filters(img, ftypes)
+        assert np.array_equal(decode_png(buf), img), f"filters {ftypes}"
+
+
+def test_png_rejects_non_png_and_bad_variants():
+    assert png_info(b"JFIF....") is None
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope")
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = (_rng(3).integers(-500, 500, size=4096)).astype(np.int16)
+    buf = encode_wav(mono, rate=16000)
+    info = wav_info(buf)
+    assert info["rate"] == 16000 and info["channels"] == 1 and info["bits"] == 16
+    out, rate, ch = decode_wav(buf)
+    assert rate == 16000 and ch == 1
+    assert np.array_equal(out[:, 0], mono)
+
+    stereo = (_rng(4).integers(-500, 500, size=(1024, 2))).astype(np.int16)
+    out2, rate2, ch2 = decode_wav(encode_wav(stereo, rate=8000))
+    assert rate2 == 8000 and ch2 == 2 and np.array_equal(out2, stereo)
+
+
+def test_image_decoder_real_png_batch(ray_session):
+    from rdflib_r2r_ray.stages.multimodal import ImageDecoder
+
+    imgs = [_rng(i).integers(0, 256, size=(5, 4, 3), dtype=np.uint8) for i in range(3)]
+    batch = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "payload": pa.array([encode_png(im) for im in imgs], pa.binary()),
+    })
+    out = ImageDecoder()(batch)
+    assert out["kind"].to_pylist() == ["png"] * 3
+    assert out["width"].to_pylist() == [4] * 3 and out["height"].to_pylist() == [5] * 3
+    assert out["px_sum"].to_pylist() == [int(im.sum()) for im in imgs]
+
+
+def test_audio_sampler_real_wav_batch(ray_session):
+    from rdflib_r2r_ray.stages.multimodal import AudioFrameSampler
+
+    pcm = np.arange(-1024, 1536, dtype=np.int16)  # 2560 samples -> 3 frames
+    batch = pa.table({
+        "doc_id": pa.array([42], pa.int64()),
+        "payload": pa.array([encode_wav(pcm)], pa.binary()),
+    })
+    out = AudioFrameSampler(hop=1024)(batch)
+    assert out["frame"].to_pylist() == [0, 1, 2]
+    assert out["n_samples"].to_pylist() == [1024, 1024, 512]
+    assert out["abs_sum"].to_pylist() == [
+        int(np.abs(pcm[:1024]).sum()),
+        int(np.abs(pcm[1024:2048]).sum()),
+        int(np.abs(pcm[2048:]).sum()),
+    ]
