@@ -233,7 +233,7 @@ def _minhash_bench(sf_dir: str) -> dict:
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, minhash: bool = True) -> dict:
         # larger corpus for the scaling runs so parallel compute dominates
         # fixed startup/shuffle overhead
         env = dict(
@@ -241,7 +241,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_REPLICAS=os.environ.get("GRAFT_SCALING_REPLICAS", "240"),
             GRAFT_BENCH_HEADLINE_ONLY="1",
-            GRAFT_BENCH_MINHASH="1",
+            GRAFT_BENCH_MINHASH="1" if minhash else "0",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -260,8 +260,15 @@ def run_scaling() -> dict:
         # back-to-back runs, flipping the ratio from 0.74 to 1.42); taking
         # the fastest of N runs per level measures the ENGINE, not the
         # episode.  GRAFT_SCALING_BEST_OF=1 restores single-shot.
-        runs = [run(ncpu) for _ in range(reps)]
-        return min(runs, key=lambda r: r["value"])
+        # the CPU-bound minhash probe runs on the FIRST rep only (it costs
+        # ~2 min at the lo level — repeating it would blow the run budget);
+        # extra reps re-measure just the headline, and the fastest headline
+        # keeps the first rep's minhash numbers
+        runs = [run(ncpu, minhash=(i == 0)) for i in range(reps)]
+        best = min(runs, key=lambda r: r["value"])
+        if not best.get("minhash"):
+            best["minhash"] = runs[0].get("minhash", {})
+        return best
 
     def measure(lo_n: int, hi_n: int) -> dict:
         reps = int(os.environ.get("GRAFT_SCALING_BEST_OF", "2"))
