@@ -874,6 +874,123 @@ FROM s GROUP BY doc_id, j // 1024
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-preparation operators: normalize / decontaminate / sequence-pack
+# ---------------------------------------------------------------------------
+
+def q_text_normalize(sf_dir: str) -> rd.Dataset:
+    """Canonical normalization pass (NFC → lower → strip punct → collapse
+    whitespace → trim) + post-normalization token count, all Arrow kernels;
+    the oracle replays the identical RE2 ops in DuckDB."""
+    return _docs(sf_dir).map_batches(T.normalize_text, batch_format="pyarrow")
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(nfc_normalize(lower(text)),
+         '[^\p{L}\p{M}\p{N}_\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+  CASE WHEN norm_text IS NULL OR norm_text = '' THEN 0
+       ELSE len(regexp_split_to_array(norm_text, '\s+')) END AS n_tokens
+FROM n
+"""
+
+
+def q_text_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Test-set decontamination: the benchmark set is every 100th doc's
+    leading 50 characters; survivors are docs containing NO benchmark
+    snippet.  The snippet set is bounded by construction (|docs|/100 at
+    50 B each), broadcast once via ``ray.put``, and scanned with literal
+    substring kernels — never a shuffle join against the corpus."""
+    import ray
+
+    bench = _docs(sf_dir)
+
+    def to_snippet(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.int64())
+        hundredth = pc.equal(
+            pc.subtract(did, pc.multiply(pc.divide(did, 100), 100)), 0)
+        b = b.filter(hundredth)
+        return pa.table({
+            "snip": pc.utf8_slice_codeunits(pc.cast(b["text"], pa.string()), 0, 50)
+        })
+
+    snippets = [r["snip"] for r in
+                bench.map_batches(to_snippet, batch_format="pyarrow").take_all()]
+    ref = ray.put(snippets)
+    return _docs(sf_dir).map_batches(
+        T.Decontaminator, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+SQL_TEXT_DECONTAMINATE = """
+WITH s AS (
+  SELECT substr(text, 1, 50) AS snip FROM documents
+  WHERE doc_id % 100 = 0 AND text IS NOT NULL
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM s WHERE contains(d.text, s.snip))
+"""
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def q_text_pack_sequences(sf_dir: str) -> rd.Dataset:
+    """Deterministic sequence packing (the fill-fixed-token-windows step
+    before LLM training): per language, docs in doc_id order accumulate
+    whitespace-token counts and a doc joins pack ``floor(preceding_sum /
+    budget)`` — streaming-friendly (one grouped exchange; packs never span
+    languages) and exactly replayable as a SQL window cumsum."""
+    from .stages.dedup import hash_group_exchange
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        txt = pc.cast(b["text"], pa.string())
+        ok = pc.and_(pc.is_valid(txt), pc.is_valid(b["lang"]))
+        b = pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                      "tok": pc.cast(pc.fill_null(pc.count_substring_regex(
+                          pc.utf8_trim_whitespace(txt), r"\S+"), 0), pa.int64())}
+                     ).filter(ok)
+        return b
+
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()), pa.field("lang", pa.string()),
+        pa.field("pack_id", pa.int64()),
+    ])
+
+    def pack_partition(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(tbl).sort(["lang", "doc_id"])
+        df = df.with_columns(
+            prev=(pl.col("tok").cum_sum() - pl.col("tok")).over("lang"))
+        df = df.with_columns(pack_id=(pl.col("prev") // PACK_BUDGET))
+        return df.select("doc_id", "lang", "pack_id").to_arrow().cast(out_schema)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    staged = docs.map_batches(with_tokens, batch_format="pyarrow")
+    return hash_group_exchange(staged, ["lang"], pack_partition, out_schema)
+
+
+SQL_TEXT_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT doc_id, lang,
+  CAST((COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+       // {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM t
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "dd_exact": q_dd_exact,
@@ -899,6 +1016,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "mm_video_frames": q_mm_video_frames,
         "mm_image_png_meta": q_mm_image_png_meta,
         "mm_audio_wav_frames": q_mm_audio_wav_frames,
+        "text_normalize": q_text_normalize,
+        "text_decontaminate": q_text_decontaminate,
+        "text_pack_sequences": q_text_pack_sequences,
     }
 
 
@@ -927,4 +1047,7 @@ def oracle_sql() -> Dict[str, str]:
         "mm_video_frames": SQL_MM_VIDEO_FRAMES,
         "mm_image_png_meta": SQL_MM_IMAGE_PNG_META,
         "mm_audio_wav_frames": SQL_MM_AUDIO_WAV_FRAMES,
+        "text_normalize": SQL_TEXT_NORMALIZE,
+        "text_decontaminate": SQL_TEXT_DECONTAMINATE,
+        "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
     }

@@ -492,3 +492,68 @@ def pii_redact(txt: pa.Array | pa.ChunkedArray) -> pa.Array:
     for _, pat, token in PII_PATTERNS:
         txt = pc.replace_substring_regex(txt, pat, token)
     return txt
+
+
+def _nfc_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """NFC with composition: Arrow's ``utf8_normalize(form='NFC')`` does
+    NOT compose (pyarrow 16.1 leaves a + U+0301 decomposed — DuckDB's
+    ``nfc_normalize`` and Python's unicodedata both compose).  Pure-ASCII
+    batches pass through zero-copy (NFC is the identity on ASCII); only
+    values containing non-ASCII round-trip through unicodedata."""
+    import unicodedata
+
+    nonascii = pc.match_substring_regex(arr, r"[^\x00-\x7F]")
+    if not pc.any(pc.fill_null(nonascii, False)).as_py():
+        return arr
+    py = arr.to_pylist() if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks().to_pylist()
+    return pa.array(
+        [None if v is None
+         else (unicodedata.normalize("NFC", v) if any(ord(c) > 127 for c in v) else v)
+         for v in py],
+        pa.string(),
+    )
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Canonical text normalization (the standard pre-dedup/pre-tokenize
+    cleanup pass): NFC unicode normalization → lowercase → strip
+    non-letter/digit/underscore/space characters (unicode classes —
+    RE2 '\\w' is ASCII-only and would strip accented letters) → collapse
+    whitespace runs → trim.  All Arrow kernels (utf8proc + RE2), zero
+    per-row Python; the DuckDB oracle replays the identical RE2 ops."""
+    txt = pc.cast(batch[text_col], pa.string())
+    # lower FIRST, then NFC: utf8_lower decomposes precomposed letters
+    # (a + combining mark), and the strip class keeps \p{M} so marks
+    # survive either form
+    norm = pc.utf8_lower(txt)
+    norm = _nfc_array(norm)
+    norm = pc.replace_substring_regex(norm, r"[^\p{L}\p{M}\p{N}_\s]", "")
+    norm = pc.replace_substring_regex(norm, r"\s+", " ")
+    norm = pc.utf8_trim_whitespace(norm)
+    n_tok = pc.cast(pc.fill_null(pc.count_substring_regex(norm, r"\S+"), 0), pa.int64())
+    return pa.table({id_col: batch[id_col], "norm_text": norm, "n_tokens": n_tok})
+
+
+class Decontaminator:
+    """Actor-pool stage: drop documents containing ANY benchmark snippet
+    (test-set decontamination, the n-gram-overlap removal every training
+    corpus needs).  The snippet set ships ONCE as a broadcast object-store
+    ref and is scanned with one vectorized LITERAL substring kernel per
+    snippet (regex-injection-safe; an Aho-Corasick automaton would replace
+    the per-snippet passes if the set grew to millions)."""
+
+    def __init__(self, snippets_ref, text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        self.snips = [s for s in ray.get(snippets_ref) if s]
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch[self.text_col], pa.string())
+        contaminated = pa.array(np.zeros(len(batch), dtype=bool))
+        for s in self.snips:
+            hit = pc.fill_null(pc.match_substring(txt, s), False)
+            contaminated = pc.or_(contaminated, hit)
+        keep = batch.filter(pc.invert(contaminated))
+        return pa.table({self.id_col: keep[self.id_col]})

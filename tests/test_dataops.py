@@ -805,3 +805,58 @@ def test_pii_scrub_counts_and_redaction():
     assert red[2] == "nothing sensitive here"
     # clean_len is the redacted length (codepoints), matching SQL length()
     assert out["clean_len"].to_pylist() == [len(r) for r in red]
+
+
+def test_normalize_text_kernels(ray_session):
+    import pyarrow as pa
+
+    from rdflib_r2r_ray.stages.text import normalize_text
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["  Hello,   WORLD!! ", "á b", None]),
+    })
+    out = normalize_text(batch)
+    assert out["norm_text"].to_pylist()[0] == "hello world"
+    # NFC composes a + combining acute into á; punctuation stripped
+    assert out["norm_text"].to_pylist()[1] == "á b"
+    assert out["norm_text"].to_pylist()[2] is None
+    assert out["n_tokens"].to_pylist() == [2, 2, 0]
+
+
+def test_decontaminator_drops_snippet_hits(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from rdflib_r2r_ray.stages.text import Decontaminator
+
+    ref = ray.put(["forbidden phrase", None])
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["clean doc", "has the forbidden phrase inside", None]),
+    })
+    out = Decontaminator(ref)(batch)
+    assert out["doc_id"].to_pylist() == [1, 3]  # null text is kept
+
+
+def test_pack_sequences_windows(ray_session):
+    """Packing = floor(preceding token sum / budget) per language, doc_id
+    order — packs never span languages, overflow goes to the NEXT pack."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray import dataq
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 10], pa.int64()),
+        "text": pa.array(["w " * 300, "w " * 300, "w " * 300, "w " * 10, "x " * 600]),
+        "lang": pa.array(["en", "en", "en", "en", "de"]),
+    })
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="packtest_")
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r["pack_id"] for r in dataq.q_text_pack_sequences(d).take_all()}
+    # en: prev sums 0,300,600,900 -> packs 0,0,1,1 (budget 512); de: 0
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 10: 0}
