@@ -1103,6 +1103,36 @@ def _eval(e: E, batch: pa.Table):
                     pc.if_else(is_t, lex, nulls),
                 )
             return out, "str"
+        if dt in ("duration", "dayTimeDuration"):
+            # ISO-8601 day-time durations → TOTAL SECONDS as a numeric value
+            # (reference XSDToSQL maps durations to SQL Interval,
+            # conversion_utils.py:42-75; seconds are the comparable scalar
+            # form).  Year/month components have no fixed length — they
+            # parse to NULL (cast error), like an invalid lexical.
+            lex = _full_array(_to_lex(av, ak, n), pa.string(), n)
+            m = pc.extract_regex(
+                lex,
+                r"^(?P<neg>-)?P(?P<d>\d+D)?(?:T(?P<h>\d+H)?(?P<mi>\d+M)?"
+                r"(?P<s>\d+(?:\.\d+)?S)?)?$",
+            )
+
+            def comp(field_name: str, unit: float) -> pa.Array:
+                part = pc.struct_field(m, field_name)
+                # unmatched optional groups are EMPTY STRINGS inside matched
+                # rows (nulls only where the whole regex failed)
+                cleaned = pc.replace_substring_regex(
+                    pc.fill_null(part, "0"), r"[DHMS]", "")
+                cleaned = pc.if_else(pc.equal(cleaned, ""), pa.scalar("0"), cleaned)
+                num = pc.cast(cleaned, pa.float64())
+                return pc.multiply(
+                    pc.if_else(pc.is_valid(m), num, pa.nulls(n, pa.float64())), unit)
+
+            total = comp("d", 86400.0)
+            for f_, u in (("h", 3600.0), ("mi", 60.0), ("s", 1.0)):
+                total = pc.add(total, comp(f_, u))
+            neg = pc.fill_null(pc.equal(pc.struct_field(m, "neg"), "-"), False)
+            total = pc.if_else(neg, pc.negate(total), total)
+            return total, "num"
         raise NotImplementedError(f"cast to xsd:{dt} not supported")
     if e.kind == "sfunc":
         return _eval_sfunc(e, batch)

@@ -751,3 +751,36 @@ def test_union_mixed_with_patterns(ray_session):
             { ?x <knows> ?y . FILTER(?v > 0) } UNION { ?x <name> ?v }
           }
         """)
+
+
+def test_xsd_duration_cast(ray_session):
+    """F8 completeness: xsd:dayTimeDuration casts to total seconds (num
+    kind), usable in arithmetic and comparisons; year/month components and
+    invalid lexicals cast to NULL (rows drop in FILTER)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray import sparql
+
+    rows = [
+        ("<e/1>", "<p/dur>", "P1DT2H"),        # 93600 s
+        ("<e/2>", "<p/dur>", "-PT90M"),        # -5400 s
+        ("<e/3>", "<p/dur>", "PT0.5S"),        # 0.5 s
+        ("<e/4>", "<p/dur>", "P1Y2M"),         # year/month -> NULL
+        ("<e/5>", "<p/dur>", "not a duration"),
+    ]
+    trips = rd.from_arrow(pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+    }))
+    q = """
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?s ?secs WHERE {
+      ?s <p/dur> ?d .
+      BIND(xsd:dayTimeDuration(?d) AS ?secs)
+      FILTER(xsd:dayTimeDuration(?d) <= 100000)
+    }
+    """
+    got = {r["s"]: r["secs"] for r in sparql.execute(trips, q).take_all()}
+    assert got == {"<e/1>": 93600.0, "<e/2>": -5400.0, "<e/3>": 0.5}
