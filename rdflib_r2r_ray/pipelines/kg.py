@@ -244,9 +244,20 @@ def ref_join_triples(
     child_cols = [c for c, _ in obj.join]
     parent_cols = [p for _, p in obj.join]
 
-    def child_side(batch: pa.Table, _tm=tm, _base=mapping.base, _cols=child_cols) -> pa.Table:
+    # R2RML §9.1: target graphs = subject-level ∪ pom-level graph maps.
+    # Constant graphs stamp in `finish`; ROW-DEPENDENT graph maps (template/
+    # column) read CHILD columns, so they compute on the child side and ride
+    # through the join as extra columns.
+    g_terms = [g for g in dict.fromkeys((tm.graph, pm.graph)) if g is not None]
+    const_graphs = [g.constant for g in g_terms if g.kind == "constant"]
+    row_graphs = [g for g in g_terms if g.kind != "constant"]
+
+    def child_side(batch: pa.Table, _tm=tm, _base=mapping.base, _cols=child_cols,
+                   _gs=tuple(row_graphs)) -> pa.Table:
         subj = term_array(_tm.subject, batch, _base, "s", _tm.table)
         out = {"subj": subj}
+        for gi, g in enumerate(_gs):
+            out[f"__g{gi}"] = term_array(g, batch, _base, "g", _tm.table)
         for c in _cols:
             out[c] = batch[c]
         return pa.table(out)
@@ -263,24 +274,22 @@ def ref_join_triples(
     j = planned_join(child, parent, on=child_cols, right_on=parent_cols)
     pred_const = pm.predicate.constant  # constant in all supported cases
     assert pred_const, "ref pomap predicates must be constant"
-    # R2RML §9.1: target graphs = subject-level ∪ pom-level graph maps
-    g_terms = [g for g in dict.fromkeys((tm.graph, pm.graph)) if g is not None]
-    for g_term in g_terms:
-        if g_term.kind != "constant":
-            raise NotImplementedError(
-                "non-constant rr:graphMap on a join-requiring ref pomap")
-    graphs = [g.constant for g in g_terms] or [None]
+    graphs = const_graphs if (const_graphs or row_graphs) else [None]
 
-    def finish(batch: pa.Table, _pred=pred_const, _graphs=tuple(graphs)) -> pa.Table:
+    def finish(batch: pa.Table, _pred=pred_const, _graphs=tuple(graphs),
+               _n_row_graphs=len(row_graphs)) -> pa.Table:
         n = len(batch)
         outs = []
-        for _g in _graphs:
+        g_arrays = [pa.array([g] * n, type=pa.string()) for g in _graphs]
+        g_arrays += [pc.cast(batch[f"__g{gi}"], pa.string())
+                     for gi in range(_n_row_graphs)]
+        for g_arr in g_arrays:
             t = pa.table(
                 {
                     "subj": batch["subj"],
                     "pred": pa.array([_pred] * n, pa.string()),
                     "obj": batch["obj"],
-                    "graph": pa.array([_g] * n, pa.string()),
+                    "graph": g_arr,
                 },
                 schema=TRIPLE_SCHEMA,
             )

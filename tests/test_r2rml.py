@@ -107,3 +107,55 @@ def test_ref_join_triples(ray_session):
         ("<http://example.com/base/nation/n_nationkey=2>",
          "<http://example.com/base/region/WEST>"),
     }
+
+
+def test_ref_join_with_template_graph_map(ray_session):
+    """Row-dependent rr:graphMap on a JOIN-requiring ref pomap: the graph
+    term computes on the child side and rides through the join (previously
+    raised NotImplementedError)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray.pipelines.kg import emit_graph
+    from rdflib_r2r_ray.r2rml import load_r2rml
+
+    ttl = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+
+    <#ChildMap>
+      rr:logicalTable [ rr:tableName "child" ] ;
+      rr:subjectMap [ rr:template "http://e/c/{cid}" ;
+                      rr:graphMap [ rr:template "http://e/g/{grp}" ] ] ;
+      rr:predicateObjectMap [
+        rr:predicate <http://e/p/parent> ;
+        rr:objectMap [
+          rr:parentTriplesMap <#ParentMap> ;
+          rr:joinCondition [ rr:child "fk" ; rr:parent "pid" ]
+        ]
+      ] .
+
+    <#ParentMap>
+      rr:logicalTable [ rr:tableName "parent" ] ;
+      rr:subjectMap [ rr:template "http://e/p/{pname}" ] ;
+      rr:predicateObjectMap [
+        rr:predicate <http://e/p/name> ;
+        rr:objectMap [ rr:column "pname" ]
+      ] .
+    """
+    mapping, views = load_r2rml(ttl)
+    assert not views
+    child = rd.from_arrow(pa.table({
+        "cid": pa.array([1, 2], pa.int64()),
+        "fk": pa.array([10, 20], pa.int64()),
+        "grp": pa.array(["a", "b"]),
+    }))
+    parent = rd.from_arrow(pa.table({
+        "pid": pa.array([10, 20], pa.int64()),
+        "pname": pa.array(["X", "Y"]),
+    }))
+    rows = emit_graph({"child": child, "parent": parent}, mapping).take_all()
+    got = {(r["subj"], r["pred"], r["obj"], r["graph"]) for r in rows}
+    assert ("<http://e/c/1>", "<http://e/p/parent>", "<http://e/p/X>",
+            "<http://e/g/a>") in got
+    assert ("<http://e/c/2>", "<http://e/p/parent>", "<http://e/p/Y>",
+            "<http://e/g/b>") in got
