@@ -29,6 +29,7 @@ import ray
 import ray.data as rd
 
 from ..aliases import UnionFind
+from ..workerenv import cap_threads
 
 
 def components_union_find(edges: Iterable[Tuple[str, str]]) -> Dict[str, str]:
@@ -40,6 +41,42 @@ def components_union_find(edges: Iterable[Tuple[str, str]]) -> Dict[str, str]:
     for a, b in edges:
         uf.union(a, b)
     return {n: r for n in list(uf.parent) if (r := uf.find(n)) != n}
+
+
+_LOCAL_CC_MAX_EDGES = 200_000
+
+
+def _union_find_local(*tables: pa.Table) -> pa.Table:
+    """One-task connected components (path-halving union-find by min
+    label): exact same (node, label=component minimum) contract as the
+    distributed propagation, for edge sets that fit one worker."""
+    cap_threads()
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "label": pa.array([], pa.string())})
+    tbl = pa.concat_tables(live)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    a_col, b_col = tbl["a"].to_pylist(), tbl["b"].to_pylist()
+    for a, b in zip(a_col, b_col):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(set(a_col) | set(b_col))
+    typ = tbl.schema.field("a").type
+    return pa.table({"node": pa.array(nodes, typ),
+                     "label": pa.array([find(n) for n in nodes], typ)})
 
 
 def label_propagation_components(
@@ -65,6 +102,14 @@ def label_propagation_components(
         return pa.table({"node": node, "label": label})
 
     edges_m = edges.materialize()
+    # small edge sets (count from block METADATA) take a one-task union-find
+    # instead of O(diameter) join+exchange rounds whose fixed cost dominates
+    # tiny inputs (measured: 8.6 s of exchanges for 6k edges vs ~0.5 s);
+    # the distributed propagation below remains the 100 TB path — same
+    # split as transitive_closure's _LOCAL_CLOSURE_MAX_EDGES
+    if edges_m.count() <= _LOCAL_CC_MAX_EDGES:
+        out = ray.remote(_union_find_local).remote(*edges_m.to_arrow_refs())
+        return rd.from_arrow_refs([out])
     labels = grouped_agg(
         edges_m.map_batches(seed, batch_format="pyarrow"), ["node"], mins=["label"]
     ).materialize()

@@ -264,11 +264,24 @@ def test_label_propagation_components_distributed(ray_session):
         ],
         override_num_blocks=3,
     )
-    labels = {r["node"]: r["label"] for r in label_propagation_components(edges).take_all()}
-    assert labels == {
+    want = {
         "e1": "e1", "e2": "e1", "e5": "e1", "e9": "e1",
         "x3": "x3", "x4": "x3", "x7": "x3",
     }
+    # small input -> one-task union-find fast path
+    labels = {r["node"]: r["label"] for r in label_propagation_components(edges).take_all()}
+    assert labels == want
+    # force the DISTRIBUTED propagation path and check parity
+    from rdflib_r2r_ray.stages import canonicalize as C
+
+    old = C._LOCAL_CC_MAX_EDGES
+    C._LOCAL_CC_MAX_EDGES = 0
+    try:
+        labels2 = {r["node"]: r["label"]
+                   for r in label_propagation_components(edges).take_all()}
+    finally:
+        C._LOCAL_CC_MAX_EDGES = old
+    assert labels2 == want
 
 
 def test_transitive_closure_chain(ray_session):
