@@ -120,10 +120,27 @@ def _dialect_shim(script: str) -> str:
     script = re.sub(r"\b(?:VARBINARY|BINARY|BLOB)\s*\(\s*\d+\s*\)", "BLOB", script)
     script = re.sub(r"(PRIMARY KEY\s*\([^)]*\))(\s*\n\s*FOREIGN KEY)", r"\1,\2", script)
     # DuckDB cannot ADD a column with an inline FK (D025) — the column is
-    # added without it, so that case's ref-triples are missing (the
-    # reference fails DirectGraphTC0025 on every engine too)
+    # added without the constraint; ``extra_fks_from_script`` recovers it
+    # from the script text so reflection still sees the FK
     script = re.sub(r"(ALTER TABLE[^;]*?\bADD\b[^;]*?)\s+REFERENCES\s+[^;]*", r"\1", script)
     return script
+
+
+_ALTER_FK_RE = re.compile(
+    r'ALTER\s+TABLE\s+"?([^"\s]+)"?\s+ADD\s+(?:COLUMN\s+)?"?([^"\s]+)"?[^;]*?'
+    r'REFERENCES\s+"?([^"(\s]+)"?\s*\(([^)]*)\)', re.I)
+
+
+def extra_fks_from_script(script: str) -> Dict[str, List[Tuple[List[str], str, List[str]]]]:
+    """FKs declared via ``ALTER TABLE .. ADD .. REFERENCES`` (D025). DuckDB
+    rejects the inline form so ``_dialect_shim`` strips it before execution;
+    the constraint is recovered here from the raw script and merged into the
+    reflected catalog, keeping the direct mapping's ref-triples."""
+    out: Dict[str, List[Tuple[List[str], str, List[str]]]] = {}
+    for m in _ALTER_FK_RE.finditer(script):
+        out.setdefault(m.group(1), []).append(
+            ([m.group(2)], m.group(3), _cols(m.group(4))))
+    return out
 
 
 def load_database(sql_path: Path):
@@ -484,8 +501,10 @@ def engine_graph(case: Case) -> List[Quad]:
 
     con = load_database(case.db_dir / case.sql_file)
     tables, pks, fks, uniques = reflect_catalog(con)
-    tables = _apply_char_padding(
-        tables, char_pad_columns((case.db_dir / case.sql_file).read_text()))
+    script = (case.db_dir / case.sql_file).read_text()
+    for tname, extra in extra_fks_from_script(script).items():
+        fks.setdefault(tname, []).extend(extra)
+    tables = _apply_char_padding(tables, char_pad_columns(script))
     if case.kind == "direct":
         schemas = {n: t.schema for n, t in tables.items()}
         mapping = direct_mapping(schemas, pks, fks, base=BASE)

@@ -11,10 +11,10 @@ mapping or the case's R2RML document, ``emit_graph``, and blank-node
 isomorphism against the expected graph.  Negative cases (``hasExpectedOutput
 false``) count as conformant when the engine REJECTS the input.
 
-Known divergence (asserted below so it can't silently grow):
-- DirectGraphTC0025: DuckDB cannot ``ALTER TABLE .. ADD .. REFERENCES``, so
-  the added FK column loses its ref-triples (the reference also fails this
-  case on BOTH its engines).
+DirectGraphTC0025 (the one case the reference fails on BOTH its engines)
+passes here: DuckDB cannot execute ``ALTER TABLE .. ADD .. REFERENCES``, so
+``conformance.extra_fks_from_script`` recovers the stripped FK from the
+script text and merges it into the reflected catalog.
 """
 
 import collections
@@ -26,8 +26,8 @@ ZIP = pathlib.Path(__file__).parent / "data" / "rdb2rdf-ts.zip"
 
 # conformant = passed (positive, isomorphic) or rejected-ok (negative,
 # engine rejects).  The reference's best run is 71/86 conformant.
-EXPECTED_NONCONFORMANT = {"DirectGraphTC0025"}
-MIN_PASS = 85
+EXPECTED_NONCONFORMANT = set()
+MIN_PASS = 86
 
 
 @pytest.fixture(scope="module")
