@@ -874,6 +874,115 @@ FROM s GROUP BY doc_id, j // 1024
 """
 
 
+def q_mm_image_bmp_meta(sf_dir: str) -> rd.Dataset:
+    """REAL BMP decode: deterministic doc_id-arithmetic pixels are
+    BMP-ENCODED (24-bit BI_RGB DIB, ``stages.codecs.encode_bmp``) and
+    decoded back (bottom-up BGR row unpacking) inside the actor-pool
+    decoder — px_sum recomputes in SQL over the same arithmetic."""
+    from .stages.codecs import encode_bmp
+
+    def synth_bmp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        j = np.arange(8 * 8 * 3, dtype=np.int64)
+        payloads = [
+            encode_bmp(((i * 31 + j * 7) % 256).astype(np.uint8).reshape(8, 8, 3))
+            for i in ids
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(synth_bmp, batch_format="pyarrow")
+    meta = ds.map_batches(
+        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return meta.select_columns(["doc_id", "kind", "width", "height", "px_sum"])
+
+
+SQL_MM_IMAGE_BMP_META = """
+SELECT d.doc_id, 'bmp' AS kind, CAST(8 AS INTEGER) AS width,
+  CAST(8 AS INTEGER) AS height,
+  (SELECT CAST(SUM((d.doc_id * 31 + j * 7) % 256) AS BIGINT)
+   FROM generate_series(0, 191) t(j)) AS px_sum
+FROM documents d
+"""
+
+
+def q_mm_image_gif_meta(sf_dir: str) -> rd.Dataset:
+    """REAL GIF decode: deterministic palette indices are GIF-ENCODED with
+    a real LZW compressor (``stages.codecs.encode_gif``) against an
+    identity grayscale palette (palette[k] = (k,k,k)), then LZW-decoded
+    back inside the actor-pool decoder — so px_sum = 3·Σ indices, which
+    SQL recomputes without touching bytes."""
+    from .stages.codecs import encode_gif
+
+    def synth_gif(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        j = np.arange(8 * 8, dtype=np.int64)
+        payloads = [
+            encode_gif(((i * 37 + j * 11) % 256).astype(np.uint8).reshape(8, 8), pal)
+            for i in ids
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(synth_gif, batch_format="pyarrow")
+    meta = ds.map_batches(
+        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return meta.select_columns(["doc_id", "kind", "width", "height", "px_sum"])
+
+
+SQL_MM_IMAGE_GIF_META = """
+SELECT d.doc_id, 'gif' AS kind, CAST(8 AS INTEGER) AS width,
+  CAST(8 AS INTEGER) AS height,
+  (SELECT CAST(3 * SUM((d.doc_id * 37 + j * 11) % 256) AS BIGINT)
+   FROM generate_series(0, 63) t(j)) AS px_sum
+FROM documents d
+"""
+
+
+def q_mm_video_avi_frames(sf_dir: str) -> rd.Dataset:
+    """REAL video demux: deterministic 4×4 RGB frames are packed into a
+    RIFF-AVI container with an uncompressed 'DIB ' stream
+    (``stages.codecs.encode_avi``) and demuxed back (RIFF chunk walk +
+    bottom-up BGR unpacking) inside the actor-pool sampler — per-sampled-
+    frame px_sum recomputes in SQL.  Closes the round-3 'video demux is a
+    stub' seam; compressed codecs (H.264/VP9) remain the documented stub."""
+    from .stages.codecs import encode_avi
+
+    def synth_avi(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        j = np.arange(4 * 4 * 3, dtype=np.int64)
+        payloads = []
+        for i in ids:
+            nf = 2 + i % 4
+            frames = [((i * 13 + f * 5 + j * 3) % 256).astype(np.uint8).reshape(4, 4, 3)
+                      for f in range(nf)]
+            payloads.append(encode_avi(frames, fps=10))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(synth_avi, batch_format="pyarrow")
+    return ds.map_batches(
+        MM.VideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+
+# same arithmetic as SQL_MM_VIDEO_FRAMES: the AVI container round-trips the
+# identical frames, so the oracle is unchanged modulo the pixel constants
+SQL_MM_VIDEO_AVI_FRAMES = """
+WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+     fr AS (SELECT unnest(range(0, 6)) AS f),
+     px AS (SELECT unnest(range(0, 48)) AS j)
+SELECT doc_id, CAST(f AS INTEGER) AS frame,
+  CAST(SUM((doc_id * 13 + f * 5 + j * 3) % 256) AS BIGINT) AS px_sum
+FROM d JOIN fr ON f < nf AND f % 2 = 0
+CROSS JOIN px
+GROUP BY doc_id, f
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus-preparation operators: normalize / decontaminate / sequence-pack
 # ---------------------------------------------------------------------------
@@ -1016,6 +1125,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "mm_video_frames": q_mm_video_frames,
         "mm_image_png_meta": q_mm_image_png_meta,
         "mm_audio_wav_frames": q_mm_audio_wav_frames,
+        "mm_image_bmp_meta": q_mm_image_bmp_meta,
+        "mm_image_gif_meta": q_mm_image_gif_meta,
+        "mm_video_avi_frames": q_mm_video_avi_frames,
         "text_normalize": q_text_normalize,
         "text_decontaminate": q_text_decontaminate,
         "text_pack_sequences": q_text_pack_sequences,
@@ -1047,6 +1159,9 @@ def oracle_sql() -> Dict[str, str]:
         "mm_video_frames": SQL_MM_VIDEO_FRAMES,
         "mm_image_png_meta": SQL_MM_IMAGE_PNG_META,
         "mm_audio_wav_frames": SQL_MM_AUDIO_WAV_FRAMES,
+        "mm_image_bmp_meta": SQL_MM_IMAGE_BMP_META,
+        "mm_image_gif_meta": SQL_MM_IMAGE_GIF_META,
+        "mm_video_avi_frames": SQL_MM_VIDEO_AVI_FRAMES,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "text_decontaminate": SQL_TEXT_DECONTAMINATE,
         "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,

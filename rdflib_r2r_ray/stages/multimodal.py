@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Decode support: PNG images and PCM16 WAV audio decode FOR REAL via the
-dependency-free codecs in :mod:`.codecs` (zlib chunk parsing + scanline
-unfiltering; RIFF parsing).  The deterministic ``MMB1`` container (see
+Decode support: PNG/BMP/GIF images, PCM16 WAV audio, and RIFF-AVI video
+(uncompressed 'DIB ' streams) decode FOR REAL via the dependency-free
+codecs in :mod:`.codecs` (zlib inflate + scanline unfiltering, DIB rows,
+GIF LZW, RIFF chunk walking).  The deterministic ``MMB1`` container (see
 ``pack_payload``) remains for synthetic corpora whose content features a
 SQL oracle can recompute.  Only formats that genuinely require external
-libraries (JPEG, MP4/WebM demux) raise ``NotImplementedError`` at the
-single clearly-marked point where PIL/ffmpeg would go.
+libraries (JPEG/WebP, compressed video codecs — H.264/VP9 in MP4/WebM)
+raise ``NotImplementedError`` at the single clearly-marked point where
+PIL/ffmpeg would go.
 
 Scale notes: binary payloads are MBs, so these stages run with small
 ``batch_size`` (caller passes e.g. 16-64) and actor pools; payload columns
@@ -28,7 +30,8 @@ import ray.data as rd
 
 # module level, NOT function level: worker-side relative imports fail when
 # the package ships by value
-from .codecs import decode_png, decode_wav, png_info, wav_info
+from .codecs import (avi_info, bmp_info, decode_bmp, decode_gif, decode_png,
+                     decode_wav, demux_avi, gif_info, png_info, wav_info)
 
 MAGIC = b"MMB1"
 # struct.Struct objects don't pickle (the package ships by value to Ray
@@ -84,8 +87,29 @@ class ImageDecoder:
             return None
         if self.strict:
             # formats needing external libraries (JPEG/WebP) would decode
-            # here via PIL/libvips; PNG decodes for real below
-            raise NotImplementedError("non-PNG image codecs unavailable in this environment")
+            # here via PIL/libvips; PNG/BMP/GIF decode for real below
+            raise NotImplementedError("JPEG/WebP image codecs unavailable in this environment")
+        return None
+
+    def _decode_real(self, buf: bytes):
+        """Real decode paths (dependency-free codecs in ``stages.codecs``):
+        PNG, BMP, GIF → (kind, width, height, RGB pixel array) or None."""
+        pinfo = png_info(buf)
+        if pinfo is not None:
+            px = decode_png(buf)
+            if px.shape[2] == 1:  # grayscale -> RGB for the luma dot
+                px = np.repeat(px, 3, axis=2)
+            elif px.shape[2] == 4:
+                px = px[:, :, :3]
+            elif px.shape[2] == 2:
+                px = np.repeat(px[:, :, :1], 3, axis=2)
+            return "png", pinfo["width"], pinfo["height"], px
+        binfo = bmp_info(buf)
+        if binfo is not None:
+            return "bmp", binfo["width"], binfo["height"], decode_bmp(buf)
+        ginfo = gif_info(buf)
+        if ginfo is not None:
+            return "gif", ginfo["width"], ginfo["height"], decode_gif(buf)
         return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -96,22 +120,13 @@ class ImageDecoder:
             buf = buf or b""
             hdr = unpack_header(buf)
             if hdr is None:
-                pinfo = png_info(buf)
-                if pinfo is not None:
-                    # REAL decode path (dependency-free PNG codec)
-                    px = decode_png(buf)
-                    if px.shape[2] == 1:  # grayscale -> RGB for the luma dot
-                        px = np.repeat(px, 3, axis=2)
-                    elif px.shape[2] == 4:
-                        px = px[:, :, :3]
-                    elif px.shape[2] == 2:
-                        px = np.repeat(px[:, :, :1], 3, axis=2)
-                    hdr = dict(kind="png", width=pinfo["width"],
-                               height=pinfo["height"])
+                decoded = self._decode_real(buf)
+                if decoded is not None:
+                    kind, wpx, hpx, px = decoded
                     rows["doc_id"].append(i)
-                    rows["kind"].append("png")
-                    rows["width"].append(pinfo["width"])
-                    rows["height"].append(pinfo["height"])
+                    rows["kind"].append(kind)
+                    rows["width"].append(wpx)
+                    rows["height"].append(hpx)
                     rows["n_bytes"].append(len(buf))
                     rows["px_sum"].append(int(px.sum()))
                     rows["sha1"].append(hashlib.sha1(buf).hexdigest())
@@ -210,11 +225,12 @@ class AudioFrameSampler:
 
 
 class VideoFrameSampler:
-    """Actor-pool stage: MMB1 'vid' payloads (concatenated w×h×3 RGB frames)
-    → every ``stride``-th frame's integer pixel sum (content feature).
-    Real containers (MP4/WebM) would demux via ffmpeg at the marked stub —
-    the Ray-side plumbing (small batches, frame fan-out rows, payload drop)
-    is real and oracle-tested."""
+    """Actor-pool stage: video payloads → every ``stride``-th frame's
+    integer pixel sum (content feature).  RIFF-AVI containers with
+    uncompressed 'DIB ' streams DEMUX FOR REAL (``codecs.demux_avi``);
+    MMB1 'vid' payloads (concatenated w×h×3 RGB frames) remain for
+    synthetic corpora.  Compressed codecs (H.264/VP9 in MP4/WebM) would
+    demux via ffmpeg at the marked stub."""
 
     def __init__(self, stride: int = 2, bin_col: str = "payload", id_col: str = "doc_id",
                  strict: bool = False):
@@ -227,9 +243,17 @@ class VideoFrameSampler:
         for i, buf in zip(batch[self.id_col].to_pylist(), batch[self.bin_col].to_pylist()):
             buf = buf or b""
             hdr = unpack_header(buf)
+            if hdr is None and avi_info(buf) is not None:
+                # REAL demux path (dependency-free RIFF-AVI, DIB frames)
+                for f in range(0, len(frames_ := demux_avi(buf)), self.stride):
+                    ids_out.append(i)
+                    frame_idx.append(f)
+                    px_sum.append(int(frames_[f].sum()))
+                continue
             if hdr is None or hdr["kind"] != "vid":
                 if self.strict:
-                    raise NotImplementedError("real video demuxers unavailable in this environment")
+                    raise NotImplementedError(
+                        "compressed video codecs (MP4/H.264/VP9) unavailable in this environment")
                 continue
             w, h, n_frames = hdr["width"], hdr["height"], hdr["frames"]
             fsize = w * h * 3

@@ -131,3 +131,83 @@ def test_audio_sampler_real_wav_batch(ray_session):
         int(np.abs(pcm[1024:2048]).sum()),
         int(np.abs(pcm[2048:]).sum()),
     ]
+
+
+# ---------------------------------------------------------------------------
+# BMP / GIF / AVI codecs
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_and_padding():
+    from rdflib_r2r_ray.stages.codecs import bmp_info, decode_bmp, encode_bmp
+
+    # width 9 → 27-byte rows padded to 28: exercises the 4-byte row padding
+    img = _rng(3).integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    buf = encode_bmp(img)
+    info = bmp_info(buf)
+    assert info["width"] == 9 and info["height"] == 5 and info["bits"] == 24
+    assert np.array_equal(decode_bmp(buf), img)
+    assert bmp_info(b"not a bmp") is None
+
+
+def test_gif_lzw_roundtrip_including_table_growth():
+    from rdflib_r2r_ray.stages.codecs import decode_gif, encode_gif, gif_info
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    # enough pixels that the LZW code width grows past its initial 9 bits
+    idx = _rng(11).integers(0, 256, size=(40, 50), dtype=np.uint8)
+    buf = encode_gif(idx, pal)
+    info = gif_info(buf)
+    assert info["width"] == 50 and info["height"] == 40
+    assert np.array_equal(decode_gif(buf), pal[idx])
+    # small palette (non-power-of-2 count) path
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    idx4 = _rng(3).integers(0, 3, size=(7, 6), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx4, pal4)), pal4[idx4])
+    assert gif_info(b"JFIF") is None
+
+
+def test_avi_demux_roundtrip():
+    from rdflib_r2r_ray.stages.codecs import avi_info, demux_avi, encode_avi
+
+    frames = [_rng(f).integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+              for f in range(4)]
+    buf = encode_avi(frames, fps=25)
+    info = avi_info(buf)
+    assert (info["width"], info["height"], info["frames"]) == (5, 6, 4)
+    assert info["us_per_frame"] == 1000000 // 25
+    out = demux_avi(buf)
+    assert len(out) == 4
+    for a, b in zip(out, frames):
+        assert np.array_equal(a, b)
+    assert avi_info(b"RIFFxxxxWAVE") is None
+
+
+def test_image_decoder_real_bmp_gif_batch(ray_session):
+    from rdflib_r2r_ray.stages.codecs import encode_bmp, encode_gif
+    from rdflib_r2r_ray.stages.multimodal import ImageDecoder
+
+    img = _rng(5).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    idx = _rng(6).integers(0, 256, size=(3, 7), dtype=np.uint8)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_bmp(img), encode_gif(idx, pal)], pa.binary()),
+    })
+    out = ImageDecoder()(batch)
+    assert out["kind"].to_pylist() == ["bmp", "gif"]
+    assert out["width"].to_pylist() == [6, 7]
+    assert out["px_sum"].to_pylist() == [int(img.sum()), 3 * int(idx.sum())]
+
+
+def test_video_sampler_real_avi_batch(ray_session):
+    from rdflib_r2r_ray.stages.codecs import encode_avi
+    from rdflib_r2r_ray.stages.multimodal import VideoFrameSampler
+
+    frames = [np.full((2, 2, 3), f + 1, dtype=np.uint8) for f in range(5)]
+    batch = pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "payload": pa.array([encode_avi(frames)], pa.binary()),
+    })
+    out = VideoFrameSampler(stride=2)(batch)
+    assert out["frame"].to_pylist() == [0, 2, 4]
+    assert out["px_sum"].to_pylist() == [12 * 1, 12 * 3, 12 * 5]
