@@ -942,6 +942,47 @@ FROM documents d
 """
 
 
+def q_mm_image_jpeg_meta(sf_dir: str) -> rd.Dataset:
+    """REAL JPEG decode: a dependency-free BASELINE JPEG codec
+    (``stages.codecs.encode_jpeg``/``decode_jpeg`` — 8×8 DCT, Annex-K
+    quantization + Huffman tables, JFIF markers, byte stuffing) round-trips
+    deterministic images inside the actor-pool decoder.  The oracle is
+    EXACT despite JPEG being lossy: each 8×8 block is CONSTANT at an even
+    value v, so only the DC coefficient survives (AC ≡ 0), and at
+    quality 50 the luma DC quantizer is 16 ⇒ round(8·(v−128)/16)·16/8 =
+    v−128 exactly — the full Huffman → dequant → IDCT path reproduces the
+    input bytes, and SQL recomputes px_sum from the id arithmetic.
+    (The reference has no multimodal surface at all.)"""
+    from .stages.codecs import encode_jpeg
+
+    def synth_jpeg(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        b = np.arange(4, dtype=np.int64).reshape(2, 2)
+        for i in ids:
+            vals = (2 * ((i * 17 + b * 29) % 128)).astype(np.uint8)
+            img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+            payloads.append(encode_jpeg(img, quality=50))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(synth_jpeg, batch_format="pyarrow")
+    meta = ds.map_batches(
+        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return meta.select_columns(["doc_id", "kind", "width", "height", "px_sum"])
+
+
+# gray decode → RGB repeat ⇒ px_sum = 3 · 64 · Σ_b 2·((id·17 + b·29) % 128)
+SQL_MM_IMAGE_JPEG_META = """
+SELECT d.doc_id, 'jpeg' AS kind, CAST(16 AS INTEGER) AS width,
+  CAST(16 AS INTEGER) AS height,
+  (SELECT CAST(192 * SUM(2 * ((d.doc_id * 17 + b * 29) % 128)) AS BIGINT)
+   FROM generate_series(0, 3) t(b)) AS px_sum
+FROM documents d
+"""
+
+
 def q_mm_video_avi_frames(sf_dir: str) -> rd.Dataset:
     """REAL video demux: deterministic 4×4 RGB frames are packed into a
     RIFF-AVI container with an uncompressed 'DIB ' stream
@@ -1128,6 +1169,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "mm_image_bmp_meta": q_mm_image_bmp_meta,
         "mm_image_gif_meta": q_mm_image_gif_meta,
         "mm_video_avi_frames": q_mm_video_avi_frames,
+        "mm_image_jpeg_meta": q_mm_image_jpeg_meta,
         "text_normalize": q_text_normalize,
         "text_decontaminate": q_text_decontaminate,
         "text_pack_sequences": q_text_pack_sequences,
@@ -1162,6 +1204,7 @@ def oracle_sql() -> Dict[str, str]:
         "mm_image_bmp_meta": SQL_MM_IMAGE_BMP_META,
         "mm_image_gif_meta": SQL_MM_IMAGE_GIF_META,
         "mm_video_avi_frames": SQL_MM_VIDEO_AVI_FRAMES,
+        "mm_image_jpeg_meta": SQL_MM_IMAGE_JPEG_META,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "text_decontaminate": SQL_TEXT_DECONTAMINATE,
         "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,

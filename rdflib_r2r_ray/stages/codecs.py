@@ -2,10 +2,10 @@
 
 The container has no PIL / libvips / ffmpeg, so the round-3 multimodal
 stages stubbed "real formats" behind NotImplementedError.  PNG, BMP, GIF,
-WAV and RIFF-AVI (uncompressed 'DIB ' video), however, are fully decodable
-with the standard library (zlib + struct) and numpy — so those formats get
-REAL codecs here, and only formats that genuinely require external
-libraries (JPEG/WebP, compressed video codecs) remain stubbed.
+baseline JPEG, WAV and RIFF-AVI (uncompressed 'DIB ' video), however, are
+fully decodable with the standard library (zlib + struct) and numpy — so
+those formats get REAL codecs here, and only formats that genuinely require
+external libraries (WebP/AVIF, compressed video codecs) remain stubbed.
 
 - PNG: chunk parsing (IHDR/IDAT/IEND), zlib inflate, scanline UNFILTERING
   for all five filter types (None/Sub/Up/Average/Paeth), 8-bit gray /
@@ -473,3 +473,475 @@ def encode_avi(frames: list, fps: int = 10) -> bytes:
     movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81), dependency-free.
+#
+# Encoder: level shift → 8×8 DCT-II (orthonormal matrix product, vectorized
+# over all blocks) → quantize (Annex-K tables scaled by the libjpeg quality
+# formula) → zigzag → DC-difference / AC run-length → canonical Huffman
+# (Annex-K tables) with 0xFF byte stuffing.  Grayscale (1 component) and
+# RGB (JFIF YCbCr, 4:4:4 — no subsampling) supported.
+# Decoder: marker walk (SOI/APP/DQT/SOF0/DHT/SOS/EOI), canonical Huffman
+# decode, dequantize, IDCT, level shift, clip; YCbCr→RGB for 3 components.
+# Baseline 8-bit only; progressive / subsampled / arithmetic streams raise
+# ValueError.  (The reference engine has no multimodal surface at all.)
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# ITU-T T.81 Annex K.1 — the quality-50 reference tables
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,   12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,   14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68,109,103, 77,   24, 35, 55, 64, 81,104,113, 92,
+    49, 64, 78, 87,103,121,120,101,   72, 92, 95, 98,112,100,103, 99],
+    dtype=np.int64).reshape(8, 8)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,   18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,   47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,   99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,   99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64).reshape(8, 8)
+
+# Annex K.3 Huffman table specs: (BITS[1..16], HUFFVAL)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    t = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    t[0] = np.sqrt(1.0 / 8.0)
+    return t
+
+
+_DCT8 = _dct_matrix()
+
+
+def _quality_tables(quality: int):
+    """libjpeg quality scaling: 50 → the Annex-K tables verbatim."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def q(tbl):
+        return np.clip((tbl * scale + 50) // 100, 1, 255).astype(np.int64)
+    return q(_QT_LUMA), q(_QT_CHROMA)
+
+
+def _canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) → {symbol: (code, length)} per T.81 Annex C."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits, vals):
+    """(BITS, HUFFVAL) → {(length, code): symbol} for the bit-serial reader."""
+    enc = _canonical_codes(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float plane (h, w multiples of 8) → (n, 8, 8) block array."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8))
+
+
+def _encode_component(blocks_q: np.ndarray, dc_codes, ac_codes, bw: _BitWriter):
+    """(n, 64) zigzagged quantized coefficients → entropy-coded bits."""
+    prev_dc = 0
+    for zz in blocks_q:
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]   # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]       # EOB
+            bw.write(code, ln)
+
+
+def _pad_to_8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
+    """(h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 → baseline JFIF
+    JPEG bytes (4:4:4, Annex-K Huffman tables)."""
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qts = [qt_l]
+    else:
+        r, g, b = (img[:, :, c].astype(np.float64) for c in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [qt_l, qt_c, qt_c]
+
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate([qt_l] if gray else [qt_l, qt_c]):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + bytes(int(x) for x in qt.flat[_ZIGZAG])
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0 if c == 0 else 1)
+    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof
+    hts = [(0x00, _HT_DC_LUMA), (0x10, _HT_AC_LUMA)]
+    if not gray:
+        hts += [(0x01, _HT_DC_CHROMA), (0x11, _HT_AC_CHROMA)]
+    for tc_th, (bits, vals) in hts:
+        seg = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", len(seg) + 2) + seg
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3F\x00"
+    out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l = _canonical_codes(*_HT_DC_LUMA)
+    ac_l = _canonical_codes(*_HT_AC_LUMA)
+    dc_c = _canonical_codes(*_HT_DC_CHROMA)
+    ac_c = _canonical_codes(*_HT_AC_CHROMA)
+    bw = _BitWriter()
+    # quantize every component up front (vectorized over all blocks)
+    comp_q = []
+    for ci, (plane, qt) in enumerate(zip(planes, qts)):
+        blocks = _blocks_of(_pad_to_8(plane) - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
+        zz = np.round(coef / qt).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+        comp_q.append(zz)
+    if gray:
+        _encode_component(comp_q[0], dc_l, ac_l, bw)
+    else:
+        # 4:4:4, all sampling factors 1 → MCU = one block of each component,
+        # interleaved Y Cb Cr per T.81 A.2.3
+        n = comp_q[0].shape[0]
+        prev = [0, 0, 0]
+        tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+        for b in range(n):
+            for ci in range(3):
+                zz = comp_q[ci][b]
+                dct, act = tabs[ci]
+                diff = int(zz[0]) - prev[ci]
+                prev[ci] = int(zz[0])
+                s = _category(diff)
+                code, ln = dct[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = act[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, ln = act[0x00]
+                    bw.write(code, ln)
+    bw.flush()
+    out += bw.buf
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+def jpeg_info(buf: bytes) -> Optional[dict]:
+    """Parse the SOF0/SOF1 frame header (None if not a baseline JPEG)."""
+    if len(buf) < 4 or buf[:2] != b"\xFF\xD8":
+        return None
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", buf, pos + 2)[0]
+        if marker in (0xC0, 0xC1):
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", buf, pos + 4)
+            return dict(width=w, height=h, bit_depth=prec, channels=ncomp)
+        if marker == 0xDA:
+            return None
+        pos += 2 + seglen
+    return None
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy data exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1      # stuffed byte
+                else:
+                    raise ValueError("JPEG: unexpected marker in scan")
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG bytes → (h, w, channels) uint8 array (1 or 3
+    channels, 4:4:4 only; progressive/subsampled streams raise)."""
+    if len(buf) < 4 or buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict = {}
+    htabs: dict = {}
+    frame = None
+    comps = []
+    scan = None
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG: bad marker sync")
+        marker = buf[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", buf, pos + 2)[0]
+        seg = buf[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(seg[o + 1 : o + 65], dtype=np.uint8)
+                qtabs[tq] = tbl.reshape(8, 8)
+                o += 65
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit baseline supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + c * 3)
+                if hv != 0x11:
+                    raise ValueError("JPEG: chroma subsampling unsupported (4:4:4 only)")
+                comps.append(dict(id=cid, tq=tq))
+            frame = (h, w, ncomp)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG: non-baseline frame type unsupported")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + nv])
+                htabs[(tc, th)] = _decode_table(bits, vals)
+                o += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("JPEG: restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + c * 2], seg[2 + c * 2]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG: missing SOF/SOS")
+    h, w, ncomp = frame
+    # entropy-coded data runs from pos to the next real marker (EOI)
+    end = len(buf) - 2 if buf.endswith(b"\xFF\xD9") else len(buf)
+    br = _BitReader(buf[pos:end])
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    nblocks = bh * bw_
+    coefs = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    order = [(by_id[cs], td, ta) for cs, td, ta in scan]
+    prev = [0] * ncomp
+    for b in range(nblocks):
+        for ci, td, ta in order:
+            dct = htabs[(0, td)]
+            act = htabs[(1, ta)]
+            s = _huff_decode(br, dct)
+            diff = _extend(br.receive(s), s) if s else 0
+            prev[ci] += diff
+            zz = coefs[ci][b]
+            zz[0] = prev[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break                      # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG: coefficient index overflow")
+                zz[k] = _extend(br.receive(s), s)
+                k += 1
+    planes = []
+    for ci, comp in enumerate(comps):
+        qt = qtabs[comp["tq"]]
+        deq = np.zeros((nblocks, 64), dtype=np.float64)
+        deq[:, _ZIGZAG] = coefs[ci]
+        blocks = deq.reshape(-1, 8, 8) * qt
+        px = np.einsum("ji,njk,kl->nil", _DCT8, blocks, _DCT8) + 128.0
+        plane = (px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw_ * 8))[:h, :w]
+        planes.append(plane)
+    if ncomp == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Decode support: PNG/BMP/GIF images, PCM16 WAV audio, and RIFF-AVI video
-(uncompressed 'DIB ' streams) decode FOR REAL via the dependency-free
-codecs in :mod:`.codecs` (zlib inflate + scanline unfiltering, DIB rows,
-GIF LZW, RIFF chunk walking).  The deterministic ``MMB1`` container (see
-``pack_payload``) remains for synthetic corpora whose content features a
-SQL oracle can recompute.  Only formats that genuinely require external
-libraries (JPEG/WebP, compressed video codecs — H.264/VP9 in MP4/WebM)
-raise ``NotImplementedError`` at the single clearly-marked point where
+Decode support: PNG/BMP/GIF/JPEG images, PCM16 WAV audio, and RIFF-AVI
+video (uncompressed 'DIB ' streams) decode FOR REAL via the
+dependency-free codecs in :mod:`.codecs` (zlib inflate + scanline
+unfiltering, DIB rows, GIF LZW, baseline-JPEG Huffman+DCT, RIFF chunk
+walking).  The deterministic ``MMB1`` container (see ``pack_payload``)
+remains for synthetic corpora whose content features a SQL oracle can
+recompute.  Only formats that genuinely require external libraries
+(WebP/AVIF, compressed video codecs — H.264/VP9 in MP4/WebM) raise
+``NotImplementedError`` at the single clearly-marked point where
 PIL/ffmpeg would go.
 
 Scale notes: binary payloads are MBs, so these stages run with small
@@ -30,8 +31,9 @@ import ray.data as rd
 
 # module level, NOT function level: worker-side relative imports fail when
 # the package ships by value
-from .codecs import (avi_info, bmp_info, decode_bmp, decode_gif, decode_png,
-                     decode_wav, demux_avi, gif_info, png_info, wav_info)
+from .codecs import (avi_info, bmp_info, decode_bmp, decode_gif, decode_jpeg,
+                     decode_png, decode_wav, demux_avi, gif_info, jpeg_info,
+                     png_info, wav_info)
 
 MAGIC = b"MMB1"
 # struct.Struct objects don't pickle (the package ships by value to Ray
@@ -86,9 +88,9 @@ class ImageDecoder:
                 return px.reshape(header["height"], header["width"], 3)
             return None
         if self.strict:
-            # formats needing external libraries (JPEG/WebP) would decode
-            # here via PIL/libvips; PNG/BMP/GIF decode for real below
-            raise NotImplementedError("JPEG/WebP image codecs unavailable in this environment")
+            # formats needing external libraries (WebP/AVIF) would decode
+            # here via PIL/libvips; PNG/BMP/GIF/JPEG decode for real below
+            raise NotImplementedError("WebP/AVIF image codecs unavailable in this environment")
         return None
 
     def _decode_real(self, buf: bytes):
@@ -110,6 +112,12 @@ class ImageDecoder:
         ginfo = gif_info(buf)
         if ginfo is not None:
             return "gif", ginfo["width"], ginfo["height"], decode_gif(buf)
+        jinfo = jpeg_info(buf)
+        if jinfo is not None:
+            px = decode_jpeg(buf)
+            if px.shape[2] == 1:  # grayscale -> RGB for the luma dot
+                px = np.repeat(px, 3, axis=2)
+            return "jpeg", jinfo["width"], jinfo["height"], px
         return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -211,3 +211,68 @@ def test_video_sampler_real_avi_batch(ray_session):
     out = VideoFrameSampler(stride=2)(batch)
     assert out["frame"].to_pylist() == [0, 2, 4]
     assert out["px_sum"].to_pylist() == [12 * 1, 12 * 3, 12 * 5]
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (baseline sequential, T.81)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_dc_only_blocks_roundtrip_exactly():
+    """Per-8x8-block-constant EVEN pixel values survive the full lossy path
+    exactly at quality 50 (luma DC quantizer 16) — the invariant the
+    mm_image_jpeg_meta SQL oracle relies on."""
+    from rdflib_r2r_ray.stages.codecs import decode_jpeg, encode_jpeg, jpeg_info
+
+    vals = (2 * _rng(7).integers(0, 128, size=(3, 4))).astype(np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    buf = encode_jpeg(img, quality=50)
+    info = jpeg_info(buf)
+    assert (info["width"], info["height"], info["channels"]) == (32, 24, 1)
+    assert np.array_equal(decode_jpeg(buf)[:, :, 0], img)
+    assert jpeg_info(b"\x89PNG") is None
+
+
+def test_jpeg_gray_and_rgb_lossy_roundtrip_bounded():
+    from rdflib_r2r_ray.stages.codecs import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 64)
+    gray = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=90))[:, :, 0]
+    err = np.abs(out.astype(int) - gray.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    rgb = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256],
+                   axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert out.shape == (40, 56, 3)
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert err.max() <= 40 and err.mean() < 4
+
+
+def test_jpeg_odd_size_and_noise():
+    from rdflib_r2r_ray.stages.codecs import decode_jpeg, encode_jpeg
+
+    img = _rng(13).integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(img, quality=85)).shape == (9, 13, 3)
+    noisy = _rng(14).integers(0, 256, size=(16, 16), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noisy, quality=95))[:, :, 0]
+    # noise is the worst case for DCT coding; q95 keeps it within ~8 levels
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 16
+
+
+def test_image_decoder_real_jpeg_batch(ray_session):
+    from rdflib_r2r_ray.stages.codecs import encode_jpeg
+    from rdflib_r2r_ray.stages.multimodal import ImageDecoder
+
+    vals = (2 * _rng(21).integers(0, 128, size=(2, 2))).astype(np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    batch = pa.table({
+        "doc_id": pa.array([5], pa.int64()),
+        "payload": pa.array([encode_jpeg(img, quality=50)], pa.binary()),
+    })
+    out = ImageDecoder()(batch)
+    assert out["kind"].to_pylist() == ["jpeg"]
+    assert out["width"].to_pylist() == [16] and out["height"].to_pylist() == [16]
+    # gray → RGB repeat inside the decoder
+    assert out["px_sum"].to_pylist() == [3 * int(img.sum())]
