@@ -548,6 +548,48 @@ FROM planted
 """
 
 
+def q_text_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition filters (duplicate-word fraction, top-bigram
+    count, repeated-bigram fraction) as integer permille — one polars
+    split/explode/shift pass per batch, bit-exact vs the SQL self-join."""
+    return _docs(sf_dir).map_batches(T.RepetitionStats(), batch_format="pyarrow")
+
+
+SQL_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest(range(len(ws))) AS pos
+  FROM w
+),
+wa AS (
+  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_unique
+  FROM u GROUP BY doc_id
+),
+bgc AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS w2, COUNT(*) AS c
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id, a.word, b.word
+),
+ba AS (
+  SELECT doc_id, MAX(c) AS top,
+         COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup,
+         SUM(c) AS nbg
+  FROM bgc GROUP BY doc_id
+)
+SELECT wa.doc_id,
+  CAST(wa.n_words AS BIGINT) AS n_words,
+  CAST(wa.n_unique AS BIGINT) AS n_unique_words,
+  CAST(1000 * (wa.n_words - wa.n_unique) // wa.n_words AS BIGINT)
+    AS dup_word_permille,
+  CAST(COALESCE(ba.top, 0) AS BIGINT) AS top_bigram_count,
+  CAST(COALESCE(1000 * ba.dup // ba.nbg, 0) AS BIGINT) AS dup_bigram_permille
+FROM wa LEFT JOIN ba USING (doc_id)
+"""
+
+
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     """Gopher/C4-style quality signals + composite score — all-integer
     outputs with integer threshold arithmetic (bit-exact vs SQL)."""
@@ -1157,6 +1199,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_bm25": q_text_bm25,
         "text_ngram_freq": q_text_ngram_freq,
         "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1192,6 +1235,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_bm25": _sql_text_bm25(),
         "text_ngram_freq": SQL_TEXT_NGRAM_FREQ,
         "text_pii": _sql_text_pii(),
+        "text_repetition": SQL_TEXT_REPETITION,
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": _sql_langid(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,

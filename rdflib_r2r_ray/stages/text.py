@@ -557,3 +557,70 @@ class Decontaminator:
             contaminated = pc.or_(contaminated, hit)
         keep = batch.filter(pc.invert(contaminated))
         return pa.table({self.id_col: keep[self.id_col]})
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics (word-level, integer permille)
+# ---------------------------------------------------------------------------
+
+REPETITION_COLUMNS = (
+    "n_words", "n_unique_words", "dup_word_permille",
+    "top_bigram_count", "dup_bigram_permille",
+)
+
+
+class RepetitionStats:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), word-level
+    because web text here is whitespace-joined: duplicate-word fraction,
+    the count of the most frequent word bigram, and the fraction of bigram
+    occurrences belonging to a repeated bigram.  Fractions are integer
+    PERMILLE with floor division so the DuckDB oracle reproduces them
+    bit-exactly (``dataq.SQL_TEXT_REPETITION``).
+
+    Fully vectorized: one polars split → explode → shift-within-doc →
+    two group_by passes per batch; no per-doc Python.  Tokenization is a
+    plain single-space split on BOTH sides (matches the corpus shape and
+    DuckDB ``string_split``)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pl = _pl()
+        nd = len(batch)
+        col = pc.fill_null(pc.cast(batch[self.text_col], pa.string()), "")
+        s = pl.from_arrow(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        idx = np.arange(nd, dtype=np.int64)
+        words = (pl.DataFrame({"i": idx, "w": s.str.split(" ")})
+                 .explode("w"))
+        wag = words.group_by("i").agg(nw=pl.len(), nu=pl.col("w").n_unique())
+        n_words = np.zeros(nd, dtype=np.int64)
+        n_unique = np.zeros(nd, dtype=np.int64)
+        wi = wag["i"].to_numpy()
+        n_words[wi] = wag["nw"].to_numpy().astype(np.int64)
+        n_unique[wi] = wag["nu"].to_numpy().astype(np.int64)
+
+        bg = (words.with_columns(nxt=pl.col("w").shift(-1).over("i"))
+              .drop_nulls("nxt")
+              .group_by("i", "w", "nxt").len(name="c")
+              .group_by("i")
+              .agg(top=pl.col("c").max(),
+                   dup=pl.col("c").filter(pl.col("c") >= 2).sum(),
+                   nbg=pl.col("c").sum()))
+        top_bg = np.zeros(nd, dtype=np.int64)
+        dup_bg = np.zeros(nd, dtype=np.int64)
+        n_bg = np.zeros(nd, dtype=np.int64)
+        bi = bg["i"].to_numpy()
+        top_bg[bi] = bg["top"].to_numpy().astype(np.int64)
+        dup_bg[bi] = pl.Series(bg["dup"]).fill_null(0).to_numpy().astype(np.int64)
+        n_bg[bi] = bg["nbg"].to_numpy().astype(np.int64)
+
+        dup_word_pm = np.where(n_words > 0, 1000 * (n_words - n_unique) // np.maximum(n_words, 1), 0)
+        dup_bg_pm = np.where(n_bg > 0, 1000 * dup_bg // np.maximum(n_bg, 1), 0)
+        vals = dict(n_words=n_words, n_unique_words=n_unique,
+                    dup_word_permille=dup_word_pm,
+                    top_bigram_count=top_bg, dup_bigram_permille=dup_bg_pm)
+        out = {self.id_col: batch[self.id_col]}
+        for k in REPETITION_COLUMNS:
+            out[k] = pa.array(vals[k], pa.int64())
+        return pa.table(out)

@@ -873,3 +873,27 @@ def test_pack_sequences_windows(ray_session):
     out = {r["doc_id"]: r["pack_id"] for r in dataq.q_text_pack_sequences(d).take_all()}
     # en: prev sums 0,300,600,900 -> packs 0,0,1,1 (budget 512); de: 0
     assert out == {1: 0, 2: 0, 3: 1, 4: 1, 10: 0}
+
+
+def test_repetition_stats_edge_cases():
+    """Gopher repetition metrics: known small docs + the empty/one-word
+    edge (split('') → [''] on both the polars and DuckDB sides)."""
+    import pyarrow as pa
+    from rdflib_r2r_ray.stages.text import RepetitionStats
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b a b a b",        # 6 words, 2 unique; bigrams: ab×3 ba×2 (all dup)
+            "x y z",              # all unique; bigrams xy, yz (no dups)
+            "w",                  # single word, no bigrams
+            "",                   # split('') -> [''] : one empty word
+        ], pa.string()),
+    })
+    out = RepetitionStats()(batch)
+    d = {n: out[n].to_pylist() for n in out.schema.names}
+    assert d["n_words"] == [6, 3, 1, 1]
+    assert d["n_unique_words"] == [2, 3, 1, 1]
+    assert d["dup_word_permille"] == [1000 * 4 // 6, 0, 0, 0]
+    assert d["top_bigram_count"] == [3, 1, 0, 0]
+    assert d["dup_bigram_permille"] == [1000, 0, 0, 0]
