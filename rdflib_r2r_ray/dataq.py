@@ -261,6 +261,61 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 """
 
 
+def q_dd_semantic(sf_dir: str) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): DISTRIBUTED k-means (k=4, 2 Lloyd
+    iterations; each iteration one streaming map_batches pass emitting k
+    partial-sum rows per block — the driver reduce is O(k·d·blocks)) →
+    per-cluster pairwise cosine through the hash exchange, dropping any
+    vector with a lower-id same-cluster neighbor at cosine ≥ 0.35.
+    Deterministic end to end (init = k lowest ids, cosine-argmax assignment
+    with lowest-cluster tie-break, float64 means), so the ENTIRE iterative
+    algorithm replays as an unrolled-CTE DuckDB oracle."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return A.semantic_dedup(ds, k=4, iters=2, threshold=0.35)
+
+
+def _sql_dd_semantic() -> str:
+    # one assignment CTE + one centroid-update CTE per Lloyd iteration;
+    # empty clusters COALESCE back to their previous centroid, matching
+    # kmeans_distributed exactly
+    assign = """
+  SELECT e.vec_id, e.embedding,
+    (SELECT i.c FROM {cent} i
+     ORDER BY list_cosine_similarity(e.embedding, i.embedding) DESC, i.c
+     LIMIT 1) AS c
+  FROM embeddings e"""
+    update = """
+  SELECT i.c, COALESCE(m.embedding,
+                       list_transform(i.embedding, x -> CAST(x AS DOUBLE)))
+         AS embedding
+  FROM {prev} i LEFT JOIN (
+    SELECT c, list(av ORDER BY d) AS embedding FROM (
+      SELECT c, d, AVG(v) AS av FROM (
+        SELECT c, unnest(embedding) AS v,
+               unnest(range(len(embedding))) AS d FROM {a})
+      GROUP BY c, d)
+    GROUP BY c) m ON i.c = m.c"""
+    return f"""
+WITH init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+),
+a0 AS ({assign.format(cent="init")}),
+c1 AS ({update.format(prev="init", a="a0")}),
+a1 AS ({assign.format(cent="c1")}),
+c2 AS ({update.format(prev="c1", a="a1")}),
+a2 AS ({assign.format(cent="c2")})
+SELECT a.vec_id, CAST(a.c AS INTEGER) AS cluster,
+  NOT EXISTS (
+    SELECT 1 FROM a2 b
+    WHERE b.c = a.c AND b.vec_id < a.vec_id
+      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+  ) AS kept
+FROM a2 a
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1191,6 +1246,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_simhash": q_dd_simhash,
         "dd_embedding_neardup": q_dd_embedding_neardup,
+        "dd_semantic": q_dd_semantic,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1227,6 +1283,7 @@ def oracle_sql() -> Dict[str, str]:
         "dd_ngram_jaccard": SQL_DD_NGRAM_JACCARD,
         "dd_simhash": SQL_DD_SIMHASH,
         "dd_embedding_neardup": SQL_DD_EMB_NEARDUP,
+        "dd_semantic": _sql_dd_semantic(),
         "ann_topk": SQL_ANN_TOPK,
         "ann_topk_lsh": SQL_ANN_RECALL_OK,
         "ann_topk_ivf": SQL_ANN_RECALL_OK,

@@ -335,3 +335,129 @@ def embedding_near_dup_exact(
         for j in range(i + 1, len(refs)):
             out.append(task.remote(threshold, id_col, vec_col, refs[i], refs[j]))
     return rd.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def kmeans_distributed(
+    ds: rd.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the FULL dataset (contrast
+    ``train_ivf_centroids``, which fits on a driver-local sample): each
+    iteration is ONE streaming ``map_batches`` pass emitting k partial
+    (sum-vector, count) rows per block — the driver reduce is O(k·d·blocks),
+    never O(rows).  Centroids are broadcast once per iteration (``ray.put``).
+
+    Deterministic and oracle-replayable (``dataq.SQL_DD_SEMANTIC``): init
+    centroids are the raw embeddings of the k LOWEST ids; assignment is
+    cosine argmax with lowest-cluster tie-break; update is the dimension-wise
+    float64 mean (empty clusters keep their previous centroid)."""
+    # init: k lowest ids — per-block partial min-k, tiny driver reduce
+    def low_k(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, vec_col]).sort_by(id_col)
+        return t.slice(0, k)
+
+    parts = ds.map_batches(low_k, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: r[id_col])
+    cent = np.asarray([r[vec_col] for r in parts[:k]], dtype=np.float64)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial_stats(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _to_matrix(batch[vec_col])
+            assign = (_unit(m) @ _unit(c).T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, m)
+            np.add.at(counts, assign, 1)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(counts, pa.int64()),
+            })
+
+        stats = ds.map_batches(partial_stats, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in stats:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            counts[r["cluster"]] += r["cnt"]
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cent
+
+
+def kmeans_assign(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> rd.Dataset:
+    """Final assignment pass: (id, cluster[, embedding])."""
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _to_matrix(batch[vec_col])
+        a = (_unit(m) @ _unit(c).T).argmax(axis=1)
+        cols = {id_col: batch[id_col], "cluster": pa.array(a, pa.int32())}
+        if keep_vec:
+            cols[vec_col] = batch[vec_col]
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
+    drop any vector whose cosine similarity to a LOWER-id vector in the SAME
+    cluster is ≥ threshold.  The pairwise stage runs per cluster through the
+    streaming hash exchange — O(Σ cᵢ²) instead of O(n²), the cost model that
+    makes semantic dedup feasible at corpus scale (k scales with n to bound
+    cᵢ).  Output: (id, cluster, kept)."""
+    from .dedup import hash_group_exchange  # driver-side only (avoid cycle)
+
+    cent = kmeans_distributed(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = kmeans_assign(ds, cent, id_col=id_col, vec_col=vec_col, keep_vec=True)
+    out_schema = pa.schema([
+        pa.field(id_col, pa.int64()),
+        pa.field("cluster", pa.int32()),
+        pa.field("kept", pa.bool_()),
+    ])
+
+    def reduce_fn(tbl: pa.Table) -> pa.Table:
+        ids_out: List[int] = []
+        cl_out: List[int] = []
+        kept_out: List[bool] = []
+        for cl in pa.compute.unique(tbl["cluster"]).to_pylist():
+            g = tbl.filter(pa.compute.equal(tbl["cluster"], cl)).sort_by(id_col)
+            u = _unit(_to_matrix(g[vec_col]))
+            sims = u @ u.T
+            ids = g[id_col].to_pylist()
+            for i in range(len(ids)):
+                ids_out.append(ids[i])
+                cl_out.append(cl)
+                kept_out.append(bool(not (sims[i, :i] >= threshold).any()))
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "cluster": pa.array(cl_out, pa.int32()),
+            "kept": pa.array(kept_out, pa.bool_()),
+        })
+
+    return hash_group_exchange(assigned, ["cluster"], reduce_fn, out_schema)

@@ -897,3 +897,44 @@ def test_repetition_stats_edge_cases():
     assert d["dup_word_permille"] == [1000 * 4 // 6, 0, 0, 0]
     assert d["top_bigram_count"] == [3, 1, 0, 0]
     assert d["dup_bigram_permille"] == [1000, 0, 0, 0]
+
+
+def test_semantic_dedup_controlled(ray_session):
+    """Two well-separated directions; near-dup copies within each cluster.
+    k-means must recover the grouping and SemDeDup must keep exactly the
+    lowest-id member of each near-dup set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rdflib_r2r_ray.stages.ann import kmeans_distributed, semantic_dedup
+
+    rng = np.random.default_rng(3)
+    dim = 14
+    vecs, ids = [], []
+    for i in range(12):
+        v = np.zeros(dim)
+        v[i % 2] = 1.0        # cluster direction (dim 0 or dim 1)
+        v[2 + i] = 0.45       # distinct offset: cos(orig_i, orig_j) ≈ 0.83
+        vecs.append(v)
+        ids.append(i)
+    for i in range(12):
+        # (i, i+100) are near-identical copies: cos ≈ 1 > 0.9
+        vecs.append(vecs[i] + 0.0005 * rng.normal(size=dim))
+        ids.append(i + 100)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tbl).repartition(4)
+    cent = kmeans_distributed(ds, k=2, iters=2)
+    assert cent.shape == (2, dim)
+    out = semantic_dedup(ds, k=2, iters=2, threshold=0.9).to_pandas()
+    assert len(out) == 24
+    by_id = dict(zip(out.vec_id, out.kept))
+    # every original id kept, every +100 copy dropped (same cluster, cos≈1)
+    assert all(by_id[i] for i in range(12))
+    assert not any(by_id[i + 100] for i in range(12))
+    # clusters split by direction
+    cl = dict(zip(out.vec_id, out.cluster))
+    even = {cl[i] for i in range(0, 12, 2)}
+    odd = {cl[i] for i in range(1, 12, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
