@@ -817,7 +817,7 @@ def q_mm_image_meta(sf_dir: str) -> rd.Dataset:
     px_sum feature proves the pack → decode → pixels round-trip in SQL."""
     ds = _docs(sf_dir).map_batches(MM.synthesize_payloads, batch_format="pyarrow")
     meta = ds.map_batches(
-        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.ImageDecoder(), batch_format="pyarrow", batch_size=256
     )
     return meta.select_columns(["doc_id", "kind", "width", "height", "n_bytes", "px_sum"])
 
@@ -849,7 +849,7 @@ def q_mm_audio_frames(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir).map_batches(synth_audio, batch_format="pyarrow")
     frames = ds.map_batches(
-        MM.AudioFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.AudioFrameSampler(), batch_format="pyarrow", batch_size=256
     )
     return frames.select_columns(["doc_id", "frame", "n_samples"])
 
@@ -884,7 +884,7 @@ def q_mm_video_frames(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir).map_batches(synth_video, batch_format="pyarrow")
     return ds.map_batches(
-        MM.VideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.VideoFrameSampler(), batch_format="pyarrow", batch_size=256
     )
 
 
@@ -921,7 +921,7 @@ def q_mm_image_png_meta(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir).map_batches(synth_png, batch_format="pyarrow")
     meta = ds.map_batches(
-        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.ImageDecoder(), batch_format="pyarrow", batch_size=256
     )
     return meta.select_columns(["doc_id", "kind", "width", "height", "px_sum"])
 
@@ -954,7 +954,7 @@ def q_mm_audio_wav_frames(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir).map_batches(synth_wav, batch_format="pyarrow")
     frames = ds.map_batches(
-        MM.AudioFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.AudioFrameSampler(), batch_format="pyarrow", batch_size=256
     )
     return frames.select_columns(["doc_id", "frame", "n_samples", "abs_sum"])
 
@@ -990,7 +990,7 @@ def q_mm_image_bmp_meta(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir).map_batches(synth_bmp, batch_format="pyarrow")
     meta = ds.map_batches(
-        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.ImageDecoder(), batch_format="pyarrow", batch_size=256
     )
     return meta.select_columns(["doc_id", "kind", "width", "height", "px_sum"])
 
@@ -1025,7 +1025,7 @@ def q_mm_image_gif_meta(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir).map_batches(synth_gif, batch_format="pyarrow")
     meta = ds.map_batches(
-        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.ImageDecoder(), batch_format="pyarrow", batch_size=256
     )
     return meta.select_columns(["doc_id", "kind", "width", "height", "px_sum"])
 
@@ -1065,7 +1065,7 @@ def q_mm_image_jpeg_meta(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir).map_batches(synth_jpeg, batch_format="pyarrow")
     meta = ds.map_batches(
-        MM.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.ImageDecoder(), batch_format="pyarrow", batch_size=256
     )
     return meta.select_columns(["doc_id", "kind", "width", "height", "px_sum"])
 
@@ -1103,7 +1103,7 @@ def q_mm_video_avi_frames(sf_dir: str) -> rd.Dataset:
 
     ds = _docs(sf_dir).map_batches(synth_avi, batch_format="pyarrow")
     return ds.map_batches(
-        MM.VideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        MM.VideoFrameSampler(), batch_format="pyarrow", batch_size=256
     )
 
 
