@@ -313,9 +313,34 @@ def run_scaling() -> dict:
     return out
 
 
+def _emit(result: dict) -> None:
+    """Print ONE parseable JSON line, keeping it under the driver's output
+    tail capture (~2000 chars).  The full per-query map always goes to
+    BENCH_FULL.json next to this script; if the inline line would overflow,
+    the printed "queries" keeps only the slowest entries and notes how many
+    fast ones were elided (their timings live in BENCH_FULL.json)."""
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    line = json.dumps(result, separators=(",", ":"))
+    budget = 1900
+    if len(line) > budget and result.get("queries"):
+        q = dict(sorted(result["queries"].items(), key=lambda kv: -kv[1]))
+        while len(line) > budget and len(q) > 1:
+            q.pop(next(reversed(q)))  # drop the fastest remaining query
+            trimmed = {**result, "queries": q,
+                       "queries_elided": len(result["queries"]) - len(q),
+                       "queries_full": "BENCH_FULL.json"}
+            line = json.dumps(trimmed, separators=(",", ":"))
+    print(line)
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        _emit(run_bench())
