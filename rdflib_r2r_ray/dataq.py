@@ -1238,8 +1238,280 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus curation, continued: paragraph dedup, duplicated-span flagging,
+# mixture sampling, epoch shuffle/sharding
+# ---------------------------------------------------------------------------
+
+PARA_W = 10  # tokens per "paragraph" chunk (the corpus is single-line text)
+
+
+def q_dd_paragraph(sf_dir: str) -> rd.Dataset:
+    """CCNet-style PARAGRAPH-level corpus dedup: documents split into
+    paragraphs (fixed 10-token chunks — the corpus has no newlines), each
+    paragraph kept only at its first corpus-wide occurrence (min (doc_id,
+    position)), then documents reassembled from their surviving paragraphs.
+    Two streaming hash exchanges (paragraph key, then doc_id) — paragraphs
+    never sit on the driver.  The corpus plants an exact copy of every doc,
+    so copies lose all paragraphs and originals keep all of theirs unless a
+    chunk repeats verbatim elsewhere."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    def explode_paras(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b.select(["doc_id", "text"]))
+        out = (
+            df.with_columns(pl.col("text").str.to_lowercase()
+                            .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .with_columns(p=(pl.col("t").cum_count().over("doc_id") - 1) // PARA_W)
+            .group_by(["doc_id", "p"], maintain_order=True)
+            .agg(pl.col("t").str.join(" ").alias("para"))
+        )
+        return out.to_arrow().cast(_PARA_SCHEMA)
+
+    def keep_first(tbl: pa.Table) -> pa.Table:
+        df = _pl().from_arrow(tbl).sort(["doc_id", "p"])
+        return (df.unique(subset=["para"], keep="first", maintain_order=True)
+                .to_arrow().cast(_PARA_SCHEMA))
+
+    def reassemble(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            pl.from_arrow(tbl).sort(["doc_id", "p"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.len().cast(pl.Int64).alias("n_kept"),
+                 pl.col("para").str.join(" ").alias("dedup_text"))
+        )
+        return df.to_arrow().cast(_PARA_OUT_SCHEMA)
+
+    ds = _docs(sf_dir).map_batches(plant_exact_dups, batch_format="pyarrow")
+    paras = ds.map_batches(explode_paras, batch_format="pyarrow")
+    kept = hash_group_exchange(paras, ["para"], keep_first, _PARA_SCHEMA)
+    return hash_group_exchange(kept, ["doc_id"], reassemble, _PARA_OUT_SCHEMA)
+
+
+_PARA_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("p", pa.int64()), ("para", pa.string())])
+_PARA_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_kept", pa.int64()), ("dedup_text", pa.string())])
+
+
+SQL_DD_PARAGRAPH = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, text FROM documents),
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+       FROM base WHERE text IS NOT NULL),
+para AS (
+  SELECT doc_id, i - 1 AS p,
+         array_to_string(t[(i-1)*{PARA_W}+1:i*{PARA_W}], ' ') AS para
+  FROM tk, UNNEST(range(1, CAST(ceil(len(t) / {PARA_W}.0) AS BIGINT) + 1)) AS u(i)),
+keep AS (
+  SELECT doc_id, p, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, p) AS rn
+  FROM para)
+SELECT doc_id, COUNT(*) AS n_kept, string_agg(para, ' ' ORDER BY p) AS dedup_text
+FROM keep WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+DUPW = 8  # tokens per window for duplicated-span flagging
+
+
+def q_dd_dup_ngrams(sf_dir: str) -> rd.Dataset:
+    """Exact duplicated-substring flagging at n-gram-window granularity (the
+    Lee et al. 2022 'Deduplicating Training Data' primitive): every 8-token
+    window of every doc, a window is DUP if it occurs in ≥2 distinct docs;
+    per doc report distinct-window count, dup-window count and the dup
+    fraction (integer permille).  Per-doc distinct windows are emitted
+    locally (a doc is one row, so no cross-block combine is needed), the
+    window groups count distinct docs in one exchange, and a second exchange
+    folds flags per doc.  The corpus plants a one-token-appended near-copy
+    of every doc, so originals score 1000 permille and copies (n-1)/n."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            pl.from_arrow(b.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").str.to_lowercase()
+                          .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+        )
+        shifted = [pl.col("t").shift(-k).over("doc_id") for k in range(1, DUPW)]
+        df = (
+            df.with_columns(
+                pl.concat_str([pl.col("t"), *shifted], separator=" ").alias("w"))
+            .filter(pl.col("w").is_not_null())  # trailing <8-token positions
+            .select("doc_id", "w")
+            .unique()
+        )
+        return df.to_arrow().cast(_DUPW_SCHEMA)
+
+    def flag_windows(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(tbl)
+        df = df.with_columns(
+            dup=(pl.col("doc_id").n_unique().over("w") >= 2).cast(pl.Int64))
+        return df.select("doc_id", "dup").to_arrow().cast(_DUPF_SCHEMA)
+
+    def per_doc(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            pl.from_arrow(tbl).group_by("doc_id")
+            .agg(pl.len().cast(pl.Int64).alias("n_windows"),
+                 pl.col("dup").sum().alias("n_dup"))
+            .with_columns(
+                dup_permille=pl.col("n_dup") * 1000 // pl.col("n_windows"))
+        )
+        return df.to_arrow().cast(_DUPD_SCHEMA)
+
+    ds = _docs(sf_dir).map_batches(plant_near_dups, batch_format="pyarrow")
+    wins = ds.map_batches(explode_windows, batch_format="pyarrow")
+    flags = hash_group_exchange(wins, ["w"], flag_windows, _DUPF_SCHEMA)
+    return hash_group_exchange(flags, ["doc_id"], per_doc, _DUPD_SCHEMA)
+
+
+_DUPW_SCHEMA = pa.schema([("doc_id", pa.int64()), ("w", pa.string())])
+_DUPF_SCHEMA = pa.schema([("doc_id", pa.int64()), ("dup", pa.int64())])
+_DUPD_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_windows", pa.int64()),
+     ("n_dup", pa.int64()), ("dup_permille", pa.int64())])
+
+
+SQL_DD_DUP_NGRAMS = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, text || ' zzztail' FROM documents
+  WHERE text IS NOT NULL),
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+       FROM base WHERE text IS NOT NULL),
+w AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(t) - {DUPW - 2}),
+             i -> array_to_string(t[i:i+{DUPW - 1}], ' '))) AS w
+    FROM tk)),
+d AS (SELECT w, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY w)
+SELECT w.doc_id, COUNT(*) AS n_windows,
+  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+    AS dup_permille
+FROM w JOIN d USING (w) GROUP BY w.doc_id
+"""
+
+
+MIX_HASH_A = 2654435761  # Knuth multiplicative constant (fits BIGINT math)
+MIX_MOD = 1 << 32
+
+
+def _mix_hash_np(doc_id_arr) -> "np.ndarray":
+    did = np.asarray(doc_id_arr, dtype=np.int64).astype(np.uint64)
+    return (did * np.uint64(MIX_HASH_A)) % np.uint64(MIX_MOD)
+
+
+def q_text_mixture_sample(sf_dir: str) -> rd.Dataset:
+    """Training-mixture construction: per-SOURCE sampling rates (permille
+    weights derived deterministically from the source id) applied with a
+    multiplicative doc_id hash — the keep decision is a pure function of the
+    row, so the sample is reproducible across runs/cluster sizes and the
+    operator is map-only (no shuffle, no RNG state).  This is the mixture
+    reweighting step of corpus assembly (cf. The Pile / DoReMi weights)."""
+    def sample(b: pa.Table) -> pa.Table:
+        src = pc.cast(b["source"], pa.string())
+        n = pc.cast(pc.utf8_slice_codeunits(src, 3, 32), pa.int64())
+        w = pc.add(pc.multiply(_pc_mod(n, 20), pa.scalar(45, pa.int64())),
+                   pa.scalar(50, pa.int64()))
+        h = _mix_hash_np(b["doc_id"].to_numpy(zero_copy_only=False))
+        keep = pa.array((h % 1000).astype(np.int64))
+        out = pa.table({
+            "doc_id": b["doc_id"], "source": src,
+            "weight_permille": w,
+        }).filter(pc.less(keep, w))
+        return out
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return docs.map_batches(sample, batch_format="pyarrow")
+
+
+def _pc_mod(col, m: int):
+    """Arrow has no modulo kernel: a - (a // m) * m for non-negative a."""
+    q = pc.divide(col, pa.scalar(m, pa.int64()))
+    return pc.subtract(col, pc.multiply(q, pa.scalar(m, pa.int64())))
+
+
+SQL_TEXT_MIXTURE_SAMPLE = f"""
+SELECT doc_id, source,
+  50 + 45 * (CAST(substr(source, 4) AS BIGINT) % 20) AS weight_permille
+FROM documents
+WHERE ((doc_id * {MIX_HASH_A}) % {MIX_MOD}) % 1000
+      < 50 + 45 * (CAST(substr(source, 4) AS BIGINT) % 20)
+"""
+
+
+N_SHARDS = 64
+SHUF_HASH_B = 40503
+
+
+def q_text_shard_shuffle(sf_dir: str) -> rd.Dataset:
+    """Deterministic epoch shuffle + shard assignment (the step that turns a
+    curated corpus into training shards): shard = h(doc_id) mod N_SHARDS,
+    within-shard order = (h, doc_id) — a seeded permutation with no global
+    sort and no RNG state.  One hash exchange keyed on shard assigns dense
+    positions; at scale each shard partition streams straight into its own
+    output file.  Epochs reshuffle by changing the additive constant."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    def stage(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = ((np.asarray(did, np.int64).astype(np.uint64)
+              * np.uint64(MIX_HASH_A) + np.uint64(SHUF_HASH_B))
+             % np.uint64(MIX_MOD)).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"], "h": pa.array(h),
+            "shard": pa.array(h % N_SHARDS),
+        })
+
+    def assign_pos(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            pl.from_arrow(tbl).sort(["h", "doc_id"])
+            .with_columns(pos=pl.col("h").cum_count().over("shard") - 1)
+            .select("doc_id", "shard", "pos")
+        )
+        return df.to_arrow().cast(_SHARD_SCHEMA)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    staged = docs.map_batches(stage, batch_format="pyarrow")
+    return hash_group_exchange(staged, ["shard"], assign_pos, _SHARD_SCHEMA)
+
+
+_SHARD_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("shard", pa.int64()), ("pos", pa.int64())])
+
+
+SQL_TEXT_SHARD_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+    (doc_id * {MIX_HASH_A} + {SHUF_HASH_B}) % {MIX_MOD} AS h
+  FROM documents)
+SELECT doc_id, h % {N_SHARDS} AS shard,
+  row_number() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id) - 1 AS pos
+FROM h
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
+        "dd_paragraph": q_dd_paragraph,
+        "dd_dup_ngrams": q_dd_dup_ngrams,
+        "text_mixture_sample": q_text_mixture_sample,
+        "text_shard_shuffle": q_text_shard_shuffle,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -1277,6 +1549,10 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
 
 def oracle_sql() -> Dict[str, str]:
     return {
+        "dd_paragraph": SQL_DD_PARAGRAPH,
+        "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
+        "text_mixture_sample": SQL_TEXT_MIXTURE_SAMPLE,
+        "text_shard_shuffle": SQL_TEXT_SHARD_SHUFFLE,
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,

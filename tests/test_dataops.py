@@ -938,3 +938,69 @@ def test_semantic_dedup_controlled(ray_session):
     even = {cl[i] for i in range(0, 12, 2)}
     odd = {cl[i] for i in range(1, 12, 2)}
     assert len(even) == 1 and len(odd) == 1 and even != odd
+
+
+# ---------------------------------------------------------------------------
+# round-4 curation operators: paragraph dedup, dup-span flagging, mixture
+# sampling, epoch shuffle/sharding
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_keeps_first_occurrence(ray_session):
+    """A planted exact copy must lose every paragraph; the original keeps
+    all of its chunks (the sf0.001 base corpus has no duplicate texts, and
+    full 10-token chunks of distinct texts do not collide here)."""
+    from rdflib_r2r_ray.dataq import DUP_OFFSET, q_dd_paragraph
+
+    rows = {r["doc_id"]: r for r in q_dd_paragraph(SF).take_all()}
+    copies = [d for d in rows if d >= DUP_OFFSET]
+    assert not copies, f"copies survived paragraph dedup: {copies[:5]}"
+    assert rows  # originals with >=1 surviving paragraph exist
+    # reassembly is in paragraph order: dedup_text must be a prefix-joined
+    # subsequence of the source text's token stream
+    import ray.data as rd
+    src = {r["doc_id"]: r["text"] for r in
+           rd.read_parquet(f"{SF}/documents.parquet").take_all()}
+    did, r = next(iter(rows.items()))
+    assert r["dedup_text"].split()[:3] == src[did].lower().split()[:3]
+
+
+def test_dup_ngrams_permille(ray_session):
+    """Planted one-token-append near-copies: every window of an original is
+    shared with its copy (1000 permille); the copy has exactly one window of
+    its own (the tail window)."""
+    from rdflib_r2r_ray.dataq import DUP_OFFSET, q_dd_dup_ngrams
+
+    rows = {r["doc_id"]: r for r in q_dd_dup_ngrams(SF).take_all()}
+    orig = [r for d, r in rows.items() if d < DUP_OFFSET]
+    assert orig and all(r["dup_permille"] == 1000 for r in orig)
+    for d, r in rows.items():
+        if d >= DUP_OFFSET:
+            assert r["n_windows"] - r["n_dup"] == 1
+
+
+def test_mixture_sample_deterministic_and_weighted(ray_session):
+    from rdflib_r2r_ray.dataq import q_text_mixture_sample
+
+    a = sorted(r["doc_id"] for r in q_text_mixture_sample(SF).take_all())
+    b = sorted(r["doc_id"] for r in q_text_mixture_sample(SF).take_all())
+    assert a == b and len(a) > 0
+    rows = q_text_mixture_sample(SF).take_all()
+    # kept rows respect the per-source weight formula
+    for r in rows[:50]:
+        n = int(r["source"][3:])
+        assert r["weight_permille"] == 50 + 45 * (n % 20)
+
+
+def test_shard_shuffle_dense_positions(ray_session):
+    from collections import defaultdict
+
+    from rdflib_r2r_ray.dataq import N_SHARDS, q_text_shard_shuffle
+
+    rows = q_text_shard_shuffle(SF).take_all()
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["shard"] < N_SHARDS
+        by_shard[r["shard"]].append(r["pos"])
+    # positions are dense 0..n-1 within every shard
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
