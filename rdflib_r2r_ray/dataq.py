@@ -1168,10 +1168,10 @@ def q_text_decontaminate(sf_dir: str) -> rd.Dataset:
     snippets = [r["snip"] for r in
                 bench.map_batches(to_snippet, batch_format="pyarrow").take_all()]
     ref = ray.put(snippets)
+    # stateless-task instance: the snippet list is bounded (|docs|/100 ×
+    # 50 B), so shipping it in the task spec beats an actor pool's spawn tax
     return _docs(sf_dir).map_batches(
-        T.Decontaminator, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+        T.Decontaminator(ref), batch_format="pyarrow")
 
 
 SQL_TEXT_DECONTAMINATE = """

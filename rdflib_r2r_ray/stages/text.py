@@ -550,12 +550,20 @@ class Decontaminator:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        txt = pc.cast(batch[self.text_col], pa.string())
-        contaminated = pa.array(np.zeros(len(batch), dtype=bool))
-        for s in self.snips:
-            hit = pc.fill_null(pc.match_substring(txt, s), False)
-            contaminated = pc.or_(contaminated, hit)
-        keep = batch.filter(pc.invert(contaminated))
+        if not self.snips:
+            return pa.table({self.id_col: batch[self.id_col]})
+        # ONE multi-literal Aho-Corasick pass over the batch (polars
+        # contains_any), not one substring kernel per snippet — the snippet
+        # set grows with the corpus, so per-snippet passes are O(snips ×
+        # bytes) while this stays O(bytes).
+        import polars as pl
+
+        df = pl.from_arrow(batch.select([self.id_col, self.text_col]))
+        hit = df.select(
+            pl.col(self.text_col).cast(pl.String)
+            .str.contains_any(self.snips).fill_null(False).alias("hit")
+        )["hit"].to_numpy()
+        keep = batch.filter(pa.array(~hit))
         return pa.table({self.id_col: keep[self.id_col]})
 
 
