@@ -156,7 +156,7 @@ def run_bench() -> dict:
 
     # best of N measured iterations: host-level noise on this shared VM
     # swings single runs ±15-20%; min is the standard noise-robust estimator
-    iters = int(os.environ.get("GRAFT_BENCH_ITERS", "2"))
+    iters = int(os.environ.get("GRAFT_BENCH_ITERS", "3"))
     head = min((_headline(SF_DIR) for _ in range(iters)), key=lambda r: r["sec"])
     headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
     queries = {} if headline_only else _named_queries(SF_DIR)
