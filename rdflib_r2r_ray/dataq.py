@@ -1506,12 +1506,138 @@ FROM h
 """
 
 
+CHUNK_W = 12   # tokens per chunk
+CHUNK_STRIDE = 8  # tokens between chunk starts (overlap = W - STRIDE)
+
+
+def q_text_chunk_windows(sf_dir: str) -> rd.Dataset:
+    """Sliding-window chunking (context-window preparation for training /
+    RAG indexing): overlapping 12-token chunks every 8 tokens.  Map-only
+    and fully vectorized — tokens explode once, each token joins its
+    stride-window chunk and (when inside the 4-token overlap head) the
+    previous chunk too, then chunks reassemble per (doc, chunk) group
+    inside the same batch (a doc is one row, so no exchange is needed)."""
+    from .stages.dedup import _pl
+
+    def chunk(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        base = (
+            pl.from_arrow(b.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").str.to_lowercase()
+                          .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .with_columns(  # cum_count is UInt32 — cast so g = idx//8 - 1
+                idx=(pl.col("t").cum_count().over("doc_id") - 1).cast(pl.Int64))
+        )
+        own = base.with_columns(g=pl.col("idx") // CHUNK_STRIDE)
+        prev = (
+            base.filter(pl.col("idx") % CHUNK_STRIDE < CHUNK_W - CHUNK_STRIDE)
+            .with_columns(g=pl.col("idx") // CHUNK_STRIDE - 1)
+            .filter(pl.col("g") >= 0)
+        )
+        out = (
+            pl.concat([own, prev]).sort(["doc_id", "g", "idx"])
+            .group_by(["doc_id", "g"], maintain_order=True)
+            .agg(pl.col("t").str.join(" ").alias("chunk_text"),
+                 pl.len().cast(pl.Int64).alias("n_tokens"))
+            .rename({"g": "chunk_id"})
+        )
+        return out.to_arrow().cast(_CHUNK_SCHEMA)
+
+    return _docs(sf_dir).map_batches(chunk, batch_format="pyarrow")
+
+
+_CHUNK_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+     ("chunk_text", pa.string()), ("n_tokens", pa.int64())])
+
+
+SQL_TEXT_CHUNK_WINDOWS = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, k - 1 AS chunk_id,
+  array_to_string(t[(k-1)*{CHUNK_STRIDE}+1:(k-1)*{CHUNK_STRIDE}+{CHUNK_W}], ' ')
+    AS chunk_text,
+  least(len(t) - (k-1)*{CHUNK_STRIDE}, {CHUNK_W}) AS n_tokens
+FROM tk, UNNEST(range(1, CAST(ceil(len(t) / {CHUNK_STRIDE}.0) AS BIGINT) + 1))
+  AS u(k)
+"""
+
+
+QSCORE_A = MIX_HASH_A
+
+
+def q_text_quality_score(sf_dir: str) -> rd.Dataset:
+    """Hash-feature linear quality scorer (the fasttext-style classifier
+    seat in a curation pipeline, with a deterministic weight table so the
+    oracle replays inference exactly): each token's feature weight is a
+    mixed integer of (length, first char, last char) in [-100, 100]; the
+    doc score is the token-weight sum and keep = score >= 0.  One polars
+    pass — explode, three vectorized char ops, group-sum; no Python loop
+    over tokens and no shuffle (docs are single rows)."""
+    from .stages.dedup import _pl
+
+    def score(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            pl.from_arrow(b.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").str.to_lowercase()
+                          .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .with_columns(
+                ln=pl.col("t").str.len_chars().cast(pl.Int64),
+                # tokens are ASCII [a-z0-9_]: first/last BYTE == char code
+                c0=pl.col("t").str.slice(0, 1).str.encode("hex")
+                    .str.to_integer(base=16).cast(pl.Int64),
+                c1=pl.col("t").str.slice(-1, 1).str.encode("hex")
+                    .str.to_integer(base=16).cast(pl.Int64),
+            )
+            .with_columns(
+                w=((pl.col("ln") * 7 + pl.col("c0") * 31 + pl.col("c1"))
+                   * QSCORE_A % (1 << 32)) % 201 - 100)
+            .group_by("doc_id")
+            .agg(pl.col("w").sum().alias("score"),
+                 pl.len().cast(pl.Int64).alias("n_tokens"))
+            .with_columns(keep=(pl.col("score") >= 0).cast(pl.Int64))
+        )
+        return df.to_arrow().cast(_QSCORE_SCHEMA)
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+_QSCORE_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("score", pa.int64()),
+     ("n_tokens", pa.int64()), ("keep", pa.int64())])
+
+
+SQL_TEXT_QUALITY_SCORE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents WHERE text IS NOT NULL),
+w AS (
+  SELECT doc_id,
+    ((len(t) * 7 + ascii(substr(t, 1, 1)) * 31 + ascii(substr(t, len(t), 1)))
+     * {QSCORE_A}) % {1 << 32} % 201 - 100 AS w
+  FROM tok)
+SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score, COUNT(*) AS n_tokens,
+  CAST(CASE WHEN SUM(w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM w GROUP BY doc_id
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "dd_paragraph": q_dd_paragraph,
         "dd_dup_ngrams": q_dd_dup_ngrams,
         "text_mixture_sample": q_text_mixture_sample,
         "text_shard_shuffle": q_text_shard_shuffle,
+        "text_chunk_windows": q_text_chunk_windows,
+        "text_quality_score": q_text_quality_score,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -1553,6 +1679,8 @@ def oracle_sql() -> Dict[str, str]:
         "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
         "text_mixture_sample": SQL_TEXT_MIXTURE_SAMPLE,
         "text_shard_shuffle": SQL_TEXT_SHARD_SHUFFLE,
+        "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
+        "text_quality_score": SQL_TEXT_QUALITY_SCORE,
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,

@@ -1004,3 +1004,42 @@ def test_shard_shuffle_dense_positions(ray_session):
     # positions are dense 0..n-1 within every shard
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(len(ps)))
+
+
+def test_chunk_windows_overlap_and_tail(ray_session):
+    """Chunk k covers tokens [8k, 8k+12): full chunks are 12 tokens with a
+    4-token overlap against the next chunk; the final chunk is the residue."""
+    from rdflib_r2r_ray.dataq import CHUNK_STRIDE, CHUNK_W, q_text_chunk_windows
+
+    rows = q_text_chunk_windows(SF).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, chunks in list(by_doc.items())[:20]:
+        chunks.sort(key=lambda r: r["chunk_id"])
+        toks = " ".join(c["chunk_text"] for c in chunks if True)
+        # overlap: chunk k's last 4 tokens == chunk k+1's first 4 (when full)
+        for a, b in zip(chunks, chunks[1:]):
+            if a["n_tokens"] == CHUNK_W:
+                assert (a["chunk_text"].split()[CHUNK_STRIDE:]
+                        == b["chunk_text"].split()[:CHUNK_W - CHUNK_STRIDE])
+        assert chunks[0]["chunk_id"] == 0
+
+
+def test_quality_score_weights_are_token_local(ray_session):
+    """Same token stream ⇒ same score: the scorer is a pure function of the
+    tokens, so permuting docs or re-running is stable; and score equals the
+    sum of per-token weights computed independently."""
+    from rdflib_r2r_ray.dataq import QSCORE_A, q_text_quality_score
+    import ray.data as rd
+
+    rows = {r["doc_id"]: r for r in q_text_quality_score(SF).take_all()}
+    src = {r["doc_id"]: r["text"] for r in
+           rd.read_parquet(f"{SF}/documents.parquet").take_all()}
+    import re
+    for did in list(rows)[:20]:
+        toks = re.findall(r"[a-z0-9_]+", (src[did] or "").lower())
+        w = sum((((len(t) * 7 + ord(t[0]) * 31 + ord(t[-1])) * QSCORE_A)
+                 % (1 << 32)) % 201 - 100 for t in toks)
+        assert rows[did]["score"] == w
+        assert rows[did]["keep"] == (1 if w >= 0 else 0)
