@@ -395,6 +395,29 @@ def q_ann_topk_lsh(sf_dir: str):
     return _recall_rows(approx, exact, 10)
 
 
+KNN_K = 5
+
+
+def q_ann_knn_graph(sf_dir: str) -> rd.Dataset:
+    """Exact cosine 5-NN graph over ALL vectors (block-pair tile grid, each
+    tile emits partial top-k only, vec_id-keyed exchange finishes) — the
+    clustering / diversity-sampling primitive."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return A.knn_graph(ds, k=KNN_K)
+
+
+SQL_ANN_KNN_GRAPH = f"""
+WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+SELECT vec_id, nbr_id,
+  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= {KNN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1630,6 +1653,76 @@ FROM w GROUP BY doc_id
 """
 
 
+TFIDF_K = 3
+
+
+def q_text_tfidf_top(sf_dir: str) -> rd.Dataset:
+    """Per-doc top-3 terms by TF-IDF (keyword extraction / topic signal).
+    Integer-exact scoring so the oracle replays it: score = tf·10⁶ // df
+    (idf is monotone in 1/df, so ranking is the tf-idf ranking).  Shape:
+    tf is LOCAL per batch (docs are single rows — one polars explode +
+    group count, only (doc,term,tf) rows move), df attaches inside ONE
+    term-keyed hash exchange (count over complete term groups), and
+    :func:`grouped_topk`'s combiner+exchange finishes per doc."""
+    from .relational import grouped_topk
+    from .stages.dedup import _pl, hash_group_exchange
+
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_counts(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        out = (
+            pl.from_arrow(b.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").str.to_lowercase()
+                          .str.extract_all(r"[a-z0-9_]+").alias("term"))
+            .drop("text")
+            .explode("term")
+            .filter(pl.col("term").is_not_null())
+            .group_by(["doc_id", "term"])
+            .len(name="tf")
+            .with_columns(pl.col("tf").cast(pl.Int64))
+        )
+        return out.to_arrow().cast(tf_schema)
+
+    tf = _docs(sf_dir).map_batches(tf_counts, batch_format="pyarrow")
+
+    scored_schema = pa.schema(list(tf_schema) + [("df", pa.int64()),
+                                                 ("score", pa.int64())])
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        # (doc,term) rows are unique, so df(term) = rows per term here
+        pl = _pl()
+        out = (
+            pl.from_arrow(t)
+            .with_columns(df=pl.col("term").count().over("term").cast(pl.Int64))
+            .with_columns(score=pl.col("tf") * 1_000_000 // pl.col("df"))
+        )
+        return out.to_arrow().cast(scored_schema)
+
+    scored = hash_group_exchange(tf, ["term"], attach_df, scored_schema)
+    return grouped_topk(scored, ["doc_id"], [("score", True), ("term", False)],
+                        TFIDF_K, keep=["tf", "df"])
+
+
+SQL_TEXT_TFIDF_TOP = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents WHERE text IS NOT NULL),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+  FROM tf JOIN df USING (term))
+SELECT doc_id, score, term, tf, df FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+  <= {TFIDF_K}
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "dd_paragraph": q_dd_paragraph,
@@ -1638,6 +1731,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_shard_shuffle": q_text_shard_shuffle,
         "text_chunk_windows": q_text_chunk_windows,
         "text_quality_score": q_text_quality_score,
+        "text_tfidf_top": q_text_tfidf_top,
+        "ann_knn_graph": q_ann_knn_graph,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -1681,6 +1776,8 @@ def oracle_sql() -> Dict[str, str]:
         "text_shard_shuffle": SQL_TEXT_SHARD_SHUFFLE,
         "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
         "text_quality_score": SQL_TEXT_QUALITY_SCORE,
+        "text_tfidf_top": SQL_TEXT_TFIDF_TOP,
+        "ann_knn_graph": SQL_ANN_KNN_GRAPH,
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,

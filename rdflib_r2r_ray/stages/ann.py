@@ -337,6 +337,86 @@ def embedding_near_dup_exact(
     return rd.from_arrow_refs(out)
 
 
+def _tile_partial_topk(k: int, id_col: str, vec_col: str,
+                       ta: pa.Table, tb: Optional[pa.Table]) -> pa.Table:
+    """Partial top-k rows for one tile of the all-pairs grid: every row of
+    ``ta`` keeps its k best candidates among ``tb``'s rows and (off-diagonal
+    tiles) vice versa, so at most (|a|+|b|)·k rows leave the tile."""
+    ids_a = np.asarray(ta[id_col].to_pylist())
+    m_a = _unit(_to_matrix(ta[vec_col]))
+    if tb is None:
+        ids_b, m_b = ids_a, m_a
+    else:
+        ids_b = np.asarray(tb[id_col].to_pylist())
+        m_b = _unit(_to_matrix(tb[vec_col]))
+    sims = m_a @ m_b.T
+    if tb is None:
+        np.fill_diagonal(sims, -2.0)  # a vector is not its own neighbor
+
+    def partial(ids_q: np.ndarray, ids_c: np.ndarray, s: np.ndarray):
+        kk = min(k, s.shape[1])
+        idx = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(ids_q, kk)
+        cols = ids_c[idx.ravel()]
+        vals = np.take_along_axis(s, idx, axis=1).ravel()
+        keep = vals > -1.5  # drop the masked self cell of 1-row tiles
+        return rows[keep], cols[keep], vals[keep]
+
+    parts = [partial(ids_a, ids_b, sims)]
+    if tb is not None:
+        parts.append(partial(ids_b, ids_a, np.ascontiguousarray(sims.T)))
+    return pa.table({
+        "vec_id": pa.array(np.concatenate([p[0] for p in parts])),
+        "nbr_id": pa.array(np.concatenate([p[1] for p in parts])),
+        "cosine": pa.array(np.concatenate([p[2] for p in parts])),
+    })
+
+
+def knn_graph(
+    ds: rd.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exact cosine k-nearest-neighbor GRAPH (every vector → its k best
+    neighbors, rank 1..k by cosine desc / id asc) — the clustering /
+    diversity-sampling primitive.  Same block-pair task grid as
+    :func:`embedding_near_dup_exact`, but each tile emits only PARTIAL
+    top-k rows (≤ (|a|+|b|)·k per tile — never the full similarity matrix),
+    and a vec_id-keyed hash exchange finishes with one vectorized
+    sort + head + rank per partition.  O(n²) compute by definition of the
+    exact operator; at corpus scale the same reduce runs over IVF/LSH
+    bucket candidates instead of the full grid."""
+    from .dedup import _pl, hash_group_exchange
+
+    mat = ds.select_columns([id_col, vec_col]).materialize()
+    refs = mat.to_arrow_refs()
+    task = ray.remote(_tile_partial_topk)
+    out = []
+    for i in range(len(refs)):
+        out.append(task.remote(k, id_col, vec_col, refs[i], None))
+        for j in range(i + 1, len(refs)):
+            out.append(task.remote(k, id_col, vec_col, refs[i], refs[j]))
+    partials = rd.from_arrow_refs(out)
+
+    out_schema = pa.schema([("vec_id", pa.int64()), ("nbr_id", pa.int64()),
+                            ("rank", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            pl.from_arrow(t)
+            .sort(["cosine", "nbr_id"], descending=[True, False])
+            .with_columns(rank=pl.col("nbr_id").cum_count()
+                          .over("vec_id").cast(pl.Int64))
+            .filter(pl.col("rank") <= k)
+            .select(["vec_id", "nbr_id", "rank"])
+        )
+        return df.to_arrow().cast(out_schema)
+
+    return hash_group_exchange(partials, ["vec_id"], final, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # distributed k-means + SemDeDup-style semantic dedup
 # ---------------------------------------------------------------------------

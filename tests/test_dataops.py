@@ -1043,3 +1043,62 @@ def test_quality_score_weights_are_token_local(ray_session):
                  % (1 << 32)) % 201 - 100 for t in toks)
         assert rows[did]["score"] == w
         assert rows[did]["keep"] == (1 if w >= 0 else 0)
+
+
+def test_knn_graph_multiblock_vs_numpy(ray_session):
+    """Tile-grid kNN over many small blocks equals the single-matrix numpy
+    answer — partial top-k per tile loses nothing."""
+    import ray.data as rd
+    from rdflib_r2r_ray.stages.ann import knn_graph
+
+    rng = np.random.default_rng(7)
+    n, d, k = 60, 8, 5
+    m = rng.normal(size=(n, d))
+    rows = [{"vec_id": i, "embedding": m[i].astype(np.float32).tolist()}
+            for i in range(n)]
+    out = knn_graph(rd.from_items(rows, override_num_blocks=7), k=k).take_all()
+
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    # float32 storage: replicate the pipeline's precision exactly
+    u32 = m.astype(np.float32).astype(np.float64)
+    u32 = u32 / np.linalg.norm(u32, axis=1, keepdims=True)
+    sims = u32 @ u32.T
+    np.fill_diagonal(sims, -2.0)
+    want = set()
+    for i in range(n):
+        order = sorted(range(n), key=lambda j: (-sims[i, j], j))[:k]
+        want |= {(i, j, r + 1) for r, j in enumerate(order)}
+    got = {(r["vec_id"], r["nbr_id"], r["rank"]) for r in out}
+    assert got == want
+
+
+def test_tfidf_df_spans_blocks(ray_session):
+    """df counts a term's docs across ALL blocks (the term-keyed exchange
+    sees complete groups), and per-doc top-k is deterministic."""
+    import ray.data as rd
+    from rdflib_r2r_ray import dataq
+
+    docs = [
+        {"doc_id": 0, "text": "apple banana apple"},
+        {"doc_id": 1, "text": "apple cherry"},
+        {"doc_id": 2, "text": "banana banana date"},
+        {"doc_id": 3, "text": "apple date date"},
+    ]
+
+    def fake_docs(sf_dir):
+        return rd.from_items(docs, override_num_blocks=4)
+
+    orig = dataq._docs
+    dataq._docs = fake_docs
+    try:
+        rows = dataq.q_text_tfidf_top("ignored").take_all()
+    finally:
+        dataq._docs = orig
+    by = {(r["doc_id"], r["term"]): r for r in rows}
+    # apple appears in docs 0,1,3 -> df 3; date in 2,3 -> df 2
+    assert by[(0, "apple")]["df"] == 3 and by[(0, "apple")]["tf"] == 2
+    assert by[(3, "date")]["df"] == 2 and by[(3, "date")]["tf"] == 2
+    assert by[(0, "apple")]["score"] == 2 * 1_000_000 // 3
+    # doc 3: date (2*1e6//2=1e6) beats apple (1e6//3)
+    d3 = sorted((r["score"], r["term"]) for r in rows if r["doc_id"] == 3)
+    assert d3[-1][1] == "date"
