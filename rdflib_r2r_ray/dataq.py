@@ -855,6 +855,32 @@ FROM documents d
 """
 
 
+def q_mm_image_resize(sf_dir: str) -> rd.Dataset:
+    """Binary image column → nearest-neighbor resize (8×8 → 4×4) → decode:
+    gates the ImageResizer stage end-to-end.  Nearest-neighbor picks source
+    pixel (2y, 2x), so the resized integer px_sum is still doc_id
+    arithmetic and the oracle replays the whole resample in SQL."""
+    ds = _docs(sf_dir).map_batches(MM.synthesize_payloads, batch_format="pyarrow")
+    resized = ds.map_batches(MM.ImageResizer(4, 4), batch_format="pyarrow",
+                             batch_size=256)
+    meta = resized.map_batches(MM.ImageDecoder(), batch_format="pyarrow",
+                               batch_size=256)
+    return meta.select_columns(["doc_id", "kind", "width", "height",
+                                "n_bytes", "px_sum"])
+
+
+# resized pixel (y,x,c) reads source index j = ((2y)*8 + 2x)*3 + c of the
+# synthetic image (pixel j = (doc_id*31 + j*7) % 256); container adds 24 B
+SQL_MM_IMAGE_RESIZE = """
+SELECT d.doc_id, 'img' AS kind, CAST(4 AS INTEGER) AS width,
+  CAST(4 AS INTEGER) AS height, CAST(72 AS BIGINT) AS n_bytes,
+  (SELECT CAST(SUM((d.doc_id * 31 + (((yy*2)*8 + xx*2)*3 + cc) * 7) % 256) AS BIGINT)
+   FROM generate_series(0, 3) a(yy), generate_series(0, 3) b(xx),
+        generate_series(0, 2) e(cc)) AS px_sum
+FROM documents d
+"""
+
+
 def q_mm_audio_frames(sf_dir: str) -> rd.Dataset:
     """Binary audio column → frame-sampled features (hop=1024).  Frame
     layout (count + per-frame sample counts) is doc_id arithmetic →
@@ -1754,6 +1780,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_fingerprint": q_text_fingerprint,
         "sketch_distinct": q_sketch_distinct,
         "mm_image_meta": q_mm_image_meta,
+        "mm_image_resize": q_mm_image_resize,
         "mm_audio_frames": q_mm_audio_frames,
         "mm_video_frames": q_mm_video_frames,
         "mm_image_png_meta": q_mm_image_png_meta,
@@ -1799,6 +1826,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "sketch_distinct": SQL_SKETCH_DISTINCT,
         "mm_image_meta": SQL_MM_IMAGE_META,
+        "mm_image_resize": SQL_MM_IMAGE_RESIZE,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,
         "mm_video_frames": SQL_MM_VIDEO_FRAMES,
         "mm_image_png_meta": SQL_MM_IMAGE_PNG_META,
