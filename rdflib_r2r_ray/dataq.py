@@ -551,6 +551,103 @@ ORDER BY n DESC, bigram LIMIT {NGRAM_TOPK}
 """
 
 
+PMI_MIN_COUNT = 3      # bigrams below this never score (noise + join shrink)
+PMI_SCALE = 1000       # integer lift is scaled by this before floor-division
+
+
+def q_text_collocation_pmi(sf_dir: str) -> rd.Dataset:
+    """Top-20 collocations by integer PMI lift
+    ``n_xy * N * 1000 // (n_x * n_y)`` (N = corpus token count) — the
+    collocation-extraction primitive behind phrase mining.  Unigram and
+    bigram counts are map-side combined per block, each finished by ONE
+    grouped exchange; the bigram table is pre-filtered to n_xy >= 3 BEFORE
+    the two count-attachment joins (planned broadcast-vs-shuffle), so only
+    candidate collocations ever move.  All-integer math keeps the DuckDB
+    oracle exact (no float log)."""
+    from .relational import grouped_agg, planned_join, topk
+    from .stages.dedup import _pl
+
+    def local_counts(pair: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            pl = _pl()
+            df = (_pl().from_arrow(b.select(["text"]))
+                  .select(pl.col("text").str.to_lowercase()
+                          .str.extract_all(r"[a-z0-9_]+").alias("t"))
+                  .with_row_index("d").explode("t")
+                  .filter(pl.col("t").is_not_null()))
+            if pair:
+                out = (df.with_columns(pl.col("t").shift(-1).over("d").alias("t2"))
+                       .filter(pl.col("t2").is_not_null())
+                       .rename({"t": "t1"})
+                       .group_by(["t1", "t2"]).len(name="n_xy"))
+                schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                                    ("n_xy", pa.int64())])
+            else:
+                out = df.group_by("t").len(name="n")
+                schema = pa.schema([("t", pa.string()), ("n", pa.int64())])
+            return out.to_arrow().cast(schema)
+        return fn
+
+    docs = _docs(sf_dir)
+    uni = grouped_agg(
+        docs.map_batches(local_counts(False), batch_format="pyarrow"),
+        ["t"], sums=["n"],
+        in_schema=pa.schema([("t", pa.string()), ("n", pa.int64())]),
+    ).materialize()            # reused three times: total + two join probes
+    n_total = int(uni.sum("n"))
+    bg = grouped_agg(
+        docs.map_batches(local_counts(True), batch_format="pyarrow"),
+        ["t1", "t2"], sums=["n_xy"],
+        in_schema=pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                             ("n_xy", pa.int64())]),
+    )
+    bg = bg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_xy"], PMI_MIN_COUNT)),
+        batch_format="pyarrow")
+
+    def rename(ds_, old, new):
+        return ds_.map_batches(
+            lambda b, _o=old, _n=new: b.rename_columns(
+                [_n if c == _o else c for c in b.column_names]),
+            batch_format="pyarrow")
+
+    j = planned_join(bg, rename(rename(uni, "t", "t1"), "n", "n_x"), on=["t1"])
+    j = planned_join(j, rename(rename(uni, "t", "t2"), "n", "n_y"), on=["t2"])
+
+    def score(b: pa.Table, _n=n_total) -> pa.Table:
+        num = pc.multiply(pc.multiply(b["n_xy"], pa.scalar(_n, pa.int64())),
+                          pa.scalar(PMI_SCALE, pa.int64()))
+        lift = pc.divide(num, pc.multiply(b["n_x"], b["n_y"]))
+        bigram = pc.binary_join_element_wise(b["t1"], b["t2"], " ")
+        return pa.table({"bigram": bigram, "n_xy": b["n_xy"],
+                         "lift": pc.cast(lift, pa.int64())})
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    return topk(scored, ["lift", "bigram"], NGRAM_TOPK, descending=[True, False])
+
+
+SQL_TEXT_COLLOCATION_PMI = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents),
+uni AS (
+  SELECT tok, COUNT(*) AS n FROM (SELECT unnest(t) AS tok FROM toks)
+  GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM uni),
+bg AS (
+  SELECT split_part(bigram, ' ', 1) AS t1, split_part(bigram, ' ', 2) AS t2,
+         bigram, COUNT(*) AS n_xy
+  FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks)
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= {PMI_MIN_COUNT})
+SELECT b.bigram, b.n_xy,
+       CAST(b.n_xy * tot.total * {PMI_SCALE} // (u1.n * u2.n) AS BIGINT) AS lift
+FROM bg b CROSS JOIN tot
+JOIN uni u1 ON u1.tok = b.t1
+JOIN uni u2 ON u2.tok = b.t2
+ORDER BY lift DESC, b.bigram LIMIT {NGRAM_TOPK}
+"""
+
+
 def plant_pii(batch: pa.Table) -> pa.Table:
     """Deterministically plant PII from pure doc_id arithmetic (the base
     corpus has none), so the DuckDB oracle replays the planting exactly:
@@ -1773,6 +1870,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_tokens": q_text_tokens,
         "text_bm25": q_text_bm25,
         "text_ngram_freq": q_text_ngram_freq,
+        "text_collocation_pmi": q_text_collocation_pmi,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "text_quality": q_text_quality,
@@ -1819,6 +1917,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_tokens": SQL_TEXT_TOKENS,
         "text_bm25": _sql_text_bm25(),
         "text_ngram_freq": SQL_TEXT_NGRAM_FREQ,
+        "text_collocation_pmi": SQL_TEXT_COLLOCATION_PMI,
         "text_pii": _sql_text_pii(),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_quality": SQL_TEXT_QUALITY,

@@ -906,6 +906,44 @@ FROM documents GROUP BY ROLLUP(lang, source)
 """
 
 
+def q_rel_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(lang, source): all FOUR grouping sets from ONE streamed
+    exchange — the fine (lang, source) aggregation is the only pass over the
+    corpus; the (lang), (source) and () sets re-aggregate the tiny
+    |langs × sources|-row fine result with plain Arrow on the driver."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    fine = R.grouped_agg(ds, ["lang", "source"], sums=["n_chars"], count_as="n_docs").materialize()
+    ftbl = pa.concat_tables(
+        [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+
+    def coarse(key: str) -> pa.Table:
+        return ftbl.group_by([key]).aggregate(
+            [("n_chars", "sum"), ("n_docs", "sum")]
+        ).rename_columns([key, "n_chars", "n_docs"])
+
+    top_tbl = pa.table({
+        "n_chars": pa.array([pc.sum(ftbl["n_chars"]).as_py()], pa.int64()),
+        "n_docs": pa.array([pc.sum(ftbl["n_docs"]).as_py()], pa.int64()),
+    })
+    out = R.union_pad(fine, rd.from_arrow(coarse("lang")),
+                      rd.from_arrow(coarse("source")), rd.from_arrow(top_tbl))
+    return out.map_batches(
+        lambda b: b.select(["lang", "source", "n_chars", "n_docs"]).rename_columns(
+            ["lang", "source", "sum_n_chars", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REL_CUBE = """
+SELECT lang, source,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
 PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -963,6 +1001,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_stratified_sample": q_rel_stratified_sample,
         "rel_quantiles": q_rel_quantiles,
         "rel_rollup": q_rel_rollup,
+        "rel_cube": q_rel_cube,
         "rel_pivot": q_rel_pivot,
         "rel_rank_window": q_rel_rank_window,
         "rel_lag_delta": q_rel_lag_delta,
@@ -1001,6 +1040,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_stratified_sample": SQL_REL_STRATIFIED_SAMPLE,
         "rel_quantiles": SQL_REL_QUANTILES,
         "rel_rollup": SQL_REL_ROLLUP,
+        "rel_cube": SQL_REL_CUBE,
         "rel_pivot": SQL_REL_PIVOT,
         "rel_rank_window": SQL_REL_RANK_WINDOW,
         "rel_lag_delta": SQL_REL_LAG_DELTA,
