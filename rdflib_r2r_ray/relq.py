@@ -972,6 +972,141 @@ FROM documents GROUP BY source
 """
 
 
+# --- window analytics (ntile / running sum / first-last) ---------------------
+
+def q_rel_ntile(sf_dir: str) -> rd.Dataset:
+    """NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id): hash
+    exchange on lang, one vectorized position/size pass per partition.
+    Bucket sizing matches SQL NTILE exactly (first ``n % k`` buckets get one
+    extra row); the ORDER BY includes doc_id so the order is total and the
+    result deterministic."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    K = 4
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_chars", pa.int64()), ("tile", pa.int64()),
+    ])
+
+    def ntile_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).sort(["lang", "n_chars", "doc_id"])
+        pos0 = pl.int_range(pl.len()).over("lang")
+        n = pl.len().over("lang")
+        base = n // K
+        big = n % K
+        cut = big * (base + 1)
+        tile = (
+            pl.when(pos0 < cut)
+            .then(pos0 // (base + 1))
+            .otherwise(big + (pos0 - cut) // pl.max_horizontal(base, 1))
+            + 1
+        ).cast(pl.Int64).alias("tile")
+        return df.with_columns(tile).to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return hash_group_exchange(ds, ["lang"], ntile_part, out_schema)
+
+
+SQL_REL_NTILE = """
+SELECT doc_id, lang, n_chars,
+       CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents
+"""
+
+
+def q_rel_running_sum(sf_dir: str) -> rd.Dataset:
+    """Cumulative SUM OVER (PARTITION BY user_id ORDER BY ts, event_id):
+    hash exchange on user_id, per-partition sort + one polars cum_sum kernel.
+    Money doubles are integerized per-row (cents, round-half-away matching
+    SQL ROUND) before the cumulative sum, so every prefix is exact integer
+    arithmetic — order-independent across block layouts."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("run_cents", pa.int64()),
+    ])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts": b["ts"], "cents": c})
+
+    def run_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).sort(["user_id", "ts", "event_id"])
+        out = df.with_columns(
+            pl.col("cents").cum_sum().over("user_id")
+            .cast(pl.Int64).alias("run_cents")
+        ).select(["event_id", "user_id", "run_cents"])
+        return out.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    return hash_group_exchange(ds, ["user_id"], run_part, out_schema)
+
+
+SQL_REL_RUNNING_SUM = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS run_cents
+FROM events
+"""
+
+
+def q_rel_first_last(sf_dir: str) -> rd.Dataset:
+    """FIRST/LAST ordered aggregates per key (first and last event type per
+    user by event time): per-BLOCK partial fold (each block contributes one
+    row per user: first/last candidate + count), then a hash exchange merges
+    partials — the exchange ships one row per (user, block), never the raw
+    events. The combiner-before-exchange shape is what survives 100 TB."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("first_type", pa.string()),
+        ("last_type", pa.string()), ("n_events", pa.int64()),
+    ])
+
+    def block_partial(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b).sort(["user_id", "ts", "event_id"])
+        g = df.group_by("user_id", maintain_order=True).agg(
+            first_type=pl.col("event_type").first(),
+            min_ts=pl.col("ts").first(),
+            min_eid=pl.col("event_id").first(),
+            last_type=pl.col("event_type").last(),
+            max_ts=pl.col("ts").last(),
+            max_eid=pl.col("event_id").last(),
+            cnt=pl.len().cast(pl.Int64),
+        )
+        return g.to_arrow()
+
+    def merge_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part)
+        g = df.group_by("user_id").agg(
+            first_type=pl.col("first_type").sort_by(["min_ts", "min_eid"]).first(),
+            last_type=pl.col("last_type").sort_by(["max_ts", "max_eid"]).last(),
+            n_events=pl.col("cnt").sum().cast(pl.Int64),
+        )
+        return g.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(block_partial, batch_format="pyarrow")
+    return hash_group_exchange(ds, ["user_id"], merge_part, out_schema)
+
+
+SQL_REL_FIRST_LAST = """
+SELECT user_id,
+  first(event_type ORDER BY ts, event_id) AS first_type,
+  last(event_type ORDER BY ts, event_id) AS last_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -1008,6 +1143,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "dd_url_dedup": q_dd_url_dedup,
         "rel_bloom_semi_join": q_rel_bloom_semi_join,
         "rel_grouped_quantiles": q_rel_grouped_quantiles,
+        "rel_ntile": q_rel_ntile,
+        "rel_running_sum": q_rel_running_sum,
+        "rel_first_last": q_rel_first_last,
     }
 
 
@@ -1047,4 +1185,7 @@ def oracle_sql() -> Dict[str, str]:
         "dd_url_dedup": SQL_DD_URL_DEDUP,
         "rel_bloom_semi_join": SQL_REL_BLOOM_SEMI_JOIN,
         "rel_grouped_quantiles": SQL_REL_GROUPED_QUANTILES,
+        "rel_ntile": SQL_REL_NTILE,
+        "rel_running_sum": SQL_REL_RUNNING_SUM,
+        "rel_first_last": SQL_REL_FIRST_LAST,
     }
