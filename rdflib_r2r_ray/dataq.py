@@ -335,6 +335,25 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
     return A.brute_force_topk(ds, _query_vectors(sf_dir), k=10)
 
 
+RANGE_SEARCH_T = 0.35
+
+
+def q_ann_range_search(sf_dir: str) -> rd.Dataset:
+    """Radius similarity search: all (query, vector) pairs at cosine >=
+    0.35 for the 5 lowest-id query vectors — broadcast query matrix, one
+    matmul + threshold filter per batch, no reduce stage (streams)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return A.brute_force_range(ds, _query_vectors(sf_dir, 5), RANGE_SEARCH_T)
+
+
+SQL_ANN_RANGE_SEARCH = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5)
+SELECT q.query_id, x.vec_id
+FROM q JOIN embeddings x ON x.vec_id != q.query_id
+WHERE list_cosine_similarity(q.embedding, x.embedding) >= {RANGE_SEARCH_T}
+"""
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
 sims AS (
@@ -548,6 +567,75 @@ bg AS (
   FROM toks)
 SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram LIMIT {NGRAM_TOPK}
+"""
+
+
+def q_text_lm_bigram(sf_dir: str) -> rd.Dataset:
+    """Unnormalized bigram-LM document scoring (the integer-exact core of a
+    KenLM-style quality signal): every doc is scored by the summed CORPUS
+    frequency of its bigrams.  One tokenize pass emits per-(doc, bigram)
+    counts (map-side combined); the global bigram table comes from a second
+    grouped-count exchange over those partials (never re-reads text); the
+    score is a planned join (broadcast while the vocab table is small,
+    shuffle at scale) + one grouped sum.  Higher score = more stereotypical
+    n-gram structure; docs with <2 tokens drop out (no bigrams), matching
+    the SQL inner join."""
+    from .relational import grouped_agg, planned_join
+    from .stages.dedup import _pl
+
+    pair_schema = pa.schema([
+        ("doc_id", pa.int64()), ("bigram", pa.string()), ("k", pa.int64()),
+    ])
+
+    def doc_bigrams(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b.select(["doc_id", "text"]))
+        out = (
+            df.with_columns(pl.col("text").str.to_lowercase()
+                            .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .drop("text")
+            .explode("t")
+            .filter(pl.col("t").is_not_null())
+            .with_columns(pl.col("t").shift(-1).over("doc_id").alias("nx"))
+            .filter(pl.col("nx").is_not_null())
+            .select(pl.col("doc_id"),
+                    (pl.col("t") + " " + pl.col("nx")).alias("bigram"))
+            .group_by(["doc_id", "bigram"]).len(name="k")
+        )
+        return out.to_arrow().cast(pair_schema)
+
+    pairs = _docs(sf_dir).map_batches(doc_bigrams, batch_format="pyarrow")
+    glob = grouped_agg(pairs, ["bigram"], sums=["k"], in_schema=pair_schema) \
+        .map_batches(lambda t: t.rename_columns(["bigram", "n"]),
+                     batch_format="pyarrow")
+    joined = planned_join(pairs, glob, on=["bigram"])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": t["k"],
+            "score": pc.multiply(t["k"], t["n"]),
+        })
+
+    scored = joined.map_batches(contrib, batch_format="pyarrow")
+    return grouped_agg(
+        scored, ["doc_id"], sums=["n_bigrams", "score"],
+        in_schema=pa.schema([("doc_id", pa.int64()),
+                             ("n_bigrams", pa.int64()), ("score", pa.int64())]),
+    )
+
+
+SQL_TEXT_LM_BIGRAM = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks),
+cnt AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(cnt.n) AS BIGINT) AS score
+FROM bg JOIN cnt USING (bigram)
+GROUP BY bg.doc_id
 """
 
 
@@ -1856,6 +1944,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_quality_score": q_text_quality_score,
         "text_tfidf_top": q_text_tfidf_top,
         "ann_knn_graph": q_ann_knn_graph,
+        "ann_range_search": q_ann_range_search,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -1871,6 +1960,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_bm25": q_text_bm25,
         "text_ngram_freq": q_text_ngram_freq,
         "text_collocation_pmi": q_text_collocation_pmi,
+        "text_lm_bigram": q_text_lm_bigram,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "text_quality": q_text_quality,
@@ -1903,6 +1993,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_quality_score": SQL_TEXT_QUALITY_SCORE,
         "text_tfidf_top": SQL_TEXT_TFIDF_TOP,
         "ann_knn_graph": SQL_ANN_KNN_GRAPH,
+        "ann_range_search": SQL_ANN_RANGE_SEARCH,
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,
@@ -1918,6 +2009,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_bm25": _sql_text_bm25(),
         "text_ngram_freq": SQL_TEXT_NGRAM_FREQ,
         "text_collocation_pmi": SQL_TEXT_COLLOCATION_PMI,
+        "text_lm_bigram": SQL_TEXT_LM_BIGRAM,
         "text_pii": _sql_text_pii(),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_quality": SQL_TEXT_QUALITY,

@@ -107,6 +107,38 @@ def brute_force_topk(
     return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
 
 
+def brute_force_range(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> rd.Dataset:
+    """Radius (range) similarity search: every (query, vector) pair with
+    cosine >= ``threshold``, self-matches excluded.  Same scale shape as
+    :func:`brute_force_topk` — one ``ray.put`` of the query matrix, one
+    matmul + one ``np.nonzero`` per batch, NO reduce stage at all (the
+    threshold filter is embarrassingly parallel), so the output streams
+    straight to the consumer."""
+    qm = _unit(_to_matrix(queries[vec_col]))
+    qids = np.asarray(queries[query_id_col].to_pylist())
+    q_ref = ray.put((qids, qm))
+
+    def local_range(batch: pa.Table) -> pa.Table:
+        _qids, _qm = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        m = _unit(_to_matrix(batch[vec_col]))
+        sims = m @ _qm.T  # (n, q)
+        vi, qi = np.nonzero((sims >= threshold) & (ids[:, None] != _qids[None, :]))
+        return pa.table({
+            query_id_col: pa.array(_qids[qi], pa.int64()),
+            id_col: pa.array(ids[vi], pa.int64()),
+        })
+
+    return ds.map_batches(local_range, batch_format="pyarrow")
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (numpy<2 has no ``bitwise_count``)."""
     out = np.zeros(x.shape, dtype=np.uint64)
