@@ -738,6 +738,51 @@ def quantiles_disc(ds: rd.Dataset, col: str, qs: Sequence[float]) -> rd.Dataset:
                                    "value": pa.array(out_v, vt)}))
 
 
+def quantiles_cont(ds: rd.Dataset, col: str, qs: Sequence[float]) -> rd.Dataset:
+    """Exact INTERPOLATED quantiles (DuckDB ``quantile_cont`` semantics:
+    linear interpolation between the order statistics at 0-indexed positions
+    ``floor/ceil(q*(n-1))``).  Same distributed value-histogram shape as
+    :func:`quantiles_disc` — cost O(distinct values), the cardinality
+    contract is the caller's — only the driver-side walk differs: it finds
+    BOTH bracketing order statistics and lerps ``lo + (pos-lo)*(hi-lo)``
+    with the operand order DuckDB uses, so doubles match bit-for-bit."""
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({col: b[col], "__cnt": pa.array([], pa.int64())})
+        vc = pc.value_counts(pc.drop_null(b[col]))
+        return pa.table({col: vc.field("values"), "__cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    vt = ds.schema().types[ds.schema().names.index(col)]
+    hist = grouped_agg(
+        ds.select_columns([col]).map_batches(partial, batch_format="pyarrow"),
+        [col], sums=["__cnt"],
+        in_schema=pa.schema([(col, vt), ("__cnt", pa.int64())]),
+    )
+    tables = [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return rd.from_arrow(pa.table({"q": pa.array([], pa.float64()),
+                                       "value": pa.array([], pa.float64())}))
+    h = pa.concat_tables(tables).combine_chunks().sort_by(col)
+    cum = np.cumsum(h["__cnt"].to_numpy(zero_copy_only=False))
+    n = int(cum[-1])
+    vals = h[col]
+
+    def order_stat(i: int) -> float:
+        return float(vals[int(np.searchsorted(cum, i + 1, side="left"))].as_py())
+
+    out_q, out_v = [], []
+    for q in qs:
+        pos = q * (n - 1)
+        lo_i = int(math.floor(pos))
+        hi_i = int(math.ceil(pos))
+        lo = order_stat(lo_i)
+        v = lo if hi_i == lo_i else lo + (pos - lo_i) * (order_stat(hi_i) - lo)
+        out_q.append(float(q))
+        out_v.append(v)
+    return rd.from_arrow(pa.table({"q": pa.array(out_q, pa.float64()),
+                                   "value": pa.array(out_v, pa.float64())}))
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins the Dataset API lacks: as-of and range (band) joins.
 # Both ride the two-sided co-partitioned hash exchange

@@ -1107,6 +1107,162 @@ FROM events GROUP BY user_id
 """
 
 
+def q_rel_full_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER JOIN with genuinely unmatched rows on BOTH sides: per-
+    customer order counts split by status ('F' vs 'O'); customers who only
+    ever placed one kind keep a NULL count on the other side.  Both inputs
+    are pre-aggregated (map-side combine → grouped-count exchange), so the
+    outer join ships one row per customer per side — never raw orders."""
+    import numpy as np
+
+    from .relational import grouped_agg, hash_join
+
+    def side(status: str, alias: str) -> rd.Dataset:
+        ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]) \
+            .filter(expr=f"o_orderstatus == '{status}'") \
+            .map_batches(lambda b: pa.table({"o_custkey": b["o_custkey"],
+                                             "one": pa.array(np.ones(len(b), np.int64))}),
+                         batch_format="pyarrow")
+        agg = grouped_agg(ds, ["o_custkey"], sums=["one"],
+                          in_schema=pa.schema([("o_custkey", pa.int64()),
+                                               ("one", pa.int64())]))
+        return agg.map_batches(lambda t, _a=alias: t.rename_columns(["o_custkey", _a]),
+                               batch_format="pyarrow")
+
+    return hash_join(side("F", "n_f"), side("O", "n_o"),
+                     on=["o_custkey"], join_type="full_outer")
+
+
+SQL_REL_FULL_OUTER = """
+WITH f AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_f FROM orders
+           WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+     o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_o FROM orders
+           WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+SELECT COALESCE(f.o_custkey, o.o_custkey) AS o_custkey, f.n_f, o.n_o
+FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey
+"""
+
+
+def q_rel_moving_sum(sf_dir: str) -> rd.Dataset:
+    """Sliding window frame (SUM ... ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW) per user ordered by event time: hash exchange on user_id, one
+    polars rolling_sum kernel per partition.  Money doubles are integerized
+    per-row first (cents, round-half-away matching SQL ROUND) so every
+    frame sum is exact integer arithmetic — block-layout independent."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("frame_cents", pa.int64()),
+    ])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts": b["ts"], "cents": c})
+
+    def frame_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).sort(["user_id", "ts", "event_id"])
+        out = df.with_columns(
+            pl.col("cents").rolling_sum(window_size=3, min_samples=1)
+            .over("user_id").cast(pl.Int64).alias("frame_cents")
+        ).select(["event_id", "user_id", "frame_cents"])
+        return out.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    return hash_group_exchange(ds, ["user_id"], frame_part, out_schema)
+
+
+SQL_REL_MOVING_SUM = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS frame_cents
+FROM events
+"""
+
+
+def q_rel_percentile_cont(sf_dir: str) -> rd.Dataset:
+    """Interpolated (continuous) quantiles of document length — DuckDB
+    ``quantile_cont`` semantics, distributed value histogram + driver lerp
+    (see ``relational.quantiles_cont``)."""
+    from .relational import quantiles_cont
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    return quantiles_cont(ds, "n_chars", [0.25, 0.5, 0.75, 0.95])
+
+
+SQL_REL_PERCENTILE_CONT = """
+SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+       unnest([quantile_cont(n_chars, 0.25),
+               quantile_cont(n_chars, 0.5),
+               quantile_cont(n_chars, 0.75),
+               quantile_cont(n_chars, 0.95)]) AS value
+FROM documents
+"""
+
+
+def q_rel_funnel(sf_dir: str) -> rd.Dataset:
+    """Ordered event-sequence (funnel) analysis: per user, did a 'view'
+    happen, then a 'click' strictly after it, then a 'purchase' strictly
+    after that?  Hash exchange on user_id; per partition ONE vectorized
+    polars pass computes the three stage timestamps as windowed minima
+    (t_view = min view ts; t_click = min click ts > t_view; t_buy = min
+    purchase ts > t_click) — no per-user Python, no MATCH_RECOGNIZE engine.
+    Output: one row per funnel stage with the user count that reached it."""
+    from .relational import grouped_agg
+    from .stages.dedup import _pl, hash_group_exchange
+
+    part_schema = pa.schema([
+        ("stage", pa.string()), ("n_users", pa.int64()),
+    ])
+
+    def funnel_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part)
+        t_view = (pl.when(pl.col("event_type") == "view")
+                  .then(pl.col("ts")).min().over("user_id"))
+        df = df.with_columns(t_view.alias("t_view"))
+        t_click = (pl.when((pl.col("event_type") == "click")
+                           & (pl.col("ts") > pl.col("t_view")))
+                   .then(pl.col("ts")).min().over("user_id"))
+        df = df.with_columns(t_click.alias("t_click"))
+        t_buy = (pl.when((pl.col("event_type") == "purchase")
+                         & (pl.col("ts") > pl.col("t_click")))
+                 .then(pl.col("ts")).min().over("user_id"))
+        df = df.with_columns(t_buy.alias("t_buy"))
+        g = df.group_by("user_id").agg(
+            v=pl.col("t_view").first().is_not_null(),
+            c=pl.col("t_click").first().is_not_null(),
+            b=pl.col("t_buy").first().is_not_null(),
+        )
+        return pa.table({
+            "stage": pa.array(["view", "view>click", "view>click>purchase"]),
+            "n_users": pa.array([int(g["v"].sum()), int(g["c"].sum()),
+                                 int(g["b"].sum())], pa.int64()),
+        }, schema=part_schema)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    parts = hash_group_exchange(ds, ["user_id"], funnel_part, part_schema)
+    return grouped_agg(parts, ["stage"], sums=["n_users"], in_schema=part_schema)
+
+
+SQL_REL_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+     c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+     b AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM b
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -1146,6 +1302,10 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_ntile": q_rel_ntile,
         "rel_running_sum": q_rel_running_sum,
         "rel_first_last": q_rel_first_last,
+        "rel_full_outer": q_rel_full_outer,
+        "rel_moving_sum": q_rel_moving_sum,
+        "rel_percentile_cont": q_rel_percentile_cont,
+        "rel_funnel": q_rel_funnel,
     }
 
 
@@ -1188,4 +1348,8 @@ def oracle_sql() -> Dict[str, str]:
         "rel_ntile": SQL_REL_NTILE,
         "rel_running_sum": SQL_REL_RUNNING_SUM,
         "rel_first_last": SQL_REL_FIRST_LAST,
+        "rel_full_outer": SQL_REL_FULL_OUTER,
+        "rel_moving_sum": SQL_REL_MOVING_SUM,
+        "rel_percentile_cont": SQL_REL_PERCENTILE_CONT,
+        "rel_funnel": SQL_REL_FUNNEL,
     }
