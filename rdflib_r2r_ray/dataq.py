@@ -354,6 +354,58 @@ WHERE list_cosine_similarity(q.embedding, x.embedding) >= {RANGE_SEARCH_T}
 """
 
 
+def q_graph_pagerank(sf_dir: str) -> rd.Dataset:
+    """PageRank over the exact cosine 5-NN graph (graph-based document
+    representativeness scoring — high-rank vectors sit in dense, well-
+    connected regions).  Edges come from the distributed kNN tile grid;
+    five fixed-point integer iterations run as Dataset joins + grouped-sum
+    exchanges (node state never on the driver; see ``stages/graph.py``),
+    so the whole iterative algorithm replays bit-exact in an unrolled-CTE
+    SQL oracle."""
+    from .stages.graph import pagerank
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    edges = A.knn_graph(emb, k=KNN_K).map_batches(
+        lambda t: pa.table({"src": t["vec_id"], "dst": t["nbr_id"]}),
+        batch_format="pyarrow")
+    nodes = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
+    n = _read(sf_dir, "embeddings", columns=["vec_id"]).count()
+    ranks = pagerank(edges, nodes, n_nodes=n, out_degree=KNN_K, iters=5)
+    return ranks.map_batches(lambda t: t.rename_columns(["vec_id", "rank"]),
+                             batch_format="pyarrow")
+
+
+def _sql_graph_pagerank() -> str:
+    from .stages.graph import PR_SCALE
+
+    head = f"""
+sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+knn AS (
+  SELECT vec_id AS src, nbr_id AS dst FROM (
+    SELECT vec_id, nbr_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rnk
+    FROM sims) WHERE rnk <= {KNN_K}),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+it0 AS (SELECT vec_id AS node,
+        CAST({PR_SCALE} AS BIGINT) // (SELECT n FROM nn) AS r FROM embeddings)"""
+    its = ""
+    for i in range(1, 6):
+        its += f""",
+it{i} AS (
+  SELECT p.node,
+    (15 * (CAST({PR_SCALE} AS BIGINT) // (SELECT n FROM nn))) // 100
+      + CAST((85 * COALESCE(agg.s, 0)) // 100 AS BIGINT) AS r
+  FROM it0 p LEFT JOIN (
+    SELECT e.dst AS node, SUM(pr.r // {KNN_K}) AS s
+    FROM knn e JOIN it{i - 1} pr ON pr.node = e.src
+    GROUP BY e.dst) agg USING (node))"""
+    return f"WITH {head}{its}\nSELECT node AS vec_id, r AS rank FROM it5"
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
 sims AS (
@@ -567,6 +619,66 @@ bg AS (
   FROM toks)
 SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram LIMIT {NGRAM_TOPK}
+"""
+
+
+IDX_DF_MIN, IDX_DF_MAX = 5, 5000
+
+
+def q_text_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Inverted-index construction (term → document-frequency + ordered
+    posting list) for mid-frequency terms: per-batch vectorized tokenize +
+    LOCAL distinct (doc, term) pairs (combiner), term-keyed hash exchange,
+    then one polars sort + group pass per partition builds the posting
+    string.  Every reduce task sees its terms' COMPLETE posting sets, so
+    the df band filter [{min},{max}] is a global predicate evaluated
+    distributed — the band (IDX_DF_MIN..IDX_DF_MAX) is what keeps stop-word
+    postings from ever being materialized (terms outside the band are not
+    "truncated", they are out of the operator's contract)."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    pair_schema = pa.schema([("term", pa.string()), ("doc_id", pa.int64())])
+    out_schema = pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("postings", pa.string()),
+    ])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b.select(["doc_id", "text"]))
+        out = (
+            df.with_columns(pl.col("text").str.to_lowercase()
+                            .str.extract_all(r"[a-z0-9_]+").alias("term"))
+            .drop("text")
+            .explode("term")
+            .filter(pl.col("term").is_not_null())
+            .unique(["term", "doc_id"])
+            .select(["term", "doc_id"])
+        )
+        return out.to_arrow().cast(pair_schema)
+
+    def build(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).unique(["term", "doc_id"]) \
+            .sort(["term", "doc_id"])
+        g = df.group_by("term", maintain_order=True).agg(
+            df_=pl.len().cast(pl.Int64),
+            postings=pl.col("doc_id").cast(pl.String).str.join(","),
+        ).filter((pl.col("df_") >= IDX_DF_MIN) & (pl.col("df_") <= IDX_DF_MAX))
+        return g.rename({"df_": "df"}).to_arrow().cast(out_schema)
+
+    ds = _docs(sf_dir).map_batches(pairs, batch_format="pyarrow")
+    return hash_group_exchange(ds, ["term"], build, out_schema)
+
+
+SQL_TEXT_INVERTED_INDEX = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+pairs AS (SELECT DISTINCT term, doc_id FROM toks)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
+HAVING COUNT(*) BETWEEN {IDX_DF_MIN} AND {IDX_DF_MAX}
 """
 
 
@@ -1945,6 +2057,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_tfidf_top": q_text_tfidf_top,
         "ann_knn_graph": q_ann_knn_graph,
         "ann_range_search": q_ann_range_search,
+        "graph_pagerank": q_graph_pagerank,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -1961,6 +2074,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_ngram_freq": q_text_ngram_freq,
         "text_collocation_pmi": q_text_collocation_pmi,
         "text_lm_bigram": q_text_lm_bigram,
+        "text_inverted_index": q_text_inverted_index,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "text_quality": q_text_quality,
@@ -1994,6 +2108,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_tfidf_top": SQL_TEXT_TFIDF_TOP,
         "ann_knn_graph": SQL_ANN_KNN_GRAPH,
         "ann_range_search": SQL_ANN_RANGE_SEARCH,
+        "graph_pagerank": _sql_graph_pagerank(),
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,
@@ -2010,6 +2125,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_ngram_freq": SQL_TEXT_NGRAM_FREQ,
         "text_collocation_pmi": SQL_TEXT_COLLOCATION_PMI,
         "text_lm_bigram": SQL_TEXT_LM_BIGRAM,
+        "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
         "text_pii": _sql_text_pii(),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_quality": SQL_TEXT_QUALITY,

@@ -1,0 +1,101 @@
+"""Distributed graph analytics over edge Datasets.
+
+The graph is an edge table ``(src, dst)`` — the natural output of the kNN
+graph (`stages/ann.knn_graph`), the fuzzy-dedup pair stages, or any KG
+predicate selection.  Algorithms here keep EVERY per-node table distributed
+(a Dataset in the object store, one row per node) — node state never lands
+on the driver, the same discipline as the connected-components label
+propagation in ``stages/canonicalize.py``.
+
+PageRank uses FIXED-POINT integer arithmetic (scaled by 10^12 with floor
+division) so the iteration is bit-exact under any block layout / reduction
+order — which is what lets a 5-iteration run be replayed verbatim by an
+unrolled-CTE SQL oracle.  Dangling mass is NOT redistributed (the classic
+"PageRank lite" convention); with a constant out-degree graph like a kNN
+graph there is no dangling mass at all.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+PR_SCALE = 10**12
+
+
+def pagerank(
+    edges: rd.Dataset,
+    nodes: rd.Dataset,
+    n_nodes: int,
+    out_degree: int,
+    iters: int = 5,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rank_col: str = "rank",
+) -> rd.Dataset:
+    """Iterative PageRank over a CONSTANT-out-degree edge Dataset.
+
+    Per iteration (all Dataset ops, nothing driver-side):
+      1. contrib: edges ⋈ ranks on src (``planned_join`` — ranks broadcast
+         while small, hash exchange at scale), each edge carries
+         ``r[src] // out_degree``;
+      2. one grouped-sum exchange keyed on dst;
+      3. ranks' = nodes LEFT JOIN sums → ``base + damping·s // 100``
+         (nodes with no in-links get s = 0).
+
+    Each ranks generation is materialized — O(|V|) rows in the object
+    store, never on the driver — to cut the lazy DAG between iterations
+    (otherwise iteration t re-executes iterations 0..t-1).
+
+    ``n_nodes`` and ``out_degree`` are caller-supplied plan constants (the
+    kNN graph knows k; node count is one metadata ``count()``), so the
+    whole iteration is a static pipeline."""
+    from ..relational import grouped_agg, planned_join
+
+    base_all = PR_SCALE // n_nodes
+    base = ((100 - damping_pct) * base_all) // 100
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({
+            node_col: b[node_col],
+            rank_col: pa.array([base_all] * len(b), pa.int64()),
+        })
+
+    nodes = nodes.materialize()
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    contrib_schema = pa.schema([(dst_col, pa.int64()), ("c", pa.int64())])
+
+    for _ in range(iters):
+        joined = planned_join(edges, ranks, on=[src_col], right_on=[node_col])
+
+        def contrib(t: pa.Table) -> pa.Table:
+            # int64/int64 pc.divide truncates; all values positive ⇒ floor
+            c = pc.divide(t[rank_col], pa.scalar(out_degree, pa.int64()))
+            return pa.table({dst_col: t[dst_col], "c": c},
+                            schema=contrib_schema)
+
+        sums = grouped_agg(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            [dst_col], sums=["c"], in_schema=contrib_schema,
+        )
+        padded = planned_join(nodes, sums, on=[node_col], right_on=[dst_col],
+                              join_type="left_outer")
+
+        def step(t: pa.Table) -> pa.Table:
+            s = pc.fill_null(pc.cast(t["c"], pa.int64()), 0)
+            d = pc.divide(pc.multiply(s, pa.scalar(damping_pct, pa.int64())),
+                          pa.scalar(100, pa.int64()))
+            return pa.table({
+                node_col: t[node_col],
+                rank_col: pc.add(pa.scalar(base, pa.int64()), d),
+            })
+
+        ranks = padded.map_batches(step, batch_format="pyarrow").materialize()
+
+    return ranks

@@ -1,0 +1,65 @@
+"""Unit tests for the distributed graph analytics (stages/graph.py):
+fixed-point PageRank vs a literal single-process reference iteration."""
+
+import pyarrow as pa
+
+
+def _ref_pagerank(edges, n_nodes, out_degree, iters=5, scale=10**12,
+                  damping_pct=85):
+    """Driver-side literal re-implementation of the fixed-point recurrence
+    (dict arithmetic, same floor divisions) — the Python oracle."""
+    base_all = scale // n_nodes
+    base = ((100 - damping_pct) * base_all) // 100
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    r = {v: base_all for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for src, dst in edges:
+            s[dst] += r[src] // out_degree
+        r = {v: base + (damping_pct * s[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_recurrence(ray_session):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.graph import pagerank
+
+    # 6-node graph, constant out-degree 2 (a ring with chords) — includes a
+    # node pair that concentrates rank and spreads across >1 block.
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4),
+             (3, 4), (3, 5), (4, 5), (4, 0), (5, 0), (5, 1)]
+    et = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                   "dst": pa.array([e[1] for e in edges], pa.int64())})
+    nt = pa.table({"node": pa.array(list(range(6)), pa.int64())})
+    # multiple blocks to exercise the exchange / join paths
+    eds = rd.from_arrow(et).repartition(3)
+    nds = rd.from_arrow(nt).repartition(2)
+
+    got = {r["node"]: r["rank"]
+           for r in pagerank(eds, nds, n_nodes=6, out_degree=2,
+                             iters=5).take_all()}
+    want = _ref_pagerank(edges, n_nodes=6, out_degree=2, iters=5)
+    assert got == want
+    # sanity: total mass conserved up to floor-division loss, all positive
+    assert all(v > 0 for v in got.values())
+
+
+def test_pagerank_sink_only_nodes_get_base(ray_session):
+    """A node with no in-links must end at exactly the teleport base."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.graph import PR_SCALE, pagerank
+
+    # node 9 points into the 3-cycle but nothing points back at it
+    edges = [(0, 1), (1, 2), (2, 0), (9, 0)]
+    et = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                   "dst": pa.array([e[1] for e in edges], pa.int64())})
+    nt = pa.table({"node": pa.array([0, 1, 2, 9], pa.int64())})
+
+    got = {r["node"]: r["rank"]
+           for r in pagerank(rd.from_arrow(et), rd.from_arrow(nt),
+                             n_nodes=4, out_degree=1, iters=5).take_all()}
+    base = (15 * (PR_SCALE // 4)) // 100
+    assert got[9] == base
+    assert got[0] > got[9]
