@@ -751,6 +751,138 @@ GROUP BY bg.doc_id
 """
 
 
+MAD_FACTOR = 2
+
+
+def q_text_outlier_mad(sf_dir: str) -> rd.Dataset:
+    """Robust length-outlier filter (median absolute deviation): docs whose
+    length deviates from the corpus median by more than MAD_FACTOR·MAD.
+    Median and MAD come from TWO distributed value-histogram passes
+    (``relational.quantiles_disc`` — cost O(distinct lengths), never a full
+    sort); the two scalars then gate one streaming filter.  All integer —
+    exact under any block layout.  The heavy-tail / truncation detector of
+    a curation pipeline."""
+    from .relational import quantiles_disc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    med = quantiles_disc(ds, "n_chars", [0.5]).take_all()[0]["value"]
+
+    def absdev(b: pa.Table) -> pa.Table:
+        return pa.table({"dev": pc.abs(pc.subtract(b["n_chars"],
+                                                   pa.scalar(med, pa.int64())))})
+
+    devs = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = quantiles_disc(devs, "dev", [0.5]).take_all()[0]["value"]
+    cut = MAD_FACTOR * mad
+
+    def flag(b: pa.Table) -> pa.Table:
+        dev = pc.abs(pc.subtract(b["n_chars"], pa.scalar(med, pa.int64())))
+        keep = pc.greater(dev, pa.scalar(cut, pa.int64()))
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chars": b["n_chars"]}).filter(keep)
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_TEXT_OUTLIER_MAD = f"""
+WITH m AS (SELECT quantile_disc(n_chars, 0.5) AS med FROM documents),
+d AS (SELECT quantile_disc(abs(n_chars - m.med), 0.5) AS mad,
+             any_value(m.med) AS med FROM documents, m)
+SELECT doc_id, n_chars FROM documents, d
+WHERE abs(n_chars - d.med) > {MAD_FACTOR} * d.mad
+"""
+
+
+DSIR_SCALE = 1000
+
+
+def q_text_dsir_weight(sf_dir: str) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023: score documents by
+    how much their token distribution resembles a TARGET domain vs the raw
+    corpus).  Target = the lang='en' slice.  Integer-exact variant: token
+    weight = (1000·count_target) // count_corpus; doc score = sum of its
+    tokens' weights (with multiplicity).  Two grouped-count exchanges build
+    the token tables from map-side partials, ONE planned join attaches
+    weights (broadcast while the vocab is small), one grouped sum per doc.
+    Docs whose tokens never appear in the target still emit (weight 0);
+    token-less docs drop out, matching the SQL inner join on toks."""
+    from .relational import grouped_agg, planned_join
+    from .stages.dedup import _pl
+
+    tok_schema = pa.schema([
+        ("doc_id", pa.int64()), ("tok", pa.string()), ("k", pa.int64()),
+    ])
+
+    def doc_tokens(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b.select(["doc_id", "lang", "text"]))
+        out = (
+            df.with_columns(pl.col("text").str.to_lowercase()
+                            .str.extract_all(r"[a-z0-9_]+").alias("tok"))
+            .drop("text")
+            .explode("tok")
+            .filter(pl.col("tok").is_not_null())
+            .group_by(["doc_id", "lang", "tok"]).len(name="k")
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("lang", pa.string()),
+            ("tok", pa.string()), ("k", pa.int64())]))
+
+    toks = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]) \
+        .map_batches(doc_tokens, batch_format="pyarrow").materialize()
+
+    corpus = grouped_agg(
+        toks.select_columns(["tok", "k"]), ["tok"], sums=["k"],
+        in_schema=pa.schema([("tok", pa.string()), ("k", pa.int64())]),
+    ).map_batches(lambda t: t.rename_columns(["tok", "n_all"]),
+                  batch_format="pyarrow")
+    target = grouped_agg(
+        toks.filter(expr="lang == 'en'").select_columns(["tok", "k"]),
+        ["tok"], sums=["k"],
+        in_schema=pa.schema([("tok", pa.string()), ("k", pa.int64())]),
+    ).map_batches(lambda t: t.rename_columns(["tok", "n_en"]),
+                  batch_format="pyarrow")
+
+    vocab = planned_join(corpus, target, on=["tok"], join_type="left_outer")
+
+    def weight(t: pa.Table) -> pa.Table:
+        n_en = pc.fill_null(pc.cast(t["n_en"], pa.int64()), 0)
+        w = pc.divide(pc.multiply(n_en, pa.scalar(DSIR_SCALE, pa.int64())),
+                      t["n_all"])
+        return pa.table({"tok": t["tok"], "w": w})
+
+    weights = vocab.map_batches(weight, batch_format="pyarrow")
+    joined = planned_join(toks.select_columns(["doc_id", "tok", "k"]),
+                          weights, on=["tok"])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "score": pc.multiply(t["k"], t["w"])})
+
+    return grouped_agg(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        ["doc_id"], sums=["score"],
+        in_schema=pa.schema([("doc_id", pa.int64()), ("score", pa.int64())]),
+    )
+
+
+SQL_TEXT_DSIR_WEIGHT = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents),
+corpus AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_all FROM toks GROUP BY tok),
+tgt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_en FROM toks
+        WHERE lang = 'en' GROUP BY tok),
+w AS (SELECT corpus.tok,
+             ({DSIR_SCALE} * COALESCE(tgt.n_en, 0)) // corpus.n_all AS w
+      FROM corpus LEFT JOIN tgt USING (tok))
+SELECT toks.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+FROM toks JOIN w USING (tok)
+GROUP BY toks.doc_id
+"""
+
+
 PMI_MIN_COUNT = 3      # bigrams below this never score (noise + join shrink)
 PMI_SCALE = 1000       # integer lift is scaled by this before floor-division
 
@@ -2075,6 +2207,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_collocation_pmi": q_text_collocation_pmi,
         "text_lm_bigram": q_text_lm_bigram,
         "text_inverted_index": q_text_inverted_index,
+        "text_outlier_mad": q_text_outlier_mad,
+        "text_dsir_weight": q_text_dsir_weight,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
         "text_quality": q_text_quality,
@@ -2126,6 +2260,8 @@ def oracle_sql() -> Dict[str, str]:
         "text_collocation_pmi": SQL_TEXT_COLLOCATION_PMI,
         "text_lm_bigram": SQL_TEXT_LM_BIGRAM,
         "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
+        "text_outlier_mad": SQL_TEXT_OUTLIER_MAD,
+        "text_dsir_weight": SQL_TEXT_DSIR_WEIGHT,
         "text_pii": _sql_text_pii(),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_quality": SQL_TEXT_QUALITY,

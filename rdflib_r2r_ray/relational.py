@@ -783,6 +783,45 @@ def quantiles_cont(ds: rd.Dataset, col: str, qs: Sequence[float]) -> rd.Dataset:
                                    "value": pa.array(out_v, pa.float64())}))
 
 
+def _block_num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _block_enumerate(t: pa.Table, offset: int, alias: str) -> pa.Table:
+    rn = pa.array(np.arange(offset + 1, offset + 1 + t.num_rows, dtype=np.int64))
+    return t.append_column(alias, rn)
+
+
+def global_enumerate(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    descending: Optional[Sequence[bool]] = None,
+    alias: str = "row_num",
+) -> rd.Dataset:
+    """Global ``ROW_NUMBER() OVER (ORDER BY keys)`` — a total enumeration of
+    the WHOLE dataset, not a top-k.  Ray's range-partitioned sample sort
+    leaves the materialized blocks in global key order; each block is then
+    enumerated locally and shifted by a prefix sum of block row COUNTS.
+    Only the O(blocks) count integers ever reach the driver — rows stay in
+    the object store (count + enumerate are per-block Ray tasks on the
+    already-materialized refs, zero re-shuffle).  ``keys`` should be a
+    total order (include a unique tiebreak column) or the enumeration is
+    nondeterministic within ties, exactly like SQL ROW_NUMBER."""
+    keys = list(keys)
+    desc = list(descending) if descending is not None else [False] * len(keys)
+    s = ds.sort(keys, descending=desc).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return s
+    counter = ray.remote(_block_num_rows)
+    counts = ray.get([counter.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1], dtype=np.int64)]) \
+        if len(counts) > 1 else np.array([0], dtype=np.int64)
+    enum = ray.remote(_block_enumerate)
+    out = [enum.remote(r, int(o), alias) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins the Dataset API lacks: as-of and range (band) joins.
 # Both ride the two-sided co-partitioned hash exchange

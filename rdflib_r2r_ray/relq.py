@@ -1263,6 +1263,27 @@ UNION ALL SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM b
 """
 
 
+def q_rel_global_enumerate(sf_dir: str) -> rd.Dataset:
+    """Global ROW_NUMBER over a total order (longest documents first): a
+    range-partitioned sample sort leaves blocks in global key order, then
+    per-block enumeration shifted by a metadata-only prefix sum of block
+    row counts (see ``relational.global_enumerate`` — rows never reach the
+    driver).  The full-corpus ranking primitive behind curriculum ordering
+    and deterministic sharding."""
+    from .relational import global_enumerate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return global_enumerate(ds, ["n_chars", "doc_id"],
+                            descending=[True, False], alias="row_num")
+
+
+SQL_REL_GLOBAL_ENUMERATE = """
+SELECT doc_id, n_chars,
+  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS row_num
+FROM documents
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -1306,6 +1327,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_moving_sum": q_rel_moving_sum,
         "rel_percentile_cont": q_rel_percentile_cont,
         "rel_funnel": q_rel_funnel,
+        "rel_global_enumerate": q_rel_global_enumerate,
     }
 
 
@@ -1352,4 +1374,5 @@ def oracle_sql() -> Dict[str, str]:
         "rel_moving_sum": SQL_REL_MOVING_SUM,
         "rel_percentile_cont": SQL_REL_PERCENTILE_CONT,
         "rel_funnel": SQL_REL_FUNNEL,
+        "rel_global_enumerate": SQL_REL_GLOBAL_ENUMERATE,
     }
