@@ -204,6 +204,43 @@ def planned_join(
     return hash_join(left, mat, on, join_type=join_type, right_on=right_on)
 
 
+def _local_full_outer(keys, lschema: pa.Schema, rschema: pa.Schema,
+                      n_left: int, *blocks: pa.Table) -> pa.Table:
+    lt = [b for b in blocks[:n_left] if b.num_rows]
+    rt = [b for b in blocks[n_left:] if b.num_rows]
+    la = pa.concat_tables(lt).combine_chunks() if lt else lschema.empty_table()
+    ra = pa.concat_tables(rt).combine_chunks() if rt else rschema.empty_table()
+    return la.join(ra, keys=list(keys), join_type="full outer")
+
+
+def full_outer_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str],
+    broadcast_limit: int = BROADCAST_LIMIT,
+) -> rd.Dataset:
+    """FULL OUTER JOIN with the same metadata-driven planning as
+    :func:`planned_join`.  When BOTH sides are small (counts read from
+    block metadata — typically because they are pre-aggregated) the join
+    runs as ONE Ray task doing a local Arrow full-outer over the already-
+    materialized blocks — Ray's hash-JoinOperator spins up an actor pool
+    that costs seconds of fixed latency regardless of input size.
+    Anything bigger takes the native full_outer hash join (the correct
+    all-to-all at scale).  Key columns must share names on both sides
+    (they are coalesced)."""
+    keys = list(on)
+    lm, rm = left.materialize(), right.materialize()
+    if lm.count() <= broadcast_limit and rm.count() <= broadcast_limit:
+        ls = lm.schema()
+        rs = rm.schema()
+        out = ray.remote(_local_full_outer).remote(
+            keys, pa.schema(list(zip(ls.names, ls.types))),
+            pa.schema(list(zip(rs.names, rs.types))),
+            len(lm.to_arrow_refs()), *lm.to_arrow_refs(), *rm.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+    return hash_join(lm, rm, keys, join_type="full_outer")
+
+
 def values_dataset(rows: List[dict]) -> rd.Dataset:
     """SPARQL VALUES inline table (reference ``query_conversions.py:376-386``)."""
     return rd.from_arrow(pa.Table.from_pylist(rows))

@@ -1115,7 +1115,7 @@ def q_rel_full_outer(sf_dir: str) -> rd.Dataset:
     outer join ships one row per customer per side — never raw orders."""
     import numpy as np
 
-    from .relational import grouped_agg, hash_join
+    from .relational import full_outer_join, grouped_agg
 
     def side(status: str, alias: str) -> rd.Dataset:
         ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]) \
@@ -1129,8 +1129,8 @@ def q_rel_full_outer(sf_dir: str) -> rd.Dataset:
         return agg.map_batches(lambda t, _a=alias: t.rename_columns(["o_custkey", _a]),
                                batch_format="pyarrow")
 
-    return hash_join(side("F", "n_f"), side("O", "n_o"),
-                     on=["o_custkey"], join_type="full_outer")
+    return full_outer_join(side("F", "n_f"), side("O", "n_o"),
+                           on=["o_custkey"])
 
 
 SQL_REL_FULL_OUTER = """

@@ -17,12 +17,47 @@ graph there is no dangling mass at all.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 PR_SCALE = 10**12
+
+# Graphs at or under this many edges run all iterations in ONE Ray task
+# (vectorized numpy, same integer recurrence) instead of O(iters) join +
+# exchange rounds whose fixed cost dominates tiny inputs — the same
+# small-input split as canonicalize._LOCAL_CC_MAX_EDGES.  The distributed
+# iteration below remains the 100 TB path.
+_LOCAL_PR_MAX_EDGES = 1_000_000
+
+
+def _pagerank_local(n_nodes: int, out_degree: int, iters: int,
+                    damping_pct: int, node_col: str, src_col: str,
+                    dst_col: str, rank_col: str, n_node_blocks: int,
+                    *blocks: pa.Table) -> pa.Table:
+    nt = [b for b in blocks[:n_node_blocks] if b.num_rows]
+    et = [b for b in blocks[n_node_blocks:] if b.num_rows]
+    nodes = (pa.concat_tables(nt)[node_col].to_numpy(zero_copy_only=False)
+             if nt else np.array([], np.int64))
+    nodes = np.sort(nodes)
+    if et:
+        edges = pa.concat_tables(et)
+        src = np.searchsorted(nodes, edges[src_col].to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(nodes, edges[dst_col].to_numpy(zero_copy_only=False))
+    else:
+        src = dst = np.array([], np.int64)
+    base_all = PR_SCALE // n_nodes
+    base = ((100 - damping_pct) * base_all) // 100
+    r = np.full(len(nodes), base_all, np.int64)
+    for _ in range(iters):
+        s = np.zeros(len(nodes), np.int64)
+        np.add.at(s, dst, r[src] // out_degree)
+        r = base + (damping_pct * s) // 100
+    return pa.table({node_col: pa.array(nodes, pa.int64()),
+                     rank_col: pa.array(r, pa.int64())})
 
 
 def pagerank(
@@ -66,8 +101,16 @@ def pagerank(
         })
 
     nodes = nodes.materialize()
-    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
     edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    if edges.count() <= _LOCAL_PR_MAX_EDGES:
+        nrefs = nodes.to_arrow_refs()
+        out = ray.remote(_pagerank_local).remote(
+            n_nodes, out_degree, iters, damping_pct, node_col, src_col,
+            dst_col, rank_col, len(nrefs), *nrefs, *edges.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
 
     contrib_schema = pa.schema([(dst_col, pa.int64()), ("c", pa.int64())])
 

@@ -20,10 +20,18 @@ def _ref_pagerank(edges, n_nodes, out_degree, iters=5, scale=10**12,
     return r
 
 
-def test_pagerank_matches_reference_recurrence(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_pagerank_matches_reference_recurrence(ray_session, monkeypatch, path):
     import ray.data as rd
 
+    from rdflib_r2r_ray.stages import graph as G
     from rdflib_r2r_ray.stages.graph import pagerank
+
+    if path == "distributed":  # force the join+exchange iteration
+        monkeypatch.setattr(G, "_LOCAL_PR_MAX_EDGES", 0)
 
     # 6-node graph, constant out-degree 2 (a ring with chords) — includes a
     # node pair that concentrates rank and spreads across >1 block.
