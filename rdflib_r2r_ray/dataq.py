@@ -406,6 +406,93 @@ it{i} AS (
     return f"WITH {head}{its}\nSELECT node AS vec_id, r AS rank FROM it5"
 
 
+_SQL_NN2_UND = f"""
+sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+knn AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT vec_id, nbr_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rnk
+    FROM sims) WHERE rnk <= 2),
+und AS (
+  SELECT DISTINCT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS b
+  FROM knn)"""
+
+
+def _nn2_und_edges(sf_dir: str) -> rd.Dataset:
+    """Undirected, canonically ordered (a<b, distinct) 2-NN edges — the
+    similarity graph under both graph_components and graph_triangles."""
+    from .relational import distinct
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    knn = A.knn_graph(emb, k=2)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.min_element_wise(t["vec_id"], t["nbr_id"]),
+            "b": pc.max_element_wise(t["vec_id"], t["nbr_id"]),
+        })
+
+    return distinct(knn.map_batches(canon, batch_format="pyarrow"))
+
+
+def q_graph_components(sf_dir: str) -> rd.Dataset:
+    """Connected components of the 2-NN similarity graph (the cluster
+    assignment primitive under fuzzy dedup, topic grouping, entity
+    resolution): iterative min-label propagation where every round is two
+    keyed joins + a grouped min and the driver only sees a change count
+    (``stages/canonicalize.label_propagation_components``; small graphs
+    take the one-task union-find fast path)."""
+    from .stages.canonicalize import label_propagation_components
+
+    labels = label_propagation_components(_nn2_und_edges(sf_dir))
+    return labels.map_batches(lambda t: t.rename_columns(["vec_id", "comp"]),
+                              batch_format="pyarrow")
+
+
+def _sql_graph_components() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_NN2_UND},
+edges AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+reach AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y),
+labels AS (SELECT x AS node, least(x, MIN(y)) AS label FROM reach GROUP BY x)
+SELECT node AS vec_id, label AS comp FROM labels
+"""
+
+
+def q_graph_triangles(sf_dir: str) -> rd.Dataset:
+    """Per-node triangle participation counts over the 2-NN similarity
+    graph (clustering-coefficient numerator — dense-community detector):
+    ordered wedge self-join + (a,c) closure semi join + corner fan-out
+    through one grouped-count exchange (``stages/graph.triangle_counts``)."""
+    from .stages.graph import triangle_counts
+
+    tri = triangle_counts(_nn2_und_edges(sf_dir))
+    return tri.map_batches(lambda t: t.rename_columns(["vec_id", "n_tri"]),
+                           batch_format="pyarrow")
+
+
+def _sql_graph_triangles() -> str:
+    return f"""
+WITH {_SQL_NN2_UND},
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM corners GROUP BY node
+"""
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
 sims AS (
@@ -2190,6 +2277,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_knn_graph": q_ann_knn_graph,
         "ann_range_search": q_ann_range_search,
         "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
+        "graph_triangles": q_graph_triangles,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -2243,6 +2332,8 @@ def oracle_sql() -> Dict[str, str]:
         "ann_knn_graph": SQL_ANN_KNN_GRAPH,
         "ann_range_search": SQL_ANN_RANGE_SEARCH,
         "graph_pagerank": _sql_graph_pagerank(),
+        "graph_components": _sql_graph_components(),
+        "graph_triangles": _sql_graph_triangles(),
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,
