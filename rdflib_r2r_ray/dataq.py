@@ -465,6 +465,102 @@ SELECT node AS vec_id, label AS comp FROM labels
 """
 
 
+def q_graph_clustering_coeff(sf_dir: str) -> rd.Dataset:
+    """Local clustering coefficient (integer permille) over the 2-NN
+    similarity graph: cc = 2000·triangles // (deg·(deg−1)) per node —
+    the dense-neighborhood score used for community-aware sampling.
+    Degrees come from one corner fan-out + grouped-count exchange over the
+    undirected edges; triangles from ``stages/graph.triangle_counts``; one
+    planned left join + a vectorized integer kernel finishes."""
+    from .relational import grouped_agg, planned_join
+    from .stages.graph import triangle_counts
+
+    und = _nn2_und_edges(sf_dir).materialize()
+
+    def corners(t: pa.Table) -> pa.Table:
+        node = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                               t["b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(node.astype(np.int64), pa.int64()),
+                         "deg": pa.array(np.ones(len(node), np.int64))})
+
+    deg = grouped_agg(
+        und.map_batches(corners, batch_format="pyarrow"),
+        ["node"], sums=["deg"],
+        in_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    )
+    tri = triangle_counts(und)
+    joined = planned_join(deg, tri, on=["node"], join_type="left_outer")
+
+    def cc(t: pa.Table) -> pa.Table:
+        d = t["deg"]
+        n_tri = pc.fill_null(pc.cast(t["n_tri"], pa.int64()), 0)
+        denom = pc.multiply(d, pc.subtract(d, pa.scalar(1, pa.int64())))
+        permille = pc.if_else(
+            pc.greater_equal(d, pa.scalar(2, pa.int64())),
+            pc.divide(pc.multiply(n_tri, pa.scalar(2000, pa.int64())),
+                      pc.max_element_wise(denom, pa.scalar(1, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        return pa.table({"vec_id": t["node"], "deg": d,
+                         "cc_permille": permille})
+
+    return joined.map_batches(cc, batch_format="pyarrow")
+
+
+def _sql_graph_clustering_coeff() -> str:
+    return f"""
+WITH {_SQL_NN2_UND},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+ntri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY node)
+SELECT deg.node AS vec_id, deg.deg,
+  CASE WHEN deg.deg >= 2
+       THEN (2000 * COALESCE(ntri.n_tri, 0)) // (deg.deg * (deg.deg - 1))
+       ELSE 0 END AS cc_permille
+FROM deg LEFT JOIN ntri USING (node)
+"""
+
+
+def q_sketch_grouped_distinct(sf_dir: str) -> rd.Dataset:
+    """Per-group HyperLogLog approximate COUNT(DISTINCT user) gated at
+    ±5 % against the exact grouped count-distinct exchange (the in-pipeline
+    recall-oracle pattern): each block ships one m-byte register row per
+    event_type, a group-keyed exchange max-merges and estimates."""
+    from .relational import count_distinct, planned_join
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    est = SK.grouped_approx_count_distinct(ds, "event_type", "user_id", p=12)
+    exact = count_distinct(ds, ["event_type"], "user_id", "exact_distinct")
+    joined = planned_join(exact, est, on=["event_type"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        ex = pc.cast(t["exact_distinct"], pa.float64())
+        err = pc.divide(pc.abs(pc.subtract(t["approx_distinct"], ex)),
+                        pc.max_element_wise(ex, pa.scalar(1.0)))
+        return pa.table({
+            "event_type": t["event_type"],
+            "exact_distinct": pc.cast(t["exact_distinct"], pa.int64()),
+            "within_5pct": pc.less_equal(err, pa.scalar(0.05)),
+        })
+
+    return joined.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_SKETCH_GROUPED_DISTINCT = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(1 AS BOOLEAN) AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
 def q_graph_triangles(sf_dir: str) -> rd.Dataset:
     """Per-node triangle participation counts over the 2-NN similarity
     graph (clustering-coefficient numerator — dense-community detector):
@@ -2279,6 +2375,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
+        "graph_clustering_coeff": q_graph_clustering_coeff,
+        "sketch_grouped_distinct": q_sketch_grouped_distinct,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -2334,6 +2432,8 @@ def oracle_sql() -> Dict[str, str]:
         "graph_pagerank": _sql_graph_pagerank(),
         "graph_components": _sql_graph_components(),
         "graph_triangles": _sql_graph_triangles(),
+        "graph_clustering_coeff": _sql_graph_clustering_coeff(),
+        "sketch_grouped_distinct": SQL_SKETCH_GROUPED_DISTINCT,
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,

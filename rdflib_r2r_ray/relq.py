@@ -1263,6 +1263,46 @@ UNION ALL SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM b
 """
 
 
+def q_rel_percent_rank(sf_dir: str) -> rd.Dataset:
+    """PERCENT_RANK + CUME_DIST per partition: hash exchange on lang, one
+    vectorized sort + cumulative-count pass per partition.  The ORDER BY is
+    a total order (n_chars, doc_id), so rank == row_number and both window
+    functions reduce to the same two IEEE-double divisions DuckDB computes
+    — bit-exact on both sides."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("pct_rank", pa.float64()), ("cume_dist", pa.float64()),
+    ])
+
+    def pr_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).sort(["lang", "n_chars", "doc_id"])
+        out = df.with_columns(
+            rn=pl.col("doc_id").cum_count().over("lang").cast(pl.Int64),
+            n=pl.len().over("lang").cast(pl.Int64),
+        ).select(
+            pl.col("doc_id"), pl.col("lang"),
+            ((pl.col("rn") - 1).cast(pl.Float64)
+             / (pl.col("n") - 1).cast(pl.Float64)).alias("pct_rank"),
+            (pl.col("rn").cast(pl.Float64)
+             / pl.col("n").cast(pl.Float64)).alias("cume_dist"),
+        )
+        return out.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return hash_group_exchange(ds, ["lang"], pr_part, out_schema)
+
+
+SQL_REL_PERCENT_RANK = """
+SELECT doc_id, lang,
+  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pct_rank,
+  CUME_DIST() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cume_dist
+FROM documents
+"""
+
+
 def q_rel_global_enumerate(sf_dir: str) -> rd.Dataset:
     """Global ROW_NUMBER over a total order (longest documents first): a
     range-partitioned sample sort leaves blocks in global key order, then
@@ -1328,6 +1368,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_percentile_cont": q_rel_percentile_cont,
         "rel_funnel": q_rel_funnel,
         "rel_global_enumerate": q_rel_global_enumerate,
+        "rel_percent_rank": q_rel_percent_rank,
     }
 
 
@@ -1375,4 +1416,5 @@ def oracle_sql() -> Dict[str, str]:
         "rel_percentile_cont": SQL_REL_PERCENTILE_CONT,
         "rel_funnel": SQL_REL_FUNNEL,
         "rel_global_enumerate": SQL_REL_GLOBAL_ENUMERATE,
+        "rel_percent_rank": SQL_REL_PERCENT_RANK,
     }

@@ -86,3 +86,46 @@ def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     for r in rows:
         merged = np.maximum(merged, np.asarray(r["reg"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def grouped_approx_count_distinct(
+    ds: rd.Dataset, key: str, col: str, p: int = 12
+) -> rd.Dataset:
+    """Per-group approximate ``COUNT(DISTINCT col)``: each block emits ONE
+    m-byte register row per group it contains (so the exchange moves
+    O(groups × blocks) sketch rows, never values), a group-keyed exchange
+    maximum-merges the registers and runs the estimator per complete group.
+    Partitioning contract: the register fan-out is m bytes per (group,
+    block) — right for low-to-mid-cardinality keys (crawls, languages,
+    sources); for per-user cardinalities use the exact count-distinct
+    exchange instead.  Returns Dataset ``(key, approx_distinct: float)``."""
+    from .dedup import hash_group_exchange
+
+    out_schema = pa.schema([(key, pa.string()), ("approx_distinct", pa.float64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(batch.select([key, col])).drop_nulls()
+        ks, regs = [], []
+        for kt, g in df.group_by(key):  # bounded by per-block key cardinality
+            h = g[col].hash(seed=7).to_numpy().astype(np.uint64)
+            ks.append(kt[0])
+            regs.append(hll_partial(h, p).tolist())
+        return pa.table({key: pa.array(ks, pa.string()),
+                         "reg": pa.array(regs, pa.list_(pa.uint8()))})
+
+    def reduce_fn(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part)
+        ks, ests = [], []
+        for kt, g in df.group_by(key):
+            merged = np.maximum.reduce(
+                np.asarray(g["reg"].to_list(), dtype=np.uint8))
+            ks.append(kt[0])
+            ests.append(hll_estimate(merged))
+        return pa.table({key: pa.array(ks, pa.string()),
+                         "approx_distinct": pa.array(ests, pa.float64())},
+                        schema=out_schema)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_group_exchange(parts, [key], reduce_fn, out_schema)
