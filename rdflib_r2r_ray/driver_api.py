@@ -1599,12 +1599,30 @@ _DRIVER_VERIFIED = {
 }
 
 
+# Registered LATE in round 4 — this wave yields its sweep-window slots to
+# queries that have waited since round 3 (the driver verifies ~50 rows per
+# round; oldest-unverified-first maximizes union coverage across rounds).
+_LATE_R4 = {
+    "ann_range_search", "text_lm_bigram", "rel_full_outer",
+    "rel_moving_sum", "rel_percentile_cont", "rel_funnel",
+    "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",
+    "graph_components", "graph_triangles", "graph_clustering_coeff",
+    "sketch_grouped_distinct", "text_inverted_index", "text_outlier_mad",
+    "text_dsir_weight",
+}
+
+
 def _rotate(d: dict) -> dict:
-    """Never-driver-verified entries first (registry order preserved
-    within each group) so a row-capped correctness sweep reaches them."""
-    fresh = {k: v for k, v in d.items() if k not in _DRIVER_VERIFIED}
-    fresh.update({k: v for k, v in d.items() if k in _DRIVER_VERIFIED})
-    return fresh
+    """Never-driver-verified entries first — older waves ahead of this
+    round's late registrations, registry order preserved within each group
+    — so a row-capped correctness sweep reaches the queries that have
+    waited longest."""
+    out = {k: v for k, v in d.items()
+           if k not in _DRIVER_VERIFIED and k not in _LATE_R4}
+    out.update({k: v for k, v in d.items()
+                if k not in _DRIVER_VERIFIED and k in _LATE_R4})
+    out.update({k: v for k, v in d.items() if k in _DRIVER_VERIFIED})
+    return out
 
 
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
