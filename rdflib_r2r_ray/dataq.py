@@ -529,6 +529,46 @@ FROM deg LEFT JOIN ntri USING (node)
 """
 
 
+KCORE_K, KCORE_ROUNDS = 2, 4
+
+
+def q_graph_kcore(sf_dir: str) -> rd.Dataset:
+    """k-core decomposition (k=2) of the 2-NN similarity graph — the
+    degeneracy-based community/noise split (nodes outside the 2-core are
+    tree-like fringe).  Iterative peel: one degree exchange + two planned
+    semi joins per round, fixpoint-checked with a LOUD failure if not
+    converged within the unroll budget (``stages/graph.kcore``) — which is
+    exactly what lets the fixed-depth SQL oracle replay the algorithm."""
+    from .stages.graph import kcore
+
+    out = kcore(_nn2_und_edges(sf_dir), k=KCORE_K, max_rounds=KCORE_ROUNDS)
+    return out.map_batches(lambda t: t.rename_columns(["vec_id", "deg"]),
+                           batch_format="pyarrow")
+
+
+def _sql_graph_kcore() -> str:
+    rounds = ""
+    for i in range(KCORE_ROUNDS):
+        rounds += f""",
+d{i} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY node),
+e{i + 1} AS MATERIALIZED (
+  SELECT e{i}.a, e{i}.b FROM e{i}
+  JOIN d{i} da ON da.node = e{i}.a
+  JOIN d{i} db ON db.node = e{i}.b
+  WHERE da.deg >= {KCORE_K} AND db.deg >= {KCORE_K})"""
+    n = KCORE_ROUNDS
+    return f"""
+WITH {_SQL_NN2_UND},
+e0 AS MATERIALIZED (SELECT a, b FROM und){rounds},
+dfin AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e{n} UNION ALL SELECT b FROM e{n}) GROUP BY node)
+SELECT node AS vec_id, deg FROM dfin WHERE deg >= {KCORE_K}
+"""
+
+
 def q_sketch_grouped_distinct(sf_dir: str) -> rd.Dataset:
     """Per-group HyperLogLog approximate COUNT(DISTINCT user) gated at
     ±5 % against the exact grouped count-distinct exchange (the in-pipeline
@@ -931,6 +971,42 @@ SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(cnt.n) AS BIGINT) AS score
 FROM bg JOIN cnt USING (bigram)
 GROUP BY bg.doc_id
+"""
+
+
+WSAMPLE_K = 50
+
+
+def q_text_weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic length-weighted sample (top-50 by smallest hash-per-
+    weight priority: longer docs proportionally likelier, reproducible
+    across cluster sizes and re-runs — the RNG-free analogue of priority
+    sampling).  One vectorized priority column + the distributed top-k
+    (per-block partial head, single final reduce); never a global sort."""
+    from .relational import topk
+
+    KNUTH, MOD = 2654435761, 1 << 32
+
+    def prio(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(KNUTH)) % np.uint64(MOD)
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (h // np.maximum(w, 1)).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "n_chars": b["n_chars"],
+                         "priority": pa.array(p, pa.int64())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .map_batches(prio, batch_format="pyarrow")
+    return topk(ds, ["priority", "doc_id"], WSAMPLE_K,
+                descending=[False, False])
+
+
+SQL_TEXT_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars,
+       ((doc_id * 2654435761) % 4294967296)
+         // CASE WHEN n_chars < 1 THEN 1 ELSE n_chars END AS priority
+FROM documents
+ORDER BY priority, doc_id LIMIT {WSAMPLE_K}
 """
 
 
@@ -2376,7 +2452,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
         "graph_clustering_coeff": q_graph_clustering_coeff,
+        "graph_kcore": q_graph_kcore,
         "sketch_grouped_distinct": q_sketch_grouped_distinct,
+        "text_weighted_sample": q_text_weighted_sample,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -2433,7 +2511,9 @@ def oracle_sql() -> Dict[str, str]:
         "graph_components": _sql_graph_components(),
         "graph_triangles": _sql_graph_triangles(),
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),
+        "graph_kcore": _sql_graph_kcore(),
         "sketch_grouped_distinct": SQL_SKETCH_GROUPED_DISTINCT,
+        "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,

@@ -148,6 +148,49 @@ WHERE regexp_matches(text, '\\b' || alias || '\\b')
 """
 
 
+def q_kg_entity_cooccur(sf_dir: str) -> rd.Dataset:
+    """Entity co-occurrence mining over the linked KG (the knowledge-graph
+    edge-weighting / relatedness primitive): for every entity pair appearing
+    in the same document, the number of co-mentioning documents.  The
+    mention triples stream through a doc-keyed hash exchange; each reduce
+    task self-joins its COMPLETE documents locally (per-doc entity lists
+    are tiny) and pre-aggregates pair counts, so the final grouped-count
+    exchange moves one row per distinct pair per partition."""
+    from .relational import grouped_agg
+    from .stages.dedup import _pl, hash_group_exchange
+
+    m = q_kg_mentions(sf_dir).select_columns(["subj", "obj"])
+    pair_schema = pa.schema([
+        ("e1", pa.string()), ("e2", pa.string()), ("n_docs", pa.int64()),
+    ])
+
+    def pairs_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).unique(["subj", "obj"])
+        j = df.join(df, on="subj")
+        out = (j.filter(pl.col("obj") < pl.col("obj_right"))
+               .select(pl.col("obj").alias("e1"),
+                       pl.col("obj_right").alias("e2"))
+               .group_by(["e1", "e2"]).len(name="n_docs"))
+        return out.to_arrow().cast(pair_schema)
+
+    parts = hash_group_exchange(m, ["subj"], pairs_part, pair_schema)
+    return grouped_agg(parts, ["e1", "e2"], sums=["n_docs"],
+                       in_schema=pair_schema)
+
+
+def _sql_kg_entity_cooccur() -> str:
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, '<' || entity || '>' AS e
+  FROM documents, {alias_values_sql()}
+  WHERE regexp_matches(text, '\\b' || alias || '\\b'))
+SELECT a.e AS e1, b.e AS e2, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.e < b.e
+GROUP BY a.e, b.e
+"""
+
+
 def q_kg_full_documents(sf_dir: str) -> rd.Dataset:
     """Flagship: full KG construction over ``documents`` (metadata triples +
     canonicalized mention triples, exact-dedup materialization)."""
@@ -1608,7 +1651,8 @@ _LATE_R4 = {
     "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",
     "graph_components", "graph_triangles", "graph_clustering_coeff",
     "sketch_grouped_distinct", "text_inverted_index", "text_outlier_mad",
-    "text_dsir_weight",
+    "text_dsir_weight", "graph_kcore", "text_weighted_sample",
+    "rel_late_events", "kg_entity_cooccur",
 }
 
 
@@ -1670,6 +1714,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_path_star": q_kg_path_star,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_csv_source": q_kg_csv_source,
+        "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
         "kg_ref_join": q_kg_ref_join,
@@ -1730,6 +1775,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_path_star": _sql_kg_path_star(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_csv_source": _sql_kg_direct_nation(),
+        "kg_entity_cooccur": _sql_kg_entity_cooccur(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),
         "kg_ref_join": _sql_kg_ref_join(),

@@ -1263,6 +1263,61 @@ UNION ALL SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM b
 """
 
 
+def q_rel_late_events(sf_dir: str) -> rd.Dataset:
+    """Watermark-style late-data detection: per user, an event is LATE if
+    its timestamp is below the running maximum over everything that ARRIVED
+    before it.  Arrival disorder is planted deterministically (every 10th
+    event's arrival is delayed by 37 sequence slots — pure event_id
+    arithmetic, so the oracle replays it).  Hash exchange on user_id, one
+    sort + shifted cum-max pass per partition — the out-of-order/eviction
+    primitive under every streaming-window operator."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("lateness_us", pa.int64()),
+    ])
+
+    def late_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).sort(["user_id", "arr", "event_id"])
+        us = pl.col("ts").cast(pl.Datetime("us")).cast(pl.Int64)
+        df = df.with_columns(us.alias("us")).with_columns(
+            hw=pl.col("us").cum_max().shift(1).over("user_id"))
+        out = df.filter(pl.col("hw").is_not_null()
+                        & (pl.col("us") < pl.col("hw"))).select(
+            pl.col("event_id"), pl.col("user_id"),
+            (pl.col("hw") - pl.col("us")).alias("lateness_us"))
+        return out.to_arrow().cast(out_schema)
+
+    def plant(b: pa.Table) -> pa.Table:
+        mod10 = pc.subtract(b["event_id"],
+                            pc.multiply(pc.divide(b["event_id"], pa.scalar(10, pa.int64())),
+                                        pa.scalar(10, pa.int64())))
+        delay = pc.if_else(pc.equal(mod10, pa.scalar(0, pa.int64())),
+                           pa.scalar(37, pa.int64()), pa.scalar(0, pa.int64()))
+        return b.append_column("arr", pc.add(b["event_id"], delay))
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]) \
+        .map_batches(plant, batch_format="pyarrow")
+    return hash_group_exchange(ds, ["user_id"], late_part, out_schema)
+
+
+SQL_REL_LATE_EVENTS = """
+WITH arr AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         event_id + CASE WHEN event_id % 10 = 0 THEN 37 ELSE 0 END AS arr
+  FROM events),
+w AS (
+  SELECT event_id, user_id, us,
+         MAX(us) OVER (PARTITION BY user_id ORDER BY arr, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+  FROM arr)
+SELECT event_id, user_id, CAST(hw - us AS BIGINT) AS lateness_us
+FROM w WHERE hw IS NOT NULL AND us < hw
+"""
+
+
 def q_rel_percent_rank(sf_dir: str) -> rd.Dataset:
     """PERCENT_RANK + CUME_DIST per partition: hash exchange on lang, one
     vectorized sort + cumulative-count pass per partition.  The ORDER BY is
@@ -1369,6 +1424,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_funnel": q_rel_funnel,
         "rel_global_enumerate": q_rel_global_enumerate,
         "rel_percent_rank": q_rel_percent_rank,
+        "rel_late_events": q_rel_late_events,
     }
 
 
@@ -1417,4 +1473,5 @@ def oracle_sql() -> Dict[str, str]:
         "rel_funnel": SQL_REL_FUNNEL,
         "rel_global_enumerate": SQL_REL_GLOBAL_ENUMERATE,
         "rel_percent_rank": SQL_REL_PERCENT_RANK,
+        "rel_late_events": SQL_REL_LATE_EVENTS,
     }

@@ -105,6 +105,66 @@ def triangle_counts(
     )
 
 
+def _degrees(und: rd.Dataset, a_col: str = "a", b_col: str = "b",
+             node_col: str = "node", deg_col: str = "deg") -> rd.Dataset:
+    """Per-node degree of an undirected (a<b, distinct) edge Dataset: one
+    corner fan-out + grouped-count exchange."""
+    from ..relational import grouped_agg
+
+    def corners(t: pa.Table) -> pa.Table:
+        node = np.concatenate([t[a_col].to_numpy(zero_copy_only=False),
+                               t[b_col].to_numpy(zero_copy_only=False)])
+        return pa.table({node_col: pa.array(node.astype(np.int64), pa.int64()),
+                         deg_col: pa.array(np.ones(len(node), np.int64))})
+
+    return grouped_agg(
+        und.map_batches(corners, batch_format="pyarrow"),
+        [node_col], sums=[deg_col],
+        in_schema=pa.schema([(node_col, pa.int64()), (deg_col, pa.int64())]),
+    )
+
+
+def kcore(
+    und: rd.Dataset,
+    k: int,
+    max_rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> rd.Dataset:
+    """k-core decomposition by iterative peeling: each round drops every
+    edge with an endpoint of degree < k (one degree exchange + two planned
+    semi joins), until the edge set reaches a fixpoint.  Raises LOUDLY if
+    the peel has not converged within ``max_rounds`` — the bound is what
+    lets a fixed-depth unrolled SQL oracle replay the whole algorithm, and
+    an unconverged run must never silently return a superset.  Returns the
+    surviving nodes with their core degrees ``(node, deg)``."""
+    from ..relational import planned_join
+
+    edges = und.select_columns([a_col, b_col]).materialize()
+    prev = edges.count()
+    converged = prev == 0
+    for _ in range(max_rounds):
+        deg = _degrees(edges, a_col, b_col)
+        # materialize once: both semi joins consume it, and planned_join
+        # would otherwise re-run the degree exchange per join
+        keep = deg.filter(expr=f"deg >= {k}").select_columns(["node"]).materialize()
+        kept = planned_join(edges, keep, on=[a_col], right_on=["node"],
+                            join_type="left_semi")
+        kept = planned_join(kept, keep, on=[b_col], right_on=["node"],
+                            join_type="left_semi").materialize()
+        cnt = kept.count()
+        edges = kept
+        if cnt == prev:
+            converged = True
+            break
+        prev = cnt
+    if not converged:
+        raise RuntimeError(
+            f"k-core peel did not converge within {max_rounds} rounds "
+            f"(edge count still shrinking at {prev}); raise max_rounds")
+    return _degrees(edges, a_col, b_col).filter(expr=f"deg >= {k}")
+
+
 def pagerank(
     edges: rd.Dataset,
     nodes: rd.Dataset,

@@ -53,6 +53,37 @@ def test_pagerank_matches_reference_recurrence(ray_session, monkeypatch, path):
     assert all(v > 0 for v in got.values())
 
 
+def test_kcore_peels_tree_fringe(ray_session):
+    """Triangle (1,2,3) with a pendant path 3-4-5: the 2-core is exactly
+    the triangle with degree 2 each; the path peels off over two rounds."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.graph import kcore
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    et = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                   "b": pa.array([e[1] for e in edges], pa.int64())})
+    got = {r["node"]: r["deg"]
+           for r in kcore(rd.from_arrow(et), k=2, max_rounds=4).take_all()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_unconverged_raises(ray_session):
+    """A long path under an impossible round budget must fail loudly, not
+    return a superset of the core."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.graph import kcore
+
+    # path 0-1-2-...-9: 2-core is empty but peeling needs ~5 rounds
+    edges = [(i, i + 1) for i in range(9)]
+    et = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                   "b": pa.array([e[1] for e in edges], pa.int64())})
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(rd.from_arrow(et), k=2, max_rounds=2)
+
+
 def test_pagerank_sink_only_nodes_get_base(ray_session):
     """A node with no in-links must end at exactly the teleport base."""
     import ray.data as rd
