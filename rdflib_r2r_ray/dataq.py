@@ -569,6 +569,106 @@ SELECT node AS vec_id, deg FROM dfin WHERE deg >= {KCORE_K}
 """
 
 
+LINKPRED_MIN_COMMON = 2
+
+
+def q_graph_link_predict(sf_dir: str) -> rd.Dataset:
+    """Common-neighbor link prediction over the 2-NN similarity graph
+    (resource-allocation index, Zhou et al. 2009): for every non-adjacent
+    pair sharing ≥ 2 neighbors, the common-neighbor count and the integer
+    RA score Σ 1000//deg(w) — the candidate-edge generator for KG
+    completion.  One wedge self-join + degree join + grouped-sum exchange +
+    anti join back against the edge set (``stages/graph.link_prediction``)."""
+    from .stages.graph import link_prediction
+
+    return link_prediction(_nn2_und_edges(sf_dir),
+                           min_common=LINKPRED_MIN_COMMON)
+
+
+def _sql_graph_link_predict() -> str:
+    return f"""
+WITH {_SQL_NN2_UND},
+u0 AS MATERIALIZED (SELECT a, b FROM und),
+adj AS (SELECT a AS u, b AS w FROM u0 UNION ALL SELECT b, a FROM u0),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+wed AS (
+  SELECT x.u AS u, y.u AS v, x.w
+  FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u),
+sc AS (
+  SELECT wed.u, wed.v, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000 // d.deg) AS BIGINT) AS ra
+  FROM wed JOIN deg d ON d.node = wed.w
+  GROUP BY wed.u, wed.v)
+SELECT u, v, cn, ra FROM sc
+WHERE cn >= {LINKPRED_MIN_COMMON}
+  AND NOT EXISTS (SELECT 1 FROM u0 WHERE u0.a = sc.u AND u0.b = sc.v)
+"""
+
+
+HH_TOPK, HH_LOG2_W, HH_ERR_DIV = 20, 13, 500
+
+
+def q_sketch_heavy_hitters(sf_dir: str) -> rd.Dataset:
+    """Count-min-sketch heavy hitters over the corpus token stream, gated
+    in-pipeline against the exact grouped counts (the sketch-query oracle
+    pattern): tokens fold into per-block d×w counter rows (one 256 KB row
+    per block moves — no shuffle for the sketch), sum-merged; the exact
+    top-20 rides the combiner + grouped-count exchange + distributed top-k.
+    Gate per hitter: CMS estimate ≥ exact (CMS never undercounts) and
+    overestimate ≤ N/{HH_ERR_DIV} — deterministic for the fixed seed, so
+    the bound is a reproducible fact about this corpus, not a coin flip."""
+    from .relational import grouped_agg, topk
+    from .stages.dedup import _pl
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        out = (pl.from_arrow(b.select(["text"]))
+               .select(pl.col("text").str.to_lowercase()
+                       .str.extract_all(r"[a-z0-9_]+").alias("tok"))
+               .explode("tok").drop_nulls()
+               .group_by("tok").len(name="n"))
+        return out.to_arrow().cast(
+            pa.schema([("tok", pa.string()), ("n", pa.int64())]))
+
+    # ONE tokenize pass: per-block (tok, n) combiner rows feed BOTH the
+    # weighted sketch fold and the exact grouped-count exchange — the raw
+    # occurrence stream is never materialized (counts are additive, so the
+    # weighted fold equals the raw-stream sketch exactly)
+    partials = _docs(sf_dir).map_batches(
+        tok_counts, batch_format="pyarrow").materialize()
+    cms = SK.cms_merge(partials, "tok", log2_w=HH_LOG2_W, weight_col="n")
+    n_total = int(cms[0].sum())  # every token increments each row once
+    bound = max(1, n_total // HH_ERR_DIV)
+
+    agg = grouped_agg(
+        partials, ["tok"], sums=["n"],
+        in_schema=pa.schema([("tok", pa.string()), ("n", pa.int64())]))
+    top = topk(agg, ["n", "tok"], HH_TOPK, descending=[True, False])
+
+    def gate(t: pa.Table) -> pa.Table:
+        pl = _pl()
+        c = t["tok"]
+        h = pl.from_arrow(
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        ).hash(seed=7).to_numpy().astype(np.uint64)
+        est = SK.cms_estimate(cms, h, HH_LOG2_W)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ok = (est >= n) & (est - n <= bound)
+        return pa.table({"tok": t["tok"], "n": t["n"],
+                         "within_bound": pa.array(ok)})
+
+    return top.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_SKETCH_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n, CAST(1 AS BOOLEAN) AS within_bound
+FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT {HH_TOPK}
+"""
+
+
 def q_sketch_grouped_distinct(sf_dir: str) -> rd.Dataset:
     """Per-group HyperLogLog approximate COUNT(DISTINCT user) gated at
     ±5 % against the exact grouped count-distinct exchange (the in-pipeline
@@ -2453,6 +2553,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_triangles": q_graph_triangles,
         "graph_clustering_coeff": q_graph_clustering_coeff,
         "graph_kcore": q_graph_kcore,
+        "graph_link_predict": q_graph_link_predict,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_grouped_distinct": q_sketch_grouped_distinct,
         "text_weighted_sample": q_text_weighted_sample,
         "dd_exact": q_dd_exact,
@@ -2512,6 +2614,8 @@ def oracle_sql() -> Dict[str, str]:
         "graph_triangles": _sql_graph_triangles(),
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),
         "graph_kcore": _sql_graph_kcore(),
+        "graph_link_predict": _sql_graph_link_predict(),
+        "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
         "sketch_grouped_distinct": SQL_SKETCH_GROUPED_DISTINCT,
         "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
         "dd_exact": SQL_DD_EXACT,

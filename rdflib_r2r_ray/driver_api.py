@@ -1652,7 +1652,8 @@ _LATE_R4 = {
     "graph_components", "graph_triangles", "graph_clustering_coeff",
     "sketch_grouped_distinct", "text_inverted_index", "text_outlier_mad",
     "text_dsir_weight", "graph_kcore", "text_weighted_sample",
-    "rel_late_events", "kg_entity_cooccur",
+    "rel_late_events", "kg_entity_cooccur", "graph_link_predict",
+    "sketch_heavy_hitters",
 }
 
 

@@ -165,6 +165,61 @@ def kcore(
     return _degrees(edges, a_col, b_col).filter(expr=f"deg >= {k}")
 
 
+def link_prediction(
+    und: rd.Dataset,
+    min_common: int = 2,
+    ra_scale: int = 1000,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> rd.Dataset:
+    """Common-neighbor link prediction over an undirected (a<b, distinct)
+    edge Dataset: for every NON-adjacent pair (u,v) sharing ≥ ``min_common``
+    neighbors, the common-neighbor count and the integer resource-allocation
+    score ``Σ_w  ra_scale // deg(w)`` (Zhou et al. 2009 — the RA index;
+    integer division keeps the oracle exact).  Plan: symmetric adjacency
+    fan-out, one wedge self-join on the middle vertex (``planned_join`` —
+    broadcast small, hash exchange at scale), middle-degree join for the RA
+    contribution, one grouped-sum exchange on the (u,v) pair, and an anti
+    join back against the edge set so only NEW links remain.  Same hub-skew
+    caveat as :func:`triangle_counts` — the wedge stream is the widest
+    intermediate; pre-bound degree upstream for hubby graphs."""
+    from ..relational import grouped_agg, planned_join
+
+    und = und.select_columns([a_col, b_col]).materialize()
+
+    def symm(t: pa.Table) -> pa.Table:
+        u = np.concatenate([t[a_col].to_numpy(zero_copy_only=False),
+                            t[b_col].to_numpy(zero_copy_only=False)])
+        w = np.concatenate([t[b_col].to_numpy(zero_copy_only=False),
+                            t[a_col].to_numpy(zero_copy_only=False)])
+        return pa.table({"u": pa.array(u.astype(np.int64), pa.int64()),
+                         "w": pa.array(w.astype(np.int64), pa.int64())})
+
+    adj = und.map_batches(symm, batch_format="pyarrow").materialize()
+    deg = _degrees(und, a_col, b_col)
+
+    right = adj.map_batches(lambda t: t.rename_columns(["v", "w"]),
+                            batch_format="pyarrow")
+    wedges = planned_join(adj, right, on=["w"]).filter(expr="u < v")
+    contrib = planned_join(wedges, deg, on=["w"], right_on=["node"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ra = pc.divide(pa.scalar(ra_scale, pa.int64()), t["deg"])
+        return pa.table({"u": t["u"], "v": t["v"],
+                         "cn": pa.array(np.ones(len(t), np.int64)),
+                         "ra": ra})
+
+    pairs = grouped_agg(
+        contrib.map_batches(score, batch_format="pyarrow"),
+        ["u", "v"], sums=["cn", "ra"],
+        in_schema=pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                             ("cn", pa.int64()), ("ra", pa.int64())]),
+    )
+    new_links = planned_join(pairs, und, on=["u", "v"],
+                             right_on=[a_col, b_col], join_type="left_anti")
+    return new_links.filter(expr=f"cn >= {min_common}")
+
+
 def pagerank(
     edges: rd.Dataset,
     nodes: rd.Dataset,

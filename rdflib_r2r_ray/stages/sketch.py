@@ -129,3 +129,76 @@ def grouped_approx_count_distinct(
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return hash_group_exchange(parts, [key], reduce_fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the frequency primitive
+# for heavy-hitter detection where an exact per-token groupby shuffle is not
+# worth it (e.g. hot-URL / hot-token dashboards over a crawl).  d rows of w
+# counters; point estimate = min over rows; always an OVERestimate, with
+# P[err > e·N/w] < (1/2)^d for the standard constants.
+
+CMS_MULTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)  # odd 64-bit mixers
+
+
+def _cms_positions(h: np.ndarray, row: int, log2_w: int) -> np.ndarray:
+    """Row-``row`` counter positions for pre-hashed uint64 keys: one
+    multiply-shift (Dietzfelbinger) per row — vectorized, no rehash of the
+    underlying values."""
+    return ((h * np.uint64(CMS_MULTS[row]))
+            >> np.uint64(64 - log2_w)).astype(np.int64)
+
+
+def cms_partial(h: np.ndarray, log2_w: int, d: int = 4,
+                weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Fold pre-hashed uint64 keys into a (d, 2^log2_w) int64 counter
+    block.  ``weights`` lets pre-aggregated (key, count) partials fold to
+    the IDENTICAL sketch the raw stream would (counts are additive)."""
+    w = 1 << log2_w
+    counters = np.zeros((d, w), dtype=np.int64)
+    for r in range(d):
+        np.add.at(counters[r], _cms_positions(h, r, log2_w),
+                  1 if weights is None else weights)
+    return counters
+
+
+def cms_estimate(counters: np.ndarray, h: np.ndarray, log2_w: int) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for pre-hashed keys."""
+    d = counters.shape[0]
+    est = counters[0][_cms_positions(h, 0, log2_w)]
+    for r in range(1, d):
+        est = np.minimum(est, counters[r][_cms_positions(h, r, log2_w)])
+    return est
+
+
+def cms_merge(ds: rd.Dataset, col: str, log2_w: int = 13, d: int = 4,
+              seed: int = 7, weight_col: Optional[str] = None) -> np.ndarray:
+    """Global count-min sketch of a string column: per-batch counter fold
+    (ONE flattened d×w int64 row per block moves — 256 KB at the default
+    width), driver-side SUM-merge of the O(blocks) sketch rows.  No shuffle:
+    the merge is associative, exactly like the HLL register fold above.
+    ``weight_col`` folds pre-aggregated (key, count) partial rows instead of
+    a raw occurrence stream — same sketch, far fewer rows touched."""
+    w = 1 << log2_w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl = _pl()
+        c = batch[col]
+        s = pl.from_arrow(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        mask = s.is_not_null()
+        h = s.filter(mask).hash(seed=seed).to_numpy().astype(np.uint64)
+        wts = None
+        if weight_col is not None:
+            wts = pl.from_arrow(batch[weight_col].combine_chunks()
+                                if isinstance(batch[weight_col], pa.ChunkedArray)
+                                else batch[weight_col]).filter(mask).to_numpy()
+        counters = cms_partial(h, log2_w, d, weights=wts)
+        return pa.table({"cms": pa.array([counters.ravel().tolist()],
+                                         pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(d * w, dtype=np.int64)
+    for r in rows:
+        merged += np.asarray(r["cms"], dtype=np.int64)
+    return merged.reshape(d, w)

@@ -1102,3 +1102,45 @@ def test_tfidf_df_spans_blocks(ray_session):
     # doc 3: date (2*1e6//2=1e6) beats apple (1e6//3)
     d3 = sorted((r["score"], r["term"]) for r in rows if r["doc_id"] == 3)
     assert d3[-1][1] == "date"
+
+
+def test_cms_overcount_only_and_weighted_merge():
+    """CMS never undercounts; sum-merge of halves == whole-input fold; the
+    weighted (key, count) fold equals the raw-occurrence-stream fold."""
+    from rdflib_r2r_ray.stages.dedup import _pl
+    from rdflib_r2r_ray.stages.sketch import cms_estimate, cms_partial
+
+    pl = _pl()
+    rng = np.random.default_rng(3)
+    keys = [f"tok{i}" for i in range(2000)]
+    counts = rng.integers(1, 50, len(keys))
+    stream = np.repeat(np.arange(len(keys)), counts)
+    h_all = pl.Series([keys[i] for i in stream]).hash(seed=7).to_numpy().astype(np.uint64)
+    h_keys = pl.Series(keys).hash(seed=7).to_numpy().astype(np.uint64)
+
+    whole = cms_partial(h_all, log2_w=10)
+    half = len(h_all) // 2
+    merged = cms_partial(h_all[:half], log2_w=10) + cms_partial(h_all[half:], log2_w=10)
+    assert (whole == merged).all()
+    weighted = cms_partial(h_keys, log2_w=10, weights=counts.astype(np.int64))
+    assert (whole == weighted).all()
+
+    est = cms_estimate(whole, h_keys, log2_w=10)
+    assert (est >= counts).all()          # one-sided error, always
+    assert int(whole[0].sum()) == len(h_all)
+
+
+def test_link_prediction_tiny_graph(ray_session):
+    """Square 1-2-3-4-1: each diagonal pair shares BOTH its neighbors
+    (cn=2, ra=2*1000//2=1000) and is non-adjacent; adjacent pairs share
+    none and must not appear."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.graph import link_prediction
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    et = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                   "b": pa.array([e[1] for e in edges], pa.int64())})
+    rows = {(r["u"], r["v"]): (r["cn"], r["ra"])
+            for r in link_prediction(rd.from_arrow(et), min_common=2).take_all()}
+    assert rows == {(1, 3): (2, 1000), (2, 4): (2, 1000)}
