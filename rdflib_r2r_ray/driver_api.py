@@ -1653,7 +1653,7 @@ _LATE_R4 = {
     "sketch_grouped_distinct", "text_inverted_index", "text_outlier_mad",
     "text_dsir_weight", "graph_kcore", "text_weighted_sample",
     "rel_late_events", "kg_entity_cooccur", "graph_link_predict",
-    "sketch_heavy_hitters",
+    "sketch_heavy_hitters", "rel_star_join", "rel_range_partition",
 }
 
 

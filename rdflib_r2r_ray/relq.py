@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -130,6 +131,82 @@ SELECT c_mktsegment,
   COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+"""
+
+
+# --- Q5-shaped star join ---------------------------------------------------
+
+def q_rel_star_join(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5-shaped star join (local-supplier volume): lineitem ⋈
+    date-filtered orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region('ASIA'),
+    keeping only same-nation customer/supplier pairs, revenue per nation.
+    The dimension chain (region→nation→supplier) folds driver-free through
+    ``planned_join`` broadcasts; the fact table streams through without a
+    shuffle.  Revenue in integer cents (per-row round, int64 sum) so the
+    grouped total is order-independent and byte-equal to the SQL oracle."""
+    import datetime as _dt
+
+    region = R.filter_expr(
+        _read(sf_dir, "region", columns=["r_regionkey", "r_name"]),
+        "r_name == 'ASIA'").select_columns(["r_regionkey"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"])
+    nation = R.planned_join(nation, region, on=["n_regionkey"],
+                            right_on=["r_regionkey"], join_type="left_semi")
+    supp = R.planned_join(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation, on=["s_nationkey"], right_on=["n_nationkey"])
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+    def in_window(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(in_window, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    li = R.extend(li, rev_cents=lambda b: pc.cast(
+        pc.round(pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(100.0)), 0, round_mode="half_towards_infinity"),
+        pa.int64())).select_columns(["l_orderkey", "l_suppkey", "rev_cents"])
+
+    j = R.planned_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+    j = R.planned_join(j, supp, on=["l_suppkey"], right_on=["s_suppkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j = R.planned_join(j, cust, on=["o_custkey"], right_on=["c_custkey"])
+    j = R.filter_expr(j, "c_nationkey == s_nationkey")
+    return R.grouped_agg(
+        j.select_columns(["n_name", "rev_cents"]), ["n_name"],
+        sums=["rev_cents"], count_as="n_items",
+    ).map_batches(
+        lambda b: b.rename_columns(["n_name", "revenue_cents", "n_items"]),
+        batch_format="pyarrow")
+
+
+SQL_REL_STAR_JOIN = """
+SELECT n_name,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
 """
 
 
@@ -703,6 +780,51 @@ SELECT unnest([0.5, 0.9, 0.99]) AS q,
                quantile_disc(n_chars, 0.9),
                quantile_disc(n_chars, 0.99)]) AS value
 FROM documents
+"""
+
+
+def q_rel_range_partition(sf_dir: str) -> rd.Dataset:
+    """Range-partition layout planning — the data-layout primitive under
+    sorted/clustered 100 TB writes (each bucket becomes one contiguous key
+    range of output files): exact quartile boundaries from the distributed
+    value histogram (``quantiles_disc``, DuckDB ``quantile_disc`` rank
+    semantics), broadcast to a vectorized bucket-assignment pass (strict
+    ``v > boundary`` so boundary ties land LOW — deterministic), one
+    grouped min/max/count exchange reports the per-range stats a planner
+    needs (bounds for file pruning, counts for skew detection)."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    bounds = [int(r["value"])
+              for r in R.quantiles_disc(ds, "n_chars",
+                                        [0.25, 0.5, 0.75]).take_all()]
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b["n_chars"]
+        bucket = pa.array(np.zeros(len(b), np.int64))
+        for bd in bounds:
+            bucket = pc.add(bucket, pc.cast(
+                pc.greater(v, pa.scalar(bd, pa.int64())), pa.int64()))
+        return pa.table({"bucket": bucket, "n_chars": v,
+                         "n_rows": pa.array(np.ones(len(b), np.int64))})
+
+    return R.grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["bucket"], sums=["n_rows"], mins=["n_chars"],
+    ).map_batches(
+        lambda b: b.rename_columns(["bucket", "n_rows", "min_v"]),
+        batch_format="pyarrow")
+
+
+SQL_REL_RANGE_PARTITION = """
+WITH b AS (
+  SELECT quantile_disc(n_chars, 0.25) AS b1,
+         quantile_disc(n_chars, 0.50) AS b2,
+         quantile_disc(n_chars, 0.75) AS b3
+  FROM documents)
+SELECT CAST(CAST(n_chars > b1 AS BIGINT) + CAST(n_chars > b2 AS BIGINT)
+            + CAST(n_chars > b3 AS BIGINT) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(n_chars) AS min_v
+FROM documents, b GROUP BY 1
 """
 
 
@@ -1385,6 +1507,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_grouped_topk": q_rel_grouped_topk,
         "rel_pricing": q_rel_pricing,
         "rel_join_agg": q_rel_join_agg,
+        "rel_star_join": q_rel_star_join,
+        "rel_range_partition": q_rel_range_partition,
         "rel_left_join": q_rel_left_join,
         "rel_exists": q_rel_exists,
         "rel_not_exists": q_rel_not_exists,
@@ -1434,6 +1558,8 @@ def oracle_sql() -> Dict[str, str]:
         "rel_grouped_topk": SQL_REL_GROUPED_TOPK,
         "rel_pricing": SQL_REL_PRICING,
         "rel_join_agg": SQL_REL_JOIN_AGG,
+        "rel_star_join": SQL_REL_STAR_JOIN,
+        "rel_range_partition": SQL_REL_RANGE_PARTITION,
         "rel_left_join": SQL_REL_LEFT_JOIN,
         "rel_exists": SQL_REL_EXISTS,
         "rel_not_exists": SQL_REL_NOT_EXISTS,

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .dedup import _pl
+
 PR_SCALE = 10**12
 
 # Graphs at or under this many edges run all iterations in ONE Ray task
@@ -60,6 +62,35 @@ def _pagerank_local(n_nodes: int, out_degree: int, iters: int,
                      rank_col: pa.array(r, pa.int64())})
 
 
+# Same small-input split as _LOCAL_PR_MAX_EDGES for the edge-set analytics
+# below (k-core / link prediction / triangles): at or under this many edges
+# the whole algorithm runs in ONE Ray task (vectorized numpy/polars, same
+# integer semantics) instead of per-round exchanges whose fixed cost
+# dominates tiny graphs.  The distributed plans remain the 100 TB paths and
+# are pytest-forced via monkeypatched thresholds.
+_LOCAL_GRAPH_MAX_EDGES = 200_000
+
+
+def _triangles_local(a_col: str, b_col: str, node_col: str, out_col: str,
+                     *blocks: pa.Table) -> pa.Table:
+    pl = _pl()
+    et = [b for b in blocks if b.num_rows]
+    if not et:
+        return pa.table({node_col: pa.array([], pa.int64()),
+                         out_col: pa.array([], pa.int64())})
+    und = pl.from_arrow(pa.concat_tables(et)).rename(
+        {a_col: "a", b_col: "b"}).select("a", "b")
+    wed = und.join(und.rename({"a": "m", "b": "c"}),
+                   left_on="b", right_on="m")
+    closed = wed.join(und.rename({"b": "c"}), on=["a", "c"], how="semi")
+    corners = pl.concat([closed.select(pl.col("a").alias("n")),
+                         closed.select(pl.col("b").alias("n")),
+                         closed.select(pl.col("c").alias("n"))])
+    out = corners.group_by("n").len(name=out_col).sort("n")
+    return pa.table({node_col: out["n"].to_numpy().astype(np.int64),
+                     out_col: out[out_col].to_numpy().astype(np.int64)})
+
+
 def triangle_counts(
     und: rd.Dataset,
     a_col: str = "a",
@@ -81,6 +112,10 @@ def triangle_counts(
     from ..relational import grouped_agg, planned_join
 
     und = und.select_columns([a_col, b_col]).materialize()
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = ray.remote(_triangles_local).remote(
+            a_col, b_col, node_col, out_col, *und.to_arrow_refs())
+        return rd.from_arrow_refs([out])
     right = und.map_batches(
         lambda t: t.rename_columns(["__m", "c"]), batch_format="pyarrow")
     wedges = planned_join(und, right, on=[b_col], right_on=["__m"])
@@ -124,6 +159,37 @@ def _degrees(und: rd.Dataset, a_col: str = "a", b_col: str = "b",
     )
 
 
+def _kcore_local(k: int, max_rounds: int, a_col: str, b_col: str,
+                 *blocks: pa.Table) -> pa.Table:
+    et = [b for b in blocks if b.num_rows]
+    if et:
+        t = pa.concat_tables(et)
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a = b = np.array([], np.int64)
+    prev, converged = len(a), len(a) == 0
+    for _ in range(max_rounds):
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        deg = np.bincount(inv, minlength=len(nodes))
+        ia, ib = inv[: len(a)], inv[len(a):]
+        keep = (deg[ia] >= k) & (deg[ib] >= k)
+        a, b = a[keep], b[keep]
+        if len(a) == prev:
+            converged = True
+            break
+        prev = len(a)
+    if not converged:
+        raise RuntimeError(
+            f"k-core peel did not converge within {max_rounds} rounds "
+            f"(edge count still shrinking at {prev}); raise max_rounds")
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes))
+    m = deg >= k
+    return pa.table({"node": pa.array(nodes[m], pa.int64()),
+                     "deg": pa.array(deg[m].astype(np.int64), pa.int64())})
+
+
 def kcore(
     und: rd.Dataset,
     k: int,
@@ -142,6 +208,12 @@ def kcore(
 
     edges = und.select_columns([a_col, b_col]).materialize()
     prev = edges.count()
+    if prev <= _LOCAL_GRAPH_MAX_EDGES:
+        # eager get so an unconverged peel raises HERE, matching the
+        # distributed path's raise-at-call contract
+        out = ray.get(ray.remote(_kcore_local).remote(
+            k, max_rounds, a_col, b_col, *edges.to_arrow_refs()))
+        return rd.from_arrow(out)
     converged = prev == 0
     for _ in range(max_rounds):
         deg = _degrees(edges, a_col, b_col)
@@ -165,6 +237,30 @@ def kcore(
     return _degrees(edges, a_col, b_col).filter(expr=f"deg >= {k}")
 
 
+def _linkpred_local(min_common: int, ra_scale: int, a_col: str, b_col: str,
+                    *blocks: pa.Table) -> pa.Table:
+    pl = _pl()
+    schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                        ("cn", pa.int64()), ("ra", pa.int64())])
+    et = [b for b in blocks if b.num_rows]
+    if not et:
+        return schema.empty_table()
+    und = pl.from_arrow(pa.concat_tables(et)).rename(
+        {a_col: "a", b_col: "b"}).select("a", "b")
+    adj = pl.concat([und.select(pl.col("a").alias("u"), pl.col("b").alias("w")),
+                     und.select(pl.col("b").alias("u"), pl.col("a").alias("w"))])
+    deg = adj.group_by("u").len(name="deg").rename({"u": "w"})
+    wed = (adj.join(adj.rename({"u": "v"}), on="w")
+           .filter(pl.col("u") < pl.col("v")))
+    sc = (wed.join(deg, on="w")
+          .with_columns((ra_scale // pl.col("deg")).alias("ra"))
+          .group_by("u", "v")
+          .agg(pl.len().alias("cn").cast(pl.Int64), pl.col("ra").sum())
+          .join(und, left_on=["u", "v"], right_on=["a", "b"], how="anti")
+          .filter(pl.col("cn") >= min_common))
+    return sc.to_arrow().cast(schema)
+
+
 def link_prediction(
     und: rd.Dataset,
     min_common: int = 2,
@@ -186,6 +282,10 @@ def link_prediction(
     from ..relational import grouped_agg, planned_join
 
     und = und.select_columns([a_col, b_col]).materialize()
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = ray.remote(_linkpred_local).remote(
+            min_common, ra_scale, a_col, b_col, *und.to_arrow_refs())
+        return rd.from_arrow_refs([out])
 
     def symm(t: pa.Table) -> pa.Table:
         u = np.concatenate([t[a_col].to_numpy(zero_copy_only=False),

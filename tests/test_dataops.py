@@ -1130,13 +1130,18 @@ def test_cms_overcount_only_and_weighted_merge():
     assert int(whole[0].sum()) == len(h_all)
 
 
-def test_link_prediction_tiny_graph(ray_session):
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_link_prediction_tiny_graph(ray_session, monkeypatch, path):
     """Square 1-2-3-4-1: each diagonal pair shares BOTH its neighbors
     (cn=2, ra=2*1000//2=1000) and is non-adjacent; adjacent pairs share
     none and must not appear."""
     import ray.data as rd
 
+    from rdflib_r2r_ray.stages import graph as G
     from rdflib_r2r_ray.stages.graph import link_prediction
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
 
     edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
     et = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),

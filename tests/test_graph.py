@@ -53,13 +53,17 @@ def test_pagerank_matches_reference_recurrence(ray_session, monkeypatch, path):
     assert all(v > 0 for v in got.values())
 
 
-def test_kcore_peels_tree_fringe(ray_session):
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_kcore_peels_tree_fringe(ray_session, monkeypatch, path):
     """Triangle (1,2,3) with a pendant path 3-4-5: the 2-core is exactly
     the triangle with degree 2 each; the path peels off over two rounds."""
     import ray.data as rd
 
+    from rdflib_r2r_ray.stages import graph as G
     from rdflib_r2r_ray.stages.graph import kcore
 
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
     edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
     et = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
                    "b": pa.array([e[1] for e in edges], pa.int64())})
@@ -68,20 +72,43 @@ def test_kcore_peels_tree_fringe(ray_session):
     assert got == {1: 2, 2: 2, 3: 2}
 
 
-def test_kcore_unconverged_raises(ray_session):
-    """A long path under an impossible round budget must fail loudly, not
-    return a superset of the core."""
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_kcore_unconverged_raises(ray_session, monkeypatch, path):
+    """A long path under an impossible round budget must fail loudly at
+    call time, not return a superset of the core."""
     import pytest as _pytest
     import ray.data as rd
 
+    from rdflib_r2r_ray.stages import graph as G
     from rdflib_r2r_ray.stages.graph import kcore
 
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
     # path 0-1-2-...-9: 2-core is empty but peeling needs ~5 rounds
     edges = [(i, i + 1) for i in range(9)]
     et = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
                    "b": pa.array([e[1] for e in edges], pa.int64())})
     with _pytest.raises(RuntimeError, match="did not converge"):
         kcore(rd.from_arrow(et), k=2, max_rounds=2)
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_triangle_counts_both_paths(ray_session, monkeypatch, path):
+    """Two triangles sharing node 3 (+ a pendant edge): shared node counts
+    both, pendant nodes count zero (absent)."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages import graph as G
+    from rdflib_r2r_ray.stages.graph import triangle_counts
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5), (5, 6)]
+    et = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                   "b": pa.array([e[1] for e in edges], pa.int64())})
+    got = {r["node"]: r["n_tri"]
+           for r in triangle_counts(rd.from_arrow(et)).take_all()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
 
 
 def test_pagerank_sink_only_nodes_get_base(ray_session):
