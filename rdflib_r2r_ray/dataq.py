@@ -191,6 +191,139 @@ def q_dd_fuzzy_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+SPLIT_TRAIN_PERMILLE, SPLIT_VAL_PERMILLE = 800, 900
+
+
+def q_text_split_assign(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split assignment (every training
+    pipeline's first step): split = hash-permille of doc_id against
+    800/900 thresholds — pure integer arithmetic, so membership is stable
+    across cluster sizes, re-runs and incremental ingests (new docs never
+    reshuffle old ones, unlike RNG or modulo-on-row-position splits).
+    One vectorized pass + a 3-row grouped count/sum exchange."""
+    from .relational import grouped_agg
+
+    KNUTH, MOD = 2654435761, 1 << 32
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pm = (((ids * np.uint64(KNUTH)) % np.uint64(MOD)) * np.uint64(1000)
+              // np.uint64(MOD)).astype(np.int64)
+        split = np.where(pm < SPLIT_TRAIN_PERMILLE, "train",
+                         np.where(pm < SPLIT_VAL_PERMILLE, "val", "test"))
+        return pa.table({"split": pa.array(split, pa.string()),
+                         "n_docs": pa.array(np.ones(len(b), np.int64)),
+                         "n_chars": b["n_chars"]})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .map_batches(assign, batch_format="pyarrow")
+    return grouped_agg(ds, ["split"], sums=["n_docs", "n_chars"],
+                       in_schema=pa.schema([("split", pa.string()),
+                                            ("n_docs", pa.int64()),
+                                            ("n_chars", pa.int64())]))
+
+
+SQL_TEXT_SPLIT_ASSIGN = f"""
+WITH a AS (
+  SELECT n_chars,
+         ((doc_id * 2654435761) % 4294967296) * 1000 // 4294967296 AS pm
+  FROM documents)
+SELECT CASE WHEN pm < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+            WHEN pm < {SPLIT_VAL_PERMILLE} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM a GROUP BY 1
+"""
+
+
+def q_dd_keeper_quality(sf_dir: str) -> rd.Dataset:
+    """Quality-aware keeper selection for fuzzy-dup clusters (what prod
+    dedup actually ships: keep the BEST doc per cluster, not the lowest
+    id): same LSH → verify → connected-components pipeline as
+    ``dd_fuzzy_dedup``, then keeper = argmax(char length, tie → min doc_id)
+    per component via one ``grouped_topk(k=1)`` exchange — the planted
+    near-copies are one token LONGER, so this keeps the opposite member
+    vs the min-id rule and the composition is genuinely exercised."""
+    from .relational import grouped_topk, planned_join
+    from .stages.canonicalize import label_propagation_components
+
+    def plant_tenth(batch: pa.Table) -> pa.Table:
+        did = pc.cast(batch["doc_id"], pa.int64())
+        tenth = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 10), 10)), 0)
+        planted = plant_near_dups(batch.filter(tenth))
+        copies = planted.filter(
+            pc.greater_equal(planted["doc_id"], pa.scalar(DUP_OFFSET, pa.int64())))
+        return pa.concat_tables([batch, copies])
+
+    corpus = _docs(sf_dir).map_batches(plant_tenth, batch_format="pyarrow") \
+        .materialize()
+    pairs = D.verified_near_dup_pairs(
+        corpus, num_perm=128, bands=32, permille_threshold=800)
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["id_a"], "b": b["id_b"]})
+
+    labels = label_propagation_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"))
+
+    def doc_len(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "n": pc.cast(pc.utf8_length(b["text"]), pa.int64())})
+
+    docs = corpus.map_batches(doc_len, batch_format="pyarrow")
+    j = planned_join(docs, labels, on=["doc_id"], right_on=["node"],
+                     join_type="left_outer")
+
+    def comp_of(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "n": b["n"],
+            "comp": pc.coalesce(b["label"], b["doc_id"]),
+        })
+
+    comp = j.map_batches(comp_of, batch_format="pyarrow")
+    win = grouped_topk(comp, ["comp"], [("n", True), ("doc_id", False)], 1,
+                       keep=["doc_id"])
+    return win.select_columns(["doc_id"])
+
+
+def _sql_dd_keeper_quality() -> str:
+    t = 800
+    shingles = _SQL_SHINGLES.replace("FROM documents", "FROM corpus")
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text || ' zzztail' FROM documents
+  WHERE doc_id % 10 = 0
+), sh AS ({shingles}
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND len(a.sh) * 1000 >= len(b.sh) * {t} AND len(b.sh) * 1000 >= len(a.sh) * {t}
+  WHERE len(list_intersect(a.sh, b.sh)) * 1000 >= len(list_distinct(a.sh || b.sh)) * {t}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
+), labels AS (
+  SELECT x AS node, least(x, MIN(y)) AS label FROM reach GROUP BY x
+), comp AS (
+  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS comp, length(c.text) AS n
+  FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY comp ORDER BY n DESC, doc_id) AS rn
+  FROM comp) WHERE rn = 1
+"""
+
+
 def _sql_dd_fuzzy_dedup() -> str:
     t = 800
     shingles = _SQL_SHINGLES.replace("FROM documents", "FROM corpus")
@@ -2559,6 +2692,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_weighted_sample": q_text_weighted_sample,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
+        "dd_keeper_quality": q_dd_keeper_quality,
+        "text_split_assign": q_text_split_assign,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_simhash": q_dd_simhash,
@@ -2620,6 +2755,8 @@ def oracle_sql() -> Dict[str, str]:
         "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
+        "dd_keeper_quality": _sql_dd_keeper_quality(),
+        "text_split_assign": SQL_TEXT_SPLIT_ASSIGN,
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,
         "dd_ngram_jaccard": SQL_DD_NGRAM_JACCARD,
         "dd_simhash": SQL_DD_SIMHASH,
