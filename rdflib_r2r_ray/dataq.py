@@ -191,6 +191,110 @@ def q_dd_fuzzy_dedup(sf_dir: str) -> rd.Dataset:
     )
 
 
+CONTAM_K, CONTAM_SPAN = 5, 40
+
+
+def _shingle_frame(pl, df, id_col: str):
+    """polars (id, token-list) frame → distinct (id, k-gram shingle) rows.
+    Docs shorter than CONTAM_K tokens contribute their whole token string
+    as one shingle (same total rule as the SQL oracle); empty shingles are
+    dropped on both sides.  ``pl`` is passed in so worker closures capture
+    the module instead of re-importing the package at runtime."""
+    k = CONTAM_K
+    short = df.filter(pl.col("t").list.len() < k).select(
+        id_col, pl.col("t").list.join(" ").alias("sh"))
+    grams = (
+        df.filter(pl.col("t").list.len() >= k)
+        .explode("t")
+        .with_columns([pl.col("t").shift(-i).over(id_col).alias(f"__s{i}")
+                       for i in range(1, k)])
+        .filter(pl.col(f"__s{k-1}").is_not_null())
+        .select(id_col, pl.concat_str(
+            [pl.col("t")] + [pl.col(f"__s{i}") for i in range(1, k)],
+            separator=" ").alias("sh"))
+    )
+    return (pl.concat([grams, short])
+            .filter(pl.col("sh") != "")
+            .unique([id_col, "sh"]))
+
+
+def q_dd_contamination(sf_dir: str) -> rd.Dataset:
+    """Benchmark-decontamination check (the GPT-3/PaLM eval-overlap sweep):
+    for every EVAL document, count the TRAIN documents sharing at least one
+    5-token n-gram.  Eval set is synthesized deterministically from the
+    corpus itself — every 13th doc contributes a contaminated eval doc (its
+    first 40 tokens verbatim) and every (13k+5)th a clean control (tokens
+    reversed, so no forward 5-gram survives).  Plan: vectorized polars
+    tokenize → per-doc distinct shingles (combiner), shingle-keyed
+    distributed hash join, distinct (eval, train) pair exchange, grouped
+    count — the shuffle moves one row per distinct (doc, shingle), never
+    text, and hot n-grams are impossible by construction of the 5-gram
+    width.  Unlike ``text_decontaminate`` (Aho-Corasick vs a small literal
+    list) this is corpus-vs-corpus: both sides are datasets."""
+    from .relational import grouped_agg, planned_join
+    from .stages.dedup import _pl, distinct_on
+
+    pl = _pl()
+    shingle_frame = _shingle_frame
+    sh_schema = lambda c: pa.schema([(c, pa.int64()), ("sh", pa.string())])
+
+    def train_shingles(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "text"])).select(
+            pl.col("doc_id").alias("train_id"),
+            pl.col("text").str.to_lowercase()
+            .str.extract_all(r"[a-z0-9_]+").alias("t"))
+        return shingle_frame(pl, df, "train_id").to_arrow().cast(sh_schema("train_id"))
+
+    def eval_shingles(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "text"])).select(
+            "doc_id",
+            pl.col("text").str.to_lowercase()
+            .str.extract_all(r"[a-z0-9_]+").alias("t"))
+        pos = df.filter(pl.col("doc_id") % 13 == 0).select(
+            (pl.col("doc_id") + DUP_OFFSET).alias("eval_id"),
+            pl.col("t").list.head(CONTAM_SPAN).alias("t"))
+        neg = df.filter(pl.col("doc_id") % 13 == 5).select(
+            (pl.col("doc_id") + DUP_OFFSET).alias("eval_id"),
+            pl.col("t").list.reverse().alias("t"))
+        return shingle_frame(pl, pl.concat([pos, neg]), "eval_id") \
+            .to_arrow().cast(sh_schema("eval_id"))
+
+    train = _docs(sf_dir).map_batches(train_shingles, batch_format="pyarrow")
+    evals = _docs(sf_dir).map_batches(eval_shingles, batch_format="pyarrow")
+    j = planned_join(train, evals, on=["sh"])
+    pairs = distinct_on(
+        j.map_batches(lambda t: t.select(["eval_id", "train_id"]),
+                      batch_format="pyarrow"),
+        ["eval_id", "train_id"])
+    return grouped_agg(pairs.select_columns(["eval_id"]), ["eval_id"],
+                       count_as="n_train_docs")
+
+
+def _sql_dd_contamination() -> str:
+    k, span = CONTAM_K, CONTAM_SPAN
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    sh = f"""unnest(list_distinct(CASE WHEN len(t) < {k}
+        THEN [array_to_string(t, ' ')]
+        ELSE list_transform(range(1, len(t) - {k - 2}), i -> {gram}) END)) AS sh"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents),
+tsh AS (SELECT doc_id AS train_id, {sh} FROM base),
+ev AS (
+  SELECT doc_id + {DUP_OFFSET} AS eval_id, t[1:{span}] AS t
+  FROM base WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, list_reverse(t)
+  FROM base WHERE doc_id % 13 = 5),
+esh AS (SELECT eval_id, {sh} FROM ev)
+SELECT e.eval_id, CAST(COUNT(DISTINCT s.train_id) AS BIGINT) AS n_train_docs
+FROM esh e JOIN tsh s ON e.sh = s.sh
+WHERE e.sh <> ''
+GROUP BY e.eval_id
+"""
+
+
 SPLIT_TRAIN_PERMILLE, SPLIT_VAL_PERMILLE = 800, 900
 
 
@@ -2693,6 +2797,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_keeper_quality": q_dd_keeper_quality,
+        "dd_contamination": q_dd_contamination,
         "text_split_assign": q_text_split_assign,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -2756,6 +2861,7 @@ def oracle_sql() -> Dict[str, str]:
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_keeper_quality": _sql_dd_keeper_quality(),
+        "dd_contamination": _sql_dd_contamination(),
         "text_split_assign": SQL_TEXT_SPLIT_ASSIGN,
         "dd_minhash_lsh": SQL_DD_MINHASH_LSH,
         "dd_ngram_jaccard": SQL_DD_NGRAM_JACCARD,

@@ -1654,7 +1654,7 @@ _LATE_R4 = {
     "text_dsir_weight", "graph_kcore", "text_weighted_sample",
     "rel_late_events", "kg_entity_cooccur", "graph_link_predict",
     "sketch_heavy_hitters", "rel_star_join", "rel_range_partition",
-    "dd_keeper_quality", "text_split_assign",
+    "dd_keeper_quality", "text_split_assign", "dd_contamination",
 }
 
 
