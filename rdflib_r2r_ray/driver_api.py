@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 from typing import Callable, Dict
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -239,6 +240,63 @@ def q_kg_incremental(sf_dir: str) -> rd.Dataset:
 
 def _sql_kg_incremental() -> str:
     return _sql_kg_full_documents()
+
+
+def q_kg_diff(sf_dir: str) -> rd.Dataset:
+    """KG change-data-capture (incremental-maintenance companion to
+    ``kg_incremental``): construct the graph over the corpus as-is and over
+    a mutated next crawl (every 11th doc's ``n_chars`` shifts by +1000 —
+    re-crawled pages), then emit the triple-level delta: ``op='added'`` for
+    triples only in the new graph, ``op='removed'`` for triples only in the
+    old one.  Both diffs are distributed hash ANTI-joins over the full
+    (subj, pred, obj) key — set semantics on each side come from the same
+    dedup exchange as the flagship, so nothing materializes on the driver
+    and the delta is exact (unchanged mention triples cancel out)."""
+    from .pipelines.kg import kg_construct
+    from .relational import anti_join
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        bump = pa.array(((ids % 11) == 0).astype(np.int64) * 1000)
+        return b.set_column(b.column_names.index("n_chars"), "n_chars",
+                            pc.add(b["n_chars"], bump))
+
+    def tag(op: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "op", pa.array(np.repeat(op, len(t)), pa.string()))
+        return f
+
+    mapping = documents_mapping()
+    cols = ["subj", "pred", "obj"]
+    old = kg_construct(ds, mapping, "documents").select_columns(cols)
+    new = kg_construct(ds.map_batches(mutate, batch_format="pyarrow"),
+                       mapping, "documents").select_columns(cols)
+    added = anti_join(new, old, on=cols).map_batches(
+        tag("added"), batch_format="pyarrow")
+    removed = anti_join(old, new, on=cols).map_batches(
+        tag("removed"), batch_format="pyarrow")
+    return added.union(removed).select_columns(["op"] + cols)
+
+
+def _sql_kg_diff() -> str:
+    full = _sql_kg_full_documents()
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents),
+old AS ({full}),
+new AS ({full.replace("FROM documents", "FROM docs2")})
+SELECT 'added' AS op, subj, pred, obj
+FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+UNION ALL
+SELECT 'removed', subj, pred, obj
+FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
+"""
 
 
 def q_kg_degree_hist(sf_dir: str) -> rd.Dataset:
@@ -1655,6 +1713,7 @@ _LATE_R4 = {
     "rel_late_events", "kg_entity_cooccur", "graph_link_predict",
     "sketch_heavy_hitters", "rel_star_join", "rel_range_partition",
     "dd_keeper_quality", "text_split_assign", "dd_contamination",
+    "kg_diff",
 }
 
 
@@ -1706,6 +1765,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_store_pattern": q_kg_store_pattern,
         "kg_degree_hist": q_kg_degree_hist,
         "kg_incremental": q_kg_incremental,
+        "kg_diff": q_kg_diff,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -1767,6 +1827,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_store_pattern": _sql_kg_store_pattern(),
         "kg_degree_hist": _sql_kg_degree_hist(),
         "kg_incremental": _sql_kg_incremental(),
+        "kg_diff": _sql_kg_diff(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),
