@@ -299,6 +299,124 @@ FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
 """
 
 
+def _kg_id_mapped_edges(sf_dir: str):
+    """Shared KG-embedding-export plan: the entity→entity subgraph of the
+    full KG (IRI objects only) with every term replaced by a dense integer
+    id — the (head, relation, tail) tensor a TransE/ComplEx trainer
+    consumes.  Entity vocab = distinct subj ∪ obj enumerated by
+    :func:`global_enumerate` (range-partitioned sample sort; only block
+    counts reach the driver), relation vocab likewise; the three id joins
+    go through :func:`planned_join`, so the tiny relation vocab broadcasts
+    while an at-scale entity vocab falls back to the distributed hash join.
+    Returns ``(mapped_edges, n_entities)`` — the count is a metadata read."""
+    from .relational import distinct, global_enumerate, planned_join
+
+    g = q_kg_full_documents(sf_dir)
+
+    def iri_obj(b: pa.Table) -> pa.Table:
+        return b.filter(pc.starts_with(b["obj"], "<"))
+
+    edges = g.map_batches(iri_obj, batch_format="pyarrow")
+
+    def _ren(*names):
+        return lambda t: t.rename_columns(list(names))
+
+    subs = edges.select_columns(["subj"]).map_batches(
+        _ren("ent"), batch_format="pyarrow")
+    objs = edges.select_columns(["obj"]).map_batches(
+        _ren("ent"), batch_format="pyarrow")
+    vocab = global_enumerate(
+        distinct(subs.union(objs), ["ent"]), ["ent"], alias="ent_id")
+    vocab = vocab.materialize()
+    n_ent = vocab.count()
+    rels = global_enumerate(
+        distinct(edges.select_columns(["pred"]), ["pred"]),
+        ["pred"], alias="r_id")
+
+    h_vocab = vocab.map_batches(_ren("subj", "h_id"), batch_format="pyarrow")
+    t_vocab = vocab.map_batches(_ren("obj", "t_id"), batch_format="pyarrow")
+    m = planned_join(edges, h_vocab, on=["subj"])
+    m = planned_join(m, rels, on=["pred"])
+    m = planned_join(m, t_vocab, on=["obj"])
+    return m.select_columns(["h_id", "r_id", "t_id"]), n_ent
+
+
+def q_kg_embed_export(sf_dir: str) -> rd.Dataset:
+    """KG-embedding training export: the id-mapped (h_id, r_id, t_id)
+    positive-triple tensor (see :func:`_kg_id_mapped_edges`)."""
+    return _kg_id_mapped_edges(sf_dir)[0]
+
+
+_SQL_EMBED_BASE = """
+g AS ({full}),
+e AS (SELECT subj, pred, obj FROM g WHERE obj LIKE '<%'),
+ent AS (
+  SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) AS ent_id
+  FROM (SELECT subj AS ent FROM e UNION SELECT obj FROM e)),
+rel AS (
+  SELECT pred, ROW_NUMBER() OVER (ORDER BY pred) AS r_id
+  FROM (SELECT DISTINCT pred FROM e)),
+pos AS (
+  SELECT h.ent_id AS h_id, rel.r_id AS r_id, t.ent_id AS t_id
+  FROM e
+  JOIN ent h ON e.subj = h.ent
+  JOIN rel ON e.pred = rel.pred
+  JOIN ent t ON e.obj = t.ent)
+"""
+
+
+def _sql_kg_embed_export() -> str:
+    base = _SQL_EMBED_BASE.format(full=_sql_kg_full_documents())
+    return f"WITH {base} SELECT h_id, r_id, t_id FROM pos"
+
+
+def q_kg_negative_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic negative sampling for KG-embedding training: each
+    positive (h, r, t) yields K=2 corrupted-tail candidates via an RNG-free
+    multiplicative hash over the ids (reproducible across cluster sizes and
+    resumes, unlike seeded per-worker RNGs), then one distributed ANTI-join
+    drops any candidate that is a true edge — the standard filtered-negative
+    protocol.  Candidate generation is a pure per-batch numpy kernel; the
+    only wide step is the anti-join's hash exchange."""
+    from .relational import anti_join, distinct
+
+    mapped, n_ent = _kg_id_mapped_edges(sf_dir)
+    mapped = mapped.materialize()
+
+    def corrupt(b: pa.Table, _n=n_ent) -> pa.Table:
+        h = b["h_id"].to_numpy().astype(np.int64)
+        r = b["r_id"].to_numpy().astype(np.int64)
+        t = b["t_id"].to_numpy().astype(np.int64)
+        outs = []
+        for k in (1, 2):
+            neg = (h * 1000003 + r * 101 + t * 31 + k * 7919) % _n + 1
+            outs.append(pa.table({"h_id": h, "r_id": r, "t_id": neg}))
+        return pa.concat_tables(outs)
+
+    cand = distinct(
+        mapped.map_batches(corrupt, batch_format="pyarrow"),
+        ["h_id", "r_id", "t_id"])
+    return anti_join(cand, mapped, on=["h_id", "r_id", "t_id"])
+
+
+def _sql_kg_negative_sample() -> str:
+    base = _SQL_EMBED_BASE.format(full=_sql_kg_full_documents())
+    return f"""
+WITH {base},
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ent FROM ent),
+cand AS (
+  SELECT DISTINCT p.h_id, p.r_id,
+         (p.h_id * 1000003 + p.r_id * 101 + p.t_id * 31 + k.k * 7919)
+           % n.n_ent + 1 AS t_id
+  FROM pos p, (VALUES (1), (2)) k(k), n)
+SELECT c.h_id, c.r_id, c.t_id
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p
+  WHERE p.h_id = c.h_id AND p.r_id = c.r_id AND p.t_id = c.t_id)
+"""
+
+
 def q_kg_degree_hist(sf_dir: str) -> rd.Dataset:
     """Graph-shape analytics over the emitted KG: subject out-degree
     distribution (degree → number of subjects).  Two cascaded map-side-
@@ -1713,7 +1831,8 @@ _LATE_R4 = {
     "rel_late_events", "kg_entity_cooccur", "graph_link_predict",
     "sketch_heavy_hitters", "rel_star_join", "rel_range_partition",
     "dd_keeper_quality", "text_split_assign", "dd_contamination",
-    "kg_diff",
+    "kg_diff", "kg_embed_export", "kg_negative_sample",
+    "rel_intersect", "rel_unnest",
 }
 
 
@@ -1766,6 +1885,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_degree_hist": q_kg_degree_hist,
         "kg_incremental": q_kg_incremental,
         "kg_diff": q_kg_diff,
+        "kg_embed_export": q_kg_embed_export,
+        "kg_negative_sample": q_kg_negative_sample,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -1828,6 +1949,8 @@ def oracle_sql() -> Dict[str, str]:
         "kg_degree_hist": _sql_kg_degree_hist(),
         "kg_incremental": _sql_kg_incremental(),
         "kg_diff": _sql_kg_diff(),
+        "kg_embed_export": _sql_kg_embed_export(),
+        "kg_negative_sample": _sql_kg_negative_sample(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),

@@ -1501,6 +1501,70 @@ FROM documents
 """
 
 
+# --- set INTERSECT ----------------------------------------------------------
+
+def q_rel_intersect(sf_dir: str) -> rd.Dataset:
+    """Set INTERSECT (nations having BOTH a high-balance customer AND an
+    low-balance supplier): per-side distinct through the hash exchange, then one
+    distributed LEFT-SEMI join — the dual of ``rel_except``'s anti-join.
+    Both sides pre-shrink to one row per key before anything crosses the
+    wire, so the join input is bounded by key cardinality, not table size."""
+    # NOTE: keys passed explicitly — Ray 2.49's schema() metadata mis-reports
+    # a Filter->Project lineage as still carrying the filter column, so
+    # distinct's schema-derived default would select a dropped column.
+    c = R.distinct(R.filter_expr(
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]),
+        "c_acctbal > 9000"), ["c_nationkey"])
+    s = R.distinct(R.filter_expr(
+        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]),
+        "s_acctbal < 1000"), ["s_nationkey"])
+    return R.planned_join(c, s, on=["c_nationkey"], right_on=["s_nationkey"],
+                          join_type="left_semi")
+
+
+SQL_REL_INTERSECT = """
+SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 9000
+INTERSECT
+SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal < 1000
+"""
+
+
+# --- UNNEST WITH ORDINALITY --------------------------------------------------
+
+def q_rel_unnest(sf_dir: str) -> rd.Dataset:
+    """UNNEST WITH ORDINALITY (list explode — the lateral flatten the
+    Dataset API lacks as a relational operator): each document's whitespace
+    token list becomes one row per (doc, position, token).  One vectorized
+    polars split+explode pass per batch — no cross-row state, fully
+    streaming, output fans out ~40× but never materializes."""
+    from .stages.dedup import _pl
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (pl.from_arrow(b)
+              .with_columns(pl.col("text").str.split(" ").alias("tok"))
+              .drop("text"))
+        df = df.with_columns(
+            pl.int_ranges(1, pl.col("tok").list.len() + 1).alias("ord"))
+        out = df.explode(["tok", "ord"])
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("tok", pa.string()),
+            ("ord", pa.int64()),
+        ]))
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_REL_UNNEST = """
+SELECT doc_id,
+       unnest(string_split(text, ' ')) AS tok,
+       CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS BIGINT) AS ord
+FROM documents
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -1549,6 +1613,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_global_enumerate": q_rel_global_enumerate,
         "rel_percent_rank": q_rel_percent_rank,
         "rel_late_events": q_rel_late_events,
+        "rel_intersect": q_rel_intersect,
+        "rel_unnest": q_rel_unnest,
     }
 
 
@@ -1600,4 +1666,6 @@ def oracle_sql() -> Dict[str, str]:
         "rel_global_enumerate": SQL_REL_GLOBAL_ENUMERATE,
         "rel_percent_rank": SQL_REL_PERCENT_RANK,
         "rel_late_events": SQL_REL_LATE_EVENTS,
+        "rel_intersect": SQL_REL_INTERSECT,
+        "rel_unnest": SQL_REL_UNNEST,
     }
