@@ -1854,6 +1854,49 @@ SELECT 'user_id', COUNT(DISTINCT user_id), CAST(1 AS BOOLEAN) FROM events
 """
 
 
+def q_sketch_quantiles(sf_dir: str):
+    """Mergeable MRL quantile summary over a CONTINUOUS double column —
+    the bounded-driver-state scale path where the exact value-histogram
+    (``relational.quantiles_disc``) would pull O(rows) distinct doubles to
+    the driver.  The sketch's deterministic rank-error contract
+    (≤ ceil(n/2k)) is verified IN the pipeline: one distributed counting
+    pass measures each estimate's true rank against the target rank.  The
+    emitted values are the exact quantiles (the SQL oracle's
+    ``quantile_disc``); the gate column proves the sketch held its bound."""
+    import math
+
+    from . import relational as R
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    qs = [0.25, 0.5, 0.9]
+    ests, n, eps = SK.approx_quantiles(ds, "value", qs, k=256)
+    th = np.asarray(ests, dtype=np.float64)
+
+    def counts(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        le = (v[:, None] <= th[None, :]).sum(axis=0)
+        return pa.table({f"c{i}": pa.array([int(le[i])], pa.int64())
+                         for i in range(len(qs))})
+
+    crows = ds.map_batches(counts, batch_format="pyarrow").take_all()
+    exact = R.quantiles_disc(ds, "value", qs).to_pandas().sort_values("q")
+    exact["within_bound"] = [
+        abs(sum(r[f"c{i}"] for r in crows) - math.ceil(q * n)) <= eps + 1
+        for i, q in enumerate(qs)
+    ]
+    return exact.reset_index(drop=True)
+
+
+SQL_SKETCH_QUANTILES = """
+SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(value, 0.25) AS value,
+       CAST(1 AS BOOLEAN) AS within_bound FROM events
+UNION ALL
+SELECT 0.5, quantile_disc(value, 0.5), CAST(1 AS BOOLEAN) FROM events
+UNION ALL
+SELECT 0.9, quantile_disc(value, 0.9), CAST(1 AS BOOLEAN) FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed codecs, real Ray plumbing)
 # ---------------------------------------------------------------------------
@@ -2822,6 +2865,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "sketch_distinct": q_sketch_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_resize": q_mm_image_resize,
         "mm_audio_frames": q_mm_audio_frames,
@@ -2886,6 +2930,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_langid": _sql_langid(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "sketch_distinct": SQL_SKETCH_DISTINCT,
+        "sketch_quantiles": SQL_SKETCH_QUANTILES,
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_image_resize": SQL_MM_IMAGE_RESIZE,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,

@@ -202,3 +202,71 @@ def cms_merge(ds: rd.Dataset, col: str, log2_w: int = 13, d: int = 4,
     for r in rows:
         merged += np.asarray(r["cms"], dtype=np.int64)
     return merged.reshape(d, w)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (MRL-style; Manku, Rajagopalan & Lindsay 1998)
+# — the bounded-state quantile primitive for CONTINUOUS columns at corpus
+# scale, where the exact value-histogram path (relational.quantiles_disc)
+# would put O(distinct values) = O(rows) on the driver.  Each block
+# compresses its sorted values to k weighted points (value = segment
+# median, weight = segment size ⇒ per-block rank error ≤ n_block/(2k));
+# the driver merges the O(blocks × k) points EXACTLY (sort + cumulative
+# weight walk, no further compression), so the total rank error is
+# ≤ Σ n_i/(2k) = n/(2k).  Deterministic: even segment spacing, no RNG —
+# the error on a given input is fixed, which is what lets the registered
+# query gate it in-pipeline.
+# ---------------------------------------------------------------------------
+
+def quantile_summary_partial(v: np.ndarray, k: int) -> tuple:
+    """Compress one block's values to ≤k (value, weight) points with rank
+    error ≤ len(v)/(2k)."""
+    v = np.sort(v[~np.isnan(v)])
+    n = len(v)
+    if n == 0:
+        return v.astype(np.float64), np.zeros(0, dtype=np.int64)
+    if n <= k:
+        return v.astype(np.float64), np.ones(n, dtype=np.int64)
+    bounds = np.round(np.arange(k + 1) * (n / k)).astype(np.int64)
+    w = np.diff(bounds)
+    keep = w > 0
+    mids = np.minimum(bounds[:-1] + w // 2, n - 1)
+    return v[mids[keep]].astype(np.float64), w[keep]
+
+
+def approx_quantiles(
+    ds: rd.Dataset, col: str, qs: List[float], k: int = 256
+) -> tuple:
+    """Approximate ``quantile_disc`` values (rank = ceil(q·n), 1-indexed)
+    from per-block summaries.  Returns ``(estimates, n, max_rank_error)``
+    where ``max_rank_error = ceil(n/(2k))`` is the deterministic bound the
+    caller can gate against.  One bounded row (≤k doubles + ≤k ints) per
+    block reaches the driver — no shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        arr = (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        v = np.asarray(pc.drop_null(arr).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        vals, w = quantile_summary_partial(v, k)
+        return pa.table({
+            "vals": pa.array([vals.tolist()], pa.list_(pa.float64())),
+            "weights": pa.array([w.tolist()], pa.list_(pa.int64())),
+        })
+
+    rows = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    vals = np.concatenate([np.asarray(r["vals"], dtype=np.float64)
+                           for r in rows]) if rows else np.zeros(0)
+    wts = np.concatenate([np.asarray(r["weights"], dtype=np.int64)
+                          for r in rows]) if rows else np.zeros(0, np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    n = int(cum[-1]) if len(cum) else 0
+    ests = []
+    for q in qs:
+        target = max(1, math.ceil(q * n))
+        i = int(np.searchsorted(cum, target))
+        ests.append(float(vals[min(i, len(vals) - 1)]) if n else float("nan"))
+    return ests, n, math.ceil(n / (2 * k)) if n else 0

@@ -1149,3 +1149,33 @@ def test_link_prediction_tiny_graph(ray_session, monkeypatch, path):
     rows = {(r["u"], r["v"]): (r["cn"], r["ra"])
             for r in link_prediction(rd.from_arrow(et), min_common=2).take_all()}
     assert rows == {(1, 3): (2, 1000), (2, 4): (2, 1000)}
+
+
+def test_quantile_summary_rank_bound(ray_session):
+    """MRL summary: per-block compress + driver merge holds the deterministic
+    rank-error contract (≤ ceil(n/2k) + 1) on a skewed multi-block input,
+    and weights always sum to n exactly."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+    from rdflib_r2r_ray.stages.sketch import (approx_quantiles,
+                                              quantile_summary_partial)
+
+    # skewed deterministic values (lognormal-ish via squaring a hash walk)
+    n = 120_000
+    x = ((np.arange(n, dtype=np.int64) * 2654435761) % 100_000).astype(np.float64)
+    v = (x / 1000.0) ** 2
+    vals, w = quantile_summary_partial(v, 256)
+    assert int(w.sum()) == n
+    assert len(vals) <= 256
+
+    ds = rd.from_arrow(pa.table({"value": v})).repartition(13)
+    qs = [0.1, 0.5, 0.99]
+    ests, n_out, eps = approx_quantiles(ds, "value", qs, k=256)
+    assert n_out == n
+    sv = np.sort(v)
+    for q, est in zip(qs, ests):
+        target = math.ceil(q * n)
+        true_rank = int(np.searchsorted(sv, est, side="right"))
+        assert abs(true_rank - target) <= eps + 1, (q, true_rank, target, eps)
