@@ -1832,7 +1832,7 @@ _LATE_R4 = {
     "sketch_heavy_hitters", "rel_star_join", "rel_range_partition",
     "dd_keeper_quality", "text_split_assign", "dd_contamination",
     "kg_diff", "kg_embed_export", "kg_negative_sample",
-    "rel_intersect", "rel_unnest", "sketch_quantiles",
+    "rel_intersect", "rel_unnest", "sketch_quantiles", "rel_skew_join",
 }
 
 

@@ -246,6 +246,86 @@ def values_dataset(rows: List[dict]) -> rd.Dataset:
     return rd.from_arrow(pa.Table.from_pylist(rows))
 
 
+# A skewed input is by definition concentrated on FEW keys; if "hot"
+# detection yields more than this many, the threshold is wrong and a
+# broadcast of the right side's hot rows could be unbounded — fail loudly.
+SKEW_JOIN_MAX_HOT_KEYS = 10_000
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str],
+    hot_count: int,
+) -> rd.Dataset:
+    """Skew-aware INNER join.  A hash join sends every row of a key to ONE
+    reduce partition, so a hot key (a viral URL, the ``en`` language, a
+    default value) serializes its entire row set through a single task.
+    This operator splits the work: keys whose LEFT-side frequency reaches
+    ``hot_count`` (detected from a map-side pre-aggregated grouped count —
+    one row per key per block crosses the wire) join against the right
+    side's matching rows via broadcast (embarrassingly parallel, no
+    exchange touches the hot rows), while the cold remainder goes through
+    the standard distributed hash join.  Result == plain inner join,
+    bit-for-bit; only the physical plan changes.
+
+    Contract: the right side's hot-key rows must fit a broadcast (true by
+    construction when the right side is dim-like); > ``SKEW_JOIN_MAX_HOT_KEYS``
+    detected hot keys raises rather than broadcasting unbounded state."""
+    keys = list(on)
+    if len(keys) != 1:
+        raise NotImplementedError("skew_join supports a single join key")
+    key = keys[0]
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.drop_null(b[key]))
+        return pa.table({key: vc.field("values"),
+                         "__cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    kt = left.schema().types[left.schema().names.index(key)]
+    counts = grouped_agg(
+        left.select_columns([key]).map_batches(
+            count_partial, batch_format="pyarrow"),
+        [key], sums=["__cnt"],
+        in_schema=pa.schema([(key, kt), ("__cnt", pa.int64())]),
+    )
+    hot_tbls = [t for t in ray.get(
+        counts.materialize().to_arrow_refs()) if t.num_rows]
+    hot_vals = pa.concat_tables(hot_tbls).filter(
+        pc.greater_equal(pc.field("__cnt"), hot_count))[key].combine_chunks() \
+        if hot_tbls else pa.array([], kt)
+    if len(hot_vals) > SKEW_JOIN_MAX_HOT_KEYS:
+        raise ValueError(
+            f"skew_join detected {len(hot_vals)} hot keys (cap "
+            f"{SKEW_JOIN_MAX_HOT_KEYS}); raise hot_count — this input is "
+            "not skew-shaped at that threshold")
+
+    if len(hot_vals) == 0:
+        return hash_join(left, right, keys)
+
+    def split(want_hot: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b[key], value_set=hot_vals)
+            return b.filter(m if want_hot else
+                            pc.not_equal(pc.fill_null(m, False), True))
+        return f
+
+    right_hot = right.map_batches(split(True), batch_format="pyarrow") \
+                     .materialize()
+    hot_table = pa.concat_tables(
+        [t for t in ray.get(right_hot.to_arrow_refs()) if t.num_rows]
+        or [pa.schema(list(zip(right_hot.schema().names,
+                               right_hot.schema().types))).empty_table()])
+    hot_part = broadcast_join(
+        left.map_batches(split(True), batch_format="pyarrow"),
+        hot_table, keys)
+    cold_part = hash_join(
+        _drop_empty_blocks(left.map_batches(split(False),
+                                            batch_format="pyarrow")),
+        right, keys)
+    return hot_part.union(cold_part)
+
+
 # ---------------------------------------------------------------------------
 # Union with padding (Q7)
 # ---------------------------------------------------------------------------

@@ -1565,6 +1565,39 @@ FROM documents
 """
 
 
+# --- skew-aware join ---------------------------------------------------------
+
+_LANG_FAMILY = [
+    ("en", "Germanic"), ("de", "Germanic"), ("fr", "Romance"),
+    ("es", "Romance"), ("zh", "Sinitic"),
+]
+
+
+def q_rel_skew_join(sf_dir: str) -> rd.Dataset:
+    """Skew-aware join on a naturally hot key: ``documents.lang`` is
+    ~44 % ``en``, so a plain hash join funnels nearly half the corpus
+    through one reduce partition.  :func:`relational.skew_join` detects hot
+    keys from a map-side pre-aggregated count, broadcasts the dim side's
+    hot rows (the ``en`` rows never enter an exchange), and hash-joins only
+    the cold tail — same rows out, skew-proof physical plan."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    dim = rd.from_arrow(pa.table({
+        "lang": [l for l, _ in _LANG_FAMILY],
+        "family": [f for _, f in _LANG_FAMILY],
+    }))
+    j = R.skew_join(docs, dim, on=["lang"], hot_count=100)
+    return j.select_columns(["doc_id", "lang", "family"])
+
+
+SQL_REL_SKEW_JOIN = """
+SELECT d.doc_id, d.lang, f.family
+FROM documents d
+JOIN (VALUES ('en','Germanic'), ('de','Germanic'), ('fr','Romance'),
+             ('es','Romance'), ('zh','Sinitic')) f(lang, family)
+  ON d.lang = f.lang
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -1615,6 +1648,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_late_events": q_rel_late_events,
         "rel_intersect": q_rel_intersect,
         "rel_unnest": q_rel_unnest,
+        "rel_skew_join": q_rel_skew_join,
     }
 
 
@@ -1668,4 +1702,5 @@ def oracle_sql() -> Dict[str, str]:
         "rel_late_events": SQL_REL_LATE_EVENTS,
         "rel_intersect": SQL_REL_INTERSECT,
         "rel_unnest": SQL_REL_UNNEST,
+        "rel_skew_join": SQL_REL_SKEW_JOIN,
     }

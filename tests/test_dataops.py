@@ -1179,3 +1179,41 @@ def test_quantile_summary_rank_bound(ray_session):
         target = math.ceil(q * n)
         true_rank = int(np.searchsorted(sv, est, side="right"))
         assert abs(true_rank - target) <= eps + 1, (q, true_rank, target, eps)
+
+
+def test_skew_join_both_paths(ray_session):
+    """skew_join == plain inner join bit-for-bit, with hot keys broadcast
+    and the cold tail hash-joined; the all-cold and hot-key-cap edges."""
+    import numpy as np
+    import ray.data as rd
+    from rdflib_r2r_ray.relational import hash_join, skew_join
+
+    n = 5000
+    # key 'hot' on 70% of rows, the rest spread over 50 cold keys
+    ks = np.where(np.arange(n) % 10 < 7, "hot",
+                  np.char.add("k", (np.arange(n) % 50).astype(str)))
+    left = rd.from_arrow(pa.table({"k": ks, "v": np.arange(n)})).repartition(8)
+    right = rd.from_arrow(pa.table({
+        "k": ["hot"] + [f"k{i}" for i in range(50)],
+        "attr": list(range(51)),
+    }))
+
+    got = skew_join(left, right, on=["k"], hot_count=1000).to_pandas()
+    want = hash_join(left, right, ["k"]).to_pandas()
+    key = lambda df: df.sort_values(["k", "v"]).reset_index(drop=True)
+    assert key(got).equals(key(want[got.columns]))
+
+    # all-cold threshold: falls back to the pure hash join
+    cold = skew_join(left, right, on=["k"], hot_count=10**9).to_pandas()
+    assert key(cold).equals(key(want[cold.columns]))
+
+    # loud failure when "hot" detection would broadcast unbounded state
+    import rdflib_r2r_ray.relational as R
+    import pytest
+    old = R.SKEW_JOIN_MAX_HOT_KEYS
+    R.SKEW_JOIN_MAX_HOT_KEYS = 10
+    try:
+        with pytest.raises(ValueError, match="hot keys"):
+            skew_join(left, right, on=["k"], hot_count=1).to_pandas()
+    finally:
+        R.SKEW_JOIN_MAX_HOT_KEYS = old
