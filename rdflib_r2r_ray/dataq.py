@@ -1854,6 +1854,88 @@ SELECT 'user_id', COUNT(DISTINCT user_id), CAST(1 AS BOOLEAN) FROM events
 """
 
 
+def q_dd_edit_distance(sf_dir: str) -> rd.Dataset:
+    """Edit-distance near-dup pairs over the corpus VOCABULARY (typo /
+    variant detection — vocab normalization before token counting): all
+    distinct-token pairs within Levenshtein distance 2.  The last classic
+    member of the near-dup family (exact / MinHash / SimHash / n-gram /
+    embedding / semantic / edit).  Plan: per-block distinct-token combiner
+    → global distinct exchange → LENGTH-BUCKET blocking (d ≤ 2 ⇒
+    |len a − len b| ≤ 2, so each token fans out to 3 buckets and every
+    candidate pair meets exactly once, in the bucket of its SHORTER
+    length) → per-bucket vectorized DP (``stages/text.levenshtein_batch``:
+    UCS-4 numpy view, one accumulate-min per character — no per-row
+    Python).  Vocabulary is sublinear in corpus size, and the quadratic
+    blow-up is confined to one (length-bucket) group; block further by
+    first character if a vocabulary's length histogram concentrates."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        pl = D._pl()
+        out = (pl.from_arrow(b)
+               .select(pl.col("text").str.split(" ").alias("t"))
+               .explode("t").unique())
+        return out.to_arrow().cast(pa.schema([("t", pa.string())]))
+
+    vocab = D.distinct_on(ds.map_batches(toks, batch_format="pyarrow"), ["t"])
+
+    def fanout(b: pa.Table) -> pa.Table:
+        ls = pc.utf8_length(b["t"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.maximum(1, ls - 2)
+        reps = (ls - lo + 1).astype(np.int64)
+        toks_rep = np.repeat(np.asarray(b["t"].to_pylist(), dtype=object), reps)
+        lens_rep = np.repeat(ls, reps)
+        # bucket sequence lo..L per token, built without a per-row loop
+        off = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        seq = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(off, reps)
+        bkt = np.repeat(lo, reps) + seq
+        return pa.table({"bkt": pa.array(bkt), "t": pa.array(toks_rep, pa.string()),
+                         "l": pa.array(lens_rep)})
+
+    out_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("d", pa.int64())])
+
+    def reduce_fn(part: pa.Table) -> pa.Table:
+        pl = D._pl()
+        df = pl.from_arrow(part)
+        xs, ys = [], []
+        for (bkt,), g in df.group_by("bkt"):
+            ts = np.asarray(g["t"].to_list(), dtype=object)
+            ls = g["l"].to_numpy()
+            short = ts[ls == bkt]
+            longer = ts[ls > bkt]
+            if len(short) >= 2:
+                i, j = np.triu_indices(len(short), k=1)
+                xs.append(short[i]); ys.append(short[j])
+            if len(short) and len(longer):
+                i, j = np.meshgrid(np.arange(len(short)),
+                                   np.arange(len(longer)), indexing="ij")
+                xs.append(short[i.ravel()]); ys.append(longer[j.ravel()])
+        if not xs:
+            return out_schema.empty_table()
+        x = np.concatenate(xs); y = np.concatenate(ys)
+        dist = T.levenshtein_batch(x, y)
+        keep = dist <= 2
+        x, y, dist = x[keep], y[keep], dist[keep]
+        a = np.minimum(x, y)
+        b2 = np.maximum(x, y)
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b2, pa.string()),
+                         "d": pa.array(dist)}, schema=out_schema)
+
+    fan = vocab.map_batches(fanout, batch_format="pyarrow")
+    return D.hash_group_exchange(fan, ["bkt"], reduce_fn, out_schema)
+
+
+SQL_DD_EDIT_DISTANCE = """
+WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS t FROM documents)
+SELECT a.t AS a, b.t AS b, CAST(levenshtein(a.t, b.t) AS BIGINT) AS d
+FROM tok a JOIN tok b
+  ON a.t < b.t AND abs(len(a.t) - len(b.t)) <= 2
+WHERE levenshtein(a.t, b.t) <= 2
+"""
+
+
 def q_sketch_quantiles(sf_dir: str):
     """Mergeable MRL quantile summary over a CONTINUOUS double column —
     the bounded-driver-state scale path where the exact value-histogram
@@ -2866,6 +2948,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_fingerprint": q_text_fingerprint,
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
+        "dd_edit_distance": q_dd_edit_distance,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_resize": q_mm_image_resize,
         "mm_audio_frames": q_mm_audio_frames,
@@ -2931,6 +3014,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "sketch_distinct": SQL_SKETCH_DISTINCT,
         "sketch_quantiles": SQL_SKETCH_QUANTILES,
+        "dd_edit_distance": SQL_DD_EDIT_DISTANCE,
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_image_resize": SQL_MM_IMAGE_RESIZE,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,

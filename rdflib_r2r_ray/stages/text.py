@@ -632,3 +632,54 @@ class RepetitionStats:
         for k in REPETITION_COLUMNS:
             out[k] = pa.array(vals[k], pa.int64())
         return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Levenshtein — the edit-distance kernel for typo-pair detection
+# over a corpus vocabulary (the last classic member of the near-dup family:
+# exact / MinHash / SimHash / n-gram-Jaccard / embedding / semantic / edit).
+# Strings are encoded to padded UCS-4 via numpy's 'U' dtype view (no
+# per-row Python); the DP runs one python step per CHARACTER of the left
+# length, each step a vectorized (pairs × right-length) numpy pass, with
+# the sequential insertion recurrence closed in one ``minimum.accumulate``:
+# dp[j] = min_k≤j (c[k] + (j-k)) = j + accumulate-min(c[k] - k).
+# ---------------------------------------------------------------------------
+
+def _ucs4(strs: np.ndarray, width: int) -> np.ndarray:
+    a = np.asarray(strs, dtype=f"<U{width}")
+    return a.view(np.uint32).reshape(len(a), width) if width else \
+        np.zeros((len(a), 0), np.uint32)
+
+
+def levenshtein_batch(a, b) -> np.ndarray:
+    """Exact edit distances for aligned pair arrays of strings.  Pairs are
+    grouped by their (len(a), len(b)) shape so the DP runs on exact-size
+    arrays (padding would let NUL==NUL matches corrupt the tail)."""
+    a = np.asarray(a, dtype=object)
+    b = np.asarray(b, dtype=object)
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    la = np.fromiter((len(s) for s in a), np.int64, n)
+    lb = np.fromiter((len(s) for s in b), np.int64, n)
+    for key in {(int(x), int(y)) for x, y in zip(la, lb)}:
+        wa, wb = key
+        sel = np.nonzero((la == wa) & (lb == wb))[0]
+        if wa == 0 or wb == 0:
+            out[sel] = max(wa, wb)
+            continue
+        A = _ucs4(a[sel], wa)
+        B = _ucs4(b[sel], wb)
+        m = len(sel)
+        idx = np.arange(wb + 1, dtype=np.int64)
+        dp = np.tile(idx, (m, 1))
+        c = np.empty((m, wb + 1), dtype=np.int64)
+        for i in range(1, wa + 1):
+            cost = (A[:, i - 1 : i] != B).astype(np.int64)
+            c[:, 0] = i
+            np.minimum(dp[:, 1:] + 1, dp[:, :-1] + cost, out=c[:, 1:])
+            run = np.minimum.accumulate(c - idx, axis=1)
+            dp = run + idx
+        out[sel] = dp[:, wb]
+    return out

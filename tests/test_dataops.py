@@ -1217,3 +1217,22 @@ def test_skew_join_both_paths(ray_session):
             skew_join(left, right, on=["k"], hot_count=1).to_pandas()
     finally:
         R.SKEW_JOIN_MAX_HOT_KEYS = old
+
+
+def test_levenshtein_batch_exact():
+    """Vectorized DP == DuckDB's levenshtein on random pairs, including
+    empty strings and mixed-length shape groups."""
+    import duckdb
+    import numpy as np
+    from rdflib_r2r_ray.stages.text import levenshtein_batch
+
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abcdef"), size=rng.integers(0, 10)))
+             for _ in range(300)]
+    a = [words[i] for i in rng.integers(0, 300, 400)]
+    b = [words[i] for i in rng.integers(0, 300, 400)]
+    got = levenshtein_batch(a, b)
+    con = duckdb.connect()
+    want = [con.execute("SELECT levenshtein(?, ?)", [x, y]).fetchone()[0]
+            for x, y in zip(a, b)]
+    assert (got == np.asarray(want, dtype=np.int64)).all()
