@@ -417,6 +417,82 @@ WHERE NOT EXISTS (
 """
 
 
+# rdfs:subClassOf taxonomy for the inference query — per-language document
+# classes rolled up through family classes to Document/Work/Thing.
+_TAXONOMY = [
+    ("Doc_en", "GermanicDoc"), ("Doc_de", "GermanicDoc"),
+    ("Doc_fr", "RomanceDoc"), ("Doc_es", "RomanceDoc"),
+    ("Doc_zh", "SiniticDoc"),
+    ("GermanicDoc", "Document"), ("RomanceDoc", "Document"),
+    ("SiniticDoc", "Document"), ("Document", "Work"), ("Work", "Thing"),
+]
+
+
+def q_kg_rdfs_infer(sf_dir: str) -> rd.Dataset:
+    """RDFS type materialization (rules rdfs9 + rdfs11): every document gets
+    its per-language class, and the engine infers all supertypes through the
+    ``rdfs:subClassOf`` closure.  The closure runs on the SAME distributed
+    fixpoint as property paths (``bgp.transitive_closure`` — taxonomies are
+    tiny, so it takes the one-task fast path); the instance-side join is
+    planner-routed, i.e. the small closure broadcasts while the instance
+    stream never shuffles — the honest shape for web-scale ABoxes under
+    small TBoxes.  Output: the complete (asserted ∪ inferred) type table."""
+    from .bgp import transitive_closure
+    from .relational import planned_join
+    from .stages.dedup import distinct_on
+    from .stages.emit import TRIPLE_SCHEMA
+
+    SCO = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    C = "http://kg.ex/c/"
+    tax = rd.from_arrow(pa.table({
+        "subj": pa.array([f"<{C}{a}>" for a, _ in _TAXONOMY], pa.string()),
+        "pred": pa.array([f"<{SCO}>"] * len(_TAXONOMY), pa.string()),
+        "obj": pa.array([f"<{C}{b}>" for _, b in _TAXONOMY], pa.string()),
+        "graph": pa.array([None] * len(_TAXONOMY), pa.string()),
+    }, schema=TRIPLE_SCHEMA))
+    closure = transitive_closure(tax, f"<{SCO}>")  # columns (s, o)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def typed(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch["lang"]))
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        subj = pc.binary_join_element_wise(
+            "<http://kg.ex/doc/", pc.cast(ids, pa.string()), ">", "")
+        cls = pc.binary_join_element_wise(f"<{C}Doc_", b["lang"], ">", "")
+        return pa.table({"subj": subj, "cls": cls})
+
+    asserted = docs.map_batches(typed, batch_format="pyarrow")
+    sup = closure.map_batches(
+        lambda b: b.rename_columns(["cls", "sup"]), batch_format="pyarrow")
+    inferred = planned_join(asserted, sup, on=["cls"]).map_batches(
+        lambda b: pa.table({"subj": b["subj"], "cls": b["sup"]}),
+        batch_format="pyarrow")
+    return distinct_on(asserted.union(inferred), ["subj", "cls"])
+
+
+def _sql_kg_rdfs_infer() -> str:
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in _TAXONOMY)
+    return f"""
+WITH RECURSIVE edges(c, d) AS (SELECT * FROM (VALUES {vals}) t(c, d)),
+sco(c, d) AS (
+  SELECT c, d FROM edges
+  UNION
+  SELECT s.c, e.d FROM sco s JOIN edges e ON s.d = e.c
+),
+types AS (
+  SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS subj,
+         'Doc_' || lang AS c
+  FROM documents WHERE lang IS NOT NULL)
+SELECT subj, '<http://kg.ex/c/' || c || '>' AS cls FROM types
+UNION
+SELECT t.subj, '<http://kg.ex/c/' || sco.d || '>' AS cls
+FROM types t JOIN sco ON t.c = sco.c
+"""
+
+
 def q_kg_degree_hist(sf_dir: str) -> rd.Dataset:
     """Graph-shape analytics over the emitted KG: subject out-degree
     distribution (degree → number of subjects).  Two cascaded map-side-
@@ -1833,7 +1909,7 @@ _LATE_R4 = {
     "dd_keeper_quality", "text_split_assign", "dd_contamination",
     "kg_diff", "kg_embed_export", "kg_negative_sample",
     "rel_intersect", "rel_unnest", "sketch_quantiles", "rel_skew_join",
-    "dd_edit_distance",
+    "dd_edit_distance", "kg_rdfs_infer",
 }
 
 
@@ -1888,6 +1964,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_diff": q_kg_diff,
         "kg_embed_export": q_kg_embed_export,
         "kg_negative_sample": q_kg_negative_sample,
+        "kg_rdfs_infer": q_kg_rdfs_infer,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -1952,6 +2029,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_diff": _sql_kg_diff(),
         "kg_embed_export": _sql_kg_embed_export(),
         "kg_negative_sample": _sql_kg_negative_sample(),
+        "kg_rdfs_infer": _sql_kg_rdfs_infer(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),
