@@ -319,7 +319,14 @@ def skew_join(
     hot_part = broadcast_join(
         left.map_batches(split(True), batch_format="pyarrow"),
         hot_table, keys)
-    cold_part = hash_join(
+    # planned_join, not a bare hash join: when hot keys cover (nearly) the
+    # whole input the cold tail is a sliver whose rows hash to few shuffle
+    # partitions, and Ray's join aggregator crashes on the schema-less
+    # EMPTY partitions that leaves behind; the planner's broadcast path
+    # (right side here is dim-like by contract) avoids the exchange
+    # entirely, and falls back to the hash join only for a genuinely large
+    # right side.
+    cold_part = planned_join(
         _drop_empty_blocks(left.map_batches(split(False),
                                             batch_format="pyarrow")),
         right, keys)
