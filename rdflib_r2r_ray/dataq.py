@@ -1854,6 +1854,117 @@ SELECT 'user_id', COUNT(DISTINCT user_id), CAST(1 AS BOOLEAN) FROM events
 """
 
 
+_PROFILE_COLS = ["event_id", "user_id", "value"]
+
+
+def q_rel_profile(sf_dir: str):
+    """Table profiling (the per-column stats pass behind layout planning and
+    data-quality dashboards): ONE streamed pass computes count / nulls /
+    min / max for every profiled column simultaneously (per-block combine,
+    O(blocks) one-row partials to the driver — no shuffle), plus an exact
+    distinct count per column through the hash exchange (``sketch_distinct``
+    is the approximate alternative when even that exchange isn't worth it)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=_PROFILE_COLS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        row = {}
+        for c in _PROFILE_COLS:
+            col = b[c]
+            mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            row[f"{c}__n"] = pa.array([len(col)], pa.int64())
+            row[f"{c}__nulls"] = pa.array([col.null_count], pa.int64())
+            row[f"{c}__min"] = pa.array(
+                [None if mn is None else float(mn)], pa.float64())
+            row[f"{c}__max"] = pa.array(
+                [None if mx is None else float(mx)], pa.float64())
+        return pa.table(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows = []
+    for c in _PROFILE_COLS:
+        nd = D.distinct_on(ds.select_columns([c]), [c]).count()
+        mins = [r[f"{c}__min"] for r in parts if r[f"{c}__min"] is not None]
+        maxs = [r[f"{c}__max"] for r in parts if r[f"{c}__max"] is not None]
+        nulls = sum(r[f"{c}__nulls"] for r in parts)
+        rows.append({
+            "col": c,
+            "n_rows": sum(r[f"{c}__n"] for r in parts),
+            "n_nulls": nulls,
+            # distinct_on counts NULL as a group; COUNT(DISTINCT) does not
+            "n_distinct": nd - (1 if nulls else 0),
+            "min_v": min(mins) if mins else None,
+            "max_v": max(maxs) if maxs else None,
+        })
+    return pd.DataFrame(rows)
+
+
+SQL_REL_PROFILE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM events""" for c in _PROFILE_COLS)
+
+
+def q_sketch_join_size(sf_dir: str):
+    """Join-cardinality estimation WITHOUT executing the join (the planner
+    primitive that decides broadcast-vs-shuffle-vs-skew-split at 100 TB):
+    the count-min inner product  min_d Σ_w A[d,w]·B[d,w]  over each side's
+    sketch estimates |A ⋈ B| from two O(blocks)-row folds — never an
+    exchange.  Always an OVERestimate; gated in-pipeline against the exact
+    join size (computed from per-key grouped counts — one row per key, not
+    per joined pair) at the standard ε = e/w additive bound on F1(A)·F1(B)."""
+    import pandas as pd
+
+    from . import relational as R
+
+    log2_w, d = 13, 4
+    a = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    a = a.filter(expr="event_type == 'click'").select_columns(["user_id"])
+    b = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    b = b.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
+
+    def as_str(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(t["user_id"], pa.string())})
+
+    sa = SK.cms_merge(a.map_batches(as_str, batch_format="pyarrow"), "k",
+                      log2_w=log2_w, d=d)
+    sb = SK.cms_merge(b.map_batches(as_str, batch_format="pyarrow"), "k",
+                      log2_w=log2_w, d=d)
+    est = int(min(int(np.dot(sa[i], sb[i])) for i in range(d)))
+
+    ga = R.grouped_agg(a, ["user_id"], count_as="na")
+    gb = R.grouped_agg(b, ["user_id"], count_as="nb")
+    j = R.planned_join(ga, gb, on=["user_id"])
+
+    def prod(t: pa.Table) -> pa.Table:
+        return pa.table({"x": pc.multiply(t["na"], t["nb"])})
+
+    exact = 0
+    for bt in j.map_batches(prod, batch_format="pyarrow").take_all():
+        exact += bt["x"]
+    na = int(sa[0].sum())
+    nb = int(sb[0].sum())
+    bound = int(np.ceil(np.e * na * nb / (1 << log2_w)))
+    return pd.DataFrame([{
+        "exact_join_size": exact,
+        "overestimate_ok": est >= exact,
+        "within_bound": (est - exact) <= bound,
+    }])
+
+
+SQL_SKETCH_JOIN_SIZE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size,
+       CAST(1 AS BOOLEAN) AS overestimate_ok,
+       CAST(1 AS BOOLEAN) AS within_bound
+FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+"""
+
+
 def q_dd_edit_distance(sf_dir: str) -> rd.Dataset:
     """Edit-distance near-dup pairs over the corpus VOCABULARY (typo /
     variant detection — vocab normalization before token counting): all
@@ -2949,6 +3060,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
         "dd_edit_distance": q_dd_edit_distance,
+        "rel_profile": q_rel_profile,
+        "sketch_join_size": q_sketch_join_size,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_resize": q_mm_image_resize,
         "mm_audio_frames": q_mm_audio_frames,
@@ -3015,6 +3128,8 @@ def oracle_sql() -> Dict[str, str]:
         "sketch_distinct": SQL_SKETCH_DISTINCT,
         "sketch_quantiles": SQL_SKETCH_QUANTILES,
         "dd_edit_distance": SQL_DD_EDIT_DISTANCE,
+        "rel_profile": SQL_REL_PROFILE,
+        "sketch_join_size": SQL_SKETCH_JOIN_SIZE,
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_image_resize": SQL_MM_IMAGE_RESIZE,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,

@@ -1909,7 +1909,7 @@ _LATE_R4 = {
     "dd_keeper_quality", "text_split_assign", "dd_contamination",
     "kg_diff", "kg_embed_export", "kg_negative_sample",
     "rel_intersect", "rel_unnest", "sketch_quantiles", "rel_skew_join",
-    "dd_edit_distance", "kg_rdfs_infer",
+    "dd_edit_distance", "kg_rdfs_infer", "rel_profile", "sketch_join_size",
 }
 
 
