@@ -493,6 +493,95 @@ FROM types t JOIN sco ON t.c = sco.c
 """
 
 
+def _doc_quads(sf_dir: str) -> rd.Dataset:
+    """Quad fixture for the GRAPH-clause queries: each document's lang
+    triple lands in the named graph of its source crawl
+    (``<http://kg.ex/g/{source}>`` — the provenance layout rr:graph
+    produces), while the n_chars triple stays in the default graph."""
+    from .stages.emit import TRIPLE_SCHEMA
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source", "n_chars"])
+
+    def quads(batch: pa.Table) -> pa.Table:
+        def subj(t):
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pc.binary_join_element_wise(
+                "<http://kg.ex/doc/", pc.cast(ids, pa.string()), ">", "")
+
+        named = batch.filter(pc.and_(pc.is_valid(batch["lang"]),
+                                     pc.is_valid(batch["source"])))
+        g = pc.binary_join_element_wise(
+            "<http://kg.ex/g/", named["source"], ">", "")
+        t1 = pa.table({
+            "subj": subj(named),
+            "pred": pa.array(["<http://kg.ex/p/lang>"] * len(named)),
+            "obj": named["lang"],
+            "graph": g,
+        }, schema=TRIPLE_SCHEMA)
+        nc = batch["n_chars"]
+        if isinstance(nc, pa.ChunkedArray):
+            nc = nc.combine_chunks()
+        t2 = pa.table({
+            "subj": subj(batch),
+            "pred": pa.array(["<http://kg.ex/p/n_chars>"] * len(batch)),
+            "obj": pc.binary_join_element_wise(
+                '"', pc.cast(nc, pa.string()), f'"^^<{XSD_INT}>', ""),
+            "graph": pa.array([None] * len(batch), pa.string()),
+        }, schema=TRIPLE_SCHEMA)
+        return pa.concat_tables([t1, t2])
+
+    return ds.map_batches(quads, batch_format="pyarrow")
+
+
+def q_sparql_named_graphs(sf_dir: str) -> rd.Dataset:
+    """GRAPH ?g — per-named-graph aggregation (the provenance dashboard
+    query): the variable-graph pattern binds the quad column as ?g in one
+    vectorized filter+project pass, then the standard grouped-count
+    exchange aggregates per graph.  BEYOND the reference, whose store is
+    triples-only at query time."""
+    from . import sparql
+
+    q = """
+    SELECT ?g (COUNT(?s) AS ?n) WHERE {
+      GRAPH ?g { ?s <http://kg.ex/p/lang> ?o }
+    } GROUP BY ?g ORDER BY ?g
+    """
+    return sparql.execute(_doc_quads(sf_dir), q)
+
+
+def _sql_sparql_named_graphs() -> str:
+    return """
+SELECT '<http://kg.ex/g/' || source || '>' AS g, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY source
+"""
+
+
+def q_sparql_graph_scope(sf_dir: str) -> rd.Dataset:
+    """GRAPH <iri> — constant-graph scoping joined with a default-graph
+    pattern: the group's BGP runs against the quad stream filtered to one
+    crawl's named graph, then joins the enclosing pattern on ?s."""
+    from . import sparql
+
+    q = """
+    SELECT ?s ?o WHERE {
+      ?s <http://kg.ex/p/n_chars> ?c .
+      GRAPH <http://kg.ex/g/src0> { ?s <http://kg.ex/p/lang> ?o }
+    }
+    """
+    return sparql.execute(_doc_quads(sf_dir), q)
+
+
+def _sql_sparql_graph_scope() -> str:
+    return """
+SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS s, lang AS o
+FROM documents WHERE lang IS NOT NULL AND source = 'src0'
+"""
+
+
 def q_kg_degree_hist(sf_dir: str) -> rd.Dataset:
     """Graph-shape analytics over the emitted KG: subject out-degree
     distribution (degree → number of subjects).  Two cascaded map-side-
@@ -1910,6 +1999,7 @@ _LATE_R4 = {
     "kg_diff", "kg_embed_export", "kg_negative_sample",
     "rel_intersect", "rel_unnest", "sketch_quantiles", "rel_skew_join",
     "dd_edit_distance", "kg_rdfs_infer", "rel_profile", "sketch_join_size",
+    "sparql_named_graphs", "sparql_graph_scope",
 }
 
 
@@ -1965,6 +2055,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_embed_export": q_kg_embed_export,
         "kg_negative_sample": q_kg_negative_sample,
         "kg_rdfs_infer": q_kg_rdfs_infer,
+        "sparql_named_graphs": q_sparql_named_graphs,
+        "sparql_graph_scope": q_sparql_graph_scope,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -2030,6 +2122,8 @@ def oracle_sql() -> Dict[str, str]:
         "kg_embed_export": _sql_kg_embed_export(),
         "kg_negative_sample": _sql_kg_negative_sample(),
         "kg_rdfs_infer": _sql_kg_rdfs_infer(),
+        "sparql_named_graphs": _sql_sparql_named_graphs(),
+        "sparql_graph_scope": _sql_sparql_graph_scope(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),

@@ -134,6 +134,7 @@ class SelectQuery:
     construct: Tuple[Tuple, ...] = ()               # CONSTRUCT triple templates
     subselects: Tuple["SelectQuery", ...] = ()      # nested { SELECT ... } groups
     describe: Tuple = ()                            # DESCRIBE resources (Var | str)
+    graphs: Tuple[Tuple[object, Group], ...] = ()   # GRAPH <iri>|?var { ... }
 
 
 # ---------------------------------------------------------------------------
@@ -782,6 +783,7 @@ class SparqlParser:
         values: List = []
         exists: List[Tuple[bool, Group]] = []
         subselects: List[SelectQuery] = []
+        graphs: List[Tuple[object, Group]] = []
 
         while True:
             k, v = self._peek()
@@ -829,6 +831,23 @@ class SparqlParser:
             if k == "word" and v.upper() == "OPTIONAL":
                 self._next()
                 optionals.append(self._parse_group())
+                continue
+            if k == "word" and v.upper() == "GRAPH":
+                # GRAPH <iri> { P } / GRAPH ?g { P } — named-graph scoping
+                # over the quad Dataset's ``graph`` column (BEYOND the
+                # reference, whose store is triples-only at query time even
+                # though its R2RML loader honors rr:graph)
+                self._next()
+                tk, tv = self._peek()
+                if tk == "var":
+                    self._next()
+                    gterm: object = Var(tv[1:])
+                elif tk in ("iri", "pname"):
+                    gterm = self._iri(self._next())
+                else:
+                    raise ValueError(
+                        f"GRAPH needs an IRI or variable, got {tv!r}")
+                graphs.append((gterm, self._parse_group()))
                 continue
             if k == "word" and v.upper() == "MINUS":
                 self._next()
@@ -944,6 +963,7 @@ class SparqlParser:
             construct=tuple(construct),
             subselects=tuple(subselects),
             describe=describe_terms,
+            graphs=tuple(graphs),
         )
 
 
@@ -1590,7 +1610,7 @@ def _execute_parsed(
         raise NotImplementedError("ORDER BY with DESCRIBE")
     if q.describe and not any((q.patterns, q.subselects, q.union_branches,
                                q.values, q.binds, q.optionals, q.minuses,
-                               q.exists, q.filters)):
+                               q.exists, q.filters, q.graphs)):
         # constants-only DESCRIBE (empty WHERE): direct subject filter.
         # Any body element falls through to the general path so variable
         # bindings (VALUES/BIND/OPTIONAL...) are honored, never dropped.
@@ -1626,12 +1646,58 @@ def _execute_parsed(
     def exec_group(pats, fils) -> rd.Dataset:
         return exec_group_cols(pats, fils)[0]
 
+    def exec_graph_cols(gterm, grp):
+        """GRAPH <iri> { P }: the group's BGP runs against the quad stream
+        filtered to that graph.  GRAPH ?g { pattern }: the single pattern's
+        matches carry the ``graph`` column as the ?g binding (one
+        vectorized filter+project pass; multi-pattern variable-graph groups
+        would need per-pattern graph equijoins — raised as unsupported)."""
+        if not isinstance(gterm, Var):
+            named = triples.map_batches(
+                lambda b, _g=gterm: b.filter(
+                    pc.equal(pc.fill_null(b["graph"], ""), _g)),
+                batch_format="pyarrow")
+            pats2, aug = _expand_transitive(bind_pats(grp.patterns), named)
+            g, names = execute_bgp_cols(
+                aug, pats2, broadcast_threshold=broadcast_threshold)
+            return _filter_batches(g, grp.filters), names
+        gvar = gterm.name
+        if len(grp.patterns) != 1:
+            raise NotImplementedError(
+                "GRAPH ?var over a multi-pattern group")
+        s, p, o = bind_pats(grp.patterns)[0]
+        if not isinstance(p, (str, Var)):
+            raise NotImplementedError("GRAPH ?var with a property path")
+        names: List[str] = []
+        for term in (s, p, o):
+            if isinstance(term, Var):
+                if term.name in names or term.name == gvar:
+                    raise NotImplementedError(
+                        "repeated variable in a GRAPH ?var pattern")
+                names.append(term.name)
+        names.append(gvar)
+
+        def f(b, _s=s, _p=p, _o=o, _names=tuple(names)):
+            m = pc.is_valid(b["graph"])
+            for term, col in ((_s, "subj"), (_p, "pred"), (_o, "obj")):
+                if not isinstance(term, Var):
+                    m = pc.and_(m, pc.equal(b[col], term))
+            t = b.filter(m)
+            cols = [t[col] for term, col in
+                    ((_s, "subj"), (_p, "pred"), (_o, "obj"))
+                    if isinstance(term, Var)]
+            cols.append(t["graph"])
+            return pa.table(dict(zip(_names, cols)))
+
+        gds = triples.map_batches(f, batch_format="pyarrow")
+        return _filter_batches(gds, grp.filters), names
+
     def _str_schema(names):
         return pa.schema([(n, pa.string()) for n in names])
 
     values_list = list(q.values)
     if q.union_branches and not (q.patterns or q.subselects or q.optionals
-                                 or q.minuses or values_list):
+                                 or q.minuses or values_list or q.graphs):
         # { A } UNION { B } alone: branches execute independently, results
         # align with null padding (reference results_union semantics)
         branches = [exec_group_cols(g.patterns, g.filters) for g in q.union_branches]
@@ -1687,6 +1753,11 @@ def _execute_parsed(
             sub_outs.append((sds, _sub_names(sq, sds)))
             nonstr_vars.update(
                 a.alias for a in sq.aggregates if not a.alias.startswith("__h"))
+        # GRAPH groups evaluate like sub-relations: independently, then
+        # joined to the enclosing group on shared variables (or serving as
+        # the base relation when the group has no other triples)
+        for gterm, grp in q.graphs:
+            sub_outs.append(exec_graph_cols(gterm, grp))
         if q.patterns:
             out, out_names = exec_group_cols(q.patterns, ())
         elif uni is not None:

@@ -784,3 +784,43 @@ def test_xsd_duration_cast(ray_session):
     """
     got = {r["s"]: r["secs"] for r in sparql.execute(trips, q).take_all()}
     assert got == {"<e/1>": 93600.0, "<e/2>": -5400.0, "<e/3>": 0.5}
+
+
+def _quads():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>", "<a>", "<b>"],
+        "pred": ["<p>", "<p>", "<p>", "<q>", "<q>"],
+        "obj": ["1", "2", "3", "x", "y"],
+        "graph": ["<g1>", "<g1>", "<g2>", None, None],
+    }))
+
+
+def test_graph_clause(ray_session):
+    # constant graph: scoped BGP
+    out = execute(_quads(), """
+      SELECT ?s ?o WHERE { GRAPH <g1> { ?s <p> ?o } }
+    """).to_pandas().sort_values("s").reset_index(drop=True)
+    assert list(out["s"]) == ["<a>", "<b>"]
+    assert list(out["o"]) == ["1", "2"]
+
+    # variable graph: binds ?g from the quad column (named graphs only)
+    out = execute(_quads(), """
+      SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o } }
+    """).to_pandas().sort_values(["g", "s"]).reset_index(drop=True)
+    assert list(out["g"]) == ["<g1>", "<g1>", "<g2>"]
+    assert list(out["s"]) == ["<a>", "<b>", "<c>"]
+
+    # graph group joined with an enclosing default-graph pattern
+    out = execute(_quads(), """
+      SELECT ?s ?v WHERE { ?s <q> ?v . GRAPH <g1> { ?s <p> ?o } }
+    """).to_pandas().sort_values("s").reset_index(drop=True)
+    assert list(out["s"]) == ["<a>", "<b>"]
+    assert list(out["v"]) == ["x", "y"]
+
+    # unsupported: multi-pattern variable-graph group raises loudly
+    with pytest.raises(NotImplementedError, match="GRAPH"):
+        execute(_quads(), """
+          SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o . ?s <q> ?v } }
+        """).to_pandas()
