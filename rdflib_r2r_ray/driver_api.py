@@ -493,6 +493,62 @@ FROM types t JOIN sco ON t.c = sco.c
 """
 
 
+# (property, rdfs:domain class, rdfs:range class) — the TBox for rdfs2/rdfs3
+# inference over the mention graph; None = no declaration on that side.
+_PROP_SCHEMA = [
+    ("http://kg.ex/p/mentions", "Document", "Entity"),
+    ("http://kg.ex/p/source", "Document", None),
+]
+
+
+def q_kg_rdfs_domain_range(sf_dir: str) -> rd.Dataset:
+    """RDFS rules rdfs2/rdfs3 (domain/range type inference): every subject
+    of a declared property gets the property's domain class, every IRI
+    object its range class — the other half of the RDFS core next to
+    ``kg_rdfs_infer``'s subclass closure.  The tiny property-schema TBox
+    broadcasts into one vectorized filter+project pass per rule side; the
+    only wide step is the final distinct exchange.  Runs over the full
+    constructed graph, so both declared properties fire."""
+    from .stages.dedup import distinct_on
+
+    C = "http://kg.ex/c/"
+    m = q_kg_full_documents(sf_dir)
+    parts = []
+    for prop, dom, rng in _PROP_SCHEMA:
+        if dom is not None:
+            def f_dom(b: pa.Table, _p=f"<{prop}>", _c=f"<{C}{dom}>") -> pa.Table:
+                t = b.filter(pc.equal(b["pred"], _p))
+                return pa.table({
+                    "node": t["subj"],
+                    "cls": pa.array([_c] * len(t), pa.string()),
+                })
+            parts.append(m.map_batches(f_dom, batch_format="pyarrow"))
+        if rng is not None:
+            def f_rng(b: pa.Table, _p=f"<{prop}>", _c=f"<{C}{rng}>") -> pa.Table:
+                t = b.filter(pc.and_(pc.equal(b["pred"], _p),
+                                     pc.starts_with(b["obj"], "<")))
+                return pa.table({
+                    "node": t["obj"],
+                    "cls": pa.array([_c] * len(t), pa.string()),
+                })
+            parts.append(m.map_batches(f_rng, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return distinct_on(out, ["node", "cls"])
+
+
+def _sql_kg_rdfs_domain_range() -> str:
+    return f"""
+WITH m AS ({_sql_kg_full_documents()})
+SELECT DISTINCT subj AS node, '<http://kg.ex/c/Document>' AS cls
+FROM m WHERE pred IN ('<http://kg.ex/p/mentions>', '<http://kg.ex/p/source>')
+UNION
+SELECT DISTINCT obj, '<http://kg.ex/c/Entity>'
+FROM m WHERE pred = '<http://kg.ex/p/mentions>' AND obj LIKE '<%'
+"""
+
+
 def _doc_quads(sf_dir: str) -> rd.Dataset:
     """Quad fixture for the GRAPH-clause queries: each document's lang
     triple lands in the named graph of its source crawl
@@ -1999,7 +2055,7 @@ _LATE_R4 = {
     "kg_diff", "kg_embed_export", "kg_negative_sample",
     "rel_intersect", "rel_unnest", "sketch_quantiles", "rel_skew_join",
     "dd_edit_distance", "kg_rdfs_infer", "rel_profile", "sketch_join_size",
-    "sparql_named_graphs", "sparql_graph_scope",
+    "sparql_named_graphs", "sparql_graph_scope", "kg_rdfs_domain_range",
 }
 
 
@@ -2057,6 +2113,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_rdfs_infer": q_kg_rdfs_infer,
         "sparql_named_graphs": q_sparql_named_graphs,
         "sparql_graph_scope": q_sparql_graph_scope,
+        "kg_rdfs_domain_range": q_kg_rdfs_domain_range,
         "sparql_describe": q_sparql_describe,
         "sparql_proj_expr": q_sparql_proj_expr,
         "sparql_agg_global": q_sparql_agg_global,
@@ -2124,6 +2181,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_rdfs_infer": _sql_kg_rdfs_infer(),
         "sparql_named_graphs": _sql_sparql_named_graphs(),
         "sparql_graph_scope": _sql_sparql_graph_scope(),
+        "kg_rdfs_domain_range": _sql_kg_rdfs_domain_range(),
         "sparql_describe": _sql_sparql_describe(),
         "sparql_proj_expr": _sql_sparql_proj_expr(),
         "sparql_agg_global": _sql_sparql_agg_global(),
