@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the deterministic core kernels —
+the invariants the rest of the engine builds on.  Mirrors the reference's
+test strategy of hammering template/term codecs with generated inputs
+(SURVEY.md §5) and extends it to the round-4 numeric kernels.
+
+No Ray session needed: every kernel under test is a pure function.
+"""
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rdflib_r2r_ray.stages.sketch import quantile_summary_partial
+from rdflib_r2r_ray.stages.text import levenshtein_batch
+from rdflib_r2r_ray.template import format_template_array, parse_with_template
+from rdflib_r2r_ray.terms import decode, encode_literal, iri_safe, iri_unsafe
+
+# iri_safe leaves RFC 3986 unreserved + sub-delims alone; values built from
+# anything (incl. '{', '}', '/', unicode) must round-trip through unsafe
+_any_text = st.text(min_size=0, max_size=40)
+_slot_text = st.text(
+    alphabet=st.characters(blacklist_characters="{}", blacklist_categories=("Cs",)),
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_any_text)
+def test_iri_escape_roundtrip(v):
+    assert iri_unsafe(iri_safe(v)) == v
+
+
+@settings(max_examples=150, deadline=None)
+@given(_slot_text, _slot_text)
+def test_template_format_parse_roundtrip(a, b):
+    """format(template, row) then parse_with_template recovers the ENCODED
+    slot values exactly (the reference compares encoded forms,
+    conversion_utils.py:517-531) — for any slot content, as long as the
+    template's literal separators cannot occur inside an encoded slot
+    ('/' is percent-encoded by iri_safe)."""
+    t = "http://ex.org/r/{a}/{b}"
+    batch = pa.table({"a": pa.array([a]), "b": pa.array([b])})
+    s = format_template_array(t, batch, encode=True)[0].as_py()
+    got = parse_with_template(s, t)
+    assert got is not None
+    assert got["a"] == iri_safe(a)
+    assert got["b"] == iri_safe(b)
+    assert iri_unsafe(got["a"]) == a and iri_unsafe(got["b"]) == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters='"',
+                                      blacklist_categories=("Cs",)),
+               max_size=30),
+       st.sampled_from([None, "http://www.w3.org/2001/XMLSchema#integer",
+                        "http://www.w3.org/2001/XMLSchema#date"]),
+       st.sampled_from([None, "en", "de-AT"]))
+def test_term_literal_roundtrip(lex, dt, lang):
+    if dt is not None and lang is not None:
+        lang = None  # RDF literals carry a datatype OR a language tag
+    enc = encode_literal(lex, datatype=dt, lang=lang)
+    term = decode(enc)
+    assert term.lex == lex
+    if lang:
+        assert term.kind == "literal" and term.lang == lang
+    elif dt:
+        assert term.kind == "literal" and term.datatype == dt
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook O(len(a)·len(b)) DP — the independent oracle."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.text(max_size=8), st.text(max_size=8)),
+                min_size=1, max_size=20))
+def test_levenshtein_matches_reference(pairs):
+    a = [x for x, _ in pairs]
+    b = [y for _, y in pairs]
+    got = levenshtein_batch(a, b)
+    want = np.array([_lev_ref(x, y) for x, y in pairs], dtype=np.int64)
+    assert (got == want).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32),
+                min_size=1, max_size=3000),
+       st.integers(min_value=8, max_value=256))
+def test_quantile_summary_contract(values, k):
+    """Weights sum to n; every point's cumulative weight is within
+    ceil(n/2k) of its true rank (the MRL rank-error contract)."""
+    v = np.asarray(values, dtype=np.float64)
+    vals, w = quantile_summary_partial(v, k)
+    n = len(v)
+    assert int(w.sum()) == n
+    assert len(vals) <= k
+    sv = np.sort(v)
+    cum = np.cumsum(w)
+    eps = math.ceil(n / (2 * k))
+    for x, c in zip(vals, cum):
+        lo = int(np.searchsorted(sv, x, side="left"))
+        hi = int(np.searchsorted(sv, x, side="right"))
+        # true rank of x is anywhere in [lo+1, hi]; the summary's cumulative
+        # weight at x must be within eps of that interval
+        assert lo + 1 - eps <= c <= hi + eps, (x, c, lo, hi, eps)
