@@ -1854,6 +1854,118 @@ SELECT 'user_id', COUNT(DISTINCT user_id), CAST(1 AS BOOLEAN) FROM events
 """
 
 
+def q_text_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (first 3 merge rounds — the
+    Sennrich 2016 algorithm the GPT/Llama tokenizers derive from):
+    corpus-wide word counts from ONE grouped-count exchange (the only pass
+    over raw text — everything after runs on the VOCABULARY, which is
+    sublinear in corpus size), then per round: vectorized adjacent-pair
+    extraction over the symbolized vocab (polars slice+explode, weighted by
+    word count) → grouped-sum exchange → distributed top-1 (ties broken
+    lexicographically, deterministic) → the winning pair broadcast into one
+    ``replace_substring`` kernel (space-delimited symbols make leftmost
+    non-overlapping replacement exactly BPE's merge).  Output: the ordered
+    merge table, replayed exactly by a 3-round unrolled SQL oracle."""
+    import pandas as pd
+
+    from . import relational as R
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    wc_schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
+
+    def wc_partial(b: pa.Table) -> pa.Table:
+        pl = D._pl()
+        out = (pl.from_arrow(b)
+               .select(pl.col("text").str.split(" ").alias("w"))
+               .explode("w").group_by("w").len(name="c"))
+        return out.to_arrow().cast(wc_schema)
+
+    words = R.grouped_agg(
+        ds.map_batches(wc_partial, batch_format="pyarrow"),
+        ["w"], sums=["c"], in_schema=wc_schema)
+
+    sym_schema = pa.schema([("sym", pa.string()), ("c", pa.int64())])
+
+    def to_sym(b: pa.Table) -> pa.Table:
+        pl = D._pl()
+        df = pl.from_arrow(b).with_columns(
+            (pl.lit(" ") + pl.col("w").str.extract_all(".").list.join(" ")
+             + pl.lit(" ")).alias("sym"))
+        return df.select(["sym", "c"]).to_arrow().cast(sym_schema)
+
+    cur = words.map_batches(to_sym, batch_format="pyarrow").materialize()
+
+    pair_schema = pa.schema([("pair", pa.string()), ("n", pa.int64())])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pl = D._pl()
+        df = pl.from_arrow(b).with_columns(
+            pl.col("sym").str.strip_chars(" ").str.split(" ").alias("a"))
+        df = df.with_columns(
+            pl.col("a").list.slice(0, pl.col("a").list.len() - 1).alias("l"),
+            pl.col("a").list.slice(1).alias("r"))
+        out = (df.select(["c", "l", "r"]).explode(["l", "r"]).drop_nulls()
+               .with_columns((pl.col("l") + " " + pl.col("r")).alias("pair"))
+               .group_by("pair").agg(pl.col("c").sum().alias("n")))
+        return out.select(["pair", "n"]).to_arrow().cast(pair_schema)
+
+    rows = []
+    for rnd in (1, 2, 3):
+        pairs = R.grouped_agg(
+            cur.map_batches(pair_partial, batch_format="pyarrow"),
+            ["pair"], sums=["n"], in_schema=pair_schema)
+        top = R.topk(pairs, ["n", "pair"], 1,
+                     descending=[True, False]).take_all()[0]
+        pair, n = top["pair"], int(top["n"])
+        rows.append({"round": rnd, "pair": pair, "n": n})
+
+        def apply(b: pa.Table, _p=pair) -> pa.Table:
+            merged = _p.replace(" ", "")
+            i = b.column_names.index("sym")
+            return b.set_column(i, "sym", pc.replace_substring(
+                b["sym"], f" {_p} ", f" {merged} "))
+
+        cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
+    return pd.DataFrame(rows)
+
+
+def _sql_bpe_round(prev: str, rnd: int) -> str:
+    return f"""
+pairs{rnd} AS (
+  SELECT u.pr[1] || ' ' || u.pr[2] AS pair, CAST(SUM(w.c) AS BIGINT) AS n
+  FROM {prev} w,
+       LATERAL (SELECT string_split(trim(w.sym), ' ') arr) q,
+       LATERAL (SELECT unnest(
+           list_zip(q.arr[1:len(q.arr)-1], q.arr[2:len(q.arr)])) pr) u
+  WHERE u.pr[2] IS NOT NULL
+  GROUP BY pair),
+top{rnd} AS (SELECT pair, n FROM pairs{rnd} ORDER BY n DESC, pair ASC LIMIT 1),
+w{rnd} AS (
+  SELECT replace(w.sym, ' ' || t.pair || ' ',
+                 ' ' || replace(t.pair, ' ', '') || ' ') AS sym, w.c
+  FROM {prev} w, top{rnd} t)
+"""
+
+
+def _sql_text_bpe_train() -> str:
+    return ("""
+WITH words AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t),
+w0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(w)+1), i -> w[i]), ' ') || ' ' AS sym,
+         c
+  FROM words),
+""" + _sql_bpe_round("w0", 1) + "," + _sql_bpe_round("w1", 2) + ","
+        + _sql_bpe_round("w2", 3) + """
+SELECT 1 AS round, pair, n FROM top1
+UNION ALL SELECT 2, pair, n FROM top2
+UNION ALL SELECT 3, pair, n FROM top3
+""")
+
+
 _PROFILE_COLS = ["event_id", "user_id", "value"]
 
 
@@ -3062,6 +3174,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "dd_edit_distance": q_dd_edit_distance,
         "rel_profile": q_rel_profile,
         "sketch_join_size": q_sketch_join_size,
+        "text_bpe_train": q_text_bpe_train,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_resize": q_mm_image_resize,
         "mm_audio_frames": q_mm_audio_frames,
@@ -3130,6 +3243,7 @@ def oracle_sql() -> Dict[str, str]:
         "dd_edit_distance": SQL_DD_EDIT_DISTANCE,
         "rel_profile": SQL_REL_PROFILE,
         "sketch_join_size": SQL_SKETCH_JOIN_SIZE,
+        "text_bpe_train": _sql_text_bpe_train(),
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_image_resize": SQL_MM_IMAGE_RESIZE,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,
