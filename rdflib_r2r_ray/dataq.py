@@ -1929,6 +1929,74 @@ def q_text_bpe_train(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_text_bpe_encode(sf_dir: str) -> rd.Dataset:
+    """BPE encoding (the tokenize side of ``text_bpe_train``): apply the 3
+    learned merges to the corpus vocabulary and emit the top-20 resulting
+    subword tokens by corpus frequency — the vocabulary report a tokenizer
+    build publishes.  Same scale shape as training: one corpus pass for
+    word counts, everything else on the vocab; final ordered top-k through
+    the distributed top-k reducer."""
+    from . import relational as R
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    wc_schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
+
+    def wc_partial(b: pa.Table) -> pa.Table:
+        pl = D._pl()
+        out = (pl.from_arrow(b)
+               .select(pl.col("text").str.split(" ").alias("w"))
+               .explode("w").group_by("w").len(name="c"))
+        return out.to_arrow().cast(wc_schema)
+
+    words = R.grouped_agg(
+        ds.map_batches(wc_partial, batch_format="pyarrow"),
+        ["w"], sums=["c"], in_schema=wc_schema)
+    merges = [r["pair"] for _, r in
+              q_text_bpe_train(sf_dir).iterrows()]
+
+    tok_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
+
+    def encode(b: pa.Table, _m=tuple(merges)) -> pa.Table:
+        pl = D._pl()
+        df = pl.from_arrow(b).with_columns(
+            (pl.lit(" ") + pl.col("w").str.extract_all(".").list.join(" ")
+             + pl.lit(" ")).alias("sym"))
+        for pair in _m:
+            df = df.with_columns(pl.col("sym").str.replace_all(
+                f" {pair} ", f" {pair.replace(' ', '')} ", literal=True))
+        out = (df.with_columns(pl.col("sym").str.strip_chars(" ")
+                               .str.split(" ").alias("tok"))
+               .select(["c", "tok"]).explode("tok")
+               .group_by("tok").agg(pl.col("c").sum().alias("n")))
+        return out.select(["tok", "n"]).to_arrow().cast(tok_schema)
+
+    toks = R.grouped_agg(
+        words.map_batches(encode, batch_format="pyarrow"),
+        ["tok"], sums=["n"], in_schema=tok_schema)
+    return R.topk(toks, ["n", "tok"], 20, descending=[True, False])
+
+
+def _sql_text_bpe_encode() -> str:
+    return ("""
+WITH words AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t),
+w0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(w)+1), i -> w[i]), ' ') || ' ' AS sym,
+         c
+  FROM words),
+""" + _sql_bpe_round("w0", 1) + "," + _sql_bpe_round("w1", 2) + ","
+        + _sql_bpe_round("w2", 3) + """
+SELECT u.tok, CAST(SUM(w.c) AS BIGINT) AS n
+FROM w3 w, LATERAL (SELECT unnest(string_split(trim(w.sym), ' ')) tok) u
+GROUP BY u.tok
+ORDER BY n DESC, tok ASC
+LIMIT 20
+""")
+
+
 def _sql_bpe_round(prev: str, rnd: int) -> str:
     return f"""
 pairs{rnd} AS (
@@ -3175,6 +3243,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_profile": q_rel_profile,
         "sketch_join_size": q_sketch_join_size,
         "text_bpe_train": q_text_bpe_train,
+        "text_bpe_encode": q_text_bpe_encode,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_resize": q_mm_image_resize,
         "mm_audio_frames": q_mm_audio_frames,
@@ -3244,6 +3313,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_profile": SQL_REL_PROFILE,
         "sketch_join_size": SQL_SKETCH_JOIN_SIZE,
         "text_bpe_train": _sql_text_bpe_train(),
+        "text_bpe_encode": _sql_text_bpe_encode(),
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_image_resize": SQL_MM_IMAGE_RESIZE,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,
