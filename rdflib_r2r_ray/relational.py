@@ -42,6 +42,7 @@ import ray
 import ray.data as rd
 
 from .stages.dedup import distinct_on, local_distinct
+from .workerenv import cap_threads
 
 
 def _num_partitions(default: int = 16) -> int:
@@ -143,6 +144,65 @@ def semi_join(left: rd.Dataset, right: rd.Dataset, on: Sequence[str], **kw) -> r
 def anti_join(left: rd.Dataset, right: rd.Dataset, on: Sequence[str], **kw) -> rd.Dataset:
     """MINUS / NOT EXISTS (reference ``query_conversions.py:403-406``)."""
     return hash_join(left, right, on, join_type="left_anti", **kw)
+
+
+def set_diff_both(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: Sequence[str],
+    op_col: str = "op",
+    left_only: str = "removed",
+    right_only: str = "added",
+) -> rd.Dataset:
+    """Symmetric set difference in ONE co-partitioned exchange: ``on``-tuples
+    present (as a SET, per side) only in ``left`` come back tagged
+    ``left_only``; only in ``right``, tagged ``right_only``.
+
+    Replaces the naive CDC plan — dedup exchange per side + two shuffle
+    anti-joins (4 all-to-all moves of every row) — with a single
+    :func:`cogroup_exchange`: both sides hash-partition once on the full
+    tuple, and because each reduce task holds COMPLETE key groups of both
+    sides, per-side DISTINCT and both anti-joins are local vectorized polars
+    ops.  Inputs may therefore carry duplicates (callers skip their own
+    dedup pass)."""
+    from .stages.dedup import _pl, cogroup_exchange
+    from .stages.emit import decode_triples
+
+    keys = list(on)
+    s = left.schema()
+    rs = right.schema()
+    tmap = dict(zip(s.names, s.types))
+    rmap = dict(zip(rs.names, rs.types))
+    # co-partitioning hashes by VALUE within an encoding, but dict-encoded
+    # and plain strings hash differently (measured) — if the sides disagree
+    # per key column, decode both so the buckets line up
+    if any(pa.types.is_dictionary(tmap[k]) != pa.types.is_dictionary(rmap[k])
+           for k in keys):
+        left = left.map_batches(decode_triples, batch_format="pyarrow")
+        right = right.map_batches(decode_triples, batch_format="pyarrow")
+    ktypes = [pa.string() if pa.types.is_dictionary(tmap[k]) else tmap[k]
+              for k in keys]
+    out_schema = pa.schema([(op_col, pa.string())] + list(zip(keys, ktypes)))
+
+    def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        pl = _pl()
+        ld = (pl.from_arrow(decode_triples(lt.select(keys))).unique()
+              if lt.num_rows else None)
+        rdd = (pl.from_arrow(decode_triples(rt.select(keys))).unique()
+               if rt.num_rows else None)
+        outs = []
+        for mine, other, tag in ((ld, rdd, left_only), (rdd, ld, right_only)):
+            if mine is None:
+                continue
+            only = mine.join(other, on=keys, how="anti") if other is not None else mine
+            if only.height:
+                outs.append(only.with_columns(pl.lit(tag).alias(op_col))
+                            .select([op_col] + keys))
+        if not outs:
+            return out_schema.empty_table()
+        return pl.concat(outs).to_arrow().cast(out_schema)
+
+    return cogroup_exchange(left, keys, right, keys, reduce_fn, out_schema)
 
 
 def broadcast_join(
@@ -916,6 +976,25 @@ def _block_enumerate(t: pa.Table, offset: int, alias: str) -> pa.Table:
     return t.append_column(alias, rn)
 
 
+def _sort_enumerate_one(keys, desc, alias, *blocks: pa.Table) -> pa.Table:
+    """One-task sort + ROW_NUMBER for small inputs (vocab tables etc.):
+    a single pyarrow sort beats the range-partitioned sample sort's
+    multi-stage fixed overhead by ~1 s at these sizes."""
+    cap_threads()
+    live = [b for b in blocks if b is not None and b.num_rows] or [blocks[0]]
+    t = pa.concat_tables(live).combine_chunks()
+    order = pc.sort_indices(
+        t, sort_keys=[(k, "descending" if d else "ascending")
+                      for k, d in zip(keys, desc)])
+    return _block_enumerate(t.take(order), 0, alias)
+
+
+# Inputs at or under this row count enumerate in ONE task instead of the
+# sample sort — a 2M-row single-task sort is subsecond while the sample
+# sort's boundary stages cost ~1 s regardless of input size.
+_ENUM_ONE_TASK_ROWS = 2_000_000
+
+
 def global_enumerate(
     ds: rd.Dataset,
     keys: Sequence[str],
@@ -933,7 +1012,14 @@ def global_enumerate(
     nondeterministic within ties, exactly like SQL ROW_NUMBER."""
     keys = list(keys)
     desc = list(descending) if descending is not None else [False] * len(keys)
-    s = ds.sort(keys, descending=desc).materialize()
+    mat = ds.materialize()
+    if mat.count() <= _ENUM_ONE_TASK_ROWS:
+        refs = [r for r in mat.to_arrow_refs()]
+        if not refs:
+            return mat
+        one = ray.remote(_sort_enumerate_one)
+        return rd.from_arrow_refs([one.remote(keys, desc, alias, *refs)])
+    s = mat.sort(keys, descending=desc).materialize()
     refs = s.to_arrow_refs()
     if not refs:
         return s
