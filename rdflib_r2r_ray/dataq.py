@@ -2098,32 +2098,54 @@ def q_sketch_join_size(sf_dir: str):
     per joined pair) at the standard ε = e/w additive bound on F1(A)·F1(B)."""
     import pandas as pd
 
-    from . import relational as R
-
     log2_w, d = 13, 4
-    a = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    a = a.filter(expr="event_type == 'click'").select_columns(["user_id"])
-    b = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    b = b.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
-    def as_str(t: pa.Table) -> pa.Table:
-        return pa.table({"k": pc.cast(t["user_id"], pa.string())})
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 value_set=pa.array(["click", "purchase"])))
 
-    sa = SK.cms_merge(a.map_batches(as_str, batch_format="pyarrow"), "k",
-                      log2_w=log2_w, d=d)
-    sb = SK.cms_merge(b.map_batches(as_str, batch_format="pyarrow"), "k",
-                      log2_w=log2_w, d=d)
+    # ONE scan of the fact table feeds both sketches and the exact gate
+    ev = ev.map_batches(keep, batch_format="pyarrow").materialize()
+
+    def as_str(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], which))
+            return pa.table({"k": pc.cast(t["user_id"], pa.string())})
+        return f
+
+    sa = SK.cms_merge(ev.map_batches(as_str("click"), batch_format="pyarrow"),
+                      "k", log2_w=log2_w, d=d)
+    sb = SK.cms_merge(ev.map_batches(as_str("purchase"), batch_format="pyarrow"),
+                      "k", log2_w=log2_w, d=d)
     est = int(min(int(np.dot(sa[i], sb[i])) for i in range(d)))
 
-    ga = R.grouped_agg(a, ["user_id"], count_as="na")
-    gb = R.grouped_agg(b, ["user_id"], count_as="nb")
-    j = R.planned_join(ga, gb, on=["user_id"])
+    # exact |A join B| = Σ_key na·nb in ONE grouped exchange (per-batch
+    # conditional-count combiner; each reduce task emits its bucket's partial
+    # Σ na·nb — one int per bucket reaches the driver, never the join)
+    cnt_schema = pa.schema([("user_id", pa.int64()),
+                            ("na", pa.int64()), ("nb", pa.int64())])
 
-    def prod(t: pa.Table) -> pa.Table:
-        return pa.table({"x": pc.multiply(t["na"], t["nb"])})
+    def partial_counts(t: pa.Table) -> pa.Table:
+        pl = D._pl()
+        g = (pl.from_arrow(t.select(["user_id", "event_type"]))
+             .group_by("user_id")
+             .agg(na=(pl.col("event_type") == "click").sum().cast(pl.Int64),
+                  nb=(pl.col("event_type") == "purchase").sum().cast(pl.Int64)))
+        return g.to_arrow().cast(cnt_schema)
 
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        pl = D._pl()
+        g = (pl.from_arrow(t).group_by("user_id")
+             .agg(pl.col("na").sum(), pl.col("nb").sum()))
+        return pa.table({"x": pa.array([int((g["na"] * g["nb"]).sum())],
+                                       pa.int64())})
+
+    parts = ev.map_batches(partial_counts, batch_format="pyarrow")
     exact = 0
-    for bt in j.map_batches(prod, batch_format="pyarrow").take_all():
+    for bt in D.hash_group_exchange(
+            parts, ["user_id"], reduce_fn,
+            pa.schema([("x", pa.int64())])).take_all():
         exact += bt["x"]
     na = int(sa[0].sum())
     nb = int(sb[0].sum())
