@@ -766,6 +766,54 @@ FROM deg LEFT JOIN ntri USING (node)
 """
 
 
+BFS_SEED_MOD, BFS_HOPS = 17, 4
+
+
+def q_graph_bfs_hops(sf_dir: str) -> rd.Dataset:
+    """Multi-source shortest-path hop distances over the 2-NN similarity
+    graph (the proximity-to-curated-seed signal used for graph-based
+    quality propagation: label a trusted seed set, score everything else by
+    hop distance).  Seeds = every ``vec_id % 17 == 0`` at hop 0; BFS runs
+    ``stages/graph.bfs_hops`` — per round one expansion join + one
+    grouped-MIN exchange, hop table materialized in the object store, never
+    on the driver; small graphs take the one-task vectorized path.  The
+    relaxation recurrence is deterministic, so a 4-round run replays in an
+    unrolled-CTE oracle."""
+    from .stages.graph import bfs_hops
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def seed(t: pa.Table) -> pa.Table:
+        mod = pa.array(t["vec_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64) % BFS_SEED_MOD)
+        t = t.filter(pc.equal(mod, 0))
+        return pa.table({"node": pc.cast(t["vec_id"], pa.int64()),
+                         "hop": pa.array(np.zeros(len(t), np.int64))})
+
+    seeds = emb.map_batches(seed, batch_format="pyarrow")
+    dist = bfs_hops(_nn2_und_edges(sf_dir), seeds, iters=BFS_HOPS)
+    return dist.map_batches(lambda t: t.rename_columns(["vec_id", "hop"]),
+                            batch_format="pyarrow")
+
+
+def _sql_graph_bfs_hops() -> str:
+    head = f"""
+WITH {_SQL_NN2_UND},
+edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+it0 AS (SELECT CAST(vec_id AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+        FROM embeddings WHERE vec_id % {BFS_SEED_MOD} = 0)"""
+    its = ""
+    for i in range(1, BFS_HOPS + 1):
+        its += f""",
+it{i} AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM it{i - 1}
+    UNION ALL
+    SELECT e.b AS node, d.hop + 1 FROM edges e JOIN it{i - 1} d ON d.node = e.a
+  ) GROUP BY node)"""
+    return f"{head}{its}\nSELECT node AS vec_id, hop FROM it{BFS_HOPS}"
+
+
 KCORE_K, KCORE_ROUNDS = 2, 4
 
 
@@ -3227,6 +3275,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
         "graph_clustering_coeff": q_graph_clustering_coeff,
+        "graph_bfs_hops": q_graph_bfs_hops,
         "graph_kcore": q_graph_kcore,
         "graph_link_predict": q_graph_link_predict,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -3297,6 +3346,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_components": _sql_graph_components(),
         "graph_triangles": _sql_graph_triangles(),
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),
+        "graph_bfs_hops": _sql_graph_bfs_hops(),
         "graph_kcore": _sql_graph_kcore(),
         "graph_link_predict": _sql_graph_link_predict(),
         "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,

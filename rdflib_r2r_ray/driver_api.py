@@ -2065,7 +2065,8 @@ _LATE_R4 = {
     "rel_intersect", "rel_unnest", "sketch_quantiles", "rel_skew_join",
     "dd_edit_distance", "kg_rdfs_infer", "rel_profile", "sketch_join_size",
     "sparql_named_graphs", "sparql_graph_scope", "kg_rdfs_domain_range",
-    "text_bpe_train", "text_bpe_encode",
+    "text_bpe_train", "text_bpe_encode", "graph_bfs_hops",
+    "rel_merge_upsert",
 }
 
 

@@ -210,6 +210,91 @@ GROUP BY n_name
 """
 
 
+def q_rel_merge_upsert(sf_dir: str) -> rd.Dataset:
+    """MERGE INTO (upsert + delete) — the incremental-maintenance primitive
+    for a continuously re-crawled corpus: apply a change feed (INSERT /
+    UPDATE / DELETE rows keyed on the primary key) to a base table in ONE
+    co-partitioned exchange.  The feed is synthesized deterministically
+    from orders (key % 10: 0 → price update, 1 → delete, 2 → insert of a
+    fresh key); each reduce task holds COMPLETE key groups of both sides,
+    so delete-filter, update-overlay and inserts are local vectorized
+    polars ops — no driver state, no multi-pass shuffle joins."""
+    from .stages.dedup import _pl, cogroup_exchange
+
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ch_schema = pa.schema([("k", pa.int64()), ("op", pa.string()),
+                           ("price", pa.float64())])
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        mod = pa.array(
+            t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) % 10)
+        u = t.filter(pc.equal(mod, 0))
+        d = t.filter(pc.equal(mod, 1))
+        i = t.filter(pc.equal(mod, 2))
+        return pa.concat_tables([
+            pa.table({"k": u["o_orderkey"],
+                      "op": pa.array(["U"] * len(u), pa.string()),
+                      "price": pc.add(u["o_totalprice"], pa.scalar(1000.0))},
+                     schema=ch_schema),
+            pa.table({"k": d["o_orderkey"],
+                      "op": pa.array(["D"] * len(d), pa.string()),
+                      "price": pa.nulls(len(d), pa.float64())},
+                     schema=ch_schema),
+            pa.table({"k": pc.add(i["o_orderkey"],
+                                  pa.scalar(10_000_000, pa.int64())),
+                      "op": pa.array(["I"] * len(i), pa.string()),
+                      "price": i["o_totalprice"]}, schema=ch_schema),
+        ])
+
+    changes = _read(sf_dir, "orders",
+                    columns=["o_orderkey", "o_totalprice"]).map_batches(
+        mk_changes, batch_format="pyarrow")
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_totalprice", pa.float64())])
+
+    def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        pl = _pl()
+        if rt.num_rows == 0:
+            return lt.cast(out_schema) if lt.num_rows else out_schema.empty_table()
+        c = pl.from_arrow(rt)
+        ins = c.filter(pl.col("op") == "I").select(
+            pl.col("k").alias("o_orderkey"),
+            pl.col("price").alias("o_totalprice"))
+        if lt.num_rows == 0:
+            return ins.to_arrow().cast(out_schema)
+        b = pl.from_arrow(lt)
+        kept = b.join(c.filter(pl.col("op") == "D").select("k"),
+                      left_on="o_orderkey", right_on="k", how="anti")
+        kept = (kept.join(c.filter(pl.col("op") == "U").select("k", "price"),
+                          left_on="o_orderkey", right_on="k", how="left")
+                .with_columns(pl.coalesce(pl.col("price"),
+                                          pl.col("o_totalprice"))
+                              .alias("o_totalprice"))
+                .select("o_orderkey", "o_totalprice"))
+        return pl.concat([kept, ins]).to_arrow().cast(out_schema)
+
+    return cogroup_exchange(base, ["o_orderkey"], changes, ["k"],
+                            reduce_fn, out_schema)
+
+
+SQL_REL_MERGE_UPSERT = """
+WITH ch AS (
+  SELECT o_orderkey AS k, 'U' AS op, o_totalprice + 1000 AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 2),
+base AS (SELECT o_orderkey AS k, o_totalprice FROM orders)
+SELECT COALESCE(b.k, c.k) AS o_orderkey,
+       CASE WHEN c.op IN ('U', 'I') THEN c.price ELSE b.o_totalprice END
+         AS o_totalprice
+FROM base b FULL JOIN ch c ON b.k = c.k
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
 # --- Q6 left outer join ----------------------------------------------------
 
 def q_rel_left_join(sf_dir: str) -> rd.Dataset:
@@ -1605,6 +1690,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_pricing": q_rel_pricing,
         "rel_join_agg": q_rel_join_agg,
         "rel_star_join": q_rel_star_join,
+        "rel_merge_upsert": q_rel_merge_upsert,
         "rel_range_partition": q_rel_range_partition,
         "rel_left_join": q_rel_left_join,
         "rel_exists": q_rel_exists,
@@ -1659,6 +1745,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_pricing": SQL_REL_PRICING,
         "rel_join_agg": SQL_REL_JOIN_AGG,
         "rel_star_join": SQL_REL_STAR_JOIN,
+        "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "rel_range_partition": SQL_REL_RANGE_PARTITION,
         "rel_left_join": SQL_REL_LEFT_JOIN,
         "rel_exists": SQL_REL_EXISTS,

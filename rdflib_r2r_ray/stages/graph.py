@@ -402,3 +402,102 @@ def pagerank(
         ranks = padded.map_batches(step, batch_format="pyarrow").materialize()
 
     return ranks
+
+
+def _bfs_local(iters: int, a_col: str, b_col: str, node_col: str,
+               hop_col: str, n_seed_refs: int, *tables: pa.Table) -> pa.Table:
+    """One-task BFS (vectorized Bellman-Ford relaxation over dense node
+    indices) — the small-graph path of :func:`bfs_hops`."""
+    schema = pa.schema([(node_col, pa.int64()), (hop_col, pa.int64())])
+    seed_t = [t for t in tables[:n_seed_refs] if t is not None and t.num_rows]
+    edge_t = [t for t in tables[n_seed_refs:] if t is not None and t.num_rows]
+    if not seed_t:
+        return schema.empty_table()
+    seeds = pa.concat_tables(seed_t).combine_chunks()
+    s_nodes = seeds[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_hops = seeds[hop_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if edge_t:
+        e = pa.concat_tables(edge_t).combine_chunks()
+        a = e[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = e[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a = b = np.empty(0, np.int64)
+    nodes = np.unique(np.concatenate([s_nodes, a, b]))
+    big = np.int64(2**62)
+    dist = np.full(len(nodes), big, np.int64)
+    np.minimum.at(dist, np.searchsorted(nodes, s_nodes), s_hops)
+    ai, bi = np.searchsorted(nodes, a), np.searchsorted(nodes, b)
+    src, dst = np.concatenate([ai, bi]), np.concatenate([bi, ai])
+    for _ in range(iters):
+        nd = dist.copy()
+        np.minimum.at(nd, dst, dist[src] + 1)
+        dist = nd
+    keep = dist < big
+    return pa.table({node_col: pa.array(nodes[keep]),
+                     hop_col: pa.array(dist[keep])}, schema=schema)
+
+
+def bfs_hops(
+    und: rd.Dataset,
+    seeds: rd.Dataset,
+    iters: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    hop_col: str = "hop",
+    local_max_edges: int = _LOCAL_GRAPH_MAX_EDGES,
+) -> rd.Dataset:
+    """Multi-source BFS hop distances over an undirected canonical edge
+    list, bounded at ``iters`` hops (unit-weight Bellman-Ford relaxation).
+
+    ``seeds`` is a ``(node, hop)`` Dataset (normally hop = 0).  Each round
+    is two Dataset ops — expansion join (``planned_join``: the hop table
+    broadcasts while small, hash exchange at scale) + grouped-MIN exchange
+    over ``dist ∪ expansion`` — with the hop table materialized between
+    rounds (object store, never the driver), exactly the pagerank
+    discipline above.  The relaxation recurrence (not a frontier queue) is
+    deterministic under any block layout, so the whole run replays in an
+    unrolled-CTE SQL oracle.  Nodes farther than ``iters`` hops from every
+    seed are absent from the output.
+
+    Graphs at or under ``local_max_edges`` run all rounds in ONE task
+    (:func:`_bfs_local`, same recurrence)."""
+    from ..relational import grouped_agg, planned_join
+
+    und = und.select_columns([a_col, b_col]).materialize()
+    hop_schema = pa.schema([(node_col, pa.int64()), (hop_col, pa.int64())])
+
+    def norm_seed(t: pa.Table) -> pa.Table:
+        return pa.table({node_col: pc.cast(t[node_col], pa.int64()),
+                         hop_col: pc.cast(t[hop_col], pa.int64())},
+                        schema=hop_schema)
+
+    dist = seeds.map_batches(norm_seed, batch_format="pyarrow").materialize()
+    if und.count() <= local_max_edges:
+        srefs = dist.to_arrow_refs()
+        out = ray.remote(_bfs_local).remote(
+            iters, a_col, b_col, node_col, hop_col,
+            len(srefs), *srefs, *und.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = und.map_batches(both, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        j = planned_join(edges, dist, on=["src"], right_on=[node_col])
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {node_col: t["dst"],
+                 hop_col: pc.add(t[hop_col], pa.scalar(1, pa.int64()))},
+                schema=hop_schema)
+
+        cand = j.map_batches(relax, batch_format="pyarrow")
+        dist = grouped_agg(dist.union(cand), [node_col], mins=[hop_col],
+                           in_schema=hop_schema).materialize()
+    return dist

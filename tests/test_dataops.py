@@ -1236,3 +1236,30 @@ def test_levenshtein_batch_exact():
     want = [con.execute("SELECT levenshtein(?, ?)", [x, y]).fetchone()[0]
             for x, y in zip(a, b)]
     assert (got == np.asarray(want, dtype=np.int64)).all()
+
+
+def test_bfs_hops_distributed_matches_local(ray_session):
+    """The distributed Bellman-Ford loop (forced by local_max_edges=0) must
+    agree exactly with the one-task vectorized path on a graph whose
+    diameter exceeds the hop budget (unreached nodes absent from both)."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.graph import bfs_hops
+
+    # chain 0-1-2-...-9 plus a separate triangle 100-101-102
+    und = pa.table({
+        "a": pa.array(list(range(9)) + [100, 100, 101], pa.int64()),
+        "b": pa.array(list(range(1, 10)) + [101, 102, 102], pa.int64()),
+    })
+    seeds = pa.table({"node": pa.array([0, 100], pa.int64()),
+                      "hop": pa.array([0, 0], pa.int64())})
+    args = dict(iters=3)
+    local = bfs_hops(rd.from_arrow(und), rd.from_arrow(seeds), **args)
+    dist = bfs_hops(rd.from_arrow(und), rd.from_arrow(seeds),
+                    local_max_edges=0, **args)
+    key = lambda df: sorted(map(tuple, df.to_pandas().values.tolist()))
+    got, want = key(dist), key(local)
+    assert got == want
+    # hop budget 3: chain nodes 4..9 unreachable; triangle fully covered
+    assert want == [(0, 0), (1, 1), (2, 2), (3, 3),
+                    (100, 0), (101, 1), (102, 1)]
