@@ -1711,6 +1711,54 @@ SELECT DISTINCT {r}, '<{RDF_TYPE}>', '<http://kg.ex/c/Region>' FROM nation
 """
 
 
+def q_sparql_update(sf_dir: str) -> rd.Dataset:
+    """SPARQL 1.1 Update (DELETE/INSERT WHERE) — BEYOND the reference,
+    whose store is read-only: retag romance-language documents, dropping
+    the per-language triple and inserting group + audit triples.  Template
+    instantiation reuses the CONSTRUCT pipeline; deletion is a distributed
+    anti-join; the result is a NEW set-semantics graph (versions are
+    values — replayable on resume)."""
+    from . import sparql
+
+    u = """
+    DELETE { ?d <http://kg.ex/p/lang> ?l }
+    INSERT { ?d <http://kg.ex/p/lang_group> "romance" .
+             ?d <http://kg.ex/p/reviewed> "true" }
+    WHERE  { ?d <http://kg.ex/p/lang> ?l .
+             FILTER(?l = "fr" || ?l = "es") }
+    """
+    return sparql.update(_documents_triples(sf_dir), u)
+
+
+def _sql_sparql_update() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+WITH g AS (
+  SELECT {d} AS subj, '<{RDF_TYPE}>' AS pred, '<http://kg.ex/c/Document>' AS obj FROM documents
+  UNION ALL
+  SELECT {d}, '<http://kg.ex/p/lang>', lang FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT {d}, '<http://kg.ex/p/source>', source FROM documents WHERE source IS NOT NULL
+  UNION ALL
+  SELECT {d}, '<http://kg.ex/p/n_chars>',
+         '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' FROM documents
+  WHERE n_chars IS NOT NULL
+),
+sel AS (SELECT DISTINCT subj FROM g
+        WHERE pred = '<http://kg.ex/p/lang>' AND obj IN ('fr', 'es'))
+SELECT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM g
+  EXCEPT
+  SELECT subj, pred, obj FROM g
+  WHERE pred = '<http://kg.ex/p/lang>' AND obj IN ('fr', 'es')
+)
+UNION
+SELECT subj, '<http://kg.ex/p/lang_group>', 'romance' FROM sel
+UNION
+SELECT subj, '<http://kg.ex/p/reviewed>', 'true' FROM sel
+"""
+
+
 def q_sparql_group_concat(sf_dir: str) -> rd.Dataset:
     """GROUP_CONCAT with separator through the string front end — lowered
     onto the exchange-based ``relational.group_concat`` (deterministic
@@ -2066,7 +2114,7 @@ _LATE_R4 = {
     "dd_edit_distance", "kg_rdfs_infer", "rel_profile", "sketch_join_size",
     "sparql_named_graphs", "sparql_graph_scope", "kg_rdfs_domain_range",
     "text_bpe_train", "text_bpe_encode", "graph_bfs_hops",
-    "rel_merge_upsert",
+    "rel_merge_upsert", "sparql_update",
 }
 
 
@@ -2132,6 +2180,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_group_concat": q_sparql_group_concat,
         "sparql_ask": q_sparql_ask,
         "sparql_construct": q_sparql_construct,
+        "sparql_update": q_sparql_update,
         "kg_path_star": q_kg_path_star,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_csv_source": q_kg_csv_source,
@@ -2200,6 +2249,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_group_concat": _sql_sparql_group_concat(),
         "sparql_ask": _sql_sparql_ask(),
         "sparql_construct": _sql_sparql_construct(),
+        "sparql_update": _sql_sparql_update(),
         "kg_path_star": _sql_kg_path_star(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_csv_source": _sql_kg_direct_nation(),

@@ -1596,6 +1596,134 @@ def execute(
     return _execute_parsed(triples, q, init_bindings, broadcast_threshold)
 
 
+def _scan_block(s: str, i: int) -> Tuple[str, int]:
+    """Return the contents of the brace block starting at ``s[i] == '{'``
+    and the index just past its closing brace — honoring nested braces and
+    quoted strings (braces inside literals don't count)."""
+    assert s[i] == "{"
+    depth, j, in_q = 0, i, None
+    start = i + 1
+    while j < len(s):
+        c = s[j]
+        if in_q:
+            if c == "\\":
+                j += 2
+                continue
+            if c == in_q:
+                in_q = None
+        elif c in ('"', "'"):
+            in_q = c
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return s[start:j], j + 1
+        j += 1
+    raise ValueError("unbalanced braces in SPARQL update")
+
+
+def _parse_data_block(block: str) -> "pa.Table":
+    """Parse a ground-triple block (INSERT DATA / DELETE DATA payload) into
+    a (subj, pred, obj) Arrow table via the shared term tokenizer."""
+    p = SparqlParser(block)
+    rows = []
+    while p._peek()[0] is not None:
+        if p._peek()[1] == ".":
+            p._next()
+            continue
+        s = p._term()
+        pr = p._term()
+        o = p._term()
+        for t in (s, pr, o):
+            if isinstance(t, Var):
+                raise ValueError("INSERT/DELETE DATA requires ground triples")
+        rows.append((s, pr, o))
+    return pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def update(
+    triples: rd.Dataset,
+    update_str: str,
+    broadcast_threshold: int = 100_000,
+) -> rd.Dataset:
+    """SPARQL 1.1 Update over a triples Dataset — BEYOND the reference,
+    whose store is read-only (rdflib delegates updates to mutable stores).
+
+    Supported forms: ``INSERT DATA {..}``, ``DELETE DATA {..}``,
+    ``DELETE {tmpl} INSERT {tmpl} WHERE {pattern}`` (either clause
+    optional), and the ``DELETE WHERE {pattern}`` shorthand.  Returns the
+    UPDATED graph as a new set-semantics Dataset: template instantiation
+    reuses the CONSTRUCT pipeline (full WHERE expressiveness — OPTIONAL,
+    FILTER, UNION, sub-SELECT), deletion is a distributed anti-join on the
+    full triple key, and the final distinct rides the hash exchange.  The
+    input Dataset is never mutated — graph versions are values, which is
+    what makes updates replayable on resume at scale."""
+    import re as _re
+
+    from .relational import anti_join
+    from .stages.dedup import distinct_on
+
+    s = update_str
+    dele = ins = where = None
+    dele_data = ins_data = False
+    delete_where = False
+    pos = 0
+    while True:
+        m = _re.compile(r"\b(DELETE|INSERT|WHERE)\b", _re.I).search(s, pos)
+        if not m:
+            break
+        kw = m.group(1).upper()
+        j = m.end()
+        data = False
+        m2 = _re.compile(r"\s*DATA\b", _re.I).match(s, j)
+        if kw != "WHERE" and m2:
+            data = True
+            j = m2.end()
+        m3 = _re.compile(r"\s*\{").match(s, j)
+        if not m3:
+            if kw == "DELETE":  # DELETE WHERE shorthand
+                delete_where = True
+                pos = j
+                continue
+            raise ValueError(f"expected {{ after {kw} in SPARQL update")
+        block, pos = _scan_block(s, m3.end() - 1)
+        if kw == "DELETE":
+            dele, dele_data = block, data
+        elif kw == "INSERT":
+            ins, ins_data = block, data
+        else:
+            where = block
+    if delete_where:
+        if where is None:
+            raise ValueError("DELETE WHERE needs a pattern block")
+        dele = where
+    if dele is None and ins is None:
+        raise ValueError("SPARQL update has no DELETE or INSERT clause")
+    if (dele is not None and not dele_data or ins is not None and not ins_data) \
+            and where is None:
+        raise ValueError("template DELETE/INSERT requires a WHERE clause")
+
+    keys = ["subj", "pred", "obj"]
+    out = triples.select_columns(keys)
+
+    def _graph_of(block: str, is_data: bool) -> rd.Dataset:
+        if is_data:
+            return rd.from_arrow(_parse_data_block(block))
+        return execute(triples, f"CONSTRUCT {{ {block} }} WHERE {{ {where} }}",
+                       broadcast_threshold=broadcast_threshold)
+
+    if dele is not None:
+        out = anti_join(out, _graph_of(dele, dele_data), on=keys)
+    if ins is not None:
+        out = out.union(_graph_of(ins, ins_data))
+    return distinct_on(out, keys)
+
+
 def _execute_parsed(
     triples: rd.Dataset,
     q: SelectQuery,

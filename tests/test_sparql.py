@@ -824,3 +824,59 @@ def test_graph_clause(ray_session):
         execute(_quads(), """
           SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o . ?s <q> ?v } }
         """).to_pandas()
+
+
+def _upd_graph():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "subj": pa.array(["<a>", "<a>", "<b>", "<c>"]),
+        "pred": pa.array(["<p>", "<q>", "<p>", "<p>"]),
+        "obj": pa.array(["x", "1", "y", "x"]),
+    }))
+
+
+def test_update_insert_data(ray_session):
+    from rdflib_r2r_ray.sparql import update
+
+    out = update(_upd_graph(), 'INSERT DATA { <d> <p> "z" . <a> <p> "x" }')
+    rows = sorted(map(tuple, out.to_pandas().values.tolist()))
+    # <a> <p> x already present: set semantics, no duplicate
+    assert rows == [("<a>", "<p>", "x"), ("<a>", "<q>", "1"),
+                    ("<b>", "<p>", "y"), ("<c>", "<p>", "x"),
+                    ("<d>", "<p>", "z")]
+
+
+def test_update_delete_data_and_delete_where(ray_session):
+    from rdflib_r2r_ray.sparql import update
+
+    out = update(_upd_graph(), 'DELETE DATA { <a> <q> "1" . <zz> <p> "nope" }')
+    rows = sorted(map(tuple, out.to_pandas().values.tolist()))
+    assert rows == [("<a>", "<p>", "x"), ("<b>", "<p>", "y"),
+                    ("<c>", "<p>", "x")]
+
+    out = update(_upd_graph(), 'DELETE WHERE { ?s <p> "x" }')
+    rows = sorted(map(tuple, out.to_pandas().values.tolist()))
+    assert rows == [("<a>", "<q>", "1"), ("<b>", "<p>", "y")]
+
+
+def test_update_delete_insert_where(ray_session):
+    from rdflib_r2r_ray.sparql import update
+
+    u = """
+    DELETE { ?s <p> ?v }
+    INSERT { ?s <renamed> ?v }
+    WHERE  { ?s <p> ?v . FILTER(?v = "x") }
+    """
+    out = update(_upd_graph(), u)
+    rows = sorted(map(tuple, out.to_pandas().values.tolist()))
+    assert rows == [("<a>", "<q>", "1"), ("<a>", "<renamed>", "x"),
+                    ("<b>", "<p>", "y"), ("<c>", "<renamed>", "x")]
+
+
+def test_update_requires_clause(ray_session):
+    from rdflib_r2r_ray.sparql import update
+
+    with pytest.raises(ValueError, match="WHERE"):
+        update(_upd_graph(), 'DELETE { ?s <p> ?v }')
+    with pytest.raises(ValueError, match="ground"):
+        update(_upd_graph(), 'INSERT DATA { ?s <p> "x" }')
