@@ -92,10 +92,11 @@ def q_kg_doc_meta(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["subj", "pred", "obj"])
 
 
-def _sql_kg_doc_meta() -> str:
+def _doc_graph_sql() -> str:
+    """The documents-metadata graph as a SQL relation (subj, pred, obj) —
+    shared by every oracle over ``_documents_triples``."""
     s = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
     return f"""
-SELECT subj, pred, obj FROM (
   SELECT {s} AS subj, '<{RDF_TYPE}>' AS pred, '<http://kg.ex/c/Document>' AS obj FROM documents
   UNION ALL
   SELECT {s}, '<http://kg.ex/p/lang>', lang FROM documents WHERE lang IS NOT NULL
@@ -104,8 +105,11 @@ SELECT subj, pred, obj FROM (
   UNION ALL
   SELECT {s}, '<http://kg.ex/p/n_chars>',
          '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' FROM documents
-) t
-"""
+  WHERE n_chars IS NOT NULL"""
+
+
+def _sql_kg_doc_meta() -> str:
+    return f"SELECT subj, pred, obj FROM ({_doc_graph_sql()}\n) t"
 
 
 def q_kg_mentions(sf_dir: str) -> rd.Dataset:
@@ -1139,6 +1143,90 @@ def _documents_triples(sf_dir: str) -> rd.Dataset:
     return _cached_graph("documents", sf_dir, build)
 
 
+def q_kg_void_stats(sf_dir: str) -> rd.Dataset:
+    """VoID-style dataset description (W3C VoID: void:triples,
+    void:distinctSubjects, void:distinctObjects per void:propertyPartition)
+    — the summary a published graph version ships with.  One grouped-count
+    exchange for triples, one distinct exchange + grouped count each for
+    subjects/objects, folded with broadcast-planned joins on the tiny
+    predicate key."""
+    from .relational import distinct, grouped_agg, planned_join
+
+    g = _documents_triples(sf_dir)
+    t = grouped_agg(g.select_columns(["pred"]), ["pred"], count_as="n_triples")
+    s = grouped_agg(distinct(g.select_columns(["pred", "subj"])),
+                    ["pred"], count_as="n_subjects")
+    o = grouped_agg(distinct(g.select_columns(["pred", "obj"])),
+                    ["pred"], count_as="n_objects")
+    out = planned_join(t, s, on=["pred"])
+    return planned_join(out, o, on=["pred"])
+
+
+def _sql_kg_void_stats() -> str:
+    return f"""
+WITH g AS ({_doc_graph_sql()}
+)
+SELECT pred, COUNT(*) AS n_triples,
+       COUNT(DISTINCT subj) AS n_subjects,
+       COUNT(DISTINCT obj) AS n_objects
+FROM g GROUP BY pred
+"""
+
+
+def q_kg_shacl_report(sf_dir: str) -> rd.Dataset:
+    """SHACL-lite validation report (W3C SHACL core constraints: minCount /
+    in / pattern / maxInclusive) over the documents graph — the quality
+    gate before publishing a graph version.  Target selection is a triple
+    filter, cardinality one grouped-count exchange with zero-count focus
+    nodes via a planned left join, value checks are vectorized Arrow
+    kernels; the report is a Dataset (``shacl.validate``)."""
+    from . import shacl
+
+    shape = shacl.NodeShape(
+        target_class="<http://kg.ex/c/Document>",
+        properties=(
+            shacl.PropertyShape("<http://kg.ex/p/lang>", min_count=1,
+                                in_set=("en", "de", "fr", "es")),
+            shacl.PropertyShape("<http://kg.ex/p/source>",
+                                pattern=r"^src[0-9]$"),
+            shacl.PropertyShape("<http://kg.ex/p/n_chars>",
+                                max_inclusive=400),
+        ))
+    return shacl.validate(_documents_triples(sf_dir), [shape])
+
+
+def _sql_kg_shacl_report() -> str:
+    return f"""
+WITH g AS ({_doc_graph_sql()}
+),
+t AS (SELECT subj FROM g
+      WHERE pred = '<{RDF_TYPE}>' AND obj = '<http://kg.ex/c/Document>'),
+langs AS (SELECT subj AS focus, obj AS value FROM g
+          WHERE pred = '<http://kg.ex/p/lang>'
+            AND subj IN (SELECT subj FROM t)),
+srcs AS (SELECT subj AS focus, obj AS value FROM g
+         WHERE pred = '<http://kg.ex/p/source>'
+           AND subj IN (SELECT subj FROM t)),
+ncs AS (SELECT subj AS focus, obj AS value FROM g
+        WHERE pred = '<http://kg.ex/p/n_chars>'
+          AND subj IN (SELECT subj FROM t))
+SELECT focus, '<http://kg.ex/p/lang>' AS path, 'minCount' AS "constraint",
+       CAST(cnt AS VARCHAR) AS value
+FROM (SELECT t.subj AS focus, COUNT(l.focus) AS cnt
+      FROM t LEFT JOIN langs l ON l.focus = t.subj GROUP BY t.subj)
+WHERE cnt < 1
+UNION ALL
+SELECT focus, '<http://kg.ex/p/lang>', 'in', value FROM langs
+WHERE value NOT IN ('en', 'de', 'fr', 'es')
+UNION ALL
+SELECT focus, '<http://kg.ex/p/source>', 'pattern', value FROM srcs
+WHERE NOT regexp_matches(value, '^src[0-9]$')
+UNION ALL
+SELECT focus, '<http://kg.ex/p/n_chars>', 'maxInclusive', value FROM ncs
+WHERE CAST(regexp_extract(value, '"([0-9]+)"', 1) AS BIGINT) > 400
+"""
+
+
 def q_sparql_bind_regex(sf_dir: str) -> rd.Dataset:
     """FILTER REGEX + BIND arithmetic through the string front end
     (reference expression compiler ``query_conversions.py:141-152`` REGEX,
@@ -2114,7 +2202,7 @@ _LATE_R4 = {
     "dd_edit_distance", "kg_rdfs_infer", "rel_profile", "sketch_join_size",
     "sparql_named_graphs", "sparql_graph_scope", "kg_rdfs_domain_range",
     "text_bpe_train", "text_bpe_encode", "graph_bfs_hops",
-    "rel_merge_upsert", "sparql_update",
+    "rel_merge_upsert", "sparql_update", "kg_void_stats", "kg_shacl_report",
 }
 
 
@@ -2181,6 +2269,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_ask": q_sparql_ask,
         "sparql_construct": q_sparql_construct,
         "sparql_update": q_sparql_update,
+        "kg_void_stats": q_kg_void_stats,
+        "kg_shacl_report": q_kg_shacl_report,
         "kg_path_star": q_kg_path_star,
         "kg_path_transitive": q_kg_path_transitive,
         "kg_csv_source": q_kg_csv_source,
@@ -2250,6 +2340,8 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_ask": _sql_sparql_ask(),
         "sparql_construct": _sql_sparql_construct(),
         "sparql_update": _sql_sparql_update(),
+        "kg_void_stats": _sql_kg_void_stats(),
+        "kg_shacl_report": _sql_kg_shacl_report(),
         "kg_path_star": _sql_kg_path_star(),
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_csv_source": _sql_kg_direct_nation(),
