@@ -1143,6 +1143,43 @@ def _documents_triples(sf_dir: str) -> rd.Dataset:
     return _cached_graph("documents", sf_dir, build)
 
 
+def q_kg_provenance(sf_dir: str) -> rd.Dataset:
+    """PROV-style per-triple lineage: every emitted triple carries the
+    source row key and the exact mapping rule that minted it
+    (``emit_triples_batch(prov_key=...)``) — the audit trail a published
+    100 TB graph needs to trace any triple back to its crawl record.  Zero
+    extra passes: provenance columns ride the same vectorized emit."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source", "n_chars"])
+    out = ds.map_batches(
+        EmitTriples(documents_mapping(), "documents", prov_key="doc_id"),
+        batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj", "src_key", "rule"])
+
+
+def _sql_kg_provenance() -> str:
+    s = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    k = "CAST(doc_id AS VARCHAR)"
+    return f"""
+SELECT subj, pred, obj, src_key, rule FROM (
+  SELECT {s} AS subj, '<{RDF_TYPE}>' AS pred,
+         '<http://kg.ex/c/Document>' AS obj, {k} AS src_key,
+         'class:<http://kg.ex/c/Document>' AS rule FROM documents
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/lang>', lang, {k},
+         'pom:<http://kg.ex/p/lang>' FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/source>', source, {k},
+         'pom:<http://kg.ex/p/source>' FROM documents WHERE source IS NOT NULL
+  UNION ALL
+  SELECT {s}, '<http://kg.ex/p/n_chars>',
+         '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>', {k},
+         'pom:<http://kg.ex/p/n_chars>' FROM documents
+  WHERE n_chars IS NOT NULL
+) t
+"""
+
+
 def q_kg_void_stats(sf_dir: str) -> rd.Dataset:
     """VoID-style dataset description (W3C VoID: void:triples,
     void:distinctSubjects, void:distinctObjects per void:propertyPartition)
@@ -2203,6 +2240,7 @@ _LATE_R4 = {
     "sparql_named_graphs", "sparql_graph_scope", "kg_rdfs_domain_range",
     "text_bpe_train", "text_bpe_encode", "graph_bfs_hops",
     "rel_merge_upsert", "sparql_update", "kg_void_stats", "kg_shacl_report",
+    "kg_provenance", "rel_incr_agg", "rel_histogram",
 }
 
 
@@ -2270,6 +2308,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_construct": q_sparql_construct,
         "sparql_update": q_sparql_update,
         "kg_void_stats": q_kg_void_stats,
+        "kg_provenance": q_kg_provenance,
         "kg_shacl_report": q_kg_shacl_report,
         "kg_path_star": q_kg_path_star,
         "kg_path_transitive": q_kg_path_transitive,
@@ -2341,6 +2380,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_construct": _sql_sparql_construct(),
         "sparql_update": _sql_sparql_update(),
         "kg_void_stats": _sql_kg_void_stats(),
+        "kg_provenance": _sql_kg_provenance(),
         "kg_shacl_report": _sql_kg_shacl_report(),
         "kg_path_star": _sql_kg_path_star(),
         "kg_path_transitive": _sql_kg_path_transitive(),

@@ -295,6 +295,136 @@ WHERE c.op IS NULL OR c.op <> 'D'
 """
 
 
+def q_rel_incr_agg(sf_dir: str) -> rd.Dataset:
+    """Incremental aggregate maintenance (IVM): update a grouped
+    SUM/COUNT under the rel_merge_upsert change feed WITHOUT recomputing
+    from the merged table — old aggregate rows union SIGNED delta rows
+    (update: Δsum = new−old cents, Δn = 0; delete: −sum, −1; insert:
+    +sum, +1) through ONE grouped-sum exchange, dropping emptied groups.
+    At 100 TB the old aggregate is a tiny snapshot and the deltas are the
+    day's changes — this is the whole recompute-avoidance story.  Sums in
+    integer cents so the maintained value is bit-equal to the oracle's
+    full recompute over the merged table."""
+    from .stages.dedup import _pl
+
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    agg_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("sum_cents", pa.int64()), ("n", pa.int64())])
+
+    def cents(arr) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0)), 0,
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    def old_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "sum_cents": cents(t["o_totalprice"]),
+                         "n": pa.array(np.ones(len(t), np.int64))},
+                        schema=agg_schema)
+
+    def delta(t: pa.Table) -> pa.Table:
+        mod = pa.array(t["o_orderkey"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64) % 10)
+        u = t.filter(pc.equal(mod, 0))
+        d = t.filter(pc.equal(mod, 1))
+        i = t.filter(pc.equal(mod, 2))
+        du = pa.table({
+            "o_orderpriority": u["o_orderpriority"],
+            "sum_cents": pc.subtract(
+                cents(pc.add(u["o_totalprice"], pa.scalar(1000.0))),
+                cents(u["o_totalprice"])),
+            "n": pa.array(np.zeros(len(u), np.int64))}, schema=agg_schema)
+        dd = pa.table({
+            "o_orderpriority": d["o_orderpriority"],
+            "sum_cents": pc.negate(cents(d["o_totalprice"])),
+            "n": pa.array(np.full(len(d), -1, np.int64))}, schema=agg_schema)
+        di = pa.table({
+            "o_orderpriority": i["o_orderpriority"],
+            "sum_cents": cents(i["o_totalprice"]),
+            "n": pa.array(np.ones(len(i), np.int64))}, schema=agg_schema)
+        return pa.concat_tables([du, dd, di])
+
+    old = R.grouped_agg(
+        _read(sf_dir, "orders", columns=cols).map_batches(
+            old_partial, batch_format="pyarrow"),
+        ["o_orderpriority"], sums=["sum_cents", "n"], in_schema=agg_schema)
+    deltas = _read(sf_dir, "orders", columns=cols).map_batches(
+        delta, batch_format="pyarrow")
+    merged = R.grouped_agg(old.union(deltas), ["o_orderpriority"],
+                           sums=["sum_cents", "n"], in_schema=agg_schema)
+
+    def live(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n"], pa.scalar(0, pa.int64())))
+
+    return merged.map_batches(live, batch_format="pyarrow")
+
+
+SQL_REL_INCR_AGG = """
+WITH m AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 10 <> 1
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 10 = 2)
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       COUNT(*) AS n
+FROM m GROUP BY o_orderpriority
+"""
+
+
+HIST_BINS = 20
+
+
+def q_rel_histogram(sf_dir: str) -> rd.Dataset:
+    """Equi-width histogram of a numeric column — the profiling primitive
+    behind range-partition planning and outlier triage.  Bounds come from
+    one per-block min/max fold (two integers per block reach the driver);
+    bin assignment is exact integer math over cents, so every edge case
+    lands in the same bin as the SQL oracle; counts ride one grouped
+    exchange keyed on the bin."""
+    from .stages.dedup import hash_group_exchange
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"c": pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)), 0,
+                     round_mode="half_towards_infinity"), pa.int64())})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+
+    def mm(t: pa.Table) -> pa.Table:
+        return pa.table({"lo": pa.array([pc.min(t["c"]).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(t["c"]).as_py()], pa.int64())})
+
+    lo, hi = None, None
+    for r in cents.map_batches(mm, batch_format="pyarrow").take_all():
+        lo = r["lo"] if lo is None else min(lo, r["lo"])
+        hi = r["hi"] if hi is None else max(hi, r["hi"])
+
+    def binify(t: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+        c = t["c"].to_numpy()
+        b = (c - _lo) * HIST_BINS // (_hi - _lo + 1)
+        return pa.table({"bin": pa.array(b.astype(np.int64)),
+                         "n": pa.array(np.ones(len(c), np.int64))})
+
+    binned = cents.map_batches(binify, batch_format="pyarrow")
+    return R.grouped_agg(binned, ["bin"], sums=["n"],
+                         in_schema=pa.schema([("bin", pa.int64()),
+                                              ("n", pa.int64())]))
+
+
+SQL_REL_HISTOGRAM = f"""
+WITH b AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+mm AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM b)
+SELECT (c - lo) * {HIST_BINS} // (hi - lo + 1) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b, mm GROUP BY 1
+"""
+
+
 # --- Q6 left outer join ----------------------------------------------------
 
 def q_rel_left_join(sf_dir: str) -> rd.Dataset:
@@ -1691,6 +1821,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_join_agg": q_rel_join_agg,
         "rel_star_join": q_rel_star_join,
         "rel_merge_upsert": q_rel_merge_upsert,
+        "rel_incr_agg": q_rel_incr_agg,
+        "rel_histogram": q_rel_histogram,
         "rel_range_partition": q_rel_range_partition,
         "rel_left_join": q_rel_left_join,
         "rel_exists": q_rel_exists,
@@ -1746,6 +1878,8 @@ def oracle_sql() -> Dict[str, str]:
         "rel_join_agg": SQL_REL_JOIN_AGG,
         "rel_star_join": SQL_REL_STAR_JOIN,
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
+        "rel_incr_agg": SQL_REL_INCR_AGG,
+        "rel_histogram": SQL_REL_HISTOGRAM,
         "rel_range_partition": SQL_REL_RANGE_PARTITION,
         "rel_left_join": SQL_REL_LEFT_JOIN,
         "rel_exists": SQL_REL_EXISTS,

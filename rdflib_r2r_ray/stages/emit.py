@@ -185,17 +185,26 @@ def _is_unfoldable_ref(tm_obj: TermMap) -> bool:
 
 
 def emit_triples_batch(batch: pa.Table, tmaps: Sequence[TriplesMap], base: str,
-                       skip_unfoldable_refs: bool = False) -> pa.Table:
+                       skip_unfoldable_refs: bool = False,
+                       prov_key: Optional[str] = None) -> pa.Table:
     """Apply every rule of ``tmaps`` (all on this batch's logical table) and
     return the concatenated triples table ``(subj, pred, obj, graph)``.
 
     ``skip_unfoldable_refs``: silently skip ref object maps that need a real
     join — the pipeline builder (``pipelines.kg.emit_graph``) emits those
-    separately via ``ref_join_triples`` and unions the results."""
+    separately via ``ref_join_triples`` and unions the results.
+
+    ``prov_key``: PROV-style per-triple lineage — name a source column and
+    every triple additionally carries ``src_key`` (that column's value,
+    stringified) and ``rule`` (a stable rule label: ``class:<iri>`` for
+    class rules, ``pom:<pred-iri>`` for constant-predicate object maps,
+    ``pom#<i>`` otherwise), so any published triple can be traced to the
+    exact source row and mapping rule that minted it."""
     outs: List[pa.Table] = []
     n = len(batch)
     if n == 0:
         return empty_triples()
+    prov_arr = pc.cast(batch[prov_key], pa.string()) if prov_key else None
     for tm in tmaps:
         subj = term_array(tm.subject, batch, base, "s", tm.table)
 
@@ -208,11 +217,13 @@ def emit_triples_batch(batch: pa.Table, tmaps: Sequence[TriplesMap], base: str,
 
         graph_arr = _garr(tm.graph)
 
-        def _mk(pred_arr: pa.Array, obj_arr: pa.Array, g_arr: pa.Array) -> None:
-            t = pa.table(
-                {"subj": subj, "pred": pred_arr, "obj": obj_arr, "graph": g_arr},
-                schema=TRIPLE_SCHEMA,
-            )
+        def _mk(pred_arr: pa.Array, obj_arr: pa.Array, g_arr: pa.Array,
+                rule: str = "") -> None:
+            cols = {"subj": subj, "pred": pred_arr, "obj": obj_arr,
+                    "graph": g_arr}
+            t = (pa.table(cols, schema=TRIPLE_SCHEMA) if prov_arr is None
+                 else pa.table({**cols, "src_key": prov_arr,
+                                "rule": pa.array([rule] * n, pa.string())}))
             # NULL subject or object => omit triple (R2RML NULL semantics)
             mask = pc.and_(pc.is_valid(t["subj"]), pc.is_valid(t["obj"]))
             outs.append(t.filter(mask))
@@ -222,20 +233,23 @@ def emit_triples_batch(batch: pa.Table, tmaps: Sequence[TriplesMap], base: str,
                 pa.array([f"<{RDF_TYPE}>"] * n, type=pa.string()),
                 pa.array([f"<{cls}>"] * n, type=pa.string()),
                 graph_arr,
+                rule=f"class:<{cls}>",
             )
-        for pm in tm.pomaps:
+        for pi, pm in enumerate(tm.pomaps):
             if skip_unfoldable_refs and _is_unfoldable_ref(pm.object):
                 continue
             pred = term_array(pm.predicate, batch, base, "p", tm.table)
             obj = term_array(pm.object, batch, base, "o", tm.table)
+            rule = (f"pom:{pm.predicate.constant}" if pm.predicate.constant
+                    else f"pom#{pi}")
             # R2RML §9.1: target graphs = subject-level ∪ pom-level graph
             # maps (a triple lands in EACH); both absent = default graph
             gterms = [g for g in (tm.graph, pm.graph) if g is not None]
             if not gterms:
-                _mk(pred, obj, graph_arr)
+                _mk(pred, obj, graph_arr, rule=rule)
             else:
                 for g in dict.fromkeys(gterms):
-                    _mk(pred, obj, _garr(g))
+                    _mk(pred, obj, _garr(g), rule=rule)
     if not outs:
         return empty_triples()
     return pa.concat_tables(outs).combine_chunks()
@@ -249,10 +263,13 @@ class EmitTriples:
     mappings with heavy precompute pass it as a class to get an actor pool.
     """
 
-    def __init__(self, mapping: Mapping, table: str, skip_unfoldable_refs: bool = False):
+    def __init__(self, mapping: Mapping, table: str, skip_unfoldable_refs: bool = False,
+                 prov_key: Optional[str] = None):
         self.tmaps = [tm for tm in mapping.triples_maps if tm.table == table]
         self.base = mapping.base
         self.skip_unfoldable_refs = skip_unfoldable_refs
+        self.prov_key = prov_key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return emit_triples_batch(batch, self.tmaps, self.base, self.skip_unfoldable_refs)
+        return emit_triples_batch(batch, self.tmaps, self.base,
+                                  self.skip_unfoldable_refs, self.prov_key)
