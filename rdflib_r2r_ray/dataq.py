@@ -591,6 +591,76 @@ WHERE list_cosine_similarity(q.embedding, x.embedding) >= {RANGE_SEARCH_T}
 """
 
 
+PQ_SUBS, PQ_K = 8, 4
+
+
+def q_ann_pq_encode(sf_dir: str) -> rd.Dataset:
+    """Product-quantization encoding (Jégou et al. 2011) — the memory-
+    compression path for embedding search at 100 TB: each 64-dim vector
+    splits into 8 subvectors, each assigned to the nearest of 4 per-subspace
+    centroids, compressing 256 B of floats to 8 code bytes.  Codebooks are
+    deterministic (subvectors of the 4 lowest-id embeddings — same init
+    protocol as ``kmeans_distributed``), broadcast ONCE via ``ray.put``;
+    encoding is one vectorized einsum-argmin per batch with no exchange at
+    all (streams).  Long-form output (vec_id, subspace, code).  L2 argmin
+    with lowest-centroid tie-break replays in a window-function oracle."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def low_k(batch: pa.Table) -> pa.Table:
+        return batch.sort_by("vec_id").slice(0, PQ_K)
+
+    parts = ds.map_batches(low_k, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: r["vec_id"])
+    init = np.asarray([r["embedding"] for r in parts[:PQ_K]], np.float64)
+    d = init.shape[1]
+    sub = d // PQ_SUBS
+    # codebook[s]: (PQ_K, sub) — subvectors of the init rows
+    books = init.reshape(PQ_K, PQ_SUBS, sub).transpose(1, 0, 2).copy()
+    ref = _ray.put(books)
+
+    def encode(batch: pa.Table, _r=ref) -> pa.Table:
+        cb = _ray.get(_r)
+        m = A._to_matrix(batch["embedding"]).astype(np.float64)
+        n = len(m)
+        x = m.reshape(n, PQ_SUBS, sub)
+        # squared L2 to each centroid: (n, S, K)
+        d2 = ((x[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2)  # numpy argmin = lowest index on ties
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, PQ_SUBS)),
+            "subspace": pa.array(np.tile(np.arange(PQ_SUBS, dtype=np.int64), n)),
+            "code": pa.array(codes.reshape(-1).astype(np.int64)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+SQL_ANN_PQ_ENCODE = f"""
+WITH init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})),
+subs AS (SELECT unnest(range({PQ_SUBS})) AS s),
+dims AS (SELECT CAST(len(embedding) // {PQ_SUBS} AS BIGINT) AS sub
+         FROM embeddings LIMIT 1),
+dist AS (
+  SELECT e.vec_id, subs.s AS subspace, i.cid,
+         list_distance(
+           list_slice(e.embedding, subs.s * dims.sub + 1, (subs.s + 1) * dims.sub),
+           list_slice(i.embedding, subs.s * dims.sub + 1, (subs.s + 1) * dims.sub)
+         ) AS d
+  FROM embeddings e, subs, dims, init i)
+SELECT vec_id, subspace, cid AS code FROM (
+  SELECT vec_id, subspace, cid,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d, cid) AS rnk
+  FROM dist) WHERE rnk = 1
+"""
+
+
 def q_graph_pagerank(sf_dir: str) -> rd.Dataset:
     """PageRank over the exact cosine 5-NN graph (graph-based document
     representativeness scoring — high-rank vectors sit in dense, well-
@@ -3276,6 +3346,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_triangles": q_graph_triangles,
         "graph_clustering_coeff": q_graph_clustering_coeff,
         "graph_bfs_hops": q_graph_bfs_hops,
+        "ann_pq_encode": q_ann_pq_encode,
         "graph_kcore": q_graph_kcore,
         "graph_link_predict": q_graph_link_predict,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -3347,6 +3418,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_triangles": _sql_graph_triangles(),
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),
         "graph_bfs_hops": _sql_graph_bfs_hops(),
+        "ann_pq_encode": SQL_ANN_PQ_ENCODE,
         "graph_kcore": _sql_graph_kcore(),
         "graph_link_predict": _sql_graph_link_predict(),
         "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,

@@ -2240,7 +2240,8 @@ _LATE_R4 = {
     "sparql_named_graphs", "sparql_graph_scope", "kg_rdfs_domain_range",
     "text_bpe_train", "text_bpe_encode", "graph_bfs_hops",
     "rel_merge_upsert", "sparql_update", "kg_void_stats", "kg_shacl_report",
-    "kg_provenance", "rel_incr_agg", "rel_histogram",
+    "kg_provenance", "rel_incr_agg", "rel_histogram", "rel_unpivot",
+    "ann_pq_encode",
 }
 
 

@@ -374,6 +374,37 @@ FROM m GROUP BY o_orderpriority
 """
 
 
+def q_rel_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT / melt — wide-to-long reshaping (feature tables → (entity,
+    attr, value) triples for sparse storage or per-attribute statistics).
+    Embarrassingly parallel: one vectorized per-batch reshape, no exchange,
+    streams straight to the consumer."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+    out_schema = pa.schema([("p_partkey", pa.int64()), ("attr", pa.string()),
+                            ("value", pa.float64())])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.concat_tables([
+            pa.table({"p_partkey": t["p_partkey"],
+                      "attr": pa.array(["p_size"] * n, pa.string()),
+                      "value": pc.cast(t["p_size"], pa.float64())},
+                     schema=out_schema),
+            pa.table({"p_partkey": t["p_partkey"],
+                      "attr": pa.array(["p_retailprice"] * n, pa.string()),
+                      "value": t["p_retailprice"]}, schema=out_schema),
+        ])
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_REL_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+"""
+
+
 HIST_BINS = 20
 
 
@@ -1823,6 +1854,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_merge_upsert": q_rel_merge_upsert,
         "rel_incr_agg": q_rel_incr_agg,
         "rel_histogram": q_rel_histogram,
+        "rel_unpivot": q_rel_unpivot,
         "rel_range_partition": q_rel_range_partition,
         "rel_left_join": q_rel_left_join,
         "rel_exists": q_rel_exists,
@@ -1880,6 +1912,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "rel_incr_agg": SQL_REL_INCR_AGG,
         "rel_histogram": SQL_REL_HISTOGRAM,
+        "rel_unpivot": SQL_REL_UNPIVOT,
         "rel_range_partition": SQL_REL_RANGE_PARTITION,
         "rel_left_join": SQL_REL_LEFT_JOIN,
         "rel_exists": SQL_REL_EXISTS,
