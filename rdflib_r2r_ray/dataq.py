@@ -146,6 +146,54 @@ def q_dd_ngram_jaccard(sf_dir: str) -> rd.Dataset:
 SQL_DD_NGRAM_JACCARD = _sql_jaccard_pairs(800, with_permille=True)
 
 
+def _plant_tenth(batch: pa.Table) -> pa.Table:
+    """Plant a one-token-append near-dup for every 10th doc (shared by the
+    fuzzy-dedup composition and the cluster-stats report)."""
+    did = pc.cast(batch["doc_id"], pa.int64())
+    tenth = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 10), 10)), 0)
+    planted = plant_near_dups(batch.filter(tenth))
+    copies = planted.filter(
+        pc.greater_equal(planted["doc_id"], pa.scalar(DUP_OFFSET, pa.int64())))
+    return pa.concat_tables([batch, copies])
+
+
+def q_dd_cluster_stats(sf_dir: str) -> rd.Dataset:
+    """Duplicate-cluster size distribution — the dedup health report run
+    before choosing keeper policy (a corpus whose largest near-dup cluster
+    holds 10^6 copies needs different handling than pairwise dups): same
+    LSH → verify → connected-components stages as ``dd_fuzzy_dedup``, then
+    per-component sizes via one grouped-count exchange and the size
+    histogram via a second tiny one.  Labels and sizes stay distributed;
+    only the O(distinct sizes) histogram reaches the consumer."""
+    from .relational import grouped_agg
+    from .stages.canonicalize import label_propagation_components
+
+    corpus = _docs(sf_dir).map_batches(_plant_tenth, batch_format="pyarrow")
+    pairs = D.verified_near_dup_pairs(
+        corpus, num_perm=128, bands=32, permille_threshold=800)
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["id_a"], "b": b["id_b"]})
+
+    labels = label_propagation_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"))
+    sizes = grouped_agg(labels.select_columns(["label"]), ["label"],
+                        count_as="size")
+    return grouped_agg(sizes.select_columns(["size"]), ["size"],
+                       count_as="n_clusters")
+
+
+def _sql_dd_cluster_stats() -> str:
+    fuzzy = _sql_dd_fuzzy_dedup()
+    head = fuzzy[:fuzzy.index("\nSELECT c.doc_id")]
+    return f"""{head},
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS size
+          FROM labels GROUP BY label)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY size
+"""
+
+
 def q_dd_fuzzy_dedup(sf_dir: str) -> rd.Dataset:
     """END-TO-END fuzzy dedup (the SlimPajama/NeMo-Curator shape): MinHash-
     LSH candidates → exact-Jaccard verify → distributed connected components
@@ -160,15 +208,7 @@ def q_dd_fuzzy_dedup(sf_dir: str) -> rd.Dataset:
     from .relational import planned_join
     from .stages.canonicalize import label_propagation_components
 
-    def plant_tenth(batch: pa.Table) -> pa.Table:
-        did = pc.cast(batch["doc_id"], pa.int64())
-        tenth = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 10), 10)), 0)
-        planted = plant_near_dups(batch.filter(tenth))
-        copies = planted.filter(
-            pc.greater_equal(planted["doc_id"], pa.scalar(DUP_OFFSET, pa.int64())))
-        return pa.concat_tables([batch, copies])
-
-    corpus = _docs(sf_dir).map_batches(plant_tenth, batch_format="pyarrow")
+    corpus = _docs(sf_dir).map_batches(_plant_tenth, batch_format="pyarrow")
     pairs = D.verified_near_dup_pairs(
         corpus, num_perm=128, bands=32, permille_threshold=800
     )
@@ -3354,6 +3394,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_weighted_sample": q_text_weighted_sample,
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
+        "dd_cluster_stats": q_dd_cluster_stats,
         "dd_keeper_quality": q_dd_keeper_quality,
         "dd_contamination": q_dd_contamination,
         "text_split_assign": q_text_split_assign,
@@ -3426,6 +3467,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_weighted_sample": SQL_TEXT_WEIGHTED_SAMPLE,
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
+        "dd_cluster_stats": _sql_dd_cluster_stats(),
         "dd_keeper_quality": _sql_dd_keeper_quality(),
         "dd_contamination": _sql_dd_contamination(),
         "text_split_assign": SQL_TEXT_SPLIT_ASSIGN,

@@ -2241,7 +2241,7 @@ _LATE_R4 = {
     "text_bpe_train", "text_bpe_encode", "graph_bfs_hops",
     "rel_merge_upsert", "sparql_update", "kg_void_stats", "kg_shacl_report",
     "kg_provenance", "rel_incr_agg", "rel_histogram", "rel_unpivot",
-    "ann_pq_encode",
+    "ann_pq_encode", "rel_cohort_retention", "dd_cluster_stats",
 }
 
 

@@ -374,6 +374,46 @@ FROM m GROUP BY o_orderpriority
 """
 
 
+def q_rel_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix — the engagement analysis every event
+    pipeline ships: users bucketed by first-event week (cohort), counted
+    once per week they were active.  First-event via one grouped-MIN
+    exchange; activity via one (user, week) distinct exchange; the small
+    cohort table broadcasts through ``planned_join``; one grouped count
+    finishes.  Week truncation is Monday-based on both sides
+    (``pc.floor_temporal`` == DuckDB ``date_trunc('week')``)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    first = R.grouped_agg(ev, ["user_id"], mins=["ts"])
+
+    def to_cohort(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "cohort_week": pc.floor_temporal(t["ts"], unit="week")})
+
+    cohort = first.map_batches(to_cohort, batch_format="pyarrow")
+
+    def to_week(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "act_week": pc.floor_temporal(t["ts"], unit="week")})
+
+    active = R.distinct(ev.map_batches(to_week, batch_format="pyarrow"),
+                        ["user_id", "act_week"])
+    j = R.planned_join(active, cohort, on=["user_id"])
+    return R.grouped_agg(j.select_columns(["cohort_week", "act_week"]),
+                         ["cohort_week", "act_week"], count_as="n_users")
+
+
+SQL_REL_COHORT_RETENTION = """
+WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+SELECT f.cohort_week, a.act_week, COUNT(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_rel_unpivot(sf_dir: str) -> rd.Dataset:
     """UNPIVOT / melt — wide-to-long reshaping (feature tables → (entity,
     attr, value) triples for sparse storage or per-attribute statistics).
@@ -1855,6 +1895,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_incr_agg": q_rel_incr_agg,
         "rel_histogram": q_rel_histogram,
         "rel_unpivot": q_rel_unpivot,
+        "rel_cohort_retention": q_rel_cohort_retention,
         "rel_range_partition": q_rel_range_partition,
         "rel_left_join": q_rel_left_join,
         "rel_exists": q_rel_exists,
@@ -1913,6 +1954,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_incr_agg": SQL_REL_INCR_AGG,
         "rel_histogram": SQL_REL_HISTOGRAM,
         "rel_unpivot": SQL_REL_UNPIVOT,
+        "rel_cohort_retention": SQL_REL_COHORT_RETENTION,
         "rel_range_partition": SQL_REL_RANGE_PARTITION,
         "rel_left_join": SQL_REL_LEFT_JOIN,
         "rel_exists": SQL_REL_EXISTS,
