@@ -1711,17 +1711,91 @@ def update(
     keys = ["subj", "pred", "obj"]
     out = triples.select_columns(keys)
 
+    # the WHERE relation executes ONCE (materialized blocks in the object
+    # store), shared by both template clauses; templates instantiate as a
+    # local vectorized map per clause (same kernel as the CONSTRUCT branch)
+    # WITHOUT intermediate per-clause distincts — the anti-join tolerates a
+    # duplicated right side and the final distinct owns set semantics
+    sols: Optional[rd.Dataset] = None
+    if (dele is not None and not dele_data) or (ins is not None and not ins_data):
+        sols = execute(triples, f"SELECT * WHERE {{ {where} }}",
+                       broadcast_threshold=broadcast_threshold).materialize()
+
+    def _parse_templates(block: str):
+        p = SparqlParser(block)
+        tmpls = []
+        while p._peek()[0] is not None:
+            if p._peek()[1] == ".":
+                p._next()
+                continue
+            tmpls.append((p._term(), p._term(), p._term()))
+        return tmpls
+
     def _graph_of(block: str, is_data: bool) -> rd.Dataset:
         if is_data:
             return rd.from_arrow(_parse_data_block(block))
-        return execute(triples, f"CONSTRUCT {{ {block} }} WHERE {{ {where} }}",
-                       broadcast_threshold=broadcast_threshold)
+        tmpls = _parse_templates(block)
 
-    if dele is not None:
-        out = anti_join(out, _graph_of(dele, dele_data), on=keys)
+        def emit(b: pa.Table) -> pa.Table:
+            outs = []
+            n = len(b)
+            for tmpl in tmpls:
+                cols = []
+                for t in tmpl:
+                    if isinstance(t, Var):
+                        cols.append(pc.cast(_col(b, t.name), pa.string()))
+                    else:
+                        cols.append(pa.array([t] * n, pa.string()))
+                tbl = pa.table({"subj": cols[0], "pred": cols[1],
+                                "obj": cols[2]})
+                mask = pc.and_(
+                    pc.and_(pc.is_valid(tbl["subj"]), pc.is_valid(tbl["pred"])),
+                    pc.is_valid(tbl["obj"]))
+                outs.append(tbl.filter(mask))
+            return pa.concat_tables(outs)
+
+        return sols.map_batches(emit, batch_format="pyarrow")
+
+    # ONE co-partitioned exchange applies the whole update: left = base
+    # graph (is_ins=0) ∪ instantiated inserts (is_ins=1), right = deletes;
+    # each reduce task holds complete (s,p,o) groups of both sides, so the
+    # SPARQL "DELETE then INSERT" rule (a re-inserted triple survives its
+    # own deletion) and the final set-distinct are local vectorized polars
+    # ops — replacing anti-join + union + distinct (3 wide ops) with one.
+    from .stages.dedup import _pl, cogroup_exchange
+
+    def _flag(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select(keys).append_column(
+                "is_ins", pa.array([v] * len(t), pa.int8()))
+        return f
+
+    left = out.map_batches(_flag(0), batch_format="pyarrow")
     if ins is not None:
-        out = out.union(_graph_of(ins, ins_data))
-    return distinct_on(out, keys)
+        left = left.union(_graph_of(ins, ins_data).map_batches(
+            _flag(1), batch_format="pyarrow"))
+    right = (_graph_of(dele, dele_data) if dele is not None
+             else rd.from_arrow(pa.schema(
+                 [(k, pa.string()) for k in keys]).empty_table()))
+    out_schema = pa.schema([(k, pa.string()) for k in keys])
+
+    def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        pl = _pl()
+        u = (pl.from_arrow(lt).group_by(keys)
+             .agg(pl.col("is_ins").max().alias("is_ins")))
+        if rt.num_rows:
+            deld = pl.from_arrow(rt.select(keys)).unique()
+            kept = pl.concat([
+                u.filter(pl.col("is_ins") == 1),
+                u.filter(pl.col("is_ins") == 0).join(deld, on=keys, how="anti"),
+            ]).unique(subset=keys)
+        else:
+            kept = u
+        return kept.select(keys).to_arrow().cast(out_schema)
+
+    return cogroup_exchange(left, keys, right, keys, reduce_fn, out_schema)
 
 
 def _execute_parsed(
