@@ -175,6 +175,73 @@ def cmd_sparql(args) -> int:
     return 0
 
 
+def _load_graph(args) -> rd.Dataset:
+    """Shared graph-input resolution: an exported N-Triples file (already a
+    set) or the mapped tables (deduplicated — multiple rules may emit the
+    same triple)."""
+    from .stages.dedup import distinct_on
+
+    if args.graph_nt:
+        from .sources.tables import read_ntriples
+
+        return read_ntriples(args.graph_nt)
+    triples = _build_graph(args)
+    return distinct_on(triples.select_columns(["subj", "pred", "obj"]),
+                       ["subj", "pred", "obj"])
+
+
+def cmd_update(args) -> int:
+    from . import sparql
+    from .state.checkpoint import write_ntriples
+
+    _init_ray(args.num_cpus)
+    if args.update_file:
+        with open(args.update_file) as f:
+            update_str = f.read()
+    elif args.update:
+        update_str = args.update
+    else:
+        raise SystemExit("pass --update STR or --update-file FILE")
+    out = sparql.update(_load_graph(args), update_str)
+    report = write_ntriples(out, args.out, num_partitions=args.num_partitions,
+                            resume=False)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    import json as _json
+
+    from . import shacl
+
+    _init_ray(args.num_cpus)
+    with open(args.shapes) as f:
+        spec = _json.load(f)
+    shapes = [
+        shacl.NodeShape(
+            target_class=ns["target_class"],
+            properties=tuple(
+                shacl.PropertyShape(
+                    path=ps["path"],
+                    min_count=ps.get("min_count"),
+                    max_count=ps.get("max_count"),
+                    in_set=tuple(ps["in"]) if "in" in ps else None,
+                    pattern=ps.get("pattern"),
+                    min_inclusive=ps.get("min_inclusive"),
+                    max_inclusive=ps.get("max_inclusive"),
+                ) for ps in ns.get("properties", ())),
+        ) for ns in spec["shapes"]]
+    report = shacl.validate(_load_graph(args), shapes)
+    if args.out:
+        report.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+        return 0
+    df = report.to_pandas()
+    df.to_csv(sys.stdout, index=False)
+    # conformant graph => exit 0; violations => exit 3 (scriptable gate)
+    return 0 if df.empty else 3
+
+
 def _add_graph_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data", help="directory of tables")
     p.add_argument("--mapping", help="R2RML Turtle mapping file")
@@ -211,6 +278,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     s.add_argument("--out", help="write solutions as parquet instead of stdout CSV")
     s.add_argument("--print-limit", type=int, default=1000)
     s.set_defaults(fn=cmd_sparql)
+
+    u = sub.add_parser("update", help="apply a SPARQL 1.1 Update and export "
+                                      "the new graph version")
+    _add_graph_args(u)
+    u.add_argument("--update", help="update string (INSERT/DELETE DATA, "
+                                    "DELETE/INSERT WHERE)")
+    u.add_argument("--update-file")
+    u.add_argument("--graph-nt",
+                   help="update an exported N-Triples graph instead of mapping tables")
+    u.add_argument("--out", required=True,
+                   help="output directory for the updated graph (N-Triples)")
+    u.add_argument("--num-partitions", type=int, default=24)
+    u.set_defaults(fn=cmd_update)
+
+    v = sub.add_parser("validate", help="SHACL-lite validation report")
+    _add_graph_args(v)
+    v.add_argument("--shapes", required=True,
+                   help='JSON shapes file: {"shapes": [{"target_class": '
+                        '"<iri>", "properties": [{"path": "<iri>", '
+                        '"min_count": 1, "in": [...], "pattern": "...", '
+                        '"max_inclusive": N}]}]}')
+    v.add_argument("--graph-nt",
+                   help="validate an exported N-Triples graph instead of mapping tables")
+    v.add_argument("--out", help="write the report as parquet instead of stdout CSV")
+    v.set_defaults(fn=cmd_validate)
 
     args = ap.parse_args(argv)
     try:

@@ -1657,16 +1657,14 @@ def update(
     Supported forms: ``INSERT DATA {..}``, ``DELETE DATA {..}``,
     ``DELETE {tmpl} INSERT {tmpl} WHERE {pattern}`` (either clause
     optional), and the ``DELETE WHERE {pattern}`` shorthand.  Returns the
-    UPDATED graph as a new set-semantics Dataset: template instantiation
-    reuses the CONSTRUCT pipeline (full WHERE expressiveness — OPTIONAL,
-    FILTER, UNION, sub-SELECT), deletion is a distributed anti-join on the
-    full triple key, and the final distinct rides the hash exchange.  The
-    input Dataset is never mutated — graph versions are values, which is
-    what makes updates replayable on resume at scale."""
+    UPDATED graph as a new set-semantics Dataset: the WHERE relation
+    executes ONCE (both template clauses instantiate from the shared
+    materialized solutions — full WHERE expressiveness: OPTIONAL, FILTER,
+    UNION, sub-SELECT), and delete + insert + distinct apply in ONE
+    co-partitioned exchange.  The input Dataset is never mutated — graph
+    versions are values, which is what makes updates replayable on resume
+    at scale."""
     import re as _re
-
-    from .relational import anti_join
-    from .stages.dedup import distinct_on
 
     s = update_str
     dele = ins = where = None

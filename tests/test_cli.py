@@ -84,3 +84,55 @@ def test_cli_construct_ntriples(data_dir, tmp_path):
             lines += open(p).read().strip().splitlines()
     assert len(lines) == 6 and all(l.endswith(" .") for l in lines)
     assert any('"EAST"' in l for l in lines)
+
+
+def test_cli_update_and_validate(data_dir, tmp_path):
+    out_dir = str(tmp_path / "upd")
+    r = _run([
+        "update", "--data", data_dir, "--direct", "--tables", "region",
+        "--pk", "region=r_regionkey",
+        "--update",
+        'DELETE { ?r <http://example.com/base/region#r_name> ?nm } '
+        'INSERT { ?r <http://example.com/base/region#renamed> ?nm } '
+        'WHERE { ?r <http://example.com/base/region#r_name> ?nm . '
+        'FILTER(?nm = "EAST") }',
+        "--out", out_dir, "--num-partitions", "2", "--num-cpus", "4",
+    ], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = []
+    for part in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, part, "data.nt")
+        if os.path.exists(p):
+            lines += open(p).read().strip().splitlines()
+    joined = "\n".join(lines)
+    assert "renamed" in joined and '#r_name> "EAST"' not in joined
+    assert '#r_name> "WEST"' in joined  # untouched row keeps its name triple
+
+    shapes = tmp_path / "shapes.json"
+    shapes.write_text(json.dumps({"shapes": [{
+        "target_class": "<http://example.com/base/region>",
+        "properties": [
+            {"path": "<http://example.com/base/region#r_name>",
+             "min_count": 1, "pattern": "^[A-Z]+$"},
+        ]}]}))
+    r2 = _run([
+        "validate", "--data", data_dir, "--direct", "--tables", "region",
+        "--pk", "region=r_regionkey", "--shapes", str(shapes),
+        "--num-cpus", "4",
+    ], cwd=str(tmp_path))
+    # both regions conform => exit 0, empty report (header only)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    shapes.write_text(json.dumps({"shapes": [{
+        "target_class": "<http://example.com/base/region>",
+        "properties": [
+            {"path": "<http://example.com/base/region#r_name>",
+             "in": ["EAST"]},
+        ]}]}))
+    r3 = _run([
+        "validate", "--data", data_dir, "--direct", "--tables", "region",
+        "--pk", "region=r_regionkey", "--shapes", str(shapes),
+        "--num-cpus", "4",
+    ], cwd=str(tmp_path))
+    assert r3.returncode == 3, (r3.returncode, r3.stderr[-2000:])
+    assert "WEST" in r3.stdout and '"in"' in r3.stdout or "in" in r3.stdout
