@@ -1536,6 +1536,39 @@ def q_kg_nt_roundtrip(sf_dir: str) -> rd.Dataset:
     return read_ntriples(out_dir)  # lazy: streams the shards back
 
 
+def q_kg_nq_roundtrip(sf_dir: str) -> rd.Dataset:
+    """N-Quads sink → source round-trip: the mixed default/named-graph quad
+    fixture is exported through the checkpointed N-Quads writer (4-term
+    lines for named-graph rows, 3-term for the default graph) and read back
+    by the two-pass vectorized N-Quads reader — the result must equal the
+    directly-emitted quads."""
+    import hashlib
+    import shutil
+
+    from .sources.tables import read_nquads
+    from .state.checkpoint import write_nquads
+
+    quads = _doc_quads(sf_dir)
+    out_dir = "/tmp/nq_roundtrip_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_nquads(quads, out_dir, num_partitions=8, resume=False)
+    return read_nquads(out_dir)
+
+
+def _sql_kg_nq_roundtrip() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {d} AS subj, '<http://kg.ex/p/lang>' AS pred, lang AS obj,
+       '<http://kg.ex/g/' || source || '>' AS graph
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+UNION ALL
+SELECT {d}, '<http://kg.ex/p/n_chars>',
+       '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>',
+       CAST(NULL AS VARCHAR)
+FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
 def q_kg_store_pattern(sf_dir: str) -> rd.Dataset:
     """GraphStore single-pattern matching (reference ``SPARQLStore.triples``
     iteration surface, ``r2r_store.py:59-93``): a (None, <p/lang>, None)
@@ -2242,6 +2275,7 @@ _LATE_R4 = {
     "rel_merge_upsert", "sparql_update", "kg_void_stats", "kg_shacl_report",
     "kg_provenance", "rel_incr_agg", "rel_histogram", "rel_unpivot",
     "ann_pq_encode", "rel_cohort_retention", "dd_cluster_stats",
+    "kg_nq_roundtrip",
 }
 
 
@@ -2310,6 +2344,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_update": q_sparql_update,
         "kg_void_stats": q_kg_void_stats,
         "kg_provenance": q_kg_provenance,
+        "kg_nq_roundtrip": q_kg_nq_roundtrip,
         "kg_shacl_report": q_kg_shacl_report,
         "kg_path_star": q_kg_path_star,
         "kg_path_transitive": q_kg_path_transitive,
@@ -2382,6 +2417,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_update": _sql_sparql_update(),
         "kg_void_stats": _sql_kg_void_stats(),
         "kg_provenance": _sql_kg_provenance(),
+        "kg_nq_roundtrip": _sql_kg_nq_roundtrip(),
         "kg_shacl_report": _sql_kg_shacl_report(),
         "kg_path_star": _sql_kg_path_star(),
         "kg_path_transitive": _sql_kg_path_transitive(),

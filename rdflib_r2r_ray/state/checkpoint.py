@@ -94,7 +94,8 @@ def completed_partitions(out_dir: str) -> Dict[int, dict]:
                 m = json.load(f)
             if m.get("rows", 0):
                 if "fmt" in m:
-                    candidates = ["data.nt" if m["fmt"] == "nt" else "data.parquet"]
+                    candidates = [{"nt": "data.nt", "nq": "data.nq"}
+                                  .get(m["fmt"], "data.parquet")]
                 else:
                     # pre-'fmt' manifests (older nt checkpoints): accept
                     # whichever data file exists with the recorded size
@@ -142,6 +143,25 @@ def _nt_lines(tbl: pa.Table) -> bytes:
         _nt_term_array(tbl["subj"]), _nt_term_array(tbl["pred"]),
         _nt_term_array(tbl["obj"]), pa.scalar("."), " ",
     )
+    return ("\n".join(lines.to_pylist()) + "\n").encode()
+
+
+def _nq_lines(tbl: pa.Table) -> bytes:
+    """N-Quads serialization: 4-term lines for named-graph rows, 3-term
+    (default-graph) lines where the graph column is NULL — the standard
+    N-Quads convention."""
+    import pyarrow.compute as pc
+
+    g = tbl["graph"]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    s = _nt_term_array(tbl["subj"])
+    p = _nt_term_array(tbl["pred"])
+    o = _nt_term_array(tbl["obj"])
+    with_g = pc.binary_join_element_wise(
+        s, p, o, pc.cast(g, pa.string()), pa.scalar("."), " ")
+    no_g = pc.binary_join_element_wise(s, p, o, pa.scalar("."), " ")
+    lines = pc.if_else(pc.is_valid(g), with_g, no_g)
     return ("\n".join(lines.to_pylist()) + "\n").encode()
 
 
@@ -196,7 +216,8 @@ def _write_partition(
         tbl = None
     pdir = _part_dir(out_dir, part)
     os.makedirs(pdir, exist_ok=True)
-    data_path = os.path.join(pdir, "data.nt" if fmt == "nt" else "data.parquet")
+    data_path = os.path.join(
+        pdir, {"nt": "data.nt", "nq": "data.nq"}.get(fmt, "data.parquet"))
     tmp_path = data_path + ".tmp"
     n_rows, n_bytes, checksum = 0, 0, ""
     if tbl is not None:
@@ -207,6 +228,8 @@ def _write_partition(
         # dict-encoded triples compress to ~1 MB per 500k-row partition)
         if fmt == "nt":
             data = _nt_lines(tbl)
+        elif fmt == "nq":
+            data = _nq_lines(tbl)
         else:
             buf = pa.BufferOutputStream()
             pq.write_table(tbl, buf)
@@ -474,6 +497,25 @@ def write_ntriples(
         triples, out_dir, keys=["subj"], num_partitions=num_partitions,
         lineage=dict(lineage or {}, pipeline="nt_export"), resume=resume,
         distinct_keys=["subj", "pred", "obj"], fmt="nt",
+    )
+
+
+def write_nquads(
+    quads: rd.Dataset,
+    out_dir: str,
+    num_partitions: Optional[int] = None,
+    lineage: Optional[dict] = None,
+    resume: bool = True,
+) -> dict:
+    """N-Quads export sink — the named-graph interchange form (pairs with
+    the rr:graph emit path and the SPARQL GRAPH clause).  Identical
+    exchange / manifest / atomic-commit / resume machinery; rows with a
+    NULL graph column serialize as 3-term default-graph lines, named-graph
+    rows as 4-term lines; dedup is exact on the full quad."""
+    return checkpointed_write(
+        quads, out_dir, keys=["subj"], num_partitions=num_partitions,
+        lineage=dict(lineage or {}, pipeline="nq_export"), resume=resume,
+        distinct_keys=["subj", "pred", "obj", "graph"], fmt="nq",
     )
 
 
