@@ -374,6 +374,70 @@ FROM m GROUP BY o_orderpriority
 """
 
 
+def q_rel_gapfill(sf_dir: str) -> rd.Dataset:
+    """Time-series gap filling (resample-to-weekly with zero-filled missing
+    periods — what every training-telemetry/activity pipeline needs before
+    windowed models): per-(user, week) counts from one grouped exchange;
+    the GLOBAL week grid comes from a per-block min/max fold (two
+    timestamps per block reach the driver) and is broadcast into a second
+    user-keyed exchange whose reduce cross-joins each user against the
+    grid and zero-fills — the dense grid is built per user partition,
+    never on the driver."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_week(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "wk": pc.floor_temporal(t["ts"], unit="week")})
+
+    wk = ev.map_batches(to_week, batch_format="pyarrow").materialize()
+    counts = R.grouped_agg(wk, ["user_id", "wk"], count_as="n")
+
+    def mm(t: pa.Table) -> pa.Table:
+        return pa.table({"lo": pa.array([pc.min(t["wk"]).as_py()]),
+                         "hi": pa.array([pc.max(t["wk"]).as_py()])})
+
+    lo = hi = None
+    for r in wk.map_batches(mm, batch_format="pyarrow").take_all():
+        lo = r["lo"] if lo is None else min(lo, r["lo"])
+        hi = r["hi"] if hi is None else max(hi, r["hi"])
+    week_us = 7 * 24 * 3600 * 1_000_000
+    lo_us = int(np.datetime64(lo, "us").astype(np.int64))
+    hi_us = int(np.datetime64(hi, "us").astype(np.int64))
+    grid = np.arange(lo_us, hi_us + 1, week_us, dtype=np.int64)
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("wk", pa.timestamp("us")), ("n", pa.int64())])
+
+    def reduce_fn(t: pa.Table, _grid=grid) -> pa.Table:
+        pl = _pl()
+        c = pl.from_arrow(t)
+        users = c.select(pl.col("user_id").unique())
+        wks = pl.DataFrame({"wk": _grid}).with_columns(
+            pl.col("wk").cast(pl.Datetime("us")))
+        dense = users.join(wks, how="cross")
+        full = (dense.join(c, on=["user_id", "wk"], how="left")
+                .with_columns(pl.col("n").fill_null(0))
+                .select("user_id", "wk", "n"))
+        return full.to_arrow().cast(out_schema)
+
+    return hash_group_exchange(counts, ["user_id"], reduce_fn, out_schema)
+
+
+SQL_REL_GAPFILL = """
+WITH w AS (SELECT unnest(generate_series(
+             date_trunc('week', (SELECT MIN(ts) FROM events)),
+             date_trunc('week', (SELECT MAX(ts) FROM events)),
+             INTERVAL 7 DAY)) AS wk),
+u AS (SELECT DISTINCT user_id FROM events),
+c AS (SELECT user_id, date_trunc('week', ts) AS wk, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT u.user_id, w.wk, COALESCE(c.n, 0) AS n
+FROM u CROSS JOIN w LEFT JOIN c ON c.user_id = u.user_id AND c.wk = w.wk
+"""
+
+
 def q_rel_cohort_retention(sf_dir: str) -> rd.Dataset:
     """Cohort retention matrix — the engagement analysis every event
     pipeline ships: users bucketed by first-event week (cohort), counted
@@ -1896,6 +1960,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_histogram": q_rel_histogram,
         "rel_unpivot": q_rel_unpivot,
         "rel_cohort_retention": q_rel_cohort_retention,
+        "rel_gapfill": q_rel_gapfill,
         "rel_range_partition": q_rel_range_partition,
         "rel_left_join": q_rel_left_join,
         "rel_exists": q_rel_exists,
@@ -1955,6 +2020,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_histogram": SQL_REL_HISTOGRAM,
         "rel_unpivot": SQL_REL_UNPIVOT,
         "rel_cohort_retention": SQL_REL_COHORT_RETENTION,
+        "rel_gapfill": SQL_REL_GAPFILL,
         "rel_range_partition": SQL_REL_RANGE_PARTITION,
         "rel_left_join": SQL_REL_LEFT_JOIN,
         "rel_exists": SQL_REL_EXISTS,
