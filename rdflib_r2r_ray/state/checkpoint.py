@@ -528,3 +528,47 @@ def read_checkpointed(out_dir: str) -> rd.Dataset:
         if os.path.exists(os.path.join(_part_dir(out_dir, p), "data.parquet"))
     ]
     return rd.read_parquet(paths)
+
+
+def compact_checkpoint(
+    out_dir: str,
+    num_partitions: Optional[int] = None,
+    keys: Optional[Sequence[str]] = None,
+) -> dict:
+    """Compact a committed parquet checkpoint into a new partition layout —
+    the small-file maintenance operation every long-lived 100 TB dataset
+    needs (incremental runs accrete partitions; readers want few big files).
+
+    Streams the committed partitions back through the SAME exchange +
+    manifest + commit machinery into a sibling directory (adaptive count by
+    default), then swaps directories and removes the old layout.  The swap
+    is two renames — crash between them leaves either the old layout intact
+    or the finished new one under ``out_dir`` plus a stale ``.old`` to
+    garbage-collect; data files are never mutated in place.  Partition keys
+    default to the ones recorded in the existing manifests, so the layout
+    contract (co-location by key hash) survives compaction."""
+    import shutil
+
+    done = completed_partitions(out_dir)
+    if not done:
+        raise ValueError(f"no committed partitions under {out_dir!r}")
+    m0 = next(iter(done.values()))
+    if m0.get("fmt", "parquet") != "parquet":
+        raise NotImplementedError("compact_checkpoint supports parquet checkpoints")
+    keys = list(keys) if keys else list(m0.get("keys") or [])
+    if not keys:
+        raise ValueError("partition keys not recorded in manifests; pass keys=")
+    ds = read_checkpointed(out_dir)
+    tmp_dir = out_dir.rstrip("/") + ".compact"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    report = checkpointed_write(
+        ds, tmp_dir, keys=keys, num_partitions=num_partitions,
+        lineage={"pipeline": "compaction", "compacted_from": len(done)},
+        resume=False,
+    )
+    bak = out_dir.rstrip("/") + ".old"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(out_dir, bak)
+    os.rename(tmp_dir, out_dir)
+    shutil.rmtree(bak)
+    return {**report, "compacted_from": len(done)}

@@ -180,3 +180,34 @@ def test_checkpoint_detects_lost_data_rename(ray_session, tmp_path):
     res = checkpointed_write(ds, out, keys=["subj"], num_partitions=8)
     assert res["written"] == 2 and res["skipped"] == 6 and res["rows"] == 500
     assert len(completed_partitions(out)) == 8
+
+
+def test_compact_checkpoint(ray_session, tmp_path):
+    """Compaction: many small partitions -> few big ones, identical rows,
+    layout keys preserved in the new manifests, old layout removed."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.state.checkpoint import (
+        checkpointed_write, compact_checkpoint, completed_partitions,
+        read_checkpointed)
+
+    out = str(tmp_path / "ck")
+    tbl = pa.table({
+        "subj": pa.array([f"<s{i}>" for i in range(2000)]),
+        "pred": pa.array(["<p>"] * 2000),
+        "obj": pa.array([str(i) for i in range(2000)]),
+    })
+    checkpointed_write(rd.from_arrow(tbl), out, keys=["subj"],
+                       num_partitions=16, resume=False)
+    assert len(completed_partitions(out)) == 16
+    before = sorted(read_checkpointed(out).to_pandas().itertuples(index=False))
+
+    rep = compact_checkpoint(out, num_partitions=2)
+    assert rep["compacted_from"] == 16 and rep["written"] == 2
+    done = completed_partitions(out)
+    assert len(done) == 2
+    assert next(iter(done.values()))["keys"] == ["subj"]
+    after = sorted(read_checkpointed(out).to_pandas().itertuples(index=False))
+    assert before == after
+    import os as _os
+    assert not _os.path.exists(out + ".old") and not _os.path.exists(out + ".compact")
