@@ -115,3 +115,55 @@ def test_quantile_summary_contract(values, k):
         # true rank of x is anywhere in [lo+1, hi]; the summary's cumulative
         # weight at x must be within eps of that interval
         assert lo + 1 - eps <= c <= hi + eps, (x, c, lo, hi, eps)
+
+
+# N-Quads line codec: serialize → parse must be identity on the storage
+# form, for every mix of plain literals (with quotes/newlines/tabs/angle
+# brackets/backslashes), decorated literals, IRIs, and NULL/named graphs.
+_lit = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"),
+    min_size=0, max_size=30).filter(lambda s: "\n" not in s or True)
+_iri = st.from_regex(r"<[a-z]{1,8}:[A-Za-z0-9/._-]{0,20}>", fullmatch=True)
+_obj = st.one_of(
+    _lit,                                                   # bare plain literal
+    _iri,                                                   # IRI object
+    st.builds(lambda l, d: f'"{l}"^^{d}',
+              st.from_regex(r"[A-Za-z0-9 ._-]{0,20}", fullmatch=True), _iri),
+    st.builds(lambda l: f'"{l}"@en',
+              st.from_regex(r"[A-Za-z0-9 ._-]{0,20}", fullmatch=True)),
+)
+
+
+@given(st.lists(st.tuples(_iri, _iri, _obj, st.one_of(st.none(), _iri)),
+                min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_nquads_line_codec_roundtrip(rows):
+    import io
+
+    import pyarrow.compute as pc
+
+    from rdflib_r2r_ray.sources.tables import _decode_nt_objects
+    from rdflib_r2r_ray.state.checkpoint import _nq_lines
+
+    tbl = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+        "graph": pa.array([r[3] for r in rows], pa.string()),
+    })
+    data = _nq_lines(tbl).decode()
+    lines = pa.array([l for l in data.split("\n") if l])
+    m4 = pc.extract_regex(
+        lines,
+        r"^\s*(?P<s>\S+)\s+(?P<p>\S+)\s+(?P<o>.*\S)\s+(?P<g><[^<>\s]+>)\s*\.\s*$")
+    m3 = pc.extract_regex(
+        lines, r"^\s*(?P<s>\S+)\s+(?P<p>\S+)\s+(?P<o>.*?)\s*\.\s*$")
+    ok4 = pc.is_valid(m4)
+    got = []
+    for i in range(len(lines)):
+        m = m4[i].as_py() if ok4[i].as_py() else m3[i].as_py()
+        o = _decode_nt_objects(pa.array([m["o"]]))[0].as_py()
+        got.append((m["s"], m["p"], o, m.get("g") if ok4[i].as_py() else None))
+    want = [tuple(r) for r in rows]
+    assert got == want
