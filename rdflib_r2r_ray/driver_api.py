@@ -2275,7 +2275,7 @@ _LATE_R4 = {
     "rel_merge_upsert", "sparql_update", "kg_void_stats", "kg_shacl_report",
     "kg_provenance", "rel_incr_agg", "rel_histogram", "rel_unpivot",
     "ann_pq_encode", "rel_cohort_retention", "dd_cluster_stats",
-    "kg_nq_roundtrip", "rel_gapfill", "ann_topk_pq",
+    "kg_nq_roundtrip", "rel_gapfill", "ann_topk_pq", "rel_time_window_sum",
 }
 
 

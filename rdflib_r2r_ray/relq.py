@@ -1657,6 +1657,52 @@ FROM events
 """
 
 
+def q_rel_time_window_sum(sf_dir: str) -> rd.Dataset:
+    """TIME-based window frame (SUM ... RANGE BETWEEN INTERVAL 3 DAY
+    PRECEDING AND CURRENT ROW) per user — the frame every telemetry
+    pipeline actually wants (ROWS frames break under irregular event
+    spacing).  Hash exchange on user_id, one polars ``rolling_sum_by``
+    kernel per partition with ``closed='both'`` ([ts−3d, ts], peers
+    included — exactly SQL RANGE-frame semantics); integer cents keep the
+    sums exact."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("win_cents", pa.int64()),
+    ])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts": b["ts"], "cents": c})
+
+    def frame_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).sort(["user_id", "ts", "event_id"])
+        out = df.with_columns(
+            pl.col("cents").rolling_sum_by("ts", window_size="3d",
+                                           closed="both")
+            .over("user_id").cast(pl.Int64).alias("win_cents")
+        ).select(["event_id", "user_id", "win_cents"])
+        return out.to_arrow().cast(out_schema)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    return hash_group_exchange(ds, ["user_id"], frame_part, out_schema)
+
+
+SQL_REL_TIME_WINDOW_SUM = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS win_cents
+FROM events
+"""
+
+
 def q_rel_percentile_cont(sf_dir: str) -> rd.Dataset:
     """Interpolated (continuous) quantiles of document length — DuckDB
     ``quantile_cont`` semantics, distributed value histogram + driver lerp
@@ -1961,6 +2007,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_unpivot": q_rel_unpivot,
         "rel_cohort_retention": q_rel_cohort_retention,
         "rel_gapfill": q_rel_gapfill,
+        "rel_time_window_sum": q_rel_time_window_sum,
         "rel_range_partition": q_rel_range_partition,
         "rel_left_join": q_rel_left_join,
         "rel_exists": q_rel_exists,
@@ -2021,6 +2068,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_unpivot": SQL_REL_UNPIVOT,
         "rel_cohort_retention": SQL_REL_COHORT_RETENTION,
         "rel_gapfill": SQL_REL_GAPFILL,
+        "rel_time_window_sum": SQL_REL_TIME_WINDOW_SUM,
         "rel_range_partition": SQL_REL_RANGE_PARTITION,
         "rel_left_join": SQL_REL_LEFT_JOIN,
         "rel_exists": SQL_REL_EXISTS,
