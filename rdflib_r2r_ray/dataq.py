@@ -157,6 +157,18 @@ def _plant_tenth(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([batch, copies])
 
 
+def _fuzzy_pairs(sf_dir: str) -> rd.Dataset:
+    """Verified near-dup pairs over the planted corpus, cached per sf_dir —
+    shared by ``dd_fuzzy_dedup`` and ``dd_cluster_stats`` (the LSH →
+    verify stages are the expensive part of both)."""
+    def build():
+        corpus = _docs(sf_dir).map_batches(_plant_tenth, batch_format="pyarrow")
+        return D.verified_near_dup_pairs(
+            corpus, num_perm=128, bands=32, permille_threshold=800).materialize()
+
+    return _cached_edges("fuzzy_pairs", sf_dir, build)
+
+
 def q_dd_cluster_stats(sf_dir: str) -> rd.Dataset:
     """Duplicate-cluster size distribution — the dedup health report run
     before choosing keeper policy (a corpus whose largest near-dup cluster
@@ -168,9 +180,7 @@ def q_dd_cluster_stats(sf_dir: str) -> rd.Dataset:
     from .relational import grouped_agg
     from .stages.canonicalize import label_propagation_components
 
-    corpus = _docs(sf_dir).map_batches(_plant_tenth, batch_format="pyarrow")
-    pairs = D.verified_near_dup_pairs(
-        corpus, num_perm=128, bands=32, permille_threshold=800)
+    pairs = _fuzzy_pairs(sf_dir)
 
     def as_edges(b: pa.Table) -> pa.Table:
         return pa.table({"a": b["id_a"], "b": b["id_b"]})
@@ -209,9 +219,7 @@ def q_dd_fuzzy_dedup(sf_dir: str) -> rd.Dataset:
     from .stages.canonicalize import label_propagation_components
 
     corpus = _docs(sf_dir).map_batches(_plant_tenth, batch_format="pyarrow")
-    pairs = D.verified_near_dup_pairs(
-        corpus, num_perm=128, bands=32, permille_threshold=800
-    )
+    pairs = _fuzzy_pairs(sf_dir)
 
     def as_edges(b: pa.Table) -> pa.Table:
         return pa.table({"a": b["id_a"], "b": b["id_b"]})
