@@ -83,14 +83,27 @@ def validate(triples: rd.Dataset, shapes: Sequence[NodeShape]) -> rd.Dataset:
         targets = triples.map_batches(
             is_target, batch_format="pyarrow").materialize()
 
+        # ONE pass + ONE semi-join collects the values of EVERY constrained
+        # path (was: one join per property — pure fixed-latency waste);
+        # per-property slices below are cheap filters over the
+        # materialized result
+        paths = tuple(ps.path for ps in shape.properties)
+
+        def all_vals(t: pa.Table, _ps=paths) -> pa.Table:
+            sel = t.filter(pc.is_in(t["pred"], value_set=pa.array(list(_ps))))
+            return pa.table({"focus": sel["subj"], "pred": sel["pred"],
+                             "value": sel["obj"]})
+
+        vals_all = planned_join(
+            triples.map_batches(all_vals, batch_format="pyarrow"),
+            targets, on=["focus"], join_type="left_semi").materialize()
+
         for ps in shape.properties:
             def path_vals(t: pa.Table, _p=ps.path) -> pa.Table:
                 sel = t.filter(pc.equal(t["pred"], _p))
-                return pa.table({"focus": sel["subj"], "value": sel["obj"]})
+                return pa.table({"focus": sel["focus"], "value": sel["value"]})
 
-            vals = planned_join(
-                triples.map_batches(path_vals, batch_format="pyarrow"),
-                targets, on=["focus"], join_type="left_semi").materialize()
+            vals = vals_all.map_batches(path_vals, batch_format="pyarrow")
 
             if ps.min_count is not None or ps.max_count is not None:
                 counts = grouped_agg(vals, ["focus"], count_as="n")
