@@ -2160,6 +2160,57 @@ SELECT x, v FROM (
 """
 
 
+def q_sparql_bsbm_notbound(sf_dir: str) -> rd.Dataset:
+    """BSBM explore Q7/Q8 negation shape: OPTIONAL with an inner value
+    FILTER + ``FILTER(!BOUND(?l))`` — the classic SPARQL 1.0
+    negation-by-failure idiom (docs that are NOT French)."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?n WHERE {
+      ?d <http://kg.ex/p/n_chars> ?n .
+      OPTIONAL { ?d <http://kg.ex/p/lang> ?l . FILTER(?l = "fr") }
+      FILTER(!BOUND(?l))
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_bsbm_notbound() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {d} AS d, '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' AS n
+FROM documents
+WHERE n_chars IS NOT NULL AND (lang IS NULL OR lang <> 'fr')
+"""
+
+
+def q_sparql_bsbm_global_avg(sf_dir: str) -> rd.Dataset:
+    """BSBM BI shape: 1-row aggregate sub-SELECT sharing NO variable with
+    the enclosing group (SPARQL disjoint-domain join = cross product — the
+    sub-SELECT broadcasts as a scalar), outer FILTER against the global
+    average."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?n WHERE {
+      ?d <http://kg.ex/p/n_chars> ?n .
+      { SELECT (AVG(?c) AS ?avg) WHERE { ?x <http://kg.ex/p/n_chars> ?c } }
+      FILTER(?n > ?avg)
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_bsbm_global_avg() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {d} AS d, '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' AS n
+FROM documents
+WHERE n_chars > (SELECT AVG(n_chars) FROM documents)
+"""
+
+
 def _events_triples(sf_dir: str) -> rd.Dataset:
     """Events table → triples with a typed xsd:dateTime object column."""
     from .mapping import Mapping, PredicateObjectMap, TermMap, TriplesMap
@@ -2276,6 +2327,7 @@ _LATE_R4 = {
     "kg_provenance", "rel_incr_agg", "rel_histogram", "rel_unpivot",
     "ann_pq_encode", "rel_cohort_retention", "dd_cluster_stats",
     "kg_nq_roundtrip", "rel_gapfill", "ann_topk_pq", "rel_time_window_sum",
+    "sparql_bsbm_notbound", "sparql_bsbm_global_avg",
 }
 
 
@@ -2358,6 +2410,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_bsbm_bi_agg": q_sparql_bsbm_bi_agg,
         "sparql_bsbm_cross_optional": q_sparql_bsbm_cross_optional,
         "sparql_bsbm_union_order": q_sparql_bsbm_union_order,
+        "sparql_bsbm_notbound": q_sparql_bsbm_notbound,
+        "sparql_bsbm_global_avg": q_sparql_bsbm_global_avg,
         "sparql_xsd_date_cast": q_sparql_xsd_date_cast,
     }
     out.update(relq.queries())
@@ -2431,6 +2485,8 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_bsbm_bi_agg": _sql_sparql_bsbm_bi_agg(),
         "sparql_bsbm_cross_optional": _sql_sparql_bsbm_cross_optional(),
         "sparql_bsbm_union_order": _sql_sparql_bsbm_union_order(),
+        "sparql_bsbm_notbound": _sql_sparql_bsbm_notbound(),
+        "sparql_bsbm_global_avg": _sql_sparql_bsbm_global_avg(),
         "sparql_xsd_date_cast": _sql_sparql_xsd_date_cast(),
     }
     out.update(relq.oracle_sql())

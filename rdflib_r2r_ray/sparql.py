@@ -1995,10 +1995,16 @@ def _execute_parsed(
         for sub, sub_names in sub_outs:
             left_vars = set(out_names)
             shared = [v for v in sub_names if v in left_vars]
-            if not shared:
-                raise NotImplementedError(
-                    "sub-SELECT sharing no variable with the enclosing group")
-            out = planned_join(out, sub, on=shared, join_type="inner")
+            if shared:
+                out = planned_join(out, sub, on=shared, join_type="inner")
+            else:
+                # SPARQL join of disjoint domains = cross product — the
+                # common case is a 1-row aggregate sub-SELECT broadcast
+                # against the outer relation (BSBM BI "vs global average"
+                # shape); cross_join row-caps the small side loudly
+                from .relational import cross_join
+
+                out = cross_join(out, sub)
             out_names = out_names + [n for n in sub_names if n not in out_names]
         # OPTIONAL blocks: left-outer join on the shared variables
         # (reference OPTIONAL → LEFT JOIN, query_conversions.py:349-374);
