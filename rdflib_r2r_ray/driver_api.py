@@ -2160,6 +2160,31 @@ SELECT x, v FROM (
 """
 
 
+def q_sparql_values_undef(sf_dir: str) -> rd.Dataset:
+    """VALUES with UNDEF (SPARQL 1.1 compatibility-join): rows are grouped
+    by bound-mask and each group joins on ITS bound variables only — the
+    UNDEF row matches every solution and contributes its bound columns."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?l ?tag WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      VALUES (?l ?tag) { ("fr" "romance") ("es" "romance") (UNDEF "any") }
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_values_undef() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {d} AS d, lang AS l, 'romance' AS tag FROM documents
+WHERE lang IN ('fr', 'es')
+UNION ALL
+SELECT {d}, lang, 'any' FROM documents WHERE lang IS NOT NULL
+"""
+
+
 def q_sparql_bsbm_notbound(sf_dir: str) -> rd.Dataset:
     """BSBM explore Q7/Q8 negation shape: OPTIONAL with an inner value
     FILTER + ``FILTER(!BOUND(?l))`` — the classic SPARQL 1.0
@@ -2327,7 +2352,7 @@ _LATE_R4 = {
     "kg_provenance", "rel_incr_agg", "rel_histogram", "rel_unpivot",
     "ann_pq_encode", "rel_cohort_retention", "dd_cluster_stats",
     "kg_nq_roundtrip", "rel_gapfill", "ann_topk_pq", "rel_time_window_sum",
-    "sparql_bsbm_notbound", "sparql_bsbm_global_avg",
+    "sparql_bsbm_notbound", "sparql_bsbm_global_avg", "sparql_values_undef",
 }
 
 
@@ -2411,6 +2436,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_bsbm_cross_optional": q_sparql_bsbm_cross_optional,
         "sparql_bsbm_union_order": q_sparql_bsbm_union_order,
         "sparql_bsbm_notbound": q_sparql_bsbm_notbound,
+        "sparql_values_undef": q_sparql_values_undef,
         "sparql_bsbm_global_avg": q_sparql_bsbm_global_avg,
         "sparql_xsd_date_cast": q_sparql_xsd_date_cast,
     }
@@ -2486,6 +2512,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_bsbm_cross_optional": _sql_sparql_bsbm_cross_optional(),
         "sparql_bsbm_union_order": _sql_sparql_bsbm_union_order(),
         "sparql_bsbm_notbound": _sql_sparql_bsbm_notbound(),
+        "sparql_values_undef": _sql_sparql_values_undef(),
         "sparql_bsbm_global_avg": _sql_sparql_bsbm_global_avg(),
         "sparql_xsd_date_cast": _sql_sparql_xsd_date_cast(),
     }

@@ -557,13 +557,20 @@ class SparqlParser:
     def _parse_values(self):
         """VALUES ?v { t... }  |  VALUES (?a ?b) { (t t) ... }"""
         k, v = self._peek()
+        def term_or_undef():
+            tk, tv = self._peek()
+            if tk == "word" and str(tv).upper() == "UNDEF":
+                self._next()
+                return None  # SPARQL UNDEF: unbound in this row
+            return self._term()
+
         if k == "var":
             self._next()
             vars_ = (v[1:],)
             rows = []
             self._expect("{")
             while self._peek()[1] != "}":
-                rows.append((self._term(),))
+                rows.append((term_or_undef(),))
             self._next()
             return vars_, tuple(rows)
         self._expect("(")
@@ -577,7 +584,7 @@ class SparqlParser:
             self._next()
             row = []
             while self._peek()[1] != ")":
-                row.append(self._term())
+                row.append(term_or_undef())
             self._next()
             if len(row) != len(names):
                 raise ValueError("VALUES row arity mismatch")
@@ -1512,8 +1519,8 @@ def _values_table(vars_: Sequence[str], rows: Sequence[Tuple]) -> pa.Table:
     for row in rows:
         for v, t in zip(vars_, row):
             if isinstance(t, Var):
-                raise NotImplementedError("UNDEF/variable in VALUES rows")
-            cols[v].append(t)
+                raise NotImplementedError("variable in VALUES rows")
+            cols[v].append(t)  # None = UNDEF → null column entry
     return pa.table({v: pa.array(cols[v], pa.string()) for v in vars_})
 
 
@@ -2085,17 +2092,41 @@ def _execute_parsed(
         out_names = out_names + [alias]
 
     # VALUES → inline table joined on its variables (reference queryValues);
-    # a VALUES block already consumed as the base relation is skipped
+    # a VALUES block already consumed as the base relation is skipped.
+    # UNDEF rows impose NO constraint on their unbound variables (SPARQL
+    # compatibility-join): rows are grouped by bound-mask and each group
+    # joins on ITS bound shared variables only, branches unioned.
     for vars_, rows in values_list:
-        vt = _values_table(vars_, rows)
-        out_vars = set(out_names)
-        shared = [v for v in vars_ if v in out_vars]
-        if not shared:
-            raise NotImplementedError("VALUES sharing no variable with the group")
-        from .relational import broadcast_join
+        from collections import defaultdict
 
-        out = broadcast_join(out, vt, on=shared)
-        out_names = out_names + [v for v in vars_ if v not in out_names]
+        from .relational import broadcast_join, cross_join
+
+        out_vars = set(out_names)
+        if not any(v in out_vars for v in vars_):
+            raise NotImplementedError("VALUES sharing no variable with the group")
+        new_vars = [v for v in vars_ if v not in out_names]
+        want = out_names + new_vars
+        by_mask = defaultdict(list)
+        for row in rows:
+            by_mask[tuple(t is not None for t in row)].append(row)
+        branches = []
+        for mask, rws in by_mask.items():
+            # an UNDEF in a var the group already binds imposes nothing —
+            # drop the (all-null) column so the join can't collide; UNDEF
+            # in a NEW var keeps its null column (the unbound binding)
+            keep = [v for v, m in zip(vars_, mask) if m or v not in out_vars]
+            vt = _values_table(vars_, rws).select(keep)
+            bound_shared = [v for v, m in zip(vars_, mask)
+                            if m and v in out_vars]
+            if bound_shared:
+                br = broadcast_join(out, vt, on=bound_shared)
+            else:
+                br = cross_join(out, rd.from_arrow(vt))
+            branches.append(br.select_columns(want))
+        out = branches[0]
+        for br in branches[1:]:
+            out = out.union(br)
+        out_names = want
 
     # FILTER [NOT] EXISTS → semi/anti join on correlation variables
     # (reference convertExists, query_conversions.py:183-210)
