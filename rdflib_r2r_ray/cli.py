@@ -145,7 +145,6 @@ def cmd_construct(args) -> int:
 
 def cmd_sparql(args) -> int:
     from . import sparql
-    from .stages.dedup import distinct_on
 
     _init_ray(args.num_cpus)
     if args.query_file:
@@ -155,17 +154,7 @@ def cmd_sparql(args) -> int:
         query = args.query
     else:
         raise SystemExit("pass --query STR or --query-file FILE")
-    if args.graph_nt:
-        from .sources.tables import read_ntriples
-
-        # an exported graph is already deduplicated (set semantics)
-        graph = read_ntriples(args.graph_nt)
-    else:
-        triples = _build_graph(args)
-        # the queried graph is a SET: multiple rules may emit the same triple
-        graph = distinct_on(triples.select_columns(["subj", "pred", "obj"]),
-                            ["subj", "pred", "obj"])
-    out = sparql.execute(graph, query)
+    out = sparql.execute(_load_graph(args), query)
     if args.out:
         out.write_parquet(args.out)
         print(json.dumps({"out": args.out}))

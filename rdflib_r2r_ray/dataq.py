@@ -194,9 +194,7 @@ def q_dd_cluster_stats(sf_dir: str) -> rd.Dataset:
 
 
 def _sql_dd_cluster_stats() -> str:
-    fuzzy = _sql_dd_fuzzy_dedup()
-    head = fuzzy[:fuzzy.index("\nSELECT c.doc_id")]
-    return f"""{head},
+    return f"""{_sql_fuzzy_cte()},
 sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS size
           FROM labels GROUP BY label)
 SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
@@ -476,7 +474,9 @@ SELECT doc_id FROM (
 """
 
 
-def _sql_dd_fuzzy_dedup() -> str:
+def _sql_fuzzy_cte() -> str:
+    """Shared WITH-prefix of the fuzzy-dedup oracles: planted corpus →
+    shingles → verified pairs → undirected edges → reachability → labels."""
     t = 800
     shingles = _SQL_SHINGLES.replace("FROM documents", "FROM corpus")
     return f"""
@@ -502,7 +502,11 @@ WITH RECURSIVE corpus AS (
   SELECT r.x, e.b FROM reach r JOIN edges e ON e.a = r.y
 ), labels AS (
   SELECT x AS node, least(x, MIN(y)) AS label FROM reach GROUP BY x
-)
+)"""
+
+
+def _sql_dd_fuzzy_dedup() -> str:
+    return f"""{_sql_fuzzy_cte()}
 SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
 WHERE l.node IS NULL OR l.label = c.doc_id
 """

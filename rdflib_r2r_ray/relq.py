@@ -395,6 +395,9 @@ def q_rel_gapfill(sf_dir: str) -> rd.Dataset:
     counts = R.grouped_agg(wk, ["user_id", "wk"], count_as="n")
 
     def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block contributes nothing to the fold
+            return pa.table({"lo": pa.array([], t["wk"].type),
+                             "hi": pa.array([], t["wk"].type)})
         return pa.table({"lo": pa.array([pc.min(t["wk"]).as_py()]),
                          "hi": pa.array([pc.max(t["wk"]).as_py()])})
 
@@ -402,13 +405,14 @@ def q_rel_gapfill(sf_dir: str) -> rd.Dataset:
     for r in wk.map_batches(mm, batch_format="pyarrow").take_all():
         lo = r["lo"] if lo is None else min(lo, r["lo"])
         hi = r["hi"] if hi is None else max(hi, r["hi"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("wk", pa.timestamp("us")), ("n", pa.int64())])
+    if lo is None:  # zero events: empty result, stable schema
+        return rd.from_arrow(out_schema.empty_table())
     week_us = 7 * 24 * 3600 * 1_000_000
     lo_us = int(np.datetime64(lo, "us").astype(np.int64))
     hi_us = int(np.datetime64(hi, "us").astype(np.int64))
     grid = np.arange(lo_us, hi_us + 1, week_us, dtype=np.int64)
-
-    out_schema = pa.schema([("user_id", pa.int64()),
-                            ("wk", pa.timestamp("us")), ("n", pa.int64())])
 
     def reduce_fn(t: pa.Table, _grid=grid) -> pa.Table:
         pl = _pl()
@@ -531,6 +535,9 @@ def q_rel_histogram(sf_dir: str) -> rd.Dataset:
     cents = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
 
     def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty block contributes nothing to the fold
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
         return pa.table({"lo": pa.array([pc.min(t["c"]).as_py()], pa.int64()),
                          "hi": pa.array([pc.max(t["c"]).as_py()], pa.int64())})
 
@@ -538,6 +545,9 @@ def q_rel_histogram(sf_dir: str) -> rd.Dataset:
     for r in cents.map_batches(mm, batch_format="pyarrow").take_all():
         lo = r["lo"] if lo is None else min(lo, r["lo"])
         hi = r["hi"] if hi is None else max(hi, r["hi"])
+    if lo is None:  # zero rows: empty histogram, stable schema
+        return rd.from_arrow(pa.schema([("bin", pa.int64()),
+                                        ("n", pa.int64())]).empty_table())
 
     def binify(t: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
         c = t["c"].to_numpy()

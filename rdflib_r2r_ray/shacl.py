@@ -59,10 +59,12 @@ class NodeShape:
 
 def _lexical(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """Lexical form of a term column: strip the N3 decoration of typed
-    literals (``"lex"^^<dt>`` → ``lex``); bare literals and IRIs pass
-    through."""
-    quoted = pc.match_substring_regex(col, r'^".*"\^\^<[^>]*>$')
-    inner = pc.replace_substring_regex(col, r'^"(.*)"\^\^<[^>]*>$', r"\1")
+    (``"lex"^^<dt>``) AND language-tagged (``"lex"@tag``) literals —
+    ``(?s)`` so a lexical form containing newlines still strips; bare
+    literals and IRIs pass through."""
+    pat = r'(?s)^"(.*)"(\^\^<[^>]*>|@[A-Za-z0-9\-]+)$'
+    quoted = pc.match_substring_regex(col, pat)
+    inner = pc.replace_substring_regex(col, pat, r"\1")
     return pc.if_else(quoted, inner, col)
 
 
@@ -146,13 +148,26 @@ def validate(triples: rd.Dataset, shapes: Sequence[NodeShape]) -> rd.Dataset:
                     checks.append(("pattern", pc.invert(
                         pc.match_substring_regex(lex, _ps.pattern))))
                 if _ps.min_inclusive is not None or _ps.max_inclusive is not None:
-                    num = pc.cast(lex, pa.int64())
+                    # a non-numeric value cannot satisfy a numeric bound —
+                    # report it as a violation instead of crashing the job
+                    # on an unsafe cast (SHACL: value nodes that are not
+                    # comparable fail the constraint)
+                    numeric = pc.match_substring_regex(lex, r"^-?[0-9]+$")
+                    num = pc.cast(
+                        pc.if_else(numeric, lex, pa.scalar(None, pa.string())),
+                        pa.int64())
                     if _ps.min_inclusive is not None:
-                        checks.append(("minInclusive", pc.less(
-                            num, pa.scalar(_ps.min_inclusive, pa.int64()))))
+                        checks.append(("minInclusive", pc.or_(
+                            pc.invert(numeric),
+                            pc.fill_null(pc.less(
+                                num, pa.scalar(_ps.min_inclusive, pa.int64())),
+                                False))))
                     if _ps.max_inclusive is not None:
-                        checks.append(("maxInclusive", pc.greater(
-                            num, pa.scalar(_ps.max_inclusive, pa.int64()))))
+                        checks.append(("maxInclusive", pc.or_(
+                            pc.invert(numeric),
+                            pc.fill_null(pc.greater(
+                                num, pa.scalar(_ps.max_inclusive, pa.int64())),
+                                False))))
                 outs = []
                 for kind, bad in checks:
                     sel = pa.table({"focus": t["focus"],

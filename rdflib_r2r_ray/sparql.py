@@ -1691,21 +1691,40 @@ def update(
             j = m2.end()
         m3 = _re.compile(r"\s*\{").match(s, j)
         if not m3:
-            if kw == "DELETE":  # DELETE WHERE shorthand
+            # DELETE WHERE shorthand — ONLY when literally followed by the
+            # WHERE keyword (a DELETE substring inside an IRI/comment must
+            # not silently rewrite the whole update's semantics)
+            if kw == "DELETE" and _re.compile(r"\s*WHERE\b", _re.I).match(s, j):
                 delete_where = True
                 pos = j
                 continue
             raise ValueError(f"expected {{ after {kw} in SPARQL update")
         block, pos = _scan_block(s, m3.end() - 1)
+        # one clause of each kind per update — multi-operation updates
+        # (semicolon-separated) must fail LOUDLY, not silently drop the
+        # earlier operation
         if kw == "DELETE":
+            if dele is not None:
+                raise NotImplementedError(
+                    "multiple DELETE clauses (multi-operation updates are "
+                    "not supported; apply them as separate update() calls)")
             dele, dele_data = block, data
         elif kw == "INSERT":
+            if ins is not None:
+                raise NotImplementedError(
+                    "multiple INSERT clauses (multi-operation updates are "
+                    "not supported; apply them as separate update() calls)")
             ins, ins_data = block, data
         else:
+            if where is not None:
+                raise NotImplementedError("multiple WHERE clauses")
             where = block
     if delete_where:
         if where is None:
             raise ValueError("DELETE WHERE needs a pattern block")
+        if dele is not None:
+            raise ValueError("both DELETE WHERE shorthand and a DELETE "
+                             "template block in one update")
         dele = where
     if dele is None and ins is None:
         raise ValueError("SPARQL update has no DELETE or INSERT clause")
@@ -1715,6 +1734,14 @@ def update(
 
     keys = ["subj", "pred", "obj"]
     out = triples.select_columns(keys)
+    # insert/delete tables are PLAIN strings; a dict-encoded base graph
+    # (emit output, parquet read-back) hashes differently in the exchange
+    # (see relational.set_diff_both) — decode so the buckets line up
+    _s = out.schema()
+    if any(pa.types.is_dictionary(t) for t in _s.types):
+        from .stages.emit import decode_triples as _dec
+
+        out = out.map_batches(_dec, batch_format="pyarrow")
 
     # the WHERE relation executes ONCE (materialized blocks in the object
     # store), shared by both template clauses; templates instantiate as a

@@ -135,4 +135,5 @@ def test_cli_update_and_validate(data_dir, tmp_path):
         "--num-cpus", "4",
     ], cwd=str(tmp_path))
     assert r3.returncode == 3, (r3.returncode, r3.stderr[-2000:])
-    assert "WEST" in r3.stdout and '"in"' in r3.stdout or "in" in r3.stdout
+    # the report must name the violating focus (WEST region) and constraint
+    assert "WEST" in r3.stdout and ",in," in r3.stdout, r3.stdout

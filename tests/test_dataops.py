@@ -1263,3 +1263,40 @@ def test_bfs_hops_distributed_matches_local(ray_session):
     # hop budget 3: chain nodes 4..9 unreachable; triangle fully covered
     assert want == [(0, 0), (1, 1), (2, 2), (3, 3),
                     (100, 0), (101, 1), (102, 1)]
+
+
+def test_nt_nq_readers_skip_comment_lines_ending_in_period(ray_session, tmp_path):
+    """'# generated by tool v1 .' must be ignored, not parsed as a triple."""
+    from rdflib_r2r_ray.sources.tables import read_nquads, read_ntriples
+
+    nt = tmp_path / "g.nt"
+    nt.write_text("# generated by tool v1 .\n<a> <p> \"x\" .\n\n# <s> <p> \"y\" .\n")
+    rows = sorted(map(tuple, read_ntriples(str(nt)).to_pandas().values.tolist()))
+    assert rows == [("<a>", "<p>", "x")]
+
+    nq = tmp_path / "g.nq"
+    nq.write_text("# header .\n<a> <p> \"x\" <g> .\n<b> <p> \"y\" .\n")
+    rows = sorted(map(tuple, read_nquads(str(nq)).to_pandas().values.tolist()))
+    assert rows == [("<a>", "<p>", "x", "<g>"), ("<b>", "<p>", "y", None)]
+
+
+def test_shacl_numeric_bound_on_non_numeric_value(ray_session):
+    """A non-numeric value on a numerically-bounded path reports a
+    violation instead of crashing the validation job."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray import shacl
+
+    g = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<a>", "<b>", "<b>"],
+        "pred": ["<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<v>",
+                 "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", "<v>"],
+        "obj": ["<C>", '"5"^^<http://www.w3.org/2001/XMLSchema#integer>',
+                "<C>", "<not-a-number>"],
+    }))
+    rep = shacl.validate(g, [shacl.NodeShape(
+        target_class="<C>",
+        properties=(shacl.PropertyShape("<v>", max_inclusive=10),))]).to_pandas()
+    assert len(rep) == 1 and rep.iloc[0]["focus"] == "<b>"
+    assert rep.iloc[0]["constraint"] == "maxInclusive"

@@ -880,3 +880,34 @@ def test_update_requires_clause(ray_session):
         update(_upd_graph(), 'DELETE { ?s <p> ?v }')
     with pytest.raises(ValueError, match="ground"):
         update(_upd_graph(), 'INSERT DATA { ?s <p> "x" }')
+
+
+def test_update_rejects_multi_operation(ray_session):
+    from rdflib_r2r_ray.sparql import update
+
+    with pytest.raises(NotImplementedError, match="multiple INSERT"):
+        update(_upd_graph(),
+               'INSERT DATA { <d> <p> "1" } ; INSERT DATA { <e> <p> "2" }')
+    with pytest.raises(NotImplementedError, match="multiple DELETE"):
+        update(_upd_graph(),
+               'DELETE DATA { <a> <p> "x" } ; DELETE DATA { <b> <p> "y" }')
+
+
+def test_update_decodes_dict_encoded_graph(ray_session):
+    """A dict-encoded base graph (emit/parquet form) must still match plain
+    delete rows in the exchange (encoding-mismatch hashing guard)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray.sparql import update
+
+    def d(vals):
+        return pa.array(vals).dictionary_encode()
+
+    g = rd.from_arrow(pa.table({
+        "subj": d(["<a>", "<b>"]), "pred": d(["<p>", "<p>"]),
+        "obj": d(["x", "y"]),
+    }))
+    out = update(g, 'DELETE DATA { <a> <p> "x" }')
+    rows = sorted(map(tuple, out.to_pandas().values.tolist()))
+    assert rows == [("<b>", "<p>", "y")]
