@@ -88,6 +88,61 @@ SELECT MIN(doc_id) AS doc_id FROM (
 """
 
 
+def q_dd_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental cross-crawl dedup — the operation that makes dedup
+    tractable at 100 TB: a NEW crawl is deduped against the PERSISTED
+    content-hash index of the previous run instead of recomputing over the
+    whole corpus.  The v1 index (128-bit two-lane xxhash per doc) is
+    written through the checkpointed partitioned sink (what a real
+    pipeline keeps between runs); the v2 crawl (every 7th doc re-crawled
+    with changed content) streams through one hash pass + one distributed
+    anti-join against the index — only CHANGED docs survive.  Index size
+    is O(docs) hashes, never the texts."""
+    import hashlib as _hl
+    import shutil
+
+    from .relational import planned_join
+    from .state.checkpoint import checkpointed_write, read_checkpointed
+
+    idx_dir = "/tmp/dd_incr_idx_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    v1 = _docs(sf_dir).map_batches(
+        lambda b: D.add_content_hash(b, "text").select(
+            ["content_hash_a", "content_hash_b"]),
+        batch_format="pyarrow")
+    checkpointed_write(v1, idx_dir, keys=["content_hash_a"], resume=False,
+                       distinct_keys=["content_hash_a", "content_hash_b"])
+
+    def recrawl(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mut = pa.array(ids % 7 == 0)
+        pl = D._pl()
+        newtext = pl.from_arrow(pa.table({"t": b["text"]})) \
+            .select((pl.col("t") + " vNEW").alias("t"))["t"].to_arrow()
+        text = pc.if_else(mut, newtext, b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    v2 = _docs(sf_dir).map_batches(recrawl, batch_format="pyarrow")
+    v2h = v2.map_batches(
+        lambda b: D.add_content_hash(b, "text").select(
+            ["doc_id", "content_hash_a", "content_hash_b"]),
+        batch_format="pyarrow")
+    fresh = planned_join(v2h, read_checkpointed(idx_dir),
+                         on=["content_hash_a", "content_hash_b"],
+                         join_type="left_anti")
+    return fresh.select_columns(["doc_id"])
+
+
+SQL_DD_INCREMENTAL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' vNEW' ELSE text END AS text
+  FROM documents)
+SELECT v2.doc_id FROM v2
+WHERE v2.text NOT IN (SELECT text FROM documents)
+"""
+
+
 # DuckDB-side distinct token-trigram sets, matching stages/dedup._ngrams:
 # tokens = [a-z0-9_]+ runs of lower(text) (\w in RE2 is exactly that class);
 # a doc with <3 tokens contributes its whole token tuple as one shingle.
@@ -3474,6 +3529,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "dd_exact": q_dd_exact,
         "dd_fuzzy_dedup": q_dd_fuzzy_dedup,
         "dd_cluster_stats": q_dd_cluster_stats,
+        "dd_incremental": q_dd_incremental,
         "dd_keeper_quality": q_dd_keeper_quality,
         "dd_contamination": q_dd_contamination,
         "text_split_assign": q_text_split_assign,
@@ -3548,6 +3604,7 @@ def oracle_sql() -> Dict[str, str]:
         "dd_exact": SQL_DD_EXACT,
         "dd_fuzzy_dedup": _sql_dd_fuzzy_dedup(),
         "dd_cluster_stats": _sql_dd_cluster_stats(),
+        "dd_incremental": SQL_DD_INCREMENTAL,
         "dd_keeper_quality": _sql_dd_keeper_quality(),
         "dd_contamination": _sql_dd_contamination(),
         "text_split_assign": SQL_TEXT_SPLIT_ASSIGN,
