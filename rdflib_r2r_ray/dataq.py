@@ -306,7 +306,7 @@ def _shingle_frame(pl, df, id_col: str):
         id_col, pl.col("t").list.join(" ").alias("sh"))
     grams = (
         df.filter(pl.col("t").list.len() >= k)
-        .explode("t")
+        .explode("t", empty_as_null=False)
         .with_columns([pl.col("t").shift(-i).over(id_col).alias(f"__s{i}")
                        for i in range(1, k)])
         .filter(pl.col(f"__s{k-1}").is_not_null())
@@ -1109,7 +1109,7 @@ def q_sketch_heavy_hitters(sf_dir: str) -> rd.Dataset:
         out = (pl.from_arrow(b.select(["text"]))
                .select(pl.col("text").str.to_lowercase()
                        .str.extract_all(r"[a-z0-9_]+").alias("tok"))
-               .explode("tok").drop_nulls()
+               .explode("tok", empty_as_null=False).drop_nulls()
                .group_by("tok").len(name="n"))
         return out.to_arrow().cast(
             pa.schema([("tok", pa.string()), ("n", pa.int64())]))
@@ -1444,7 +1444,7 @@ def q_text_ngram_freq(sf_dir: str) -> rd.Dataset:
             df.select(pl.col("text").str.to_lowercase()
                       .str.extract_all(r"[a-z0-9_]+").alias("t"))
             .with_row_index("d")
-            .explode("t")
+            .explode("t", empty_as_null=False)
             .filter(pl.col("t").is_not_null())
             .with_columns(pl.col("t").shift(-1).over("d").alias("nx"))
             .filter(pl.col("nx").is_not_null())
@@ -1500,7 +1500,7 @@ def q_text_inverted_index(sf_dir: str) -> rd.Dataset:
             df.with_columns(pl.col("text").str.to_lowercase()
                             .str.extract_all(r"[a-z0-9_]+").alias("term"))
             .drop("text")
-            .explode("term")
+            .explode("term", empty_as_null=False)
             .filter(pl.col("term").is_not_null())
             .unique(["term", "doc_id"])
             .select(["term", "doc_id"])
@@ -1557,7 +1557,7 @@ def q_text_lm_bigram(sf_dir: str) -> rd.Dataset:
             df.with_columns(pl.col("text").str.to_lowercase()
                             .str.extract_all(r"[a-z0-9_]+").alias("t"))
             .drop("text")
-            .explode("t")
+            .explode("t", empty_as_null=False)
             .filter(pl.col("t").is_not_null())
             .with_columns(pl.col("t").shift(-1).over("doc_id").alias("nx"))
             .filter(pl.col("nx").is_not_null())
@@ -1707,7 +1707,7 @@ def q_text_dsir_weight(sf_dir: str) -> rd.Dataset:
             df.with_columns(pl.col("text").str.to_lowercase()
                             .str.extract_all(r"[a-z0-9_]+").alias("tok"))
             .drop("text")
-            .explode("tok")
+            .explode("tok", empty_as_null=False)
             .filter(pl.col("tok").is_not_null())
             .group_by(["doc_id", "lang", "tok"]).len(name="k")
         )
@@ -1792,7 +1792,7 @@ def q_text_collocation_pmi(sf_dir: str) -> rd.Dataset:
             df = (_pl().from_arrow(b.select(["text"]))
                   .select(pl.col("text").str.to_lowercase()
                           .str.extract_all(r"[a-z0-9_]+").alias("t"))
-                  .with_row_index("d").explode("t")
+                  .with_row_index("d").explode("t", empty_as_null=False)
                   .filter(pl.col("t").is_not_null()))
             if pair:
                 out = (df.with_columns(pl.col("t").shift(-1).over("d").alias("t2"))
@@ -2168,7 +2168,7 @@ def q_text_bpe_train(sf_dir: str):
         pl = D._pl()
         out = (pl.from_arrow(b)
                .select(pl.col("text").str.split(" ").alias("w"))
-               .explode("w").group_by("w").len(name="c"))
+               .explode("w", empty_as_null=False).group_by("w").len(name="c"))
         return out.to_arrow().cast(wc_schema)
 
     words = R.grouped_agg(
@@ -2195,7 +2195,7 @@ def q_text_bpe_train(sf_dir: str):
         df = df.with_columns(
             pl.col("a").list.slice(0, pl.col("a").list.len() - 1).alias("l"),
             pl.col("a").list.slice(1).alias("r"))
-        out = (df.select(["c", "l", "r"]).explode(["l", "r"]).drop_nulls()
+        out = (df.select(["c", "l", "r"]).explode(["l", "r"], empty_as_null=False).drop_nulls()
                .with_columns((pl.col("l") + " " + pl.col("r")).alias("pair"))
                .group_by("pair").agg(pl.col("c").sum().alias("n")))
         return out.select(["pair", "n"]).to_arrow().cast(pair_schema)
@@ -2236,7 +2236,7 @@ def q_text_bpe_encode(sf_dir: str) -> rd.Dataset:
         pl = D._pl()
         out = (pl.from_arrow(b)
                .select(pl.col("text").str.split(" ").alias("w"))
-               .explode("w").group_by("w").len(name="c"))
+               .explode("w", empty_as_null=False).group_by("w").len(name="c"))
         return out.to_arrow().cast(wc_schema)
 
     words = R.grouped_agg(
@@ -2257,7 +2257,7 @@ def q_text_bpe_encode(sf_dir: str) -> rd.Dataset:
                 f" {pair} ", f" {pair.replace(' ', '')} ", literal=True))
         out = (df.with_columns(pl.col("sym").str.strip_chars(" ")
                                .str.split(" ").alias("tok"))
-               .select(["c", "tok"]).explode("tok")
+               .select(["c", "tok"]).explode("tok", empty_as_null=False)
                .group_by("tok").agg(pl.col("c").sum().alias("n")))
         return out.select(["tok", "n"]).to_arrow().cast(tok_schema)
 
@@ -2478,7 +2478,7 @@ def q_dd_edit_distance(sf_dir: str) -> rd.Dataset:
         pl = D._pl()
         out = (pl.from_arrow(b)
                .select(pl.col("text").str.split(" ").alias("t"))
-               .explode("t").unique())
+               .explode("t", empty_as_null=False).unique())
         return out.to_arrow().cast(pa.schema([("t", pa.string())]))
 
     vocab = D.distinct_on(ds.map_batches(toks, batch_format="pyarrow"), ["t"])
@@ -3067,7 +3067,7 @@ def q_dd_paragraph(sf_dir: str) -> rd.Dataset:
             df.with_columns(pl.col("text").str.to_lowercase()
                             .str.extract_all(r"[a-z0-9_]+").alias("t"))
             .drop("text")
-            .explode("t")
+            .explode("t", empty_as_null=False)
             .filter(pl.col("t").is_not_null())
             .with_columns(p=(pl.col("t").cum_count().over("doc_id") - 1) // PARA_W)
             .group_by(["doc_id", "p"], maintain_order=True)
@@ -3143,7 +3143,7 @@ def q_dd_dup_ngrams(sf_dir: str) -> rd.Dataset:
             .with_columns(pl.col("text").str.to_lowercase()
                           .str.extract_all(r"[a-z0-9_]+").alias("t"))
             .drop("text")
-            .explode("t")
+            .explode("t", empty_as_null=False)
             .filter(pl.col("t").is_not_null())
         )
         shifted = [pl.col("t").shift(-k).over("doc_id") for k in range(1, DUPW)]
@@ -3329,7 +3329,7 @@ def q_text_chunk_windows(sf_dir: str) -> rd.Dataset:
             .with_columns(pl.col("text").str.to_lowercase()
                           .str.extract_all(r"[a-z0-9_]+").alias("t"))
             .drop("text")
-            .explode("t")
+            .explode("t", empty_as_null=False)
             .filter(pl.col("t").is_not_null())
             .with_columns(  # cum_count is UInt32 — cast so g = idx//8 - 1
                 idx=(pl.col("t").cum_count().over("doc_id") - 1).cast(pl.Int64))
@@ -3390,7 +3390,7 @@ def q_text_quality_score(sf_dir: str) -> rd.Dataset:
             .with_columns(pl.col("text").str.to_lowercase()
                           .str.extract_all(r"[a-z0-9_]+").alias("t"))
             .drop("text")
-            .explode("t")
+            .explode("t", empty_as_null=False)
             .filter(pl.col("t").is_not_null())
             .with_columns(
                 ln=pl.col("t").str.len_chars().cast(pl.Int64),
@@ -3457,7 +3457,7 @@ def q_text_tfidf_top(sf_dir: str) -> rd.Dataset:
             .with_columns(pl.col("text").str.to_lowercase()
                           .str.extract_all(r"[a-z0-9_]+").alias("term"))
             .drop("text")
-            .explode("term")
+            .explode("term", empty_as_null=False)
             .filter(pl.col("term").is_not_null())
             .group_by(["doc_id", "term"])
             .len(name="tf")

@@ -1954,7 +1954,7 @@ def q_rel_unnest(sf_dir: str) -> rd.Dataset:
               .drop("text"))
         df = df.with_columns(
             pl.int_ranges(1, pl.col("tok").list.len() + 1).alias("ord"))
-        out = df.explode(["tok", "ord"])
+        out = df.explode(["tok", "ord"], empty_as_null=False)
         return out.to_arrow().cast(pa.schema([
             ("doc_id", pa.int64()), ("tok", pa.string()),
             ("ord", pa.int64()),

@@ -517,7 +517,7 @@ def _batch_tokens(texts: List[Optional[str]]) -> tuple:
     s = pl.Series(texts, dtype=pl.String).fill_null("")
     tl = s.str.to_lowercase().str.extract_all(r"[a-z0-9_]+")
     lens = tl.list.len().cast(pl.Int64).to_numpy()
-    flat = tl.explode().drop_nulls()
+    flat = tl.explode(empty_as_null=False).drop_nulls()
     th = flat.hash(seed=0).to_numpy()
     offsets = np.concatenate([[0], np.cumsum(lens)])
     return th, offsets

@@ -163,7 +163,7 @@ class EntityLinker:
                 continue
             # explode() emits ONE null row per empty list — align a repeat
             # of max(len, 1) per doc, then drop the null placeholders
-            exploded = lst.explode()
+            exploded = lst.explode(empty_as_null=True)
             rep = np.repeat(idx, np.maximum(lens, 1))
             mask = exploded.is_not_null().to_numpy()
             doc_parts.append(rep[mask])

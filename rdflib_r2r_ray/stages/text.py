@@ -170,14 +170,14 @@ class QualityScorer:
         s = pl.from_arrow(col if not isinstance(col, pa.ChunkedArray) else col.combine_chunks())
         # stopword hits: extract words → explode → lowercase is_in → count
         wdf = pl.DataFrame({"i": idx, "w": s.str.extract_all(r"[A-Za-z']+")}) \
-                .explode("w").drop_nulls("w")
+                .explode("w", empty_as_null=False).drop_nulls("w")
         st = wdf.filter(pl.col("w").str.to_lowercase().is_in(list(_STOPWORDS))) \
                 .group_by("i").len(name="ns")
         n_stop = np.zeros(nd, dtype=np.int64)
         n_stop[st["i"].to_numpy()] = st["ns"].to_numpy().astype(np.int64)
         # line stats over non-blank lines (raw lines deduped, Python-strip
         # blank test — same semantics as score_one)
-        ldf = pl.DataFrame({"i": idx, "l": s.str.split("\n")}).explode("l") \
+        ldf = pl.DataFrame({"i": idx, "l": s.str.split("\n")}).explode("l", empty_as_null=False) \
                 .filter(pl.col("l").str.strip_chars().str.len_chars() > 0)
         lag = ldf.group_by("i").agg(nl=pl.len(), nu=pl.col("l").n_unique())
         n_lines = np.zeros(nd, dtype=np.int64)
@@ -288,7 +288,7 @@ class LanguageID:
         s = pl.from_arrow(col if not isinstance(col, pa.ChunkedArray) else col.combine_chunks())
         toks = pl.DataFrame(
             {"i": idx, "w": s.str.to_lowercase().str.extract_all(r"\p{L}+")}
-        ).explode("w").drop_nulls("w")
+        ).explode("w", empty_as_null=False).drop_nulls("w")
         ntok = toks.group_by("i").len(name="ntok")
         hits = toks.join(self._lookup, on="w").group_by(["i", "lang"]).len(name="hit")
         best = hits.sort(["i", "hit", "lang"], descending=[False, True, False]) \
@@ -600,7 +600,7 @@ class RepetitionStats:
         s = pl.from_arrow(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
         idx = np.arange(nd, dtype=np.int64)
         words = (pl.DataFrame({"i": idx, "w": s.str.split(" ")})
-                 .explode("w"))
+                 .explode("w", empty_as_null=False))
         wag = words.group_by("i").agg(nw=pl.len(), nu=pl.col("w").n_unique())
         n_words = np.zeros(nd, dtype=np.int64)
         n_unique = np.zeros(nd, dtype=np.int64)
