@@ -1942,6 +1942,18 @@ FROM planted
 """
 
 
+def q_text_zlib_ratio(sf_dir: str) -> rd.Dataset:
+    """Compression-ratio quality filter (RefinedWeb / Dolma "gzip
+    compressibility"): zlib DEFLATE size per doc as integer permille of the
+    raw UTF-8 size, keep = permille in [250, 900] (too low = repetitive
+    boilerplate, too high = incompressible noise).  The ONE registered
+    query without a SQL oracle: DuckDB has no DEFLATE function, so the
+    driver records the weaker rows-only check; the exactness gate is
+    ``tests/test_dataops.py::test_zlib_ratio_exact``, which recomputes
+    every value with the same stdlib zlib."""
+    return _docs(sf_dir).map_batches(T.zlib_ratio, batch_format="pyarrow")
+
+
 def q_text_repetition(sf_dir: str) -> rd.Dataset:
     """Gopher-style repetition filters (duplicate-word fraction, top-bigram
     count, repeated-bigram fraction) as integer permille — one polars
@@ -3551,6 +3563,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_outlier_mad": q_text_outlier_mad,
         "text_dsir_weight": q_text_dsir_weight,
         "text_pii": q_text_pii,
+        "text_zlib_ratio": q_text_zlib_ratio,
         "text_repetition": q_text_repetition,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

@@ -2353,7 +2353,7 @@ _LATE_R4 = {
     "ann_pq_encode", "rel_cohort_retention", "dd_cluster_stats",
     "kg_nq_roundtrip", "rel_gapfill", "ann_topk_pq", "rel_time_window_sum",
     "sparql_bsbm_notbound", "sparql_bsbm_global_avg", "sparql_values_undef",
-    "dd_incremental",
+    "dd_incremental", "text_zlib_ratio",
 }
 
 

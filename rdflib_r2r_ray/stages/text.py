@@ -683,3 +683,47 @@ def levenshtein_batch(a, b) -> np.ndarray:
             dp = run + idx
         out[sel] = dp[:, wb]
     return out
+
+
+ZLIB_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("raw_bytes", pa.int64()),
+    ("comp_bytes", pa.int64()), ("zlib_permille", pa.int64()),
+    ("keep", pa.int64()),
+])
+
+
+def zlib_ratio(batch: pa.Table, text_col: str = "text",
+               id_col: str = "doc_id", level: int = 6,
+               lo: int = 250, hi: int = 900) -> pa.Table:
+    """Compression-ratio quality signal (the RefinedWeb / Dolma "gzip
+    compressibility" filter): ``zlib_permille = compressed_bytes * 1000 //
+    raw_bytes``.  Very LOW ratios mean highly repetitive text (boilerplate,
+    keyword stuffing); very HIGH ratios mean incompressible noise
+    (minified blobs, base64, random strings); ``keep`` is 1 inside
+    [lo, hi].  Deterministic for a fixed zlib build — the exactness gate
+    recomputes with the same stdlib zlib (``tests/test_dataops.py``); no
+    SQL oracle exists because DuckDB has no DEFLATE function.
+
+    The per-row loop is intentional: each iteration is one C call
+    (``zlib.compress``) that IS the operator's work — the same shape as
+    batched model inference, not a vectorizable kernel.  Empty/null texts
+    report raw_bytes=0 and permille=1000 (incompressible by convention,
+    filtered by ``hi``)."""
+    import zlib
+
+    n = len(batch)
+    ids = pc.cast(batch[id_col], pa.int64())
+    texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "").to_pylist()
+    raw = np.empty(n, dtype=np.int64)
+    comp = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, level)) if b else 0
+    permille = np.where(raw > 0, comp * 1000 // np.maximum(raw, 1), 1000)
+    keep = ((permille >= lo) & (permille <= hi)).astype(np.int64)
+    return pa.table({
+        "doc_id": ids, "raw_bytes": pa.array(raw),
+        "comp_bytes": pa.array(comp), "zlib_permille": pa.array(permille),
+        "keep": pa.array(keep),
+    }).cast(ZLIB_SCHEMA)

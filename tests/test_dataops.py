@@ -1300,3 +1300,43 @@ def test_shacl_numeric_bound_on_non_numeric_value(ray_session):
         properties=(shacl.PropertyShape("<v>", max_inclusive=10),))]).to_pandas()
     assert len(rep) == 1 and rep.iloc[0]["focus"] == "<b>"
     assert rep.iloc[0]["constraint"] == "maxInclusive"
+
+
+def test_zlib_ratio_exact(ray_session):
+    """text_zlib_ratio: every (raw, comp, permille, keep) recomputed with
+    the same stdlib zlib must match bit-exactly — the exactness gate for
+    the one registered query without a SQL oracle (DuckDB has no DEFLATE);
+    edge rows (empty text -> permille 1000, keep 0) included."""
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray.dataq import q_text_zlib_ratio
+    from rdflib_r2r_ray.stages.text import ZLIB_SCHEMA, zlib_ratio
+
+    out = q_text_zlib_ratio(SF)
+    assert out.schema().names == ZLIB_SCHEMA.names
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).take_all()
+    assert len(rows) == len(docs)
+    for d in docs:
+        b = (d["text"] or "").encode("utf-8")
+        raw, comp = len(b), (len(zlib.compress(b, 6)) if b else 0)
+        perm = comp * 1000 // raw if raw else 1000
+        r = rows[d["doc_id"]]
+        assert (r["raw_bytes"], r["comp_bytes"], r["zlib_permille"]) == (raw, comp, perm)
+        assert r["keep"] == int(250 <= perm <= 900)
+
+    # edge semantics: empty + whitespace + highly repetitive + random-ish
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["", " ", "spam " * 400, "kq9#zP!v1x" * 40],
+    })
+    got = zlib_ratio(tbl)
+    assert got["raw_bytes"].to_pylist()[0] == 0
+    assert got["zlib_permille"].to_pylist()[0] == 1000
+    assert got["keep"].to_pylist()[0] == 0
+    assert got["zlib_permille"].to_pylist()[2] < 50      # repetitive -> tiny
+    assert got["keep"].to_pylist()[2] == 0
