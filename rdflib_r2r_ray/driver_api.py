@@ -153,6 +153,72 @@ WHERE regexp_matches(text, '\\b' || alias || '\\b')
 """
 
 
+def q_kg_owl_sameas(sf_dir: str) -> rd.Dataset:
+    """owl:sameAs-closure entity canonicalization with the identity edges
+    arriving AS DATA — the 100 TB shape where the merge map does NOT fit
+    the driver (contrast ``kg_entity_counts``, whose canonical map is a
+    broadcast dict): mention objects are deterministically diverted to
+    variant IRIs (``e2/``/``e3/`` by slug-length mod 3, with ``e3 sameAs
+    e2 sameAs e`` CHAIN edges so closure needs real 2-hop propagation),
+    the component labels come from the distributed min-label propagation
+    (``stages/canonicalize.py::label_propagation_components`` — labels
+    never on the driver), and the rewrite is a JOIN against the label
+    Dataset, not a broadcast map.  Canonicalizing the diverted graph must
+    reproduce the original mention graph exactly, so the oracle is
+    ``_sql_kg_mentions`` itself."""
+    from .relational import planned_join
+    from .stages.canonicalize import label_propagation_components
+    from .stages.dedup import _pl, distinct_on
+
+    m = q_kg_mentions(sf_dir)  # subj, pred, obj = <http://kg.ex/e/slug>
+
+    def divert(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b)
+        slug = pl.col("obj").str.slice(16, pl.col("obj").str.len_chars() - 17)
+        k = slug.str.len_chars().cast(pl.Int64) % 3
+        obj = (pl.when(k == 1)
+               .then(pl.lit("<http://kg.ex/e2/") + slug + pl.lit(">"))
+               .when(k == 2)
+               .then(pl.lit("<http://kg.ex/e3/") + slug + pl.lit(">"))
+               .otherwise(pl.col("obj")))
+        return df.with_columns(obj.alias("obj")).to_arrow().cast(
+            pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                       ("obj", pa.string())]))
+
+    vm = m.map_batches(divert, batch_format="pyarrow")
+
+    def sameas_edges(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b)
+        slug = pl.col("obj").str.slice(16, pl.col("obj").str.len_chars() - 17)
+        df = df.with_columns(s=slug, k=slug.str.len_chars().cast(pl.Int64) % 3)
+        e1 = pl.lit("<http://kg.ex/e/") + pl.col("s") + pl.lit(">")
+        e2 = pl.lit("<http://kg.ex/e2/") + pl.col("s") + pl.lit(">")
+        e3 = pl.lit("<http://kg.ex/e3/") + pl.col("s") + pl.lit(">")
+        lo = df.filter(pl.col("k") == 1).select(a=e2, b=e1)
+        hi = df.filter(pl.col("k") == 2)
+        out = pl.concat([lo, hi.select(a=e3, b=e2), hi.select(a=e2, b=e1)])
+        return out.to_arrow().cast(pa.schema([("a", pa.string()),
+                                              ("b", pa.string())]))
+
+    ents = distinct_on(m.select_columns(["obj"]), ["obj"])
+    labels = label_propagation_components(
+        ents.map_batches(sameas_edges, batch_format="pyarrow"))
+
+    j = planned_join(vm, labels, on=["obj"], right_on=["node"],
+                     join_type="left_outer")
+
+    def canon(b: pa.Table) -> pa.Table:
+        obj = pc.coalesce(b["label"], b["obj"]) if "label" in b.column_names else b["obj"]
+        return pa.table({"subj": pc.cast(b["subj"], pa.string()),
+                         "pred": pc.cast(b["pred"], pa.string()),
+                         "obj": pc.cast(obj, pa.string())})
+
+    out = j.map_batches(canon, batch_format="pyarrow")
+    return distinct_on(out, ["subj", "pred", "obj"])
+
+
 def q_kg_entity_cooccur(sf_dir: str) -> rd.Dataset:
     """Entity co-occurrence mining over the linked KG (the knowledge-graph
     edge-weighting / relatedness primitive): for every entity pair appearing
@@ -2353,7 +2419,7 @@ _LATE_R4 = {
     "ann_pq_encode", "rel_cohort_retention", "dd_cluster_stats",
     "kg_nq_roundtrip", "rel_gapfill", "ann_topk_pq", "rel_time_window_sum",
     "sparql_bsbm_notbound", "sparql_bsbm_global_avg", "sparql_values_undef",
-    "dd_incremental", "text_zlib_ratio",
+    "dd_incremental", "text_zlib_ratio", "kg_owl_sameas",
 }
 
 
@@ -2428,6 +2494,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_path_transitive": q_kg_path_transitive,
         "kg_csv_source": q_kg_csv_source,
         "kg_entity_cooccur": q_kg_entity_cooccur,
+        "kg_owl_sameas": q_kg_owl_sameas,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
         "kg_ref_join": q_kg_ref_join,
@@ -2504,6 +2571,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_path_transitive": _sql_kg_path_transitive(),
         "kg_csv_source": _sql_kg_direct_nation(),
         "kg_entity_cooccur": _sql_kg_entity_cooccur(),
+        "kg_owl_sameas": _sql_kg_mentions(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),
         "kg_ref_join": _sql_kg_ref_join(),

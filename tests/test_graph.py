@@ -129,3 +129,20 @@ def test_pagerank_sink_only_nodes_get_base(ray_session):
     base = (15 * (PR_SCALE // 4)) // 100
     assert got[9] == base
     assert got[0] > got[9]
+
+
+def test_owl_sameas_closure_nontrivial(ray_session):
+    """kg_owl_sameas must do real work: the diverted graph differs from the
+    canonical mention graph (variant IRIs present, incl. 2-hop e3/ chains),
+    and canonicalization restores it exactly (the oracle identity)."""
+    from rdflib_r2r_ray.driver_api import q_kg_mentions, q_kg_owl_sameas
+
+    sf = "/root/testdata/sf0.001"
+    mentions = {tuple(r.values()) for r in q_kg_mentions(sf).take_all()}
+    canon = {tuple(r.values()) for r in q_kg_owl_sameas(sf).take_all()}
+    assert canon == mentions
+    # the intermediate diversion is non-trivial: some entity slugs have
+    # length % 3 == 2 (two-hop chain) — guards against divert degenerating
+    slugs = {s[16:-1] for _, _, s in mentions}
+    assert any(len(s) % 3 == 2 for s in slugs)
+    assert any(len(s) % 3 == 1 for s in slugs)
