@@ -1419,6 +1419,42 @@ def q_rel_cube(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_rel_grouping_sets(sf_dir: str) -> rd.Dataset:
+    """GROUP BY GROUPING SETS ((lang), (source)) — the NON-hierarchical
+    grouping-set shape that neither ROLLUP nor CUBE emits (no fine set, no
+    grand total): same one-streamed-exchange plan as ``q_rel_cube`` — the
+    (lang, source) fine aggregation is the only pass over the corpus, each
+    requested set re-aggregates the tiny fine result locally."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    fine = R.grouped_agg(ds, ["lang", "source"], sums=["n_chars"],
+                         count_as="n_docs").materialize()
+    ftbl = pa.concat_tables(
+        [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+
+    def coarse(key: str) -> pa.Table:
+        return ftbl.group_by([key]).aggregate(
+            [("n_chars", "sum"), ("n_docs", "sum")]
+        ).rename_columns([key, "n_chars", "n_docs"])
+
+    out = R.union_pad(rd.from_arrow(coarse("lang")),
+                      rd.from_arrow(coarse("source")))
+    return out.map_batches(
+        lambda b: b.select(["lang", "source", "n_chars", "n_docs"])
+                   .rename_columns(["lang", "source", "sum_n_chars", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REL_GROUPING_SETS = """
+SELECT lang, source,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY GROUPING SETS ((lang), (source))
+"""
+
+
 SQL_REL_CUBE = """
 SELECT lang, source,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, COUNT(*) AS n_docs
@@ -2043,6 +2079,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_quantiles": q_rel_quantiles,
         "rel_rollup": q_rel_rollup,
         "rel_cube": q_rel_cube,
+        "rel_grouping_sets": q_rel_grouping_sets,
         "rel_pivot": q_rel_pivot,
         "rel_rank_window": q_rel_rank_window,
         "rel_lag_delta": q_rel_lag_delta,
@@ -2104,6 +2141,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_quantiles": SQL_REL_QUANTILES,
         "rel_rollup": SQL_REL_ROLLUP,
         "rel_cube": SQL_REL_CUBE,
+        "rel_grouping_sets": SQL_REL_GROUPING_SETS,
         "rel_pivot": SQL_REL_PIVOT,
         "rel_rank_window": SQL_REL_RANK_WINDOW,
         "rel_lag_delta": SQL_REL_LAG_DELTA,
