@@ -1013,6 +1013,63 @@ it{i} AS (
     return f"{head}{its}\nSELECT node AS vec_id, hop FROM it{BFS_HOPS}"
 
 
+SSSP_SEED_MOD, SSSP_ROUNDS = 29, 6
+
+
+def q_graph_sssp(sf_dir: str) -> rd.Dataset:
+    """WEIGHTED multi-source shortest paths over the 2-NN similarity graph
+    (the cost-aware variant of ``graph_bfs_hops`` — graph-distance scoring
+    where edges are not all equal): integer edge weights w(a,b) =
+    (a*31 + b*17) % 9 + 1 (deterministic, SQL-replicable), seeds =
+    ``vec_id % 29 == 0`` at cost 0, Bellman-Ford relaxation bounded at 6
+    rounds — the same join + grouped-MIN exchange recurrence as BFS
+    (``stages/graph.bfs_hops`` with ``weight_col``), so the run replays in
+    an unrolled-CTE oracle; cost tables live in the object store, never on
+    the driver."""
+    from .stages.graph import bfs_hops
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def seed(t: pa.Table) -> pa.Table:
+        mod = pa.array(t["vec_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64) % SSSP_SEED_MOD)
+        t = t.filter(pc.equal(mod, 0))
+        return pa.table({"node": pc.cast(t["vec_id"], pa.int64()),
+                         "cost": pa.array(np.zeros(len(t), np.int64))})
+
+    def weigh(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "w": pa.array((a * 31 + b * 17) % 9 + 1)})
+
+    wedges = _nn2_und_edges(sf_dir).map_batches(weigh, batch_format="pyarrow")
+    seeds = emb.map_batches(seed, batch_format="pyarrow")
+    dist = bfs_hops(wedges, seeds, iters=SSSP_ROUNDS, hop_col="cost",
+                    weight_col="w")
+    return dist.map_batches(lambda t: t.rename_columns(["vec_id", "cost"]),
+                            batch_format="pyarrow")
+
+
+def _sql_graph_sssp() -> str:
+    head = f"""
+WITH {_SQL_NN2_UND},
+wund AS (SELECT a, b, (a * 31 + b * 17) % 9 + 1 AS w FROM und),
+edges AS (SELECT a, b, w FROM wund UNION ALL SELECT b, a, w FROM wund),
+it0 AS (SELECT CAST(vec_id AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost
+        FROM embeddings WHERE vec_id % {SSSP_SEED_MOD} = 0)"""
+    its = ""
+    for i in range(1, SSSP_ROUNDS + 1):
+        its += f""",
+it{i} AS (
+  SELECT node, MIN(cost) AS cost FROM (
+    SELECT node, cost FROM it{i - 1}
+    UNION ALL
+    SELECT e.b AS node, d.cost + e.w FROM edges e JOIN it{i - 1} d ON d.node = e.a
+  ) GROUP BY node)"""
+    return f"{head}{its}\nSELECT node AS vec_id, cost FROM it{SSSP_ROUNDS}"
+
+
 KCORE_K, KCORE_ROUNDS = 2, 4
 
 
@@ -3531,6 +3588,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_triangles": q_graph_triangles,
         "graph_clustering_coeff": q_graph_clustering_coeff,
         "graph_bfs_hops": q_graph_bfs_hops,
+        "graph_sssp": q_graph_sssp,
         "ann_pq_encode": q_ann_pq_encode,
         "ann_topk_pq": q_ann_topk_pq,
         "graph_kcore": q_graph_kcore,
@@ -3607,6 +3665,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_triangles": _sql_graph_triangles(),
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),
         "graph_bfs_hops": _sql_graph_bfs_hops(),
+        "graph_sssp": _sql_graph_sssp(),
         "ann_pq_encode": SQL_ANN_PQ_ENCODE,
         "ann_topk_pq": SQL_ANN_RECALL_OK,
         "graph_kcore": _sql_graph_kcore(),

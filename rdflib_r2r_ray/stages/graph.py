@@ -111,7 +111,8 @@ def triangle_counts(
     wedges — pre-bound degree upstream if the graph has hubs)."""
     from ..relational import grouped_agg, planned_join
 
-    und = und.select_columns([a_col, b_col]).materialize()
+    ecols = [a_col, b_col] + ([weight_col] if weight_col else [])
+    und = und.select_columns(ecols).materialize()
     if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
         out = ray.remote(_triangles_local).remote(
             a_col, b_col, node_col, out_col, *und.to_arrow_refs())
@@ -281,7 +282,8 @@ def link_prediction(
     intermediate; pre-bound degree upstream for hubby graphs."""
     from ..relational import grouped_agg, planned_join
 
-    und = und.select_columns([a_col, b_col]).materialize()
+    ecols = [a_col, b_col] + ([weight_col] if weight_col else [])
+    und = und.select_columns(ecols).materialize()
     if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
         out = ray.remote(_linkpred_local).remote(
             min_common, ra_scale, a_col, b_col, *und.to_arrow_refs())
@@ -405,9 +407,11 @@ def pagerank(
 
 
 def _bfs_local(iters: int, a_col: str, b_col: str, node_col: str,
-               hop_col: str, n_seed_refs: int, *tables: pa.Table) -> pa.Table:
-    """One-task BFS (vectorized Bellman-Ford relaxation over dense node
-    indices) — the small-graph path of :func:`bfs_hops`."""
+               hop_col: str, weight_col, n_seed_refs: int,
+               *tables: pa.Table) -> pa.Table:
+    """One-task BFS / weighted SSSP (vectorized Bellman-Ford relaxation
+    over dense node indices) — the small-graph path of :func:`bfs_hops`.
+    ``weight_col`` None means unit weights."""
     schema = pa.schema([(node_col, pa.int64()), (hop_col, pa.int64())])
     seed_t = [t for t in tables[:n_seed_refs] if t is not None and t.num_rows]
     edge_t = [t for t in tables[n_seed_refs:] if t is not None and t.num_rows]
@@ -420,17 +424,21 @@ def _bfs_local(iters: int, a_col: str, b_col: str, node_col: str,
         e = pa.concat_tables(edge_t).combine_chunks()
         a = e[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = e[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (e[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             if weight_col else np.ones(len(a), np.int64))
     else:
-        a = b = np.empty(0, np.int64)
+        a = b = w = np.empty(0, np.int64)
     nodes = np.unique(np.concatenate([s_nodes, a, b]))
     big = np.int64(2**62)
     dist = np.full(len(nodes), big, np.int64)
     np.minimum.at(dist, np.searchsorted(nodes, s_nodes), s_hops)
     ai, bi = np.searchsorted(nodes, a), np.searchsorted(nodes, b)
     src, dst = np.concatenate([ai, bi]), np.concatenate([bi, ai])
+    ww = np.concatenate([w, w])
     for _ in range(iters):
         nd = dist.copy()
-        np.minimum.at(nd, dst, dist[src] + 1)
+        # dist[src] + ww overflows nowhere: unreachable = 2**62, weights tiny
+        np.minimum.at(nd, dst, dist[src] + ww)
         dist = nd
     keep = dist < big
     return pa.table({node_col: pa.array(nodes[keep]),
@@ -445,6 +453,7 @@ def bfs_hops(
     b_col: str = "b",
     node_col: str = "node",
     hop_col: str = "hop",
+    weight_col: str = None,
     local_max_edges: int = _LOCAL_GRAPH_MAX_EDGES,
 ) -> rd.Dataset:
     """Multi-source BFS hop distances over an undirected canonical edge
@@ -464,7 +473,8 @@ def bfs_hops(
     (:func:`_bfs_local`, same recurrence)."""
     from ..relational import grouped_agg, planned_join
 
-    und = und.select_columns([a_col, b_col]).materialize()
+    ecols = [a_col, b_col] + ([weight_col] if weight_col else [])
+    und = und.select_columns(ecols).materialize()
     hop_schema = pa.schema([(node_col, pa.int64()), (hop_col, pa.int64())])
 
     def norm_seed(t: pa.Table) -> pa.Table:
@@ -476,15 +486,19 @@ def bfs_hops(
     if und.count() <= local_max_edges:
         srefs = dist.to_arrow_refs()
         out = ray.remote(_bfs_local).remote(
-            iters, a_col, b_col, node_col, hop_col,
+            iters, a_col, b_col, node_col, hop_col, weight_col,
             len(srefs), *srefs, *und.to_arrow_refs())
         return rd.from_arrow_refs([out])
 
     def both(t: pa.Table) -> pa.Table:
         a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(np.concatenate([a, b])),
-                         "dst": pa.array(np.concatenate([b, a]))})
+        cols = {"src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a]))}
+        if weight_col:
+            w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols["w"] = pa.array(np.concatenate([w, w]))
+        return pa.table(cols)
 
     edges = und.map_batches(both, batch_format="pyarrow").materialize()
 
@@ -492,9 +506,11 @@ def bfs_hops(
         j = planned_join(edges, dist, on=["src"], right_on=[node_col])
 
         def relax(t: pa.Table) -> pa.Table:
+            step = t["w"] if weight_col else pa.scalar(1, pa.int64())
             return pa.table(
                 {node_col: t["dst"],
-                 hop_col: pc.add(t[hop_col], pa.scalar(1, pa.int64()))},
+                 hop_col: pc.add(pc.cast(t[hop_col], pa.int64()),
+                                 pc.cast(step, pa.int64()) if weight_col else step)},
                 schema=hop_schema)
 
         cand = j.map_batches(relax, batch_format="pyarrow")

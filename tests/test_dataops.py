@@ -1340,3 +1340,29 @@ def test_zlib_ratio_exact(ray_session):
     assert got["keep"].to_pylist()[0] == 0
     assert got["zlib_permille"].to_pylist()[2] < 50      # repetitive -> tiny
     assert got["keep"].to_pylist()[2] == 0
+
+
+def test_sssp_weighted_distributed_matches_local(ray_session):
+    """Weighted Bellman-Ford: the distributed loop (local_max_edges=0) must
+    agree exactly with the one-task path, and weights must matter — the
+    direct heavy edge loses to a longer-but-lighter detour."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.graph import bfs_hops
+
+    # 0->3 direct weight 10; detour 0-1-2-3 weights 1+1+1 = 3
+    und = pa.table({
+        "a": pa.array([0, 0, 1, 2], pa.int64()),
+        "b": pa.array([3, 1, 2, 3], pa.int64()),
+        "w": pa.array([10, 1, 1, 1], pa.int64()),
+    })
+    seeds = pa.table({"node": pa.array([0], pa.int64()),
+                      "cost": pa.array([0], pa.int64())})
+    args = dict(iters=4, hop_col="cost", weight_col="w")
+    local = bfs_hops(rd.from_arrow(und), rd.from_arrow(seeds), **args)
+    dist = bfs_hops(rd.from_arrow(und), rd.from_arrow(seeds),
+                    local_max_edges=0, **args)
+    key = lambda ds: sorted(map(tuple, ds.to_pandas().values.tolist()))
+    got, want = key(dist), key(local)
+    assert got == want
+    assert want == [(0, 0), (1, 1), (2, 2), (3, 3)]  # detour beats w=10 edge
