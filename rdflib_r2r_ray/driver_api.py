@@ -2420,7 +2420,7 @@ _LATE_R4 = {
     "kg_nq_roundtrip", "rel_gapfill", "ann_topk_pq", "rel_time_window_sum",
     "sparql_bsbm_notbound", "sparql_bsbm_global_avg", "sparql_values_undef",
     "dd_incremental", "text_zlib_ratio", "kg_owl_sameas",
-    "rel_grouping_sets", "graph_sssp",
+    "rel_grouping_sets", "graph_sssp", "rel_interval_join",
 }
 
 

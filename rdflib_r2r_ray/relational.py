@@ -1112,6 +1112,67 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_by: str,
+    right_by: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+) -> rd.Dataset:
+    """Keyed INTERVAL OVERLAP join: all (left, right) pairs of the same
+    ``by`` key whose closed intervals intersect (``l.start <= r.end AND
+    r.start <= l.end``).  NOT expressible as :func:`range_join` — the
+    overlap predicate's bounds vary per row (each side has its own
+    duration), where a band join needs one fixed [lower, upper].
+
+    Same plan as the other interval-family operators: co-partition on the
+    equality key through :func:`cogroup_exchange`, per bucket one
+    vectorized polars equi-join on the key + a two-sided Arrow filter —
+    pair blowup bounded by real matches per key, never the corpus."""
+    from .stages.dedup import _pl, cogroup_exchange
+
+    ls, rs = left.schema(), right.schema()
+    lnames = set(ls.names)
+    out_fields = list(zip(ls.names, ls.types)) + [
+        (n, t) for n, t in zip(rs.names, rs.types)
+        if n not in lnames and n != right_by
+    ]
+    out_schema = pa.schema(out_fields)
+    # both endpoints always ship into the reduce (renamed with the private
+    # __r_ prefix, so name collisions with left columns are harmless)
+    rkeep = list(dict.fromkeys(
+        [n for n in rs.names if (n not in lnames and n != right_by) or n == right_by]
+        + [right_start, right_end]
+    ))
+
+    def reduce_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        pl = _pl()
+        ldf = pl.from_arrow(lt)
+        ren = {c: f"__r_{c}" for c in rt.column_names}
+        rdf = pl.from_arrow(rt.select(rkeep)).rename(ren)
+        out = ldf.join(
+            rdf, left_on=left_by, right_on=f"__r_{right_by}", how="inner",
+            coalesce=True,
+        )
+        out = out.filter(
+            (pl.col(left_start) <= pl.col(f"__r_{right_end}"))
+            & (pl.col(f"__r_{right_start}") <= pl.col(left_end)))
+        keep = [c for c in out_schema.names if c in ldf.columns]
+        out = out.select(
+            keep + [f"__r_{c}" for c in out_schema.names if c not in keep]
+        ).rename({f"__r_{c}": c for c in out_schema.names if c not in keep})
+        return out.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return cogroup_exchange(
+        left, [left_by], right, [right_by], reduce_fn, out_schema
+    )
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -1046,6 +1046,54 @@ FROM events GROUP BY event_type
 
 # --- temporal joins (as-of / range) -----------------------------------------
 
+def q_rel_interval_join(sf_dir: str) -> rd.Dataset:
+    """Keyed interval-OVERLAP join (the ad-attribution / exposure-window
+    shape: which purchase windows intersect which click windows per user):
+    click intervals [ts, ts + (event_id % 5 + 1) h] vs purchase intervals
+    [ts, ts + (event_id % 7 + 1) h], pairs whose CLOSED intervals
+    intersect.  Not a band join — each row carries its own duration, so the
+    overlap predicate has per-row bounds; ``relational.interval_join``
+    co-partitions on user through the cogroup exchange and runs one
+    vectorized equi-join + two-sided filter per bucket."""
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def mk(kind: str, mod: int, p: str):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], kind))
+            eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            start = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            end = pc.add(start, pa.array((eid % mod + 1) * 3_600_000_000))
+            return pa.table({f"{p}_event": pc.cast(t["event_id"], pa.int64()),
+                             "user_id": pc.cast(t["user_id"], pa.int64()),
+                             f"{p}_start": start, f"{p}_end": end})
+        return f
+
+    L = ev.map_batches(mk("click", 5, "l"), batch_format="pyarrow")
+    Rt = ev.map_batches(mk("purchase", 7, "r"), batch_format="pyarrow")
+    j = R.interval_join(L, Rt, left_by="user_id", right_by="user_id",
+                        left_start="l_start", left_end="l_end",
+                        right_start="r_start", right_end="r_end")
+    return j.select_columns(["user_id", "l_event", "r_event"])
+
+
+SQL_REL_INTERVAL_JOIN = """
+WITH L AS (
+  SELECT event_id AS l_event, user_id,
+         epoch_us(ts) AS l_start,
+         epoch_us(ts) + (event_id % 5 + 1) * 3600000000 AS l_end
+  FROM events WHERE event_type = 'click'),
+R AS (
+  SELECT event_id AS r_event, user_id,
+         epoch_us(ts) AS r_start,
+         epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS r_end
+  FROM events WHERE event_type = 'purchase')
+SELECT L.user_id, l_event, r_event
+FROM L JOIN R ON L.user_id = R.user_id
+WHERE l_start <= r_end AND r_start <= l_end
+"""
+
+
 def q_rel_asof_join(sf_dir: str) -> rd.Dataset:
     """AS-OF join (an operator Ray Data's Dataset API lacks): each purchase
     event matched to the user's most recent prior click — last-touch
@@ -2074,6 +2122,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "curate_corpus": q_curate_corpus,
         "rel_json_extract": q_rel_json_extract,
         "rel_asof_join": q_rel_asof_join,
+        "rel_interval_join": q_rel_interval_join,
         "rel_range_join": q_rel_range_join,
         "rel_stratified_sample": q_rel_stratified_sample,
         "rel_quantiles": q_rel_quantiles,
@@ -2136,6 +2185,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_scalar_funcs": SQL_REL_SCALAR_FUNCS,
         "curate_corpus": SQL_CURATE_CORPUS,
         "rel_asof_join": SQL_REL_ASOF_JOIN,
+        "rel_interval_join": SQL_REL_INTERVAL_JOIN,
         "rel_range_join": SQL_REL_RANGE_JOIN,
         "rel_stratified_sample": SQL_REL_STRATIFIED_SAMPLE,
         "rel_quantiles": SQL_REL_QUANTILES,

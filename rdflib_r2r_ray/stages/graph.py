@@ -111,8 +111,7 @@ def triangle_counts(
     wedges — pre-bound degree upstream if the graph has hubs)."""
     from ..relational import grouped_agg, planned_join
 
-    ecols = [a_col, b_col] + ([weight_col] if weight_col else [])
-    und = und.select_columns(ecols).materialize()
+    und = und.select_columns([a_col, b_col]).materialize()
     if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
         out = ray.remote(_triangles_local).remote(
             a_col, b_col, node_col, out_col, *und.to_arrow_refs())
@@ -282,8 +281,7 @@ def link_prediction(
     intermediate; pre-bound degree upstream for hubby graphs."""
     from ..relational import grouped_agg, planned_join
 
-    ecols = [a_col, b_col] + ([weight_col] if weight_col else [])
-    und = und.select_columns(ecols).materialize()
+    und = und.select_columns([a_col, b_col]).materialize()
     if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
         out = ray.remote(_linkpred_local).remote(
             min_common, ra_scale, a_col, b_col, *und.to_arrow_refs())
