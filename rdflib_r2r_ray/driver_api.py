@@ -2421,6 +2421,7 @@ _LATE_R4 = {
     "sparql_bsbm_notbound", "sparql_bsbm_global_avg", "sparql_values_undef",
     "dd_incremental", "text_zlib_ratio", "kg_owl_sameas",
     "rel_grouping_sets", "graph_sssp", "rel_interval_join",
+    "rel_incr_join",
 }
 
 

@@ -295,6 +295,67 @@ WHERE c.op IS NULL OR c.op <> 'D'
 """
 
 
+def q_rel_incr_join(sf_dir: str) -> rd.Dataset:
+    """Incremental JOIN-view maintenance — the join sibling of
+    ``rel_incr_agg``'s aggregate IVM: the materialized view J = orders ⋈
+    customer is maintained under an orders change feed (every 13th order
+    re-priced +10.00) with DELTA work only — one broadcast anti-join
+    removes the changed keys from J, one broadcast delta join computes
+    their replacement rows — the base corpus is never re-joined.  At
+    100 TB, J is the standing view and the delta is the day's changes.
+    Integer cents so the maintained rows are bit-equal to the oracle's
+    full recompute over the updated table."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    out_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("c_name", pa.string()),
+        ("total_cents", pa.int64()),
+    ])
+
+    def cents(arr) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0)), 0,
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "total_cents": cents(t["o_totalprice"])})
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        mod = pa.array(t["o_orderkey"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64) % 13)
+        u = t.filter(pc.equal(mod, 0))
+        return pa.table({"o_orderkey": pc.cast(u["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(u["o_custkey"], pa.int64()),
+                         "total_cents": pc.add(cents(u["o_totalprice"]),
+                                               pa.scalar(1000, pa.int64()))})
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.select(["o_orderkey", "c_name", "total_cents"]).cast(out_schema)
+
+    # standing view J (at 100 TB this is read back from its checkpoint, not
+    # recomputed — see state/checkpoint.read_checkpointed)
+    J = R.planned_join(orders.map_batches(base_rows, batch_format="pyarrow"),
+                       cust, on=["o_custkey"], right_on=["c_custkey"])          .map_batches(pick, batch_format="pyarrow").materialize()
+    delta = orders.map_batches(delta_rows, batch_format="pyarrow").materialize()
+    # maintenance: remove changed keys (broadcast anti), add replacement rows
+    kept = R.planned_join(J, delta.select_columns(["o_orderkey"]),
+                          on=["o_orderkey"], join_type="left_anti")
+    dj = R.planned_join(delta, cust, on=["o_custkey"], right_on=["c_custkey"])           .map_batches(pick, batch_format="pyarrow")
+    return kept.union(dj)
+
+
+SQL_REL_INCR_JOIN = """
+SELECT o_orderkey, c_name,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         + CASE WHEN o_orderkey % 13 = 0 THEN 1000 ELSE 0 END AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_rel_incr_agg(sf_dir: str) -> rd.Dataset:
     """Incremental aggregate maintenance (IVM): update a grouped
     SUM/COUNT under the rel_merge_upsert change feed WITHOUT recomputing
@@ -2097,6 +2158,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_star_join": q_rel_star_join,
         "rel_merge_upsert": q_rel_merge_upsert,
         "rel_incr_agg": q_rel_incr_agg,
+        "rel_incr_join": q_rel_incr_join,
         "rel_histogram": q_rel_histogram,
         "rel_unpivot": q_rel_unpivot,
         "rel_cohort_retention": q_rel_cohort_retention,
@@ -2160,6 +2222,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_star_join": SQL_REL_STAR_JOIN,
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "rel_incr_agg": SQL_REL_INCR_AGG,
+        "rel_incr_join": SQL_REL_INCR_JOIN,
         "rel_histogram": SQL_REL_HISTOGRAM,
         "rel_unpivot": SQL_REL_UNPIVOT,
         "rel_cohort_retention": SQL_REL_COHORT_RETENTION,
