@@ -1477,6 +1477,32 @@ WHERE lang = 'en' AND source IS NOT NULL
 """
 
 
+def q_sparql_path_alt_inv(sf_dir: str) -> rd.Dataset:
+    """Alternative + inverse property path ``(<p1>|^<p2>)`` through the
+    string front end (paths are BEYOND the reference,
+    ``sql_converter.py:229-230``): the alternation forks the BGP into one
+    branch per member (``paths.resolve_paths``), the inverse member swaps
+    subject/object, and the branches union — the result mixes doc→literal
+    rows (lang edges) with literal→doc rows (reversed source edges)."""
+    from . import sparql
+
+    q = """
+    SELECT ?x ?y WHERE {
+      ?x (<http://kg.ex/p/lang>|^<http://kg.ex/p/source>) ?y .
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_path_alt_inv() -> str:
+    s = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {s} AS x, lang AS y FROM documents WHERE lang IS NOT NULL
+UNION ALL
+SELECT source AS x, {s} AS y FROM documents WHERE source IS NOT NULL
+"""
+
+
 def q_sparql_union_join(sf_dir: str) -> rd.Dataset:
     """UNION mixed with other group elements (SPARQL Join of a padded union
     with the rest of the group; reference handles only whole-group unions
@@ -2421,7 +2447,8 @@ _LATE_R4 = {
     "sparql_bsbm_notbound", "sparql_bsbm_global_avg", "sparql_values_undef",
     "dd_incremental", "text_zlib_ratio", "kg_owl_sameas",
     "rel_grouping_sets", "graph_sssp", "rel_interval_join",
-    "rel_incr_join",
+    "rel_incr_join", "sparql_path_alt_inv", "rel_regr_slope", "rel_mode",
+    "graph_hits", "dd_containment", "text_ccnet_bucket",
 }
 
 
@@ -2465,6 +2492,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_in_having_order": q_sparql_in_having_order,
         "sparql_builtins": q_sparql_builtins,
         "sparql_predlist_negset": q_sparql_predlist_negset,
+        "sparql_path_alt_inv": q_sparql_path_alt_inv,
         "sparql_union_join": q_sparql_union_join,
         "sparql_count_distinct": q_sparql_count_distinct,
         "sparql_avg": q_sparql_avg,
@@ -2542,6 +2570,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_in_having_order": _sql_sparql_in_having_order(),
         "sparql_builtins": _sql_sparql_builtins(),
         "sparql_predlist_negset": _sql_sparql_predlist_negset(),
+        "sparql_path_alt_inv": _sql_sparql_path_alt_inv(),
         "sparql_union_join": _sql_sparql_union_join(),
         "sparql_count_distinct": _sql_sparql_count_distinct(),
         "sparql_avg": _sql_sparql_avg(),
