@@ -2149,6 +2149,121 @@ JOIN (VALUES ('en','Germanic'), ('de','Germanic'), ('fr','Romance'),
 """
 
 
+def q_rel_regr_slope(sf_dir: str) -> rd.Dataset:
+    """Per-group least-squares regression (REGR_SLOPE / REGR_INTERCEPT) in
+    ONE pass over the fact table: the five raw moments (n, Σx, Σy, Σxy,
+    Σxx) are exact int64 sums — x is the integral quantity, y the price
+    rounded to whole dollars — combined map-side and merged through one
+    grouped exchange, so at 100 TB the shuffle moves one 5-number row per
+    (block, group).  Slope/intercept derive from the moments with the SAME
+    float64 expression the SQL oracle uses (exact integer inputs + one
+    deterministic IEEE expression = bit-identical doubles)."""
+    in_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("n", pa.int64()), ("sx", pa.int64()),
+        ("sy", pa.int64()), ("sxy", pa.int64()), ("sxx", pa.int64()),
+    ])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        y = pc.cast(pc.round(b["l_extendedprice"],
+                             round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"], "n": pa.array([1] * len(b), pa.int64()),
+            "sx": x, "sy": y, "sxy": pc.multiply(x, y), "sxx": pc.multiply(x, x),
+        })
+        return t
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    agg = R.grouped_agg(ds.map_batches(moments, batch_format="pyarrow"),
+                        ["l_returnflag"], sums=["n", "sx", "sy", "sxy", "sxx"],
+                        in_schema=in_schema)
+
+    def solve(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        sx = t["sx"].to_numpy().astype(np.float64)
+        sy = t["sy"].to_numpy().astype(np.float64)
+        sxy = t["sxy"].to_numpy().astype(np.float64)
+        sxx = t["sxx"].to_numpy().astype(np.float64)
+        # identical operation order to the SQL oracle — keep in sync
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        intercept = sy / n - slope * (sx / n)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": t["n"],
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(intercept, pa.float64()),
+        })
+
+    return agg.map_batches(solve, batch_format="pyarrow")
+
+
+SQL_REL_REGR_SLOPE = """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+    CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+           * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+           * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sxx
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+    AS slope,
+  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+    - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
+FROM m
+"""
+
+
+def q_rel_mode(sf_dir: str) -> rd.Dataset:
+    """Per-group MODE with a total tie-break (most frequent quantity per
+    return flag, smallest value wins ties): map-side (group, value) partial
+    counts collapse each block to at most |groups|×|values| rows, one
+    grouped exchange merges them, and :func:`relational.grouped_topk`
+    (count DESC, value ASC, k=1) picks the winner — never a full-data
+    shuffle, deterministic under any block order."""
+    in_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("qty", pa.int64()), ("cnt", pa.int64()),
+    ])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            "cnt": pa.array([1] * len(b), pa.int64()),
+        })
+        return t
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    counts = R.grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["l_returnflag", "qty"], sums=["cnt"],
+                           in_schema=in_schema)
+    top = R.grouped_topk(counts, keys=["l_returnflag"],
+                         order_by=[("cnt", True), ("qty", False)], k=1)
+    return top.map_batches(
+        lambda t: pa.table({"l_returnflag": t["l_returnflag"],
+                            "mode_qty": t["qty"], "mode_count": t["cnt"]}),
+        batch_format="pyarrow")
+
+
+SQL_REL_MODE = """
+SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count FROM (
+  SELECT l_returnflag, qty, cnt,
+    row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY cnt DESC, qty) AS rnk
+  FROM (SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2))
+WHERE rnk = 1
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -2210,6 +2325,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_intersect": q_rel_intersect,
         "rel_unnest": q_rel_unnest,
         "rel_skew_join": q_rel_skew_join,
+        "rel_regr_slope": q_rel_regr_slope,
+        "rel_mode": q_rel_mode,
     }
 
 
@@ -2274,4 +2391,6 @@ def oracle_sql() -> Dict[str, str]:
         "rel_intersect": SQL_REL_INTERSECT,
         "rel_unnest": SQL_REL_UNNEST,
         "rel_skew_join": SQL_REL_SKEW_JOIN,
+        "rel_regr_slope": SQL_REL_REGR_SLOPE,
+        "rel_mode": SQL_REL_MODE,
     }
