@@ -778,13 +778,7 @@ def q_graph_pagerank(sf_dir: str) -> rd.Dataset:
     SQL oracle."""
     from .stages.graph import pagerank
 
-    def build():
-        emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        return A.knn_graph(emb, k=KNN_K).map_batches(
-            lambda t: pa.table({"src": t["vec_id"], "dst": t["nbr_id"]}),
-            batch_format="pyarrow").materialize()
-
-    edges = _cached_edges("knn5_dir", sf_dir, build)
+    edges = _knn5_dir_edges(sf_dir)
     nodes = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
     n = _read(sf_dir, "embeddings", columns=["vec_id"]).count()
@@ -823,6 +817,65 @@ it{i} AS (
     return f"WITH {head}{its}\nSELECT node AS vec_id, r AS rank FROM it5"
 
 
+HITS_ITERS = 3
+
+
+def q_graph_hits(sf_dir: str) -> rd.Dataset:
+    """Kleinberg HITS over the directed cosine 5-NN graph (hub = points to
+    representative docs, authority = pointed-at by good hubs — a
+    two-sided representativeness signal PageRank's single score can't
+    give).  Three mutual-reinforcement rounds, each two planned joins +
+    grouped-sum exchanges over exact int64 state (``stages/graph.hits``);
+    node state never on the driver, and the unnormalized integer
+    recurrence replays bit-exact in an unrolled-CTE SQL oracle."""
+    from .stages.graph import hits
+
+    edges = _knn5_dir_edges(sf_dir)
+    nodes = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
+    out = hits(edges, nodes, iters=HITS_ITERS)
+    return out.map_batches(
+        lambda t: pa.table({"vec_id": t["node"], "hub": t["hub"],
+                            "auth": t["auth"]}),
+        batch_format="pyarrow")
+
+
+def _sql_graph_hits() -> str:
+    from .stages.graph import HITS_SCALE
+
+    head = f"""
+sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+knn AS (
+  SELECT vec_id AS src, nbr_id AS dst FROM (
+    SELECT vec_id, nbr_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rnk
+    FROM sims) WHERE rnk <= {KNN_K}),
+nodesv AS (SELECT vec_id AS node FROM embeddings),
+a0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS a FROM nodesv)"""
+    its = ""
+    for i in range(1, HITS_ITERS + 1):
+        its += f""",
+h{i} AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS h
+  FROM nodesv n LEFT JOIN (
+    SELECT e.src AS node, SUM(a.a) AS v
+    FROM knn e JOIN a{i - 1} a ON a.node = e.dst GROUP BY e.src) s
+  USING (node)),
+a{i} AS (
+  SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS a
+  FROM nodesv n LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.h) AS v
+    FROM knn e JOIN h{i} h ON h.node = e.src GROUP BY e.dst) s
+  USING (node))"""
+    n = HITS_ITERS
+    return (f"WITH {head}{its}\n"
+            f"SELECT h{n}.node AS vec_id, h{n}.h AS hub, a{n}.a AS auth\n"
+            f"FROM h{n} JOIN a{n} USING (node)")
+
+
 _SQL_NN2_UND = f"""
 sims AS (
   SELECT a.vec_id, b.vec_id AS nbr_id,
@@ -850,6 +903,18 @@ def _cached_edges(key: str, sf_dir: str, build) -> rd.Dataset:
     if k not in _EDGE_CACHE:
         _EDGE_CACHE[k] = build()
     return _EDGE_CACHE[k]
+
+
+def _knn5_dir_edges(sf_dir: str) -> rd.Dataset:
+    """Directed 5-NN edges (src, dst) — shared by pagerank / HITS (cached
+    per sf_dir)."""
+    def build():
+        emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return A.knn_graph(emb, k=KNN_K).map_batches(
+            lambda t: pa.table({"src": t["vec_id"], "dst": t["nbr_id"]}),
+            batch_format="pyarrow").materialize()
+
+    return _cached_edges("knn5_dir", sf_dir, build)
 
 
 def _nn2_und_edges(sf_dir: str) -> rd.Dataset:
@@ -3589,6 +3654,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_clustering_coeff": q_graph_clustering_coeff,
         "graph_bfs_hops": q_graph_bfs_hops,
         "graph_sssp": q_graph_sssp,
+        "graph_hits": q_graph_hits,
         "ann_pq_encode": q_ann_pq_encode,
         "ann_topk_pq": q_ann_topk_pq,
         "graph_kcore": q_graph_kcore,
@@ -3666,6 +3732,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),
         "graph_bfs_hops": _sql_graph_bfs_hops(),
         "graph_sssp": _sql_graph_sssp(),
+        "graph_hits": _sql_graph_hits(),
         "ann_pq_encode": SQL_ANN_PQ_ENCODE,
         "ann_topk_pq": SQL_ANN_RECALL_OK,
         "graph_kcore": _sql_graph_kcore(),

@@ -404,6 +404,105 @@ def pagerank(
     return ranks
 
 
+HITS_SCALE = 10**6
+
+
+def _hits_local(iters: int, node_col: str, src_col: str, dst_col: str,
+                n_node_blocks: int, *blocks: pa.Table) -> pa.Table:
+    nt = [b for b in blocks[:n_node_blocks] if b.num_rows]
+    et = [b for b in blocks[n_node_blocks:] if b.num_rows]
+    nodes = (pa.concat_tables(nt)[node_col].to_numpy(zero_copy_only=False)
+             if nt else np.array([], np.int64))
+    nodes = np.sort(nodes)
+    if et:
+        edges = pa.concat_tables(et)
+        src = np.searchsorted(nodes, edges[src_col].to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(nodes, edges[dst_col].to_numpy(zero_copy_only=False))
+    else:
+        src = dst = np.array([], np.int64)
+    h = np.full(len(nodes), HITS_SCALE, np.int64)
+    a = np.full(len(nodes), HITS_SCALE, np.int64)
+    for _ in range(iters):
+        hn = np.zeros(len(nodes), np.int64)
+        np.add.at(hn, src, a[dst])       # h(u) = Σ_{u→v} a(v)
+        h = hn
+        an = np.zeros(len(nodes), np.int64)
+        np.add.at(an, dst, h[src])       # a(v) = Σ_{u→v} h(u)
+        a = an
+    return pa.table({node_col: pa.array(nodes, pa.int64()),
+                     "hub": pa.array(h, pa.int64()),
+                     "auth": pa.array(a, pa.int64())})
+
+
+def hits(
+    edges: rd.Dataset,
+    nodes: rd.Dataset,
+    iters: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> rd.Dataset:
+    """Kleinberg HITS hub/authority scores, UNNORMALIZED fixed-point
+    integers (init ``HITS_SCALE``; magnitudes grow ~out_degree× per half
+    step, so a handful of iterations stays well inside int64) — exact
+    integer sums make the whole recurrence replayable bit-for-bit by an
+    unrolled-CTE SQL oracle.
+
+    Per iteration, the mutual-reinforcement updates run as Dataset ops:
+      1. ``h(u) = Σ_{u→v} a(v)`` — edges ⋈ auth on dst, grouped-sum by src;
+      2. ``a(v) = Σ_{u→v} h(u)`` — edges ⋈ the NEW hubs on src, grouped-sum
+         by dst;
+    each a planned join (broadcast while node state is small, hash exchange
+    at scale) + one grouped-sum exchange; node state lives in the object
+    store, never on the driver.  Graphs at or under
+    ``_LOCAL_PR_MAX_EDGES`` run all iterations in one vectorized task."""
+    from ..relational import grouped_agg, planned_join
+
+    nodes = nodes.materialize()
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    if edges.count() <= _LOCAL_PR_MAX_EDGES:
+        nrefs = nodes.to_arrow_refs()
+        out = ray.remote(_hits_local).remote(
+            iters, node_col, src_col, dst_col, len(nrefs), *nrefs,
+            *edges.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    def init(b: pa.Table) -> pa.Table:
+        s = pa.array([HITS_SCALE] * len(b), pa.int64())
+        return pa.table({node_col: b[node_col], "v": s})
+
+    def _half_step(state: rd.Dataset, probe_col: str, sum_col: str) -> rd.Dataset:
+        """state(node, v) → new(node, v): v'(x) = Σ over edges where
+        x = ``sum_col`` endpoint of v at the ``probe_col`` endpoint."""
+        part_schema = pa.schema([(sum_col, pa.int64()), ("c", pa.int64())])
+        joined = planned_join(edges, state, on=[probe_col], right_on=[node_col])
+        parts = joined.map_batches(
+            lambda t: pa.table({sum_col: t[sum_col], "c": t["v"]},
+                               schema=part_schema),
+            batch_format="pyarrow")
+        sums = grouped_agg(parts, [sum_col], sums=["c"], in_schema=part_schema)
+        padded = planned_join(nodes, sums, on=[node_col], right_on=[sum_col],
+                              join_type="left_outer")
+        return padded.map_batches(
+            lambda t: pa.table({
+                node_col: t[node_col],
+                "v": pc.fill_null(pc.cast(t["c"], pa.int64()), 0)}),
+            batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    auth = hubs
+    for _ in range(iters):
+        hubs = _half_step(auth, probe_col=dst_col, sum_col=src_col)
+        auth = _half_step(hubs, probe_col=src_col, sum_col=dst_col)
+
+    h = hubs.map_batches(lambda t: t.rename_columns([node_col, "hub"]),
+                         batch_format="pyarrow")
+    a = auth.map_batches(lambda t: t.rename_columns([node_col, "auth"]),
+                         batch_format="pyarrow")
+    return planned_join(h, a, on=[node_col])
+
+
 def _bfs_local(iters: int, a_col: str, b_col: str, node_col: str,
                hop_col: str, weight_col, n_seed_refs: int,
                *tables: pa.Table) -> pa.Table:

@@ -146,3 +146,48 @@ def test_owl_sameas_closure_nontrivial(ray_session):
     slugs = {s[16:-1] for _, _, s in mentions}
     assert any(len(s) % 3 == 2 for s in slugs)
     assert any(len(s) % 3 == 1 for s in slugs)
+
+
+def _ref_hits(edges, nodes, iters=3, scale=10**6):
+    """Driver-side literal HITS recurrence (dict arithmetic) — the Python
+    oracle for stages/graph.hits."""
+    h = {v: scale for v in nodes}
+    a = {v: scale for v in nodes}
+    for _ in range(iters):
+        hn = {v: 0 for v in nodes}
+        for s, d in edges:
+            hn[s] += a[d]
+        h = hn
+        an = {v: 0 for v in nodes}
+        for s, d in edges:
+            an[d] += h[s]
+        a = an
+    return h, a
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_hits_matches_reference_recurrence(ray_session, monkeypatch, path):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages import graph as G
+    from rdflib_r2r_ray.stages.graph import hits
+
+    if path == "distributed":  # force the join+exchange iteration
+        monkeypatch.setattr(G, "_LOCAL_PR_MAX_EDGES", 0)
+
+    # asymmetric digraph with a pure hub (0), a pure authority (3) and a
+    # node with no edges at all (5) — exercises the left-join zero fill
+    edges = [(0, 1), (0, 2), (0, 3), (1, 3), (2, 3), (4, 1), (3, 4)]
+    nodes = list(range(6))
+    et = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                   "dst": pa.array([e[1] for e in edges], pa.int64())})
+    nt = pa.table({"node": pa.array(nodes, pa.int64())})
+    eds = rd.from_arrow(et).repartition(3)
+    nds = rd.from_arrow(nt).repartition(2)
+
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(eds, nds, iters=3).take_all()}
+    h, a = _ref_hits(edges, nodes, iters=3)
+    assert got == {v: (h[v], a[v]) for v in nodes}
+    assert got[5] == (0, 0)          # isolated node zero-filled both sides
+    assert got[0][0] > 0 and got[0][1] == 0   # pure hub
