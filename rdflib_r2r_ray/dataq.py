@@ -3343,6 +3343,118 @@ FROM w JOIN d USING (w) GROUP BY w.doc_id
 """
 
 
+CONT_MAXDF = 8     # windows in more docs than this are boilerplate — skipped
+CONT_THRESH = 800  # report pairs with containment >= 0.8 (permille)
+
+
+def q_dd_containment(sf_dir: str) -> rd.Dataset:
+    """Asymmetric n-gram CONTAINMENT dedup (|W(a)∩W(b)| / |W(a)|, the
+    MassiveText/Gopher primitive): unlike Jaccard it catches a small doc
+    quoted inside a much larger one, where the union denominator dilutes
+    the signal.  Candidate pairs come from co-occurrence in the same
+    8-token window group; window groups with document frequency above
+    ``CONT_MAXDF`` are boilerplate and are EXCLUDED from the numerator on
+    both sides (the cap also bounds pair fan-out to O(df²) per window —
+    the same quadratic-blowup guard as the LSH bucket truncation).  Three
+    exchanges total: per-window pair expansion, pair-count merge, and the
+    per-doc window-count denominator join — pair state never on the
+    driver.  The planted near-copies score 1000 permille in the
+    original→copy direction by construction."""
+    from .relational import grouped_agg, planned_join
+    from .stages.dedup import _pl, hash_group_exchange
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            pl.from_arrow(b.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").str.to_lowercase()
+                          .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .drop("text")
+            .explode("t", empty_as_null=False)
+            .filter(pl.col("t").is_not_null())
+        )
+        shifted = [pl.col("t").shift(-k).over("doc_id") for k in range(1, DUPW)]
+        df = (
+            df.with_columns(
+                pl.concat_str([pl.col("t"), *shifted], separator=" ").alias("w"))
+            .filter(pl.col("w").is_not_null())
+            .select("doc_id", "w")
+            .unique()
+        )
+        return df.to_arrow().cast(_DUPW_SCHEMA)
+
+    def pair_expand(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(tbl)
+        df = df.with_columns(nd=pl.col("doc_id").n_unique().over("w")).filter(
+            (pl.col("nd") >= 2) & (pl.col("nd") <= CONT_MAXDF)).drop("nd")
+        pairs = (
+            df.join(df, on="w")
+            .filter(pl.col("doc_id") != pl.col("doc_id_right"))
+            .group_by(["doc_id", "doc_id_right"]).len(name="shared")
+            .rename({"doc_id": "doc_a", "doc_id_right": "doc_b"})
+            .with_columns(pl.col("shared").cast(pl.Int64))
+        )
+        return pairs.to_arrow().cast(_CONT_PAIR_SCHEMA)
+
+    ds = _docs(sf_dir).map_batches(plant_near_dups, batch_format="pyarrow")
+    wins = ds.map_batches(explode_windows, batch_format="pyarrow")
+    nw = grouped_agg(wins.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"],
+                            "nw_a": pa.array([1] * len(t), pa.int64())}),
+        batch_format="pyarrow"), ["doc_a"], sums=["nw_a"],
+        in_schema=pa.schema([("doc_a", pa.int64()), ("nw_a", pa.int64())]))
+    part_pairs = hash_group_exchange(wins, ["w"], pair_expand,
+                                     _CONT_PAIR_SCHEMA)
+    pairs = grouped_agg(part_pairs, ["doc_a", "doc_b"], sums=["shared"],
+                        in_schema=_CONT_PAIR_SCHEMA)
+    joined = planned_join(pairs, nw, on=["doc_a"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cont = pc.divide(pc.multiply(t["shared"], pa.scalar(1000, pa.int64())),
+                         t["nw_a"])
+        out = pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"], "shared": t["shared"],
+            "nw_a": t["nw_a"], "cont_permille": cont,
+        })
+        return out.filter(pc.greater_equal(out["cont_permille"],
+                                           pa.scalar(CONT_THRESH, pa.int64())))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_CONT_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("shared", pa.int64())])
+
+
+SQL_DD_CONTAINMENT = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, text || ' zzztail' FROM documents
+  WHERE text IS NOT NULL),
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+       FROM base WHERE text IS NOT NULL),
+w AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(t) - {DUPW - 2}),
+             i -> array_to_string(t[i:i+{DUPW - 1}], ' '))) AS w
+    FROM tk)),
+d AS (SELECT w, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY w),
+wk AS (SELECT w.doc_id, w.w FROM w JOIN d USING (w)
+       WHERE d.nd BETWEEN 2 AND {CONT_MAXDF}),
+p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM wk x JOIN wk y USING (w) WHERE x.doc_id != y.doc_id
+      GROUP BY 1, 2),
+nw AS (SELECT doc_id AS doc_a, CAST(COUNT(*) AS BIGINT) AS nw_a
+       FROM w GROUP BY doc_id)
+SELECT doc_a, doc_b, shared, nw_a, shared * 1000 // nw_a AS cont_permille
+FROM p JOIN nw USING (doc_a)
+WHERE shared * 1000 // nw_a >= {CONT_THRESH}
+"""
+
+
 MIX_HASH_A = 2654435761  # Knuth multiplicative constant (fits BIGINT math)
 MIX_MOD = 1 << 32
 
@@ -3641,6 +3753,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "dd_paragraph": q_dd_paragraph,
         "dd_dup_ngrams": q_dd_dup_ngrams,
+        "dd_containment": q_dd_containment,
         "text_mixture_sample": q_text_mixture_sample,
         "text_shard_shuffle": q_text_shard_shuffle,
         "text_chunk_windows": q_text_chunk_windows,
@@ -3719,6 +3832,7 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "dd_paragraph": SQL_DD_PARAGRAPH,
         "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
+        "dd_containment": SQL_DD_CONTAINMENT,
         "text_mixture_sample": SQL_TEXT_MIXTURE_SAMPLE,
         "text_shard_shuffle": SQL_TEXT_SHARD_SHUFFLE,
         "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
