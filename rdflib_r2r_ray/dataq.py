@@ -1724,6 +1724,80 @@ GROUP BY bg.doc_id
 """
 
 
+def q_text_ccnet_bucket(sf_dir: str) -> rd.Dataset:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    every doc gets an LM score (the integer bigram-LM proxy — average
+    corpus frequency of its bigrams, higher = more stereotypical ≈ lower
+    perplexity) and is assigned head/middle/tail by score TERTILE WITHIN
+    its language, so no language is starved by another's score scale.
+    Composition of existing primitives: the one-pass bigram scoring
+    exchanges, a planned join for the language column, and one hash
+    exchange on lang for the exact-NTILE assignment (SQL tile sizing, total
+    order via the doc_id tie-break).  The lang partition count is tiny and
+    fixed; the per-partition pass is one vectorized sort."""
+    from .relational import grouped_agg, planned_join
+    from .stages.dedup import _pl, hash_group_exchange
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("lm_avg", pa.int64()), ("bucket", pa.string()),
+    ])
+
+    scored = q_text_lm_bigram(sf_dir)
+    langs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    joined = planned_join(scored, langs, on=["doc_id"])
+
+    def avg(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "lm_avg": pc.divide(t["score"], t["n_bigrams"]),
+        })
+
+    K = 3
+    names = ["head", "middle", "tail"]
+
+    def bucket_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(part).sort(["lang", "lm_avg", "doc_id"],
+                                      descending=[False, True, False])
+        pos0 = pl.int_range(pl.len()).over("lang")
+        n = pl.len().over("lang")
+        base = n // K
+        big = n % K
+        cut = big * (base + 1)
+        tile = (
+            pl.when(pos0 < cut)
+            .then(pos0 // (base + 1))
+            .otherwise(big + (pos0 - cut) // pl.max_horizontal(base, 1))
+        ).cast(pl.Int64)
+        df = df.with_columns(
+            tile.cast(pl.String).replace_strict(
+                {"0": names[0], "1": names[1], "2": names[2]}).alias("bucket"))
+        return df.to_arrow().cast(out_schema)
+
+    pre = joined.map_batches(avg, batch_format="pyarrow")
+    return hash_group_exchange(pre, ["lang"], bucket_part, out_schema)
+
+
+SQL_TEXT_CCNET_BUCKET = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks),
+cnt AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bigram),
+sc AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+              CAST(SUM(cnt.n) AS BIGINT) AS s
+       FROM bg JOIN cnt USING (bigram) GROUP BY bg.doc_id),
+q AS (SELECT d.doc_id, d.lang, CAST(sc.s // sc.nb AS BIGINT) AS lm_avg
+      FROM sc JOIN documents d USING (doc_id))
+SELECT doc_id, lang, lm_avg,
+  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY lm_avg DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM q
+"""
+
+
 WSAMPLE_K = 50
 
 
@@ -3796,6 +3870,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_ngram_freq": q_text_ngram_freq,
         "text_collocation_pmi": q_text_collocation_pmi,
         "text_lm_bigram": q_text_lm_bigram,
+        "text_ccnet_bucket": q_text_ccnet_bucket,
         "text_inverted_index": q_text_inverted_index,
         "text_outlier_mad": q_text_outlier_mad,
         "text_dsir_weight": q_text_dsir_weight,
@@ -3875,6 +3950,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_ngram_freq": SQL_TEXT_NGRAM_FREQ,
         "text_collocation_pmi": SQL_TEXT_COLLOCATION_PMI,
         "text_lm_bigram": SQL_TEXT_LM_BIGRAM,
+        "text_ccnet_bucket": SQL_TEXT_CCNET_BUCKET,
         "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
         "text_outlier_mad": SQL_TEXT_OUTLIER_MAD,
         "text_dsir_weight": SQL_TEXT_DSIR_WEIGHT,
