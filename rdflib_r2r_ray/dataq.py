@@ -1798,6 +1798,92 @@ FROM q
 """
 
 
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "for")
+GOPHER_MIN_W, GOPHER_MAX_W = 20, 100_000
+GOPHER_WLEN_LO, GOPHER_WLEN_HI = 3_000, 10_000   # mean word length ×1000
+GOPHER_MIN_STOP = 2
+GOPHER_MIN_UNIQ = 300                            # unique-word permille
+
+
+def q_text_gopher_rules(sf_dir: str) -> rd.Dataset:
+    """Gopher/MassiveText-style rule-based quality filter (Rae et al.
+    2021 §A1.1): per doc — word count in [20, 100k], mean word length in
+    [3, 10] (integer permille), ≥ 2 stopwords, unique-word ratio ≥ 0.3 —
+    plus the combined ``keep`` verdict.  Embarrassingly parallel: ONE
+    vectorized polars pass per batch (token extraction + list kernels),
+    zero exchanges, zero driver state — the filter streams at read
+    bandwidth no matter the corpus size.  All ratios are integer permille
+    with floor division, replayed exactly by the SQL oracle."""
+    from .stages.dedup import _pl
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int64()),
+        ("wlen_permille", pa.int64()), ("n_stop", pa.int64()),
+        ("uniq_permille", pa.int64()), ("keep", pa.bool_()),
+    ])
+
+    def rules(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            pl.from_arrow(b.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").str.to_lowercase()
+                          .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .with_columns(
+                pl.col("t").list.len().cast(pl.Int64).alias("n_words"),
+                pl.col("t").list.eval(pl.element().str.len_chars())
+                .list.sum().cast(pl.Int64).alias("n_chars_w"),
+                pl.col("t").list.eval(
+                    pl.element().is_in(list(GOPHER_STOPWORDS)))
+                .list.sum().cast(pl.Int64).alias("n_stop"),
+                pl.col("t").list.n_unique().cast(pl.Int64).alias("n_uniq"),
+            )
+            .filter(pl.col("n_words") > 0)
+            .with_columns(
+                (pl.col("n_chars_w") * 1000 // pl.col("n_words"))
+                .alias("wlen_permille"),
+                (pl.col("n_uniq") * 1000 // pl.col("n_words"))
+                .alias("uniq_permille"),
+            )
+            .with_columns(
+                (pl.col("n_words").is_between(GOPHER_MIN_W, GOPHER_MAX_W)
+                 & pl.col("wlen_permille").is_between(GOPHER_WLEN_LO,
+                                                      GOPHER_WLEN_HI)
+                 & (pl.col("n_stop") >= GOPHER_MIN_STOP)
+                 & (pl.col("uniq_permille") >= GOPHER_MIN_UNIQ))
+                .alias("keep"))
+            .select("doc_id", "n_words", "wlen_permille", "n_stop",
+                    "uniq_permille", "keep")
+        )
+        return df.to_arrow().cast(out_schema)
+
+    return _docs(sf_dir).map_batches(rules, batch_format="pyarrow")
+
+
+SQL_TEXT_GOPHER_RULES = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars_w,
+    CAST(len(list_filter(t, x -> x IN {GOPHER_STOPWORDS})) AS BIGINT) AS n_stop
+  FROM tk WHERE len(t) > 0),
+uq AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_uniq
+  FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY doc_id)
+SELECT b.doc_id, b.n_words,
+  CAST(b.n_chars_w * 1000 // b.n_words AS BIGINT) AS wlen_permille,
+  b.n_stop,
+  CAST(u.n_uniq * 1000 // b.n_words AS BIGINT) AS uniq_permille,
+  (b.n_words BETWEEN {GOPHER_MIN_W} AND {GOPHER_MAX_W})
+    AND (b.n_chars_w * 1000 // b.n_words
+         BETWEEN {GOPHER_WLEN_LO} AND {GOPHER_WLEN_HI})
+    AND b.n_stop >= {GOPHER_MIN_STOP}
+    AND u.n_uniq * 1000 // b.n_words >= {GOPHER_MIN_UNIQ} AS keep
+FROM base b JOIN uq u USING (doc_id)
+"""
+
+
 WSAMPLE_K = 50
 
 
@@ -3871,6 +3957,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_collocation_pmi": q_text_collocation_pmi,
         "text_lm_bigram": q_text_lm_bigram,
         "text_ccnet_bucket": q_text_ccnet_bucket,
+        "text_gopher_rules": q_text_gopher_rules,
         "text_inverted_index": q_text_inverted_index,
         "text_outlier_mad": q_text_outlier_mad,
         "text_dsir_weight": q_text_dsir_weight,
@@ -3951,6 +4038,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_collocation_pmi": SQL_TEXT_COLLOCATION_PMI,
         "text_lm_bigram": SQL_TEXT_LM_BIGRAM,
         "text_ccnet_bucket": SQL_TEXT_CCNET_BUCKET,
+        "text_gopher_rules": SQL_TEXT_GOPHER_RULES,
         "text_inverted_index": SQL_TEXT_INVERTED_INDEX,
         "text_outlier_mad": SQL_TEXT_OUTLIER_MAD,
         "text_dsir_weight": SQL_TEXT_DSIR_WEIGHT,

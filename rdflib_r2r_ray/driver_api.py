@@ -2449,6 +2449,7 @@ _LATE_R4 = {
     "rel_grouping_sets", "graph_sssp", "rel_interval_join",
     "rel_incr_join", "sparql_path_alt_inv", "rel_regr_slope", "rel_mode",
     "graph_hits", "dd_containment", "text_ccnet_bucket",
+    "text_gopher_rules",
 }
 
 
