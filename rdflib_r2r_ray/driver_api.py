@@ -1503,6 +1503,30 @@ SELECT source AS x, {s} AS y FROM documents WHERE source IS NOT NULL
 """
 
 
+def q_sparql_minus(sf_dir: str) -> rd.Dataset:
+    """MINUS block through the string front end (reference MINUS →
+    NOT EXISTS, ``query_conversions.py:403-406``): English docs minus those
+    whose source is "web" — an anti-join on the shared ?d variable."""
+    from . import sparql
+
+    q = """
+    SELECT ?id WHERE {
+      ?d <http://kg.ex/p/lang> "en" .
+      MINUS { ?d <http://kg.ex/p/source> "src7" }
+      BIND(STRAFTER(STR(?d), "doc/") AS ?id)
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_minus() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+WHERE lang = 'en' AND doc_id NOT IN (
+  SELECT doc_id FROM documents WHERE source = 'src7')
+"""
+
+
 def q_sparql_union_join(sf_dir: str) -> rd.Dataset:
     """UNION mixed with other group elements (SPARQL Join of a padded union
     with the rest of the group; reference handles only whole-group unions
@@ -2449,7 +2473,7 @@ _LATE_R4 = {
     "rel_grouping_sets", "graph_sssp", "rel_interval_join",
     "rel_incr_join", "sparql_path_alt_inv", "rel_regr_slope", "rel_mode",
     "graph_hits", "dd_containment", "text_ccnet_bucket",
-    "text_gopher_rules",
+    "text_gopher_rules", "sparql_minus",
 }
 
 
@@ -2494,6 +2518,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_builtins": q_sparql_builtins,
         "sparql_predlist_negset": q_sparql_predlist_negset,
         "sparql_path_alt_inv": q_sparql_path_alt_inv,
+        "sparql_minus": q_sparql_minus,
         "sparql_union_join": q_sparql_union_join,
         "sparql_count_distinct": q_sparql_count_distinct,
         "sparql_avg": q_sparql_avg,
@@ -2572,6 +2597,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_builtins": _sql_sparql_builtins(),
         "sparql_predlist_negset": _sql_sparql_predlist_negset(),
         "sparql_path_alt_inv": _sql_sparql_path_alt_inv(),
+        "sparql_minus": _sql_sparql_minus(),
         "sparql_union_join": _sql_sparql_union_join(),
         "sparql_count_distinct": _sql_sparql_count_distinct(),
         "sparql_avg": _sql_sparql_avg(),

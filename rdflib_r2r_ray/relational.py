@@ -258,7 +258,24 @@ def planned_join(
         tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
         if not tables:
             s = mat.schema()
-            tables = [pa.schema(list(zip(s.names, s.types))).empty_table()]
+            if s is None:
+                # zero-row build side whose schema Ray can't infer (e.g. a
+                # MINUS group matching nothing): for anti/semi joins no
+                # right payload survives, so synthesize the key columns
+                # from the probe side's types; other join types would
+                # silently lose right columns — fail loudly instead.
+                if join_type not in ("left_anti", "left_semi"):
+                    raise ValueError(
+                        f"empty build side with unknown schema in a "
+                        f"{join_type} join — materialize a typed empty "
+                        f"table upstream")
+                ls = left.schema()
+                rnames = list(right_on) if right_on else list(on)
+                tables = [pa.schema(
+                    [(rn, ls.types[ls.names.index(ln)])
+                     for rn, ln in zip(rnames, on)]).empty_table()]
+            else:
+                tables = [pa.schema(list(zip(s.names, s.types))).empty_table()]
         small = pa.concat_tables(tables).combine_chunks()
         return broadcast_join(left, small, on, join_type=join_type, right_on=right_on)
     return hash_join(left, mat, on, join_type=join_type, right_on=right_on)

@@ -118,6 +118,17 @@ def test_minus_anti_join(ray_session):
     assert rows == {("<c>", "<a>")}  # <a>, <b> have names -> removed
 
 
+def test_minus_matching_nothing_keeps_all(ray_session):
+    """A MINUS group with zero solutions removes nothing — regression for
+    the empty-build-side anti join (Ray can't infer the schema of a
+    zero-row Dataset; planned_join must synthesize the key columns)."""
+    out = execute(_graph(), """
+      SELECT ?x ?y WHERE { ?x <knows> ?y . MINUS { ?x <nosuchpred> ?z } }
+    """)
+    rows = {(r["x"], r["y"]) for r in out.take_all()}
+    assert rows == {("<a>", "<b>"), ("<b>", "<c>"), ("<c>", "<a>")}
+
+
 def test_group_by_aggregates(ray_session):
     import ray.data as rd
 
