@@ -1652,6 +1652,30 @@ def q_kg_nt_roundtrip(sf_dir: str) -> rd.Dataset:
     return read_ntriples(out_dir)  # lazy: streams the shards back
 
 
+def q_kg_ttl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Turtle sink → source round-trip: the documents metadata graph is
+    exported through the checkpointed Turtle writer (prefix-compressed
+    IRIs, ``a`` for rdf:type, subject-grouped ``;`` predicate lists —
+    typically 2-4× smaller than N-Triples on template-minted graphs) and
+    read back by the per-shard vectorized Turtle reader — the result must
+    equal the directly-emitted graph (oracle = ``_sql_kg_doc_meta``)."""
+    import hashlib
+    import shutil
+
+    from .sources.tables import read_turtle
+    from .state.checkpoint import write_turtle
+
+    triples = q_kg_doc_meta(sf_dir)
+    out_dir = "/tmp/ttl_roundtrip_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_turtle(triples, out_dir, num_partitions=8, resume=False,
+                 prefixes={"kgd": "http://kg.ex/doc/",
+                           "kgp": "http://kg.ex/p/",
+                           "kgc": "http://kg.ex/c/",
+                           "xsd": "http://www.w3.org/2001/XMLSchema#"})
+    return read_turtle(out_dir)  # lazy: streams the shards back
+
+
 def q_kg_nq_roundtrip(sf_dir: str) -> rd.Dataset:
     """N-Quads sink → source round-trip: the mixed default/named-graph quad
     fixture is exported through the checkpointed N-Quads writer (4-term
@@ -2473,7 +2497,7 @@ _LATE_R4 = {
     "rel_grouping_sets", "graph_sssp", "rel_interval_join",
     "rel_incr_join", "sparql_path_alt_inv", "rel_regr_slope", "rel_mode",
     "graph_hits", "dd_containment", "text_ccnet_bucket",
-    "text_gopher_rules", "sparql_minus",
+    "text_gopher_rules", "sparql_minus", "kg_ttl_roundtrip",
 }
 
 
@@ -2524,6 +2548,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
+        "kg_ttl_roundtrip": q_kg_ttl_roundtrip,
         "kg_store_pattern": q_kg_store_pattern,
         "kg_degree_hist": q_kg_degree_hist,
         "kg_incremental": q_kg_incremental,
@@ -2603,6 +2628,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),
         "kg_nt_roundtrip": _sql_kg_doc_meta(),
+        "kg_ttl_roundtrip": _sql_kg_doc_meta(),
         "kg_store_pattern": _sql_kg_store_pattern(),
         "kg_degree_hist": _sql_kg_degree_hist(),
         "kg_incremental": _sql_kg_incremental(),

@@ -94,7 +94,8 @@ def completed_partitions(out_dir: str) -> Dict[int, dict]:
                 m = json.load(f)
             if m.get("rows", 0):
                 if "fmt" in m:
-                    candidates = [{"nt": "data.nt", "nq": "data.nq"}
+                    candidates = [{"nt": "data.nt", "nq": "data.nq",
+                                   "ttl": "data.ttl"}
                                   .get(m["fmt"], "data.parquet")]
                 else:
                     # pre-'fmt' manifests (older nt checkpoints): accept
@@ -146,6 +147,63 @@ def _nt_lines(tbl: pa.Table) -> bytes:
     return ("\n".join(lines.to_pylist()) + "\n").encode()
 
 
+RDF_TYPE_IRI = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+# conservative PN_LOCAL subset: compress only word-character locals, so the
+# serialized prefixed name is unambiguously re-expandable (no '.'-final or
+# slash-containing locals, which Turtle's grammar restricts)
+_TTL_LOCAL = "[A-Za-z0-9_]+"
+
+
+def _ttl_compress(col: pa.Array, prefixes: dict) -> pa.Array:
+    """Apply prefix compression to a serialized term column: full-IRI terms
+    ``<base+local>`` become ``pfx:local``; decorated-literal datatypes
+    ``^^<base+local>`` become ``^^pfx:local``.  Terms that don't match any
+    prefix (or whose local part is not a safe PN_LOCAL) stay as ``<...>``."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    for pfx, base in prefixes.items():
+        b = _re.escape(base)
+        col = pc.replace_substring_regex(
+            col, f"^<{b}({_TTL_LOCAL})>$", f"{pfx}:\\1")
+        col = pc.replace_substring_regex(
+            col, f"\\^\\^<{b}({_TTL_LOCAL})>$", f"^^{pfx}:\\1")
+    return col
+
+
+def _ttl_lines(tbl: pa.Table, prefixes: dict) -> bytes:
+    """Turtle serialization: an ``@prefix`` header per shard, prefix-
+    compressed IRIs, ``a`` for rdf:type, and subject-grouped predicate
+    lists (``;`` continuations) — the rows arrive SORTED by (s, p, o) from
+    ``_write_partition``, so subject runs are contiguous and the grouping
+    is one vectorized shift-compare, no per-row Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    s = _ttl_compress(_nt_term_array(tbl["subj"]), prefixes)
+    p = _nt_term_array(tbl["pred"])
+    p = pc.if_else(pc.equal(p, RDF_TYPE_IRI), pa.scalar("a"),
+                   _ttl_compress(p, prefixes))
+    o = _ttl_compress(_nt_term_array(tbl["obj"]), prefixes)
+
+    sv = s.to_numpy(zero_copy_only=False)
+    new_s = np.ones(len(sv), dtype=bool)
+    new_s[1:] = sv[1:] != sv[:-1]
+    last_s = np.ones(len(sv), dtype=bool)
+    last_s[:-1] = sv[:-1] != sv[1:]
+    head = pc.if_else(pa.array(new_s),
+                      pc.binary_join_element_wise(s, pa.scalar(""), " "),
+                      pa.scalar("    "))
+    body = pc.binary_join_element_wise(p, o, " ")
+    tail = pa.array(np.where(last_s, " .", " ;"))
+    lines = pc.binary_join_element_wise(head, body, tail, "")
+    header = "".join(f"@prefix {pfx}: <{base}> .\n"
+                     for pfx, base in sorted(prefixes.items()))
+    return (header + "\n".join(lines.to_pylist()) + "\n").encode()
+
+
 def _nq_lines(tbl: pa.Table) -> bytes:
     """N-Quads serialization: 4-term lines for named-graph rows, 3-term
     (default-graph) lines where the graph column is NULL — the standard
@@ -184,6 +242,7 @@ def _write_partition(
     lineage: dict,
     distinct_keys: Optional[List[str]],
     fmt: str,
+    fmt_opts: Optional[dict],
     fsync_data: bool,
     *tables: pa.Table,
 ) -> dict:
@@ -217,7 +276,8 @@ def _write_partition(
     pdir = _part_dir(out_dir, part)
     os.makedirs(pdir, exist_ok=True)
     data_path = os.path.join(
-        pdir, {"nt": "data.nt", "nq": "data.nq"}.get(fmt, "data.parquet"))
+        pdir, {"nt": "data.nt", "nq": "data.nq", "ttl": "data.ttl"}
+        .get(fmt, "data.parquet"))
     tmp_path = data_path + ".tmp"
     n_rows, n_bytes, checksum = 0, 0, ""
     if tbl is not None:
@@ -230,6 +290,8 @@ def _write_partition(
             data = _nt_lines(tbl)
         elif fmt == "nq":
             data = _nq_lines(tbl)
+        elif fmt == "ttl":
+            data = _ttl_lines(tbl, (fmt_opts or {}).get("prefixes", {}))
         else:
             buf = pa.BufferOutputStream()
             pq.write_table(tbl, buf)
@@ -322,6 +384,7 @@ def checkpointed_write(
     resume: bool = True,
     distinct_keys: Optional[Sequence[str]] = None,
     fmt: str = "parquet",
+    fmt_opts: Optional[dict] = None,
 ) -> dict:
     """Write ``ds`` as hash-partitioned parquet (partition = row-hash of
     ``keys`` % num_partitions) with a per-partition manifest; skip already
@@ -450,7 +513,8 @@ def checkpointed_write(
     manifests = ray.get(
         [
             writer.remote(
-                out_dir, p, keys, lineage, distinct_keys, fmt, per_part_fsync,
+                out_dir, p, keys, lineage, distinct_keys, fmt, fmt_opts,
+                per_part_fsync,
                 *[
                     split_refs[m][p * bucket_span + j]
                     for m in range(len(split_refs))
@@ -516,6 +580,31 @@ def write_nquads(
         quads, out_dir, keys=["subj"], num_partitions=num_partitions,
         lineage=dict(lineage or {}, pipeline="nq_export"), resume=resume,
         distinct_keys=["subj", "pred", "obj", "graph"], fmt="nq",
+    )
+
+
+def write_turtle(
+    triples: rd.Dataset,
+    out_dir: str,
+    prefixes: Optional[dict] = None,
+    num_partitions: Optional[int] = None,
+    lineage: Optional[dict] = None,
+    resume: bool = True,
+) -> dict:
+    """Turtle export sink: prefix-compressed IRIs (``@prefix`` header per
+    shard), ``a`` for rdf:type, subject-grouped predicate lists — the
+    human-readable interchange form, typically 2-4× smaller than N-Triples
+    on template-minted graphs (the subject IRI is written once per run and
+    every in-prefix IRI shrinks to ``pfx:local``).  Identical exchange /
+    manifest / atomic-commit / resume machinery; hash-partitioning on subj
+    co-locates each subject's rows so predicate grouping is exact within a
+    shard."""
+    return checkpointed_write(
+        triples, out_dir, keys=["subj"], num_partitions=num_partitions,
+        lineage=dict(lineage or {}, pipeline="ttl_export",
+                     prefixes=dict(prefixes or {})),
+        resume=resume, distinct_keys=["subj", "pred", "obj"], fmt="ttl",
+        fmt_opts={"prefixes": dict(prefixes or {})},
     )
 
 

@@ -276,3 +276,52 @@ def test_image_decoder_real_jpeg_batch(ray_session):
     assert out["width"].to_pylist() == [16] and out["height"].to_pylist() == [16]
     # gray → RGB repeat inside the decoder
     assert out["px_sum"].to_pylist() == [3 * int(img.sum())]
+
+
+def test_turtle_roundtrip_nasty_terms(ray_session, tmp_path):
+    """Turtle sink → source round-trip is byte-exact on the storage form:
+    prefix compression, 'a' for rdf:type, ';' predicate lists, bnodes,
+    escaped literals (quotes/newlines/tabs/backslashes), literals that LOOK
+    like terminators or IRIs, @lang and ^^xsd decorations."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.sources.tables import read_turtle
+    from rdflib_r2r_ray.state.checkpoint import write_turtle
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        ("<http://kg.ex/doc/1>",
+         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+         "<http://kg.ex/c/Document>"),
+        ("<http://kg.ex/doc/1>", "<http://kg.ex/p/lang>", "en"),
+        ("<http://kg.ex/doc/1>", "<http://kg.ex/p/note>",
+         'he said "hi" .\nnew\tline\\slash'),
+        ("<http://kg.ex/doc/1>", "<http://kg.ex/p/n_chars>",
+         f'"42"^^<{XSD}integer>'),
+        ("<http://kg.ex/doc/2>", "<http://kg.ex/p/label>", '"bonjour"@fr'),
+        ("_:b7", "<http://kg.ex/p/lang>", "de ; tricky ."),
+        ("<http://kg.ex/doc/2>", "<http://other.org/x#y>",
+         "<http://kg.ex/doc/1>"),
+        ("<http://kg.ex/weird/3>", "<http://kg.ex/p/v>", "looks like <iri>"),
+    ]
+    t = pa.table({"subj": [r[0] for r in rows],
+                  "pred": [r[1] for r in rows],
+                  "obj": [r[2] for r in rows]})
+    out = str(tmp_path / "ttl")
+    write_turtle(rd.from_arrow(t).repartition(3), out,
+                 prefixes={"kgd": "http://kg.ex/doc/",
+                           "kgp": "http://kg.ex/p/",
+                           "kgc": "http://kg.ex/c/", "xsd": XSD},
+                 num_partitions=2, resume=False)
+    back = read_turtle(out).to_pandas()
+    got = set(map(tuple, back.itertuples(index=False)))
+    assert got == set(rows)
+    # the compression actually happened: shards contain prefixed names and
+    # predicate-list continuations, and rdf:type became 'a'
+    import glob
+
+    body = "".join(open(f).read()
+                   for f in glob.glob(out + "/**/data.ttl", recursive=True))
+    assert "kgd:1 a kgc:Document" in body or "\n    a kgc:Document" in body
+    assert "kgp:lang" in body and " ;\n" in body
+    assert '"42"^^xsd:integer' in body
