@@ -891,6 +891,44 @@ und AS (
   FROM knn)"""
 
 
+LP_ITERS = 3
+
+
+def q_graph_label_prop(sf_dir: str) -> rd.Dataset:
+    """Mode-label-propagation COMMUNITIES over the 2-NN similarity graph
+    (Raghavan et al. 2007) — the density-sensitive counterpart of
+    ``graph_components``: each of 3 synchronous rounds every node adopts
+    its neighbors' most frequent label (smallest on ties), so dense
+    clusters converge while weak bridges don't merge whole components.
+    Each round is one planned join + a grouped-count exchange + a per-node
+    top-1 (``stages/graph.label_propagation_modes``); deterministic, so the
+    oracle unrolls the recurrence in SQL."""
+    from .stages.graph import label_propagation_modes
+
+    labels = label_propagation_modes(_nn2_und_edges(sf_dir), iters=LP_ITERS)
+    return labels.map_batches(
+        lambda t: t.rename_columns(["vec_id", "comm"]),
+        batch_format="pyarrow")
+
+
+def _sql_graph_label_prop() -> str:
+    head = f"""WITH {_SQL_NN2_UND},
+edges AS (SELECT a AS src, b AS dst FROM und
+          UNION ALL SELECT b, a FROM und),
+lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    its = ""
+    for i in range(1, LP_ITERS + 1):
+        its += f""",
+lab{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rnk
+    FROM (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+          FROM edges e JOIN lab{i - 1} l ON l.node = e.src
+          GROUP BY 1, 2)) WHERE rnk = 1)"""
+    return f"{head}{its}\nSELECT node AS vec_id, label AS comm FROM lab{LP_ITERS}"
+
+
 _EDGE_CACHE: Dict = {}
 
 
@@ -3928,6 +3966,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_bfs_hops": q_graph_bfs_hops,
         "graph_sssp": q_graph_sssp,
         "graph_hits": q_graph_hits,
+        "graph_label_prop": q_graph_label_prop,
         "ann_pq_encode": q_ann_pq_encode,
         "ann_topk_pq": q_ann_topk_pq,
         "graph_kcore": q_graph_kcore,
@@ -4009,6 +4048,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_bfs_hops": _sql_graph_bfs_hops(),
         "graph_sssp": _sql_graph_sssp(),
         "graph_hits": _sql_graph_hits(),
+        "graph_label_prop": _sql_graph_label_prop(),
         "ann_pq_encode": SQL_ANN_PQ_ENCODE,
         "ann_topk_pq": SQL_ANN_RECALL_OK,
         "graph_kcore": _sql_graph_kcore(),

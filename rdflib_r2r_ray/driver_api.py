@@ -2498,6 +2498,7 @@ _LATE_R4 = {
     "rel_incr_join", "sparql_path_alt_inv", "rel_regr_slope", "rel_mode",
     "graph_hits", "dd_containment", "text_ccnet_bucket",
     "text_gopher_rules", "sparql_minus", "kg_ttl_roundtrip",
+    "graph_label_prop",
 }
 
 

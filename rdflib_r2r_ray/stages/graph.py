@@ -503,6 +503,100 @@ def hits(
     return planned_join(h, a, on=[node_col])
 
 
+def _lp_modes_local(iters: int, a_col: str, b_col: str,
+                    *tables: pa.Table) -> pa.Table:
+    """One-task synchronous mode-LP (polars group_by per round, same
+    argmax/tie-break recurrence as the distributed path)."""
+    pl = _pl()
+    et = [t for t in tables if t is not None and t.num_rows]
+    if not et:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+    e = pa.concat_tables(et)
+    a = e[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = e[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)          # sorted; every node has >= 1 neighbor
+    si = np.searchsorted(nodes, src)
+    lab = nodes.copy()
+    for _ in range(iters):
+        df = pl.DataFrame({"node": dst, "label": lab[si]})
+        pick = (df.group_by(["node", "label"]).len(name="cnt")
+                .sort(["cnt", "label"], descending=[True, False])
+                .group_by("node", maintain_order=True).head(1))
+        new = np.empty(len(nodes), np.int64)
+        new[np.searchsorted(nodes, pick["node"].to_numpy())] = \
+            pick["label"].to_numpy()
+        lab = new
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "label": pa.array(lab, pa.int64())})
+
+
+def label_propagation_modes(
+    und: rd.Dataset,
+    iters: int = 3,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> rd.Dataset:
+    """Synchronous mode-label-propagation COMMUNITIES (Raghavan et al.
+    2007) over an undirected (a<b, distinct) edge Dataset — unlike
+    connected components (min-label fixpoint), each round every node takes
+    the MOST FREQUENT label among its neighbors (smallest label on ties),
+    so dense regions converge to shared labels while bridges stay weak.
+    Fixed ``iters`` synchronous rounds + total tie-break ⇒ deterministic
+    under any block layout, replayable by an unrolled-CTE SQL oracle.
+
+    Per round (all Dataset ops): corner fan-out joins each directed edge
+    with its source's label (planned join), one grouped-count exchange on
+    (node, label), and a per-node ``grouped_topk`` (count DESC, label ASC,
+    k=1).  Label state lives in the object store, never on the driver.
+    Small graphs run all rounds in ONE polars task."""
+    from ..relational import grouped_agg, grouped_topk, planned_join
+
+    und = und.select_columns([a_col, b_col]).materialize()
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = ray.remote(_lp_modes_local).remote(
+            iters, a_col, b_col, *und.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    def symm(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = und.map_batches(symm, batch_format="pyarrow").materialize()
+    nodes = grouped_agg(
+        edges.map_batches(
+            lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow"),
+        ["node"], count_as="deg",
+        in_schema=pa.schema([("node", pa.int64())]),
+    ).map_batches(lambda t: t.select(["node"]),
+                  batch_format="pyarrow").materialize()
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow").materialize()
+
+    cnt_schema = pa.schema([("node", pa.int64()), ("label", pa.int64()),
+                            ("cnt", pa.int64())])
+    for _ in range(iters):
+        msgs = planned_join(edges, labels, on=["src"], right_on=["node"])
+        parts = msgs.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"],
+                                "cnt": pa.array([1] * len(t), pa.int64())}),
+            batch_format="pyarrow")
+        counts = grouped_agg(parts, ["node", "label"], sums=["cnt"],
+                             in_schema=cnt_schema)
+        labels = grouped_topk(counts, keys=["node"],
+                              order_by=[("cnt", True), ("label", False)],
+                              k=1).map_batches(
+            lambda t: t.select(["node", "label"]),
+            batch_format="pyarrow").materialize()
+    return labels
+
+
 def _bfs_local(iters: int, a_col: str, b_col: str, node_col: str,
                hop_col: str, weight_col, n_seed_refs: int,
                *tables: pa.Table) -> pa.Table:

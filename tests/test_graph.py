@@ -191,3 +191,49 @@ def test_hits_matches_reference_recurrence(ray_session, monkeypatch, path):
     assert got == {v: (h[v], a[v]) for v in nodes}
     assert got[5] == (0, 0)          # isolated node zero-filled both sides
     assert got[0][0] > 0 and got[0][1] == 0   # pure hub
+
+
+def _ref_lp_modes(edges, iters=3):
+    """Literal mode-LP recurrence (dict arithmetic) — the Python oracle."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {v: v for v in nbrs}
+    for _ in range(iters):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = {}
+            for n in ns:
+                cnt[lab[n]] = cnt.get(lab[n], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_label_prop_modes_matches_reference(ray_session, monkeypatch, path):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages import graph as G
+    from rdflib_r2r_ray.stages.graph import label_propagation_modes
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
+
+    # two 4-cliques joined by one bridge edge: LP should give each clique a
+    # shared label without merging them across the bridge
+    clique1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = clique1 + clique2 + [(3, 10)]
+    et = pa.table({"a": pa.array([e[0] for e in edges], pa.int64()),
+                   "b": pa.array([e[1] for e in edges], pa.int64())})
+    eds = rd.from_arrow(et).repartition(3)
+
+    got = {r["node"]: r["label"]
+           for r in label_propagation_modes(eds, iters=3).take_all()}
+    want = _ref_lp_modes(edges, iters=3)
+    assert got == want
+    assert len({got[v] for v in range(3)}) == 1          # clique 1 agrees
+    assert len({got[v] for v in range(11, 14)}) == 1     # clique 2 agrees
+    assert got[0] != got[13]                             # bridge didn't merge
