@@ -2149,6 +2149,38 @@ JOIN (VALUES ('en','Germanic'), ('de','Germanic'), ('fr','Romance'),
 """
 
 
+def q_rel_pushdown_read(sf_dir: str) -> rd.Dataset:
+    """Predicate pushdown AT THE SCAN: the row filter is a
+    ``pyarrow.dataset`` expression handed to ``read_parquet(filter=...)``,
+    so row groups whose min/max statistics exclude
+    ``event_type = 'purchase' AND value > 100`` are skipped before their
+    bytes leave storage — the 100 TB contrast to reading everything and
+    filtering in a map stage (reference analogue: WHERE pushed into the SQL
+    engine, ``sql_converter.py:265-267``).  Money doubles integerize to
+    cents post-scan."""
+    import pyarrow.dataset as pds
+
+    expr = (pds.field("event_type") == "purchase") & (pds.field("value") > 100.0)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"],
+                         filter=expr)
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "cents": c})
+
+    return ds.map_batches(cents, batch_format="pyarrow")
+
+
+SQL_REL_PUSHDOWN_READ = """
+SELECT event_id, user_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS cents
+FROM events WHERE event_type = 'purchase' AND value > 100
+"""
+
+
 def q_rel_regr_slope(sf_dir: str) -> rd.Dataset:
     """Per-group least-squares regression (REGR_SLOPE / REGR_INTERCEPT) in
     ONE pass over the fact table: the five raw moments (n, Σx, Σy, Σxy,
@@ -2326,6 +2358,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_unnest": q_rel_unnest,
         "rel_skew_join": q_rel_skew_join,
         "rel_regr_slope": q_rel_regr_slope,
+        "rel_pushdown_read": q_rel_pushdown_read,
         "rel_mode": q_rel_mode,
     }
 
@@ -2392,5 +2425,6 @@ def oracle_sql() -> Dict[str, str]:
         "rel_unnest": SQL_REL_UNNEST,
         "rel_skew_join": SQL_REL_SKEW_JOIN,
         "rel_regr_slope": SQL_REL_REGR_SLOPE,
+        "rel_pushdown_read": SQL_REL_PUSHDOWN_READ,
         "rel_mode": SQL_REL_MODE,
     }
