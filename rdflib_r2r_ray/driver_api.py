@@ -1684,6 +1684,54 @@ def q_kg_ttl_roundtrip(sf_dir: str) -> rd.Dataset:
     return read_turtle(out_dir)  # lazy: streams the shards back
 
 
+def q_kg_plugin_virtual_pred(sf_dir: str) -> rd.Dataset:
+    """X4 plugin hook end-to-end (reference SQLConverterPlugin,
+    ``sql_converter.py:235,307-312``): a registered matcher claims the
+    VIRTUAL predicate ``<p/kchars>`` and serves its bindings by rewriting
+    the stored ``n_chars`` triples (lexical int → //1000 bucket) — and the
+    plugin-served relation joins a default-matched ``lang = "en"`` pattern
+    like any other BGP member.  The plugin is unregistered once the plan is
+    built (the rewrite closure is already baked into the Dataset)."""
+    from .bgp import execute_bgp, register_bgp_plugin, unregister_bgp_plugin
+    from .paths import Var
+
+    KCH = "<http://kg.ex/p/kchars>"
+
+    def kchars_matcher(triples, pattern):
+        s, p, o = pattern
+        if p != KCH:
+            return None  # pass → default matcher
+        base = triples.filter(expr="pred == '<http://kg.ex/p/n_chars>'")
+
+        def rewrite(b: pa.Table) -> pa.Table:
+            lex = pc.extract_regex(b["obj"], r'^"(?P<v>-?\d+)"')
+            n = pc.cast(pc.struct_field(lex, "v"), pa.int64())
+            k = pc.divide(n, pa.scalar(1000, pa.int64()))
+            return pa.table({str(s.name): b["subj"],
+                             str(o.name): pc.cast(k, pa.string())})
+
+        return (base.map_batches(rewrite, batch_format="pyarrow"),
+                [s.name, o.name])
+
+    register_bgp_plugin(kchars_matcher)
+    try:
+        out = execute_bgp(_documents_triples(sf_dir), [
+            (Var("d"), "<http://kg.ex/p/lang>", "en"),
+            (Var("d"), KCH, Var("k")),
+        ])
+    finally:
+        unregister_bgp_plugin(kchars_matcher)
+    return out.select_columns(["d", "k"])
+
+
+def _sql_kg_plugin_virtual_pred() -> str:
+    return """
+SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS d,
+       CAST(n_chars // 1000 AS VARCHAR) AS k
+FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+"""
+
+
 def q_kg_nq_roundtrip(sf_dir: str) -> rd.Dataset:
     """N-Quads sink → source round-trip: the mixed default/named-graph quad
     fixture is exported through the checkpointed N-Quads writer (4-term
@@ -2506,7 +2554,7 @@ _LATE_R4 = {
     "rel_incr_join", "sparql_path_alt_inv", "rel_regr_slope", "rel_mode",
     "graph_hits", "dd_containment", "text_ccnet_bucket",
     "text_gopher_rules", "sparql_minus", "kg_ttl_roundtrip",
-    "graph_label_prop", "rel_pushdown_read",
+    "graph_label_prop", "rel_pushdown_read", "kg_plugin_virtual_pred",
 }
 
 
@@ -2558,6 +2606,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_subselect": q_sparql_subselect,
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
         "kg_ttl_roundtrip": q_kg_ttl_roundtrip,
+        "kg_plugin_virtual_pred": q_kg_plugin_virtual_pred,
         "kg_store_pattern": q_kg_store_pattern,
         "kg_degree_hist": q_kg_degree_hist,
         "kg_incremental": q_kg_incremental,
@@ -2638,6 +2687,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_subselect": _sql_sparql_subselect(),
         "kg_nt_roundtrip": _sql_kg_doc_meta(),
         "kg_ttl_roundtrip": _sql_kg_doc_meta(),
+        "kg_plugin_virtual_pred": _sql_kg_plugin_virtual_pred(),
         "kg_store_pattern": _sql_kg_store_pattern(),
         "kg_degree_hist": _sql_kg_degree_hist(),
         "kg_incremental": _sql_kg_incremental(),
