@@ -679,6 +679,49 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
     return A.brute_force_topk(ds, _query_vectors(sf_dir), k=10)
 
 
+def _labeled_query_vectors(sf_dir: str, n: int = 3) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    head = t.sort_by("vec_id").slice(0, n)
+    return pa.table(
+        {
+            "query_id": head["vec_id"],
+            "embedding": head["embedding"],
+            "label": head["label"],
+        }
+    )
+
+
+def q_ann_hard_negatives(sf_dir: str) -> rd.Dataset:
+    """Contrastive hard-negative mining: per labeled anchor vector, the
+    cosine top-10 among vectors whose class label DIFFERS — the negatives
+    closest to the decision boundary, which is what embedding-model
+    training mines per anchor.  Same scale shape as the brute-force path:
+    broadcast anchors, one matmul + label mask per block, bounded reduce."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return A.hard_negative_topk(ds, _labeled_query_vectors(sf_dir), k=10)
+
+
+SQL_ANN_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding, label
+  FROM embeddings ORDER BY vec_id LIMIT 3
+),
+sims AS (
+  SELECT q.query_id, x.vec_id,
+    list_cosine_similarity(q.embedding, x.embedding) AS sim
+  FROM q JOIN embeddings x ON x.label != q.label
+)
+SELECT query_id, vec_id,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+FROM sims
+QUALIFY rank <= 10
+"""
+
+
 RANGE_SEARCH_T = 0.35
 
 
@@ -3989,6 +4032,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_hard_negatives": q_ann_hard_negatives,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "text_bm25": q_text_bm25,
@@ -4071,6 +4115,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_topk": SQL_ANN_TOPK,
         "ann_topk_lsh": SQL_ANN_RECALL_OK,
         "ann_topk_ivf": SQL_ANN_RECALL_OK,
+        "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,
         "text_stats": SQL_TEXT_STATS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_bm25": _sql_text_bm25(),

@@ -107,6 +107,75 @@ def brute_force_topk(
     return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
 
 
+def hard_negative_topk(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> rd.Dataset:
+    """Contrastive hard-negative mining: for each labeled query vector, the
+    top-k most cosine-similar vectors whose label DIFFERS from the query's
+    (the negatives that sit closest to the decision boundary — what
+    contrastive/embedding training mines per anchor).
+
+    Output: (query_id, vec_id, rank), rank 1..k by (cosine desc, vec_id
+    asc).  Same scale shape as :func:`brute_force_topk` — one ``ray.put``
+    of the (ids, labels, unit-matrix) triple, one matmul + a label-mask per
+    batch, partial top-k per block, then a global reduce over only
+    (num_blocks × q × k) rows."""
+    qm = _unit(_to_matrix(queries[vec_col]))
+    qids = np.asarray(queries[query_id_col].to_pylist())
+    qlabels = np.asarray(queries[label_col].to_pylist())
+    q_ref = ray.put((qids, qlabels, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qlabels, _qm = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        labels = np.asarray(batch[label_col].to_pylist())
+        m = _unit(_to_matrix(batch[vec_col]))
+        sims = m @ _qm.T  # (n, q)
+        out_q: List = []
+        out_v: List = []
+        out_s: List[float] = []
+        for qi in range(len(_qids)):
+            col = sims[:, qi]
+            mask = (ids != _qids[qi]) & (labels != _qlabels[qi])
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            sub = col[cand_idx]
+            take = min(k, len(cand_idx))
+            part = cand_idx[np.argpartition(-sub, take - 1)[:take]]
+            out_q.extend([_qids[qi]] * len(part))
+            out_v.extend(ids[part].tolist())
+            out_s.extend(col[part].tolist())
+        return pa.table(
+            {
+                query_id_col: pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), (id_col, "ascending")]).slice(0, k)
+        rank = pa.array(np.arange(1, len(g) + 1, dtype=np.int64))
+        return pa.table(
+            {
+                query_id_col: g[query_id_col],
+                id_col: g[id_col],
+                "rank": rank,
+            }
+        )
+
+    return partials.groupby(query_id_col).map_groups(final, batch_format="pyarrow")
+
+
 def brute_force_range(
     ds: rd.Dataset,
     queries: pa.Table,
