@@ -3496,6 +3496,121 @@ FROM keep WHERE rn = 1 GROUP BY doc_id
 """
 
 
+BP_DF_CAP = 4        # paragraphs in more same-source docs than this = boilerplate
+BP_FOOT_P = 1_000_000  # footer paragraphs sort behind every body chunk
+
+
+def q_text_boilerplate_strip(sf_dir: str) -> rd.Dataset:
+    """CCNet-style per-SITE boilerplate removal (distinct from dd_paragraph's
+    first-occurrence dedup): a paragraph that appears in more than
+    ``BP_DF_CAP`` distinct documents of the SAME source is boilerplate (nav
+    menus, footers, subscribe banners repeated on every page of a site) and
+    is stripped from EVERY document; rare paragraphs all survive.  The
+    planting step appends two deterministic per-source footer lines to each
+    doc, so every doc drops exactly those two and keeps its body chunks.
+    Two streaming hash exchanges — (source, para) document-frequency
+    flagging, then doc_id reassembly — paragraphs never sit on the driver.
+    Skew note: a boilerplate key's group is bounded by the per-source doc
+    count because the explode emits at most one row per (doc, para); at
+    extreme per-source cardinality the df count would move to a per-block
+    distinct + grouped-sum combine, same as the window-df cap in
+    dd_containment."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    def explode_bp(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        docs = pl.from_arrow(b.select(["doc_id", "source", "text"]))
+        body = (
+            docs.with_columns(pl.col("text").str.to_lowercase()
+                              .str.extract_all(r"[a-z0-9_]+").alias("t"))
+            .drop("text")
+            .explode("t", empty_as_null=False)
+            .filter(pl.col("t").is_not_null())
+            .with_columns(p=((pl.col("t").cum_count().over("doc_id") - 1)
+                             // PARA_W).cast(pl.Int64))
+            .group_by(["doc_id", "source", "p"], maintain_order=True)
+            .agg(pl.col("t").str.join(" ").alias("para"))
+        )
+        ids = docs.select("doc_id", "source")
+        foot1 = ids.with_columns(
+            p=pl.lit(BP_FOOT_P, pl.Int64),
+            para=pl.format("visit {} homepage today", pl.col("source")))
+        foot2 = ids.with_columns(
+            p=pl.lit(BP_FOOT_P + 1, pl.Int64),
+            para=pl.format("subscribe {} newsletter now", pl.col("source")))
+        out = pl.concat([body.select("doc_id", "source", "p", "para"),
+                         foot1, foot2])
+        return out.to_arrow().cast(_BP_SCHEMA)
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = _pl().from_arrow(tbl).with_columns(
+            keep=(pl.col("doc_id").n_unique().over(["source", "para"])
+                  <= BP_DF_CAP))
+        return df.select("doc_id", "p", "para", "keep").to_arrow().cast(
+            _BP_FLAG_SCHEMA)
+
+    def reassemble(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            _pl().from_arrow(tbl).sort(["doc_id", "p"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("keep").cast(pl.Int64).sum().alias("n_kept"),
+                 (~pl.col("keep")).cast(pl.Int64).sum().alias("n_dropped"),
+                 pl.col("para").filter(pl.col("keep")).str.join(" ")
+                 .alias("clean_text"))
+            .with_columns(
+                clean_text=pl.when(pl.col("n_kept") > 0)
+                .then(pl.col("clean_text")).otherwise(None))
+        )
+        return df.to_arrow().cast(_BP_OUT_SCHEMA)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    paras = ds.map_batches(explode_bp, batch_format="pyarrow")
+    flagged = hash_group_exchange(paras, ["source", "para"], flag,
+                                  _BP_FLAG_SCHEMA)
+    return hash_group_exchange(flagged, ["doc_id"], reassemble, _BP_OUT_SCHEMA)
+
+
+_BP_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("source", pa.string()),
+     ("p", pa.int64()), ("para", pa.string())])
+_BP_FLAG_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("p", pa.int64()),
+     ("para", pa.string()), ("keep", pa.bool_())])
+_BP_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_kept", pa.int64()),
+     ("n_dropped", pa.int64()), ("clean_text", pa.string())])
+
+
+SQL_TEXT_BOILERPLATE_STRIP = f"""
+WITH tk AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents WHERE text IS NOT NULL),
+body AS (
+  SELECT doc_id, source, i - 1 AS p,
+         array_to_string(t[(i-1)*{PARA_W}+1:i*{PARA_W}], ' ') AS para
+  FROM tk, UNNEST(range(1, CAST(ceil(len(t) / {PARA_W}.0) AS BIGINT) + 1)) AS u(i)),
+paras AS (
+  SELECT doc_id, source, p, para FROM body
+  UNION ALL SELECT doc_id, source, {BP_FOOT_P},
+    'visit ' || source || ' homepage today' FROM tk
+  UNION ALL SELECT doc_id, source, {BP_FOOT_P + 1},
+    'subscribe ' || source || ' newsletter now' FROM tk),
+df AS (
+  SELECT source, para, COUNT(DISTINCT doc_id) AS df
+  FROM paras GROUP BY source, para),
+f AS (
+  SELECT paras.*, (df.df <= {BP_DF_CAP}) AS keep
+  FROM paras JOIN df USING (source, para))
+SELECT doc_id,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+  string_agg(para, ' ' ORDER BY p) FILTER (WHERE keep) AS clean_text
+FROM f GROUP BY doc_id
+"""
+
+
 DUPW = 8  # tokens per window for duplicated-span flagging
 
 
@@ -4033,6 +4148,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_hard_negatives": q_ann_hard_negatives,
+        "text_boilerplate_strip": q_text_boilerplate_strip,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "text_bm25": q_text_bm25,
@@ -4116,6 +4232,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_topk_lsh": SQL_ANN_RECALL_OK,
         "ann_topk_ivf": SQL_ANN_RECALL_OK,
         "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,
+        "text_boilerplate_strip": SQL_TEXT_BOILERPLATE_STRIP,
         "text_stats": SQL_TEXT_STATS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_bm25": _sql_text_bm25(),

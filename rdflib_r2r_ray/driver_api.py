@@ -2555,7 +2555,7 @@ _LATE_R4 = {
     "graph_hits", "dd_containment", "text_ccnet_bucket",
     "text_gopher_rules", "sparql_minus", "kg_ttl_roundtrip",
     "graph_label_prop", "rel_pushdown_read", "kg_plugin_virtual_pred",
-    "ann_hard_negatives",
+    "ann_hard_negatives", "text_boilerplate_strip",
 }
 
 
