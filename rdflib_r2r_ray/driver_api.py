@@ -120,6 +120,73 @@ def _sql_kg_doc_meta() -> str:
     return f"SELECT subj, pred, obj FROM ({_doc_graph_sql()}\n) t"
 
 
+SKOLEM_BASE = "http://kg.ex/.well-known/genid/"
+
+
+def q_kg_skolemize(sf_dir: str) -> rd.Dataset:
+    """RDF 1.1 §3.5 skolemization: emit a graph whose subjects are R2RML
+    template BLANK NODES (``rr:termType rr:BlankNode`` over ``doc{doc_id}``
+    — template-expansion identity, W3C R2RMLTC0012a semantics), then
+    rewrite every blank node to its well-known genid IRI
+    (``<{base}.well-known/genid/{label}>``) in one vectorized map_batches
+    pass (prefix test + slice + join, no per-row Python).  Skolemized
+    graphs merge/join across shards without bnode-scope bookkeeping — the
+    standard step before a distributed union of per-shard graphs."""
+    from .mapping import Mapping, PredicateObjectMap, TermMap, TriplesMap
+    from .pipelines.kg import KG
+
+    tm = TriplesMap(
+        name="documents",
+        table="documents",
+        subject=TermMap(kind="template", template="doc{doc_id}",
+                        term_type="bnode"),
+        pomaps=(
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant(KG + "p/source"),
+                object=TermMap(kind="column", column="source"),
+            ),
+            PredicateObjectMap(
+                predicate=TermMap.iri_constant(KG + "p/n_chars"),
+                object=TermMap(kind="column", column="n_chars"),
+            ),
+        ),
+        classes=(KG + "c/Document",),
+    )
+    mapping = Mapping(triples_maps=(tm,), base=KG)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = ds.map_batches(EmitTriples(mapping, "documents"), batch_format="pyarrow")
+
+    def skolemize(batch: pa.Table) -> pa.Table:
+        def sk(name: str) -> pa.Array:
+            arr = batch[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            is_bnode = pc.fill_null(pc.starts_with(arr, "_:"), False)
+            label = pc.utf8_slice_codeunits(arr, 2)
+            iri = pc.binary_join_element_wise("<" + SKOLEM_BASE, label, ">", "")
+            return pc.if_else(is_bnode, iri, arr)
+
+        return pa.table({"subj": sk("subj"), "pred": batch["pred"],
+                         "obj": sk("obj")})
+
+    return out.map_batches(skolemize, batch_format="pyarrow").select_columns(
+        ["subj", "pred", "obj"])
+
+
+def _sql_kg_skolemize() -> str:
+    s = f"'<{SKOLEM_BASE}doc' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {s} AS subj, '<{RDF_TYPE}>' AS pred,
+       '<http://kg.ex/c/Document>' AS obj FROM documents
+UNION ALL
+SELECT {s}, '<http://kg.ex/p/source>', source FROM documents
+WHERE source IS NOT NULL
+UNION ALL
+SELECT {s}, '<http://kg.ex/p/n_chars>',
+       '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' FROM documents
+WHERE n_chars IS NOT NULL"""
+
+
 def q_kg_mentions(sf_dir: str) -> rd.Dataset:
     """Entity linking + canonicalization: distinct (doc, mentions, entity)
     triples over ``documents.text``.  The linker runs as TASKS with the
@@ -2555,7 +2622,7 @@ _LATE_R4 = {
     "graph_hits", "dd_containment", "text_ccnet_bucket",
     "text_gopher_rules", "sparql_minus", "kg_ttl_roundtrip",
     "graph_label_prop", "rel_pushdown_read", "kg_plugin_virtual_pred",
-    "ann_hard_negatives", "text_boilerplate_strip",
+    "ann_hard_negatives", "text_boilerplate_strip", "kg_skolemize",
 }
 
 
@@ -2607,6 +2674,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_subselect": q_sparql_subselect,
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
         "kg_ttl_roundtrip": q_kg_ttl_roundtrip,
+        "kg_skolemize": q_kg_skolemize,
         "kg_plugin_virtual_pred": q_kg_plugin_virtual_pred,
         "kg_store_pattern": q_kg_store_pattern,
         "kg_degree_hist": q_kg_degree_hist,
@@ -2688,6 +2756,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_subselect": _sql_sparql_subselect(),
         "kg_nt_roundtrip": _sql_kg_doc_meta(),
         "kg_ttl_roundtrip": _sql_kg_doc_meta(),
+        "kg_skolemize": _sql_kg_skolemize(),
         "kg_plugin_virtual_pred": _sql_kg_plugin_virtual_pred(),
         "kg_store_pattern": _sql_kg_store_pattern(),
         "kg_degree_hist": _sql_kg_degree_hist(),
