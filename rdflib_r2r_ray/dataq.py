@@ -3010,6 +3010,65 @@ FROM documents d
 """
 
 
+def q_mm_image_ahash(sf_dir: str) -> rd.Dataset:
+    """Perceptual-hash IMAGE dedup: decode every payload, compute the
+    64-bit average hash (grayscale → mean threshold → bitstring, all
+    integer math — ``stages/multimodal.ImageAHash``), then keep one doc
+    per hash group (min doc_id, group size) through the fingerprint-style
+    combiner + hash exchange.  The corpus plants an exact payload copy of
+    every image, so each group has n ≥ 2 and the keeper is the original.
+    The oracle replays gray/threshold/bitstring closed-form from the
+    synthetic pixel formula — the hash is bit-exact, so a decode or
+    threshold bug fails the value hash, not just the row count."""
+    from .stages.dedup import hash_group_exchange
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(MM.synthesize_payloads, batch_format="pyarrow")
+    ds = ds.map_batches(plant_exact_dups, batch_format="pyarrow")
+    hashed = ds.map_batches(MM.ImageAHash(), batch_format="pyarrow",
+                            batch_size=256)
+    out_schema = pa.schema([("ahash", pa.string()), ("doc_id", pa.int64()),
+                            ("n", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("ahash").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return pa.table(
+            {"ahash": g["ahash"], "doc_id": g["doc_id_min"],
+             "n": pc.cast(g["doc_id_count"], pa.int64())}, schema=out_schema)
+
+    partials = hashed.map_batches(combine, batch_format="pyarrow")
+
+    def merge(part: pa.Table) -> pa.Table:
+        g = part.group_by("ahash").aggregate([("doc_id", "min"), ("n", "sum")])
+        return pa.table(
+            {"ahash": g["ahash"], "doc_id": g["doc_id_min"],
+             "n": pc.cast(g["n_sum"], pa.int64())}, schema=out_schema)
+
+    return hash_group_exchange(partials, ["ahash"], merge, out_schema)
+
+
+# gray_k = (Σ_c (src*31 + (3k+c)*7) % 256) // 3 over channels c∈0..2 of the
+# synthetic 8×8 image; bit_k = gray_k·64 >= Σ gray (integer mean threshold)
+SQL_MM_IMAGE_AHASH = f"""
+WITH base AS (
+  SELECT doc_id, doc_id AS src FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, doc_id FROM documents),
+g AS (
+  SELECT b.doc_id, k,
+    ((b.src*31 + (3*k)*7) % 256 + (b.src*31 + (3*k+1)*7) % 256
+     + (b.src*31 + (3*k+2)*7) % 256) // 3 AS gray
+  FROM base b, generate_series(0, 63) t(k)),
+tot AS (SELECT doc_id, SUM(gray) AS total FROM g GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id,
+    string_agg(CASE WHEN gray*64 >= total THEN '1' ELSE '0' END, ''
+               ORDER BY k) AS ahash
+  FROM g JOIN tot USING (doc_id) GROUP BY g.doc_id)
+SELECT ahash, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM bits GROUP BY ahash
+"""
+
+
 def q_mm_audio_frames(sf_dir: str) -> rd.Dataset:
     """Binary audio column → frame-sampled features (hop=1024).  Frame
     layout (count + per-frame sample counts) is doc_id arithmetic →
@@ -4149,6 +4208,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_hard_negatives": q_ann_hard_negatives,
         "text_boilerplate_strip": q_text_boilerplate_strip,
+        "mm_image_ahash": q_mm_image_ahash,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "text_bm25": q_text_bm25,
@@ -4233,6 +4293,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_topk_ivf": SQL_ANN_RECALL_OK,
         "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,
         "text_boilerplate_strip": SQL_TEXT_BOILERPLATE_STRIP,
+        "mm_image_ahash": SQL_MM_IMAGE_AHASH,
         "text_stats": SQL_TEXT_STATS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_bm25": _sql_text_bm25(),

@@ -2623,6 +2623,7 @@ _LATE_R4 = {
     "text_gopher_rules", "sparql_minus", "kg_ttl_roundtrip",
     "graph_label_prop", "rel_pushdown_read", "kg_plugin_virtual_pred",
     "ann_hard_negatives", "text_boilerplate_strip", "kg_skolemize",
+    "mm_image_ahash",
 }
 
 

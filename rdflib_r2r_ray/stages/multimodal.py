@@ -184,6 +184,40 @@ class ImageResizer:
         return pa.table({self.id_col: batch[self.id_col], self.bin_col: pa.array(out, pa.binary())})
 
 
+class ImageAHash:
+    """Actor-pool stage: MMB1 'img' payloads → 64-bit perceptual AVERAGE
+    HASH (aHash: grayscale each pixel, threshold against the image mean,
+    one bit per pixel — the classic near-duplicate-image key; pHash swaps
+    the mean threshold for a DCT, same plumbing).  All-integer math
+    (channel sum // 3, ``gray·npix >= total`` threshold) so the hash is
+    bit-exact and replayable by a SQL oracle over the synthetic pixel
+    formula.  Emitted as a bitstring key, ready for a grouped dedup
+    exchange."""
+
+    def __init__(self, bin_col: str = "payload", id_col: str = "doc_id"):
+        self.bin_col, self.id_col = bin_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: List[Optional[str]] = []
+        for buf in batch[self.bin_col].to_pylist():
+            buf = buf or b""
+            hdr = unpack_header(buf)
+            if hdr is None or hdr["kind"] != "img":
+                out.append(None)
+                continue
+            n = hdr["width"] * hdr["height"] * 3
+            px = np.frombuffer(buf[_HEADER_SIZE : _HEADER_SIZE + n], dtype=np.uint8)
+            if len(px) != n:
+                out.append(None)
+                continue
+            gray = px.astype(np.int64).reshape(-1, 3).sum(axis=1) // 3
+            bits = gray * len(gray) >= gray.sum()
+            out.append("".join(np.where(bits, "1", "0").tolist()))
+        return pa.table(
+            {self.id_col: batch[self.id_col],
+             "ahash": pa.array(out, pa.string())})
+
+
 class AudioFrameSampler:
     """Actor-pool stage: MMB1 'aud' payloads (int16 PCM) → per-clip frame
     stats sampled every ``hop`` samples (RMS energy proxy). Real audio
