@@ -972,6 +972,187 @@ lab{i} AS (
     return f"{head}{its}\nSELECT node AS vec_id, label AS comm FROM lab{LP_ITERS}"
 
 
+def q_graph_modularity(sf_dir: str) -> rd.Dataset:
+    """Newman MODULARITY of the label-propagation communities, in EXACT
+    integer arithmetic: per community c report intra-edge count e_c, degree
+    sum d_c, and the scaled contribution q_num = 4m·e_c − d_c² (so
+    Q = Σ q_num / (2m)² — the float never enters the pipeline, keeping the
+    oracle bit-exact).  Composition of existing primitives: two planned
+    label joins tag each edge's endpoints, grouped-agg exchanges fold
+    intra-edges and degree sums per community, one left join finishes.
+    Overflow note: d_c² needs d_c < 2^31.5; a trillion-edge community would
+    move q_num to a decimal128 column."""
+    from .relational import grouped_agg, planned_join
+    from .stages.graph import label_propagation_modes
+
+    und = _nn2_und_edges(sf_dir).materialize()
+    labels = label_propagation_modes(und, iters=LP_ITERS)  # (node, label)
+    m = und.count()  # one scalar aggregate — never the edge list
+
+    j1 = planned_join(und, labels, on=["a"], right_on=["node"])
+    j1 = j1.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "ca": t["label"]}),
+        batch_format="pyarrow")
+    j2 = planned_join(j1, labels, on=["b"], right_on=["node"])
+
+    def intra_rows(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["ca"], t["label"])
+        keep = t.filter(mask)
+        return pa.table({"comm": keep["ca"],
+                         "e": pa.array(np.ones(len(keep), np.int64))})
+
+    intra = grouped_agg(
+        j2.map_batches(intra_rows, batch_format="pyarrow"),
+        ["comm"], sums=["e"],
+        in_schema=pa.schema([("comm", pa.int64()), ("e", pa.int64())]),
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        node = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                               t["b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(node.astype(np.int64), pa.int64()),
+                         "deg": pa.array(np.ones(len(node), np.int64))})
+
+    deg = grouped_agg(
+        und.map_batches(corners, batch_format="pyarrow"),
+        ["node"], sums=["deg"],
+        in_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    )
+    dl = planned_join(deg, labels, on=["node"])
+    dsum = grouped_agg(
+        dl.map_batches(
+            lambda t: pa.table({"comm": t["label"], "d": t["deg"]}),
+            batch_format="pyarrow"),
+        ["comm"], sums=["d"],
+        in_schema=pa.schema([("comm", pa.int64()), ("d", pa.int64())]),
+    )
+    out = planned_join(dsum, intra, on=["comm"], join_type="left_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        e = pc.fill_null(pc.cast(t["e"], pa.int64()), 0)
+        d = t["d"]
+        q = pc.subtract(
+            pc.multiply(e, pa.scalar(4 * m, pa.int64())),
+            pc.multiply(d, d))
+        return pa.table({"comm": t["comm"], "intra_edges": e,
+                         "degree_sum": d, "q_num": q})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_graph_modularity() -> str:
+    lp = _sql_graph_label_prop()
+    # reuse the unrolled label-prop CTE chain; swap its final SELECT for
+    # the modularity aggregates over the same lab{LP_ITERS} relation
+    head = lp[: lp.rindex("\nSELECT")]
+    return f"""{head},
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+intra AS (
+  SELECT la.label AS comm, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM und JOIN lab{LP_ITERS} la ON la.node = und.a
+           JOIN lab{LP_ITERS} lb ON lb.node = und.b
+  WHERE la.label = lb.label GROUP BY 1),
+dsum AS (
+  SELECT l.label AS comm, CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+  FROM deg d JOIN lab{LP_ITERS} l USING (node) GROUP BY 1)
+SELECT dsum.comm, COALESCE(intra.intra_edges, 0) AS intra_edges,
+  dsum.degree_sum,
+  4 * mm.m * COALESCE(intra.intra_edges, 0)
+    - dsum.degree_sum * dsum.degree_sum AS q_num
+FROM dsum LEFT JOIN intra USING (comm) CROSS JOIN mm
+"""
+
+
+def q_graph_assortativity(sf_dir: str):
+    """Degree ASSORTATIVITY of the similarity graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over both edge orientations.
+    One pass after the degree join — each block folds to a single
+    six-moment row (n, Σx, Σy, Σxy, Σx², Σy², exact int64), the driver
+    merges O(blocks) rows, and r derives from the moments with the SAME
+    IEEE double expression the SQL oracle uses (exact integer inputs ⇒
+    bit-identical doubles — the rel_regr_slope pattern)."""
+    import math
+
+    import pandas as pd
+
+    from .relational import grouped_agg, planned_join
+
+    und = _nn2_und_edges(sf_dir).materialize()
+
+    def corners(t: pa.Table) -> pa.Table:
+        node = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                               t["b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(node.astype(np.int64), pa.int64()),
+                         "deg": pa.array(np.ones(len(node), np.int64))})
+
+    deg = grouped_agg(
+        und.map_batches(corners, batch_format="pyarrow"),
+        ["node"], sums=["deg"],
+        in_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    )
+    j1 = planned_join(und, deg, on=["a"], right_on=["node"])
+    j1 = j1.map_batches(
+        lambda t: pa.table({"b": t["b"], "da": t["deg"]}),
+        batch_format="pyarrow")
+    j2 = planned_join(j1, deg, on=["b"], right_on=["node"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        da = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.concatenate([da, db])  # both orientations of every edge
+        y = np.concatenate([db, da])
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    parts = j2.map_batches(moments, batch_format="pyarrow")
+    tot = parts.sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
+    n, sx, sy = tot["sum(n)"], tot["sum(sx)"], tot["sum(sy)"]
+    sxy, sxx, syy = tot["sum(sxy)"], tot["sum(sxx)"], tot["sum(syy)"]
+    vx, vy = float(n * sxx - sx * sx), float(n * syy - sy * sy)
+    den = math.sqrt(vx * vy)
+    r = float(n * sxy - sx * sy) / den if den != 0.0 else 0.0
+    return pd.DataFrame([{
+        "n": n, "sx": sx, "sy": sy, "sxy": sxy, "sxx": sxx, "syy": syy,
+        "r": r,
+    }])
+
+
+def _sql_graph_assortativity() -> str:
+    return f"""
+WITH {_SQL_NN2_UND},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+xy AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+  UNION ALL
+  SELECT db.deg, da.deg
+  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM xy)
+SELECT n, sx, sy, sxy, sxx, syy,
+  CASE WHEN sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) = 0.0
+       THEN 0.0
+       ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+            / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+  END AS r
+FROM mo
+"""
+
+
 _EDGE_CACHE: Dict = {}
 
 
@@ -4209,6 +4390,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_hard_negatives": q_ann_hard_negatives,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "mm_image_ahash": q_mm_image_ahash,
+        "graph_modularity": q_graph_modularity,
+        "graph_assortativity": q_graph_assortativity,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "text_bm25": q_text_bm25,
@@ -4294,6 +4477,8 @@ def oracle_sql() -> Dict[str, str]:
         "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,
         "text_boilerplate_strip": SQL_TEXT_BOILERPLATE_STRIP,
         "mm_image_ahash": SQL_MM_IMAGE_AHASH,
+        "graph_modularity": _sql_graph_modularity(),
+        "graph_assortativity": _sql_graph_assortativity(),
         "text_stats": SQL_TEXT_STATS,
         "text_tokens": SQL_TEXT_TOKENS,
         "text_bm25": _sql_text_bm25(),

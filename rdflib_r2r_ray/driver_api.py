@@ -1751,6 +1751,143 @@ def q_kg_ttl_roundtrip(sf_dir: str) -> rd.Dataset:
     return read_turtle(out_dir)  # lazy: streams the shards back
 
 
+def q_kg_char_sets(sf_dir: str) -> rd.Dataset:
+    """CHARACTERISTIC SETS (Neumann & Moerkotte, ICDE 2011 — the classic
+    RDF cardinality-estimation statistic): group the graph by subject, take
+    each subject's sorted distinct predicate set, and count subjects per
+    set.  A planner uses the resulting (set → count) table to estimate
+    star-join cardinalities without per-predicate independence assumptions.
+    Two streaming hash exchanges (subject fold, then set count) — subjects
+    never sit on the driver, and the output is bounded by the number of
+    DISTINCT predicate combinations, not by graph size."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    trips = _documents_triples(sf_dir).union(q_kg_direct_nation(sf_dir))
+    trips = trips.select_columns(["subj", "pred"])
+    cs_schema = pa.schema([("cs", pa.string())])
+    out_schema = pa.schema([("cs", pa.string()), ("n_subjects", pa.int64())])
+
+    def per_subject(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            _pl().from_arrow(tbl)
+            .group_by("subj")
+            .agg(pl.col("pred").unique().sort().str.join(" ").alias("cs"))
+            .select("cs")
+        )
+        return df.to_arrow().cast(cs_schema)
+
+    def count_sets(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (_pl().from_arrow(tbl).group_by("cs")
+              .agg(pl.len().cast(pl.Int64).alias("n_subjects")))
+        return df.to_arrow().cast(out_schema)
+
+    sets = hash_group_exchange(trips, ["subj"], per_subject, cs_schema)
+    return hash_group_exchange(sets, ["cs"], count_sets, out_schema)
+
+
+def _sql_kg_char_sets() -> str:
+    return f"""
+WITH t AS (
+  SELECT subj, pred, obj FROM ({_doc_graph_sql()}
+  ) dd
+  UNION ALL
+  SELECT subj, pred, obj FROM ({_sql_kg_direct_nation()}) nn),
+s AS (
+  SELECT subj, string_agg(DISTINCT pred, ' ' ORDER BY pred) AS cs
+  FROM t GROUP BY subj)
+SELECT cs, COUNT(*) AS n_subjects FROM s GROUP BY cs
+"""
+
+
+FK_CANDIDATES = (
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),  # reverse: NOT an FK
+)
+
+
+def q_kg_fk_discovery(sf_dir: str):
+    """Inclusion-dependency PROFILING — the statistic a direct-mapping
+    generator needs before it can mint ``ref`` predicates (reference
+    ``r2r_mapping.py`` takes FKs from the SQL catalog; Parquet lakes have
+    no catalog, so they must be discovered): for each candidate
+    (child.col → parent.key) pair, the count of distinct child values,
+    how many are contained in the parent key, and the is_fk verdict
+    (containment = 100%).  Per pair: one distinct exchange per side plus
+    one key join — counts only, never the row sets, on the driver.  The
+    candidate list is config, not data, so the driver loop is bounded."""
+    import pandas as pd
+
+    from .relational import planned_join
+    from .stages.dedup import distinct_on
+
+    rows = []
+    for ct, cc, pt, pk in FK_CANDIDATES:
+        child = read_table(sf_dir, ct, columns=[cc]).map_batches(
+            lambda t, c=cc: t.filter(pc.is_valid(t[c])),
+            batch_format="pyarrow")
+        child_d = distinct_on(child, [cc]).materialize()
+        parent_d = distinct_on(read_table(sf_dir, pt, columns=[pk]), [pk])
+        n_child = child_d.count()
+        n_contained = planned_join(
+            child_d, parent_d, on=[cc], right_on=[pk]).count()
+        rows.append({
+            "child_table": ct, "child_col": cc,
+            "parent_table": pt, "parent_col": pk,
+            "n_child_distinct": n_child, "n_contained": n_contained,
+            "is_fk": n_contained == n_child,
+        })
+    return pd.DataFrame(rows)
+
+
+def _sql_kg_fk_discovery() -> str:
+    parts = []
+    for ct, cc, pt, pk in FK_CANDIDATES:
+        parts.append(f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+  '{pt}' AS parent_table, '{pk}' AS parent_col,
+  (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}
+   WHERE {cc} IS NOT NULL) AS n_child_distinct,
+  (SELECT CAST(COUNT(DISTINCT c.{cc}) AS BIGINT)
+   FROM {ct} c JOIN {pt} p ON p.{pk} = c.{cc}) AS n_contained,
+  (SELECT COUNT(DISTINCT {cc}) FROM {ct} WHERE {cc} IS NOT NULL)
+    = (SELECT COUNT(DISTINCT c.{cc})
+       FROM {ct} c JOIN {pt} p ON p.{pk} = c.{cc}) AS is_fk""")
+    return "\nUNION ALL".join(parts)
+
+
+def q_rel_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """JSON-Lines sink → source round-trip (the de-facto webtext
+    interchange format): the pruned documents metadata relation is written
+    as partitioned JSONL shards (one file per block — the same resumable
+    directory layout as the parquet/nt sinks) and streamed back through
+    the JSON table source (``sources.tables.read_logical_table``), which
+    must reproduce the relation exactly (oracle = the plain SQL
+    projection).  Scale shape: write and read are both per-block streaming
+    — no driver materialization in either direction."""
+    import hashlib
+    import shutil
+
+    from .sources.tables import read_logical_table
+
+    out_dir = ("/tmp/jsonl_roundtrip_"
+               + hashlib.sha1(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "source", "n_chars"])
+    ds.write_json(out_dir)
+    return read_logical_table(out_dir, format="json",
+                              columns=["doc_id", "lang", "source", "n_chars"])
+
+
+SQL_REL_JSONL_ROUNDTRIP = (
+    "SELECT doc_id, lang, source, n_chars FROM documents")
+
+
 def q_kg_plugin_virtual_pred(sf_dir: str) -> rd.Dataset:
     """X4 plugin hook end-to-end (reference SQLConverterPlugin,
     ``sql_converter.py:235,307-312``): a registered matcher claims the
@@ -2623,7 +2760,8 @@ _LATE_R4 = {
     "text_gopher_rules", "sparql_minus", "kg_ttl_roundtrip",
     "graph_label_prop", "rel_pushdown_read", "kg_plugin_virtual_pred",
     "ann_hard_negatives", "text_boilerplate_strip", "kg_skolemize",
-    "mm_image_ahash",
+    "mm_image_ahash", "rel_jsonl_roundtrip", "kg_char_sets",
+    "graph_modularity", "graph_assortativity", "kg_fk_discovery",
 }
 
 
@@ -2676,6 +2814,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
         "kg_ttl_roundtrip": q_kg_ttl_roundtrip,
         "kg_skolemize": q_kg_skolemize,
+        "rel_jsonl_roundtrip": q_rel_jsonl_roundtrip,
+        "kg_char_sets": q_kg_char_sets,
+        "kg_fk_discovery": q_kg_fk_discovery,
         "kg_plugin_virtual_pred": q_kg_plugin_virtual_pred,
         "kg_store_pattern": q_kg_store_pattern,
         "kg_degree_hist": q_kg_degree_hist,
@@ -2758,6 +2899,9 @@ def oracle_sql() -> Dict[str, str]:
         "kg_nt_roundtrip": _sql_kg_doc_meta(),
         "kg_ttl_roundtrip": _sql_kg_doc_meta(),
         "kg_skolemize": _sql_kg_skolemize(),
+        "rel_jsonl_roundtrip": SQL_REL_JSONL_ROUNDTRIP,
+        "kg_char_sets": _sql_kg_char_sets(),
+        "kg_fk_discovery": _sql_kg_fk_discovery(),
         "kg_plugin_virtual_pred": _sql_kg_plugin_virtual_pred(),
         "kg_store_pattern": _sql_kg_store_pattern(),
         "kg_degree_hist": _sql_kg_degree_hist(),

@@ -325,3 +325,28 @@ def test_turtle_roundtrip_nasty_terms(ray_session, tmp_path):
     assert "kgd:1 a kgc:Document" in body or "\n    a kgc:Document" in body
     assert "kgp:lang" in body and " ;\n" in body
     assert '"42"^^xsd:integer' in body
+
+
+def test_image_ahash_bits_and_nulls():
+    """aHash semantics: mean-threshold bits (>= sets the bit), bitstring
+    length 64, and non-image payloads hash to null."""
+    import numpy as np
+
+    from rdflib_r2r_ray.stages.multimodal import ImageAHash, pack_payload
+
+    dark_bright = np.zeros((64, 3), np.uint8)
+    dark_bright[32:] = 200
+    flat = np.full((64, 3), 7, np.uint8)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([
+            pack_payload("img", 8, 8, 1, dark_bright.tobytes()),
+            pack_payload("img", 8, 8, 1, flat.tobytes()),
+            b"notamedia",
+        ], pa.binary()),
+    })
+    out = ImageAHash()(batch)
+    h = out["ahash"].to_pylist()
+    assert h[0] == "0" * 32 + "1" * 32
+    assert h[1] == "1" * 64  # equality with the mean sets the bit
+    assert h[2] is None
