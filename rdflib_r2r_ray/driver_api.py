@@ -1801,6 +1801,88 @@ SELECT cs, COUNT(*) AS n_subjects FROM s GROUP BY cs
 """
 
 
+def _region_types(sf_dir: str) -> rd.Dataset:
+    """Minimal region graph: just the rdf:type triples, so FK objects have
+    a class for schema induction."""
+    from .mapping import Mapping, TriplesMap, TermMap
+
+    tm = TriplesMap(
+        name="region", table="region",
+        subject=TermMap(kind="template",
+                        template="region/r_regionkey={r_regionkey}",
+                        term_type="iri"),
+        pomaps=(), classes=(BASE + "region",),
+    )
+    ds = read_table(sf_dir, "region", columns=["r_regionkey"])
+    out = ds.map_batches(EmitTriples(Mapping(triples_maps=(tm,), base=BASE),
+                                     "region"), batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
+def q_kg_schema_summary(sf_dir: str) -> rd.Dataset:
+    """SCHEMA INDUCTION from instance data: the class-level summary graph
+    (subject class, predicate, object class-or-kind, triple count) — what
+    an ontology diagram or a SPARQL autocompleter is generated from, and
+    the typed-edge complement of kg_char_sets / kg_void_stats.  Object
+    side resolves through a LEFT join against the type map: typed IRIs get
+    their class, untyped terms bucket to '(iri)' / '(literal)'.  Two
+    planned joins on the type map + one grouped-count exchange; the type
+    map is itself a filtered stream, never a driver-side dict."""
+    from .relational import grouped_agg, planned_join
+
+    g = (_documents_triples(sf_dir)
+         .union(q_kg_direct_nation(sf_dir))
+         .union(q_kg_direct_fk(sf_dir))
+         .union(_region_types(sf_dir)))
+    tp = f"<{RDF_TYPE}>"
+    types = g.filter(expr=f"pred == '{tp}'").map_batches(
+        lambda t: pa.table({"node": t["subj"], "cls": t["obj"]}),
+        batch_format="pyarrow")
+    data = g.filter(expr=f"pred != '{tp}'")
+    j1 = planned_join(data, types, on=["subj"], right_on=["node"])
+    j1 = j1.map_batches(
+        lambda t: pa.table({"pred": t["pred"], "obj": t["obj"],
+                            "s_class": t["cls"]}),
+        batch_format="pyarrow")
+    j2 = planned_join(j1, types, on=["obj"], right_on=["node"],
+                      join_type="left_outer")
+
+    def classify(t: pa.Table) -> pa.Table:
+        kind = pc.if_else(
+            pc.fill_null(pc.starts_with(t["obj"], "<"), False),
+            pa.scalar("(iri)"), pa.scalar("(literal)"))
+        o_class = pc.coalesce(t["cls"], kind)
+        return pa.table({"s_class": t["s_class"], "pred": t["pred"],
+                         "o_class": o_class})
+
+    rows = j2.map_batches(classify, batch_format="pyarrow")
+    return grouped_agg(rows, ["s_class", "pred", "o_class"], count_as="n")
+
+
+def _sql_kg_schema_summary() -> str:
+    region_types = (f"SELECT '<{BASE}region/r_regionkey=' || "
+                    f"CAST(r_regionkey AS VARCHAR) || '>' AS subj, "
+                    f"'<{RDF_TYPE}>' AS pred, '<{BASE}region>' AS obj "
+                    f"FROM region")
+    return f"""
+WITH g AS (
+  SELECT subj, pred, obj FROM ({_doc_graph_sql()}
+  ) dd
+  UNION ALL SELECT subj, pred, obj FROM ({_sql_kg_direct_nation()}) nn
+  UNION ALL SELECT subj, pred, obj FROM ({_sql_kg_direct_fk()}) ff
+  UNION ALL {region_types}),
+ty AS (SELECT subj AS node, obj AS cls FROM g WHERE pred = '<{RDF_TYPE}>'),
+d AS (SELECT * FROM g WHERE pred != '<{RDF_TYPE}>')
+SELECT ts.cls AS s_class, d.pred,
+  COALESCE(tob.cls,
+           CASE WHEN d.obj LIKE '<%' THEN '(iri)' ELSE '(literal)' END)
+    AS o_class,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM d JOIN ty ts ON ts.node = d.subj LEFT JOIN ty tob ON tob.node = d.obj
+GROUP BY 1, 2, 3
+"""
+
+
 FK_CANDIDATES = (
     ("nation", "n_regionkey", "region", "r_regionkey"),
     ("customer", "c_nationkey", "nation", "n_nationkey"),
@@ -2762,6 +2844,7 @@ _LATE_R4 = {
     "ann_hard_negatives", "text_boilerplate_strip", "kg_skolemize",
     "mm_image_ahash", "rel_jsonl_roundtrip", "kg_char_sets",
     "graph_modularity", "graph_assortativity", "kg_fk_discovery",
+    "kg_schema_summary",
 }
 
 
@@ -2817,6 +2900,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_jsonl_roundtrip": q_rel_jsonl_roundtrip,
         "kg_char_sets": q_kg_char_sets,
         "kg_fk_discovery": q_kg_fk_discovery,
+        "kg_schema_summary": q_kg_schema_summary,
         "kg_plugin_virtual_pred": q_kg_plugin_virtual_pred,
         "kg_store_pattern": q_kg_store_pattern,
         "kg_degree_hist": q_kg_degree_hist,
@@ -2902,6 +2986,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_jsonl_roundtrip": SQL_REL_JSONL_ROUNDTRIP,
         "kg_char_sets": _sql_kg_char_sets(),
         "kg_fk_discovery": _sql_kg_fk_discovery(),
+        "kg_schema_summary": _sql_kg_schema_summary(),
         "kg_plugin_virtual_pred": _sql_kg_plugin_virtual_pred(),
         "kg_store_pattern": _sql_kg_store_pattern(),
         "kg_degree_hist": _sql_kg_degree_hist(),
