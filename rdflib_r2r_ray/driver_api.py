@@ -1824,39 +1824,72 @@ def q_kg_schema_summary(sf_dir: str) -> rd.Dataset:
     (subject class, predicate, object class-or-kind, triple count) — what
     an ontology diagram or a SPARQL autocompleter is generated from, and
     the typed-edge complement of kg_char_sets / kg_void_stats.  Object
-    side resolves through a LEFT join against the type map: typed IRIs get
-    their class, untyped terms bucket to '(iri)' / '(literal)'.  Two
-    planned joins on the type map + one grouped-count exchange; the type
-    map is itself a filtered stream, never a driver-side dict."""
-    from .relational import grouped_agg, planned_join
+    side resolves typed IRIs to their class; untyped terms bucket to
+    '(iri)' / '(literal)'.  Shape: TWO tagged co-group exchanges, no
+    repeated executions of the lazy union — exchange 1 keys on subj (a
+    subject's rdf:type triple and its data triples land in the same group,
+    so s_class resolves in place; the group also re-emits each type triple
+    keyed by its subject for the object side), exchange 2 keys on the
+    object term (data rows meet the type rows of the entities they point
+    at), and a map-combined grouped count finishes.  An earlier
+    planned-join version re-executed the union per join probe (5 x ~2.8 s
+    for a 7-row result); the co-group runs it once."""
+    from .relational import grouped_agg
+    from .stages.dedup import _pl, hash_group_exchange
 
+    # nation direct triples + the FK ref triple come from ONE emit of the
+    # combined mapping (Dataset.union costs ~2.3 s of executor startup per
+    # branch — see kg_fk_discovery — so fewer branches is a real win)
+    nation_g = read_table(sf_dir, "nation").map_batches(
+        EmitTriples(_nation_region_mapping(), "nation"),
+        batch_format="pyarrow").select_columns(["subj", "pred", "obj"])
     g = (_documents_triples(sf_dir)
-         .union(q_kg_direct_nation(sf_dir))
-         .union(q_kg_direct_fk(sf_dir))
+         .union(nation_g)
          .union(_region_types(sf_dir)))
     tp = f"<{RDF_TYPE}>"
-    types = g.filter(expr=f"pred == '{tp}'").map_batches(
-        lambda t: pa.table({"node": t["subj"], "cls": t["obj"]}),
-        batch_format="pyarrow")
-    data = g.filter(expr=f"pred != '{tp}'")
-    j1 = planned_join(data, types, on=["subj"], right_on=["node"])
-    j1 = j1.map_batches(
-        lambda t: pa.table({"pred": t["pred"], "obj": t["obj"],
-                            "s_class": t["cls"]}),
-        batch_format="pyarrow")
-    j2 = planned_join(j1, types, on=["obj"], right_on=["node"],
-                      join_type="left_outer")
+    mid = pa.schema([("key", pa.string()), ("pred", pa.string()),
+                     ("s_class", pa.string()), ("tag", pa.int64()),
+                     ("cls", pa.string())])
 
-    def classify(t: pa.Table) -> pa.Table:
-        kind = pc.if_else(
-            pc.fill_null(pc.starts_with(t["obj"], "<"), False),
-            pa.scalar("(iri)"), pa.scalar("(literal)"))
-        o_class = pc.coalesce(t["cls"], kind)
-        return pa.table({"s_class": t["s_class"], "pred": t["pred"],
-                         "o_class": o_class})
+    def resolve_subject(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = _pl().from_arrow(tbl).with_columns(
+            s_class=pl.when(pl.col("pred") == tp).then(pl.col("obj"))
+            .otherwise(None).max().over("subj"))
+        data = (
+            df.filter((pl.col("pred") != tp)
+                      & pl.col("s_class").is_not_null())
+            .select(pl.col("obj").alias("key"), pl.col("pred"),
+                    pl.col("s_class"), pl.lit(0, pl.Int64).alias("tag"),
+                    pl.lit(None, pl.String).alias("cls")))
+        ty = (
+            df.filter(pl.col("pred") == tp)
+            .select(pl.col("subj").alias("key"),
+                    pl.lit(None, pl.String).alias("pred"),
+                    pl.lit(None, pl.String).alias("s_class"),
+                    pl.lit(1, pl.Int64).alias("tag"),
+                    pl.col("obj").alias("cls")))
+        return pl.concat([data, ty]).to_arrow().cast(mid)
 
-    rows = j2.map_batches(classify, batch_format="pyarrow")
-    return grouped_agg(rows, ["s_class", "pred", "o_class"], count_as="n")
+    out_mid = pa.schema([("s_class", pa.string()), ("pred", pa.string()),
+                         ("o_class", pa.string())])
+
+    def resolve_object(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = _pl().from_arrow(tbl).with_columns(
+            o_cls=pl.when(pl.col("tag") == 1).then(pl.col("cls"))
+            .otherwise(None).max().over("key"))
+        data = df.filter(pl.col("tag") == 0).with_columns(
+            o_class=pl.coalesce(
+                pl.col("o_cls"),
+                pl.when(pl.col("key").str.starts_with("<"))
+                .then(pl.lit("(iri)")).otherwise(pl.lit("(literal)"))))
+        return data.select("s_class", "pred", "o_class").to_arrow().cast(
+            out_mid)
+
+    r1 = hash_group_exchange(g, ["subj"], resolve_subject, mid)
+    r2 = hash_group_exchange(r1, ["key"], resolve_object, out_mid)
+    return grouped_agg(r2, ["s_class", "pred", "o_class"], count_as="n")
 
 
 def _sql_kg_schema_summary() -> str:
@@ -1897,31 +1930,80 @@ def q_kg_fk_discovery(sf_dir: str):
     generator needs before it can mint ``ref`` predicates (reference
     ``r2r_mapping.py`` takes FKs from the SQL catalog; Parquet lakes have
     no catalog, so they must be discovered): for each candidate
-    (child.col → parent.key) pair, the count of distinct child values,
-    how many are contained in the parent key, and the is_fk verdict
-    (containment = 100%).  Per pair: one distinct exchange per side plus
-    one key join — counts only, never the row sets, on the driver.  The
-    candidate list is config, not data, so the driver loop is bounded."""
+    (child.col -> parent.key) pair, the count of distinct child values, how
+    many are contained in the parent key, and the is_fk verdict
+    (containment = 100%).  ALL pairs ride ONE tagged exchange keyed on
+    (pair, value) — child and parent occurrences of a value meet in the
+    same group, each reduce partition emits one partial-count row per pair,
+    and a tiny grouped sum finishes.  The tagged input is produced by one
+    RAW scan task per table file (each table read once, all its pair/role
+    columns emitted together) — a deliberate Dataset-API bypass: a 10-way
+    ``Dataset.union`` of tiny scan branches measured ~2.3 s of executor
+    startup PER BRANCH (23 s total for a 346k-row input).  At scale the
+    scan fans out per parquet fragment instead of per table.  Only the
+    5-row verdict table ever reaches the driver."""
+    import ray
     import pandas as pd
 
-    from .relational import planned_join
-    from .stages.dedup import distinct_on
+    from .relational import grouped_agg
+    from .stages.dedup import _pl, hash_group_exchange
 
+    # group the candidate roles by table: read each file once
+    roles: Dict[str, list] = {}
+    for i, (ct, cc, pt, pk) in enumerate(FK_CANDIDATES):
+        roles.setdefault(ct, []).append((cc, i, 0))
+        roles.setdefault(pt, []).append((pk, i, 1))
+
+    @ray.remote
+    def scan_emit(path: str, cols_roles: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=sorted({c for c, _, _ in cols_roles}))
+        parts = []
+        for col, pair, tag in cols_roles:
+            v = pc.drop_null(t[col].combine_chunks())
+            parts.append(pa.table({
+                "pair": pa.array(np.full(len(v), pair, np.int64)),
+                "val": pc.cast(v, pa.int64()),
+                "tag": pa.array(np.full(len(v), tag, np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    refs = [scan_emit.remote(f"{sf_dir}/{t}.parquet", rs)
+            for t, rs in roles.items()]
+    tagged = rd.from_arrow_refs(refs)
+
+    part_schema = pa.schema([("pair", pa.int64()), ("n_child", pa.int64()),
+                             ("contained", pa.int64())])
+
+    def reduce_counts(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            _pl().from_arrow(tbl)
+            .group_by(["pair", "val"])
+            .agg(has_c=(pl.col("tag") == 0).any(),
+                 has_p=(pl.col("tag") == 1).any())
+            .group_by("pair")
+            .agg(n_child=pl.col("has_c").cast(pl.Int64).sum(),
+                 contained=(pl.col("has_c") & pl.col("has_p"))
+                 .cast(pl.Int64).sum())
+        )
+        return df.to_arrow().cast(part_schema)
+
+    parts = hash_group_exchange(tagged, ["pair", "val"], reduce_counts,
+                                part_schema)
+    tot = grouped_agg(parts, ["pair"], sums=["n_child", "contained"],
+                      in_schema=part_schema).to_pandas()
+    by_pair = {int(r["pair"]): r for _, r in tot.iterrows()}
     rows = []
-    for ct, cc, pt, pk in FK_CANDIDATES:
-        child = read_table(sf_dir, ct, columns=[cc]).map_batches(
-            lambda t, c=cc: t.filter(pc.is_valid(t[c])),
-            batch_format="pyarrow")
-        child_d = distinct_on(child, [cc]).materialize()
-        parent_d = distinct_on(read_table(sf_dir, pt, columns=[pk]), [pk])
-        n_child = child_d.count()
-        n_contained = planned_join(
-            child_d, parent_d, on=[cc], right_on=[pk]).count()
+    for i, (ct, cc, pt, pk) in enumerate(FK_CANDIDATES):
+        r = by_pair[i]
         rows.append({
             "child_table": ct, "child_col": cc,
             "parent_table": pt, "parent_col": pk,
-            "n_child_distinct": n_child, "n_contained": n_contained,
-            "is_fk": n_contained == n_child,
+            "n_child_distinct": int(r["n_child"]),
+            "n_contained": int(r["contained"]),
+            "is_fk": int(r["contained"]) == int(r["n_child"]),
         })
     return pd.DataFrame(rows)
 
