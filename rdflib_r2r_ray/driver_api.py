@@ -1916,6 +1916,91 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_kg_fusion(sf_dir: str) -> rd.Dataset:
+    """TRUTH DISCOVERY / data fusion after entity resolution (the step a
+    multi-source KG runs after sameAs merging leaves conflicting claims):
+    three deterministic provider claims per (doc, lang) fact — provider B
+    flips to 'yy' on doc_id % 7 = 0, provider C to 'xx' on doc_id % 5 = 0,
+    so most facts fuse by 2-of-3 MAJORITY and the %35 overlap exercises the
+    all-distinct TIE (resolved to the lexicographically smallest claim).
+    One streaming hash exchange on (subj, pred): each group counts votes
+    per value and keeps the winner plus (n_votes, n_distinct) provenance.
+    Claims never sit on the driver."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    claim_schema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                              ("obj", pa.string())])
+    out_schema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                            ("obj", pa.string()), ("n_votes", pa.int64()),
+                            ("n_distinct", pa.int64())])
+
+    def plant_claims(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (_pl().from_arrow(b)
+              .filter(pl.col("lang").is_not_null())
+              .select(
+                  pl.format("<http://kg.ex/doc/{}>",
+                            pl.col("doc_id")).alias("subj"),
+                  pl.lit("<http://kg.ex/p/lang>").alias("pred"),
+                  pl.col("lang").alias("obj"),
+                  pl.col("doc_id")))
+        a = df.select("subj", "pred", "obj")
+        bb = df.select(
+            "subj", "pred",
+            pl.when(pl.col("doc_id") % 7 == 0).then(pl.lit("yy"))
+            .otherwise(pl.col("obj")).alias("obj"))
+        cc = df.select(
+            "subj", "pred",
+            pl.when(pl.col("doc_id") % 5 == 0).then(pl.lit("xx"))
+            .otherwise(pl.col("obj")).alias("obj"))
+        return pl.concat([a, bb, cc]).to_arrow().cast(claim_schema)
+
+    def fuse(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            _pl().from_arrow(tbl)
+            .group_by(["subj", "pred", "obj"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .sort(["subj", "pred", "cnt", "obj"],
+                  descending=[False, False, True, False])
+            .group_by(["subj", "pred"], maintain_order=True)
+            .agg(pl.col("obj").first(),
+                 pl.col("cnt").sum().alias("n_votes"),
+                 pl.len().cast(pl.Int64).alias("n_distinct"))
+        )
+        return df.select("subj", "pred", "obj", "n_votes",
+                         "n_distinct").to_arrow().cast(out_schema)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    claims = ds.map_batches(plant_claims, batch_format="pyarrow")
+    return hash_group_exchange(claims, ["subj", "pred"], fuse, out_schema)
+
+
+def _sql_kg_fusion() -> str:
+    return """
+WITH lang AS (
+  SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS subj,
+         '<http://kg.ex/p/lang>' AS pred, lang AS obj, doc_id
+  FROM documents WHERE lang IS NOT NULL),
+claims AS (
+  SELECT subj, pred, obj FROM lang
+  UNION ALL SELECT subj, pred,
+    CASE WHEN doc_id % 7 = 0 THEN 'yy' ELSE obj END FROM lang
+  UNION ALL SELECT subj, pred,
+    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE obj END FROM lang),
+cnt AS (SELECT subj, pred, obj, COUNT(*) AS c FROM claims GROUP BY 1, 2, 3),
+pick AS (
+  SELECT subj, pred, obj,
+    row_number() OVER (PARTITION BY subj, pred ORDER BY c DESC, obj) AS rnk,
+    SUM(c) OVER (PARTITION BY subj, pred) AS nv,
+    COUNT(*) OVER (PARTITION BY subj, pred) AS nd
+  FROM cnt)
+SELECT subj, pred, obj, CAST(nv AS BIGINT) AS n_votes,
+  CAST(nd AS BIGINT) AS n_distinct
+FROM pick WHERE rnk = 1
+"""
+
+
 FK_CANDIDATES = (
     ("nation", "n_regionkey", "region", "r_regionkey"),
     ("customer", "c_nationkey", "nation", "n_nationkey"),
@@ -2926,7 +3011,7 @@ _LATE_R4 = {
     "ann_hard_negatives", "text_boilerplate_strip", "kg_skolemize",
     "mm_image_ahash", "rel_jsonl_roundtrip", "kg_char_sets",
     "graph_modularity", "graph_assortativity", "kg_fk_discovery",
-    "kg_schema_summary",
+    "kg_schema_summary", "kg_fusion",
 }
 
 
@@ -2983,6 +3068,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_char_sets": q_kg_char_sets,
         "kg_fk_discovery": q_kg_fk_discovery,
         "kg_schema_summary": q_kg_schema_summary,
+        "kg_fusion": q_kg_fusion,
         "kg_plugin_virtual_pred": q_kg_plugin_virtual_pred,
         "kg_store_pattern": q_kg_store_pattern,
         "kg_degree_hist": q_kg_degree_hist,
@@ -3069,6 +3155,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_char_sets": _sql_kg_char_sets(),
         "kg_fk_discovery": _sql_kg_fk_discovery(),
         "kg_schema_summary": _sql_kg_schema_summary(),
+        "kg_fusion": _sql_kg_fusion(),
         "kg_plugin_virtual_pred": _sql_kg_plugin_virtual_pred(),
         "kg_store_pattern": _sql_kg_store_pattern(),
         "kg_degree_hist": _sql_kg_degree_hist(),
