@@ -1366,3 +1366,40 @@ def test_sssp_weighted_distributed_matches_local(ray_session):
     got, want = key(dist), key(local)
     assert got == want
     assert want == [(0, 0), (1, 1), (2, 2), (3, 3)]  # detour beats w=10 edge
+
+
+def test_hard_negative_topk_label_mask(ray_session):
+    """Hard-negative mining returns only cross-label neighbors, exactly k
+    per query, and yields NOTHING when every vector shares the query's
+    label (empty candidate set, not a crash)."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages.ann import hard_negative_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(30, 8)
+    labels = [i % 3 for i in range(30)]
+    t = pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs]),
+        "label": pa.array(labels, pa.int64()),
+    })
+    q = pa.table({
+        "query_id": pa.array([0, 1], pa.int64()),
+        "embedding": t["embedding"].slice(0, 2),
+        "label": pa.array([0, 1], pa.int64()),
+    })
+    out = hard_negative_topk(rd.from_arrow(t), q, k=5).to_pandas()
+    for _, r in out.iterrows():
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+    assert set(out.groupby("query_id").size()) == {5}
+    assert set(out["rank"]) == {1, 2, 3, 4, 5}
+
+    t2 = t.set_column(2, "label", pa.array([7] * 30, pa.int64()))
+    q2 = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "embedding": t["embedding"].slice(0, 1),
+        "label": pa.array([7], pa.int64()),
+    })
+    out2 = hard_negative_topk(rd.from_arrow(t2), q2, k=5).to_pandas()
+    assert len(out2) == 0
