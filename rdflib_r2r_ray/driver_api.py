@@ -3011,7 +3011,7 @@ _LATE_R4 = {
     "ann_hard_negatives", "text_boilerplate_strip", "kg_skolemize",
     "mm_image_ahash", "rel_jsonl_roundtrip", "kg_char_sets",
     "graph_modularity", "graph_assortativity", "kg_fk_discovery",
-    "kg_schema_summary", "kg_fusion",
+    "kg_schema_summary", "kg_fusion", "rel_zorder_layout",
 }
 
 

@@ -2296,6 +2296,87 @@ WHERE rnk = 1
 """
 
 
+ZORDER_BITS = 16   # Morton code over the low 16 bits of each dim
+ZORDER_PARTS = 16  # layout partitions over the realized z-key range
+
+
+def q_rel_zorder_layout(sf_dir: str) -> rd.Dataset:
+    """Z-ORDER (Morton) data-layout planning — the lakehouse OPTIMIZE
+    ZORDER primitive: interleave the low 16 bits of two filter dimensions
+    (user_id, event_id) into a 32-bit space-filling key, split the
+    REALIZED key range into 16 layout partitions (zkey·16 // (max+1) —
+    one metadata max() aggregate, the same plan-constant pattern as
+    pagerank's node count), and report per-partition row counts plus both
+    dimensions' min/max envelopes — the statistics a scan planner prunes
+    row groups with (a z-clustered layout keeps BOTH envelopes narrow per
+    file, where a single-column sort only narrows one).  The bit
+    interleave is one vectorized numpy pass (16 shift/or steps over whole
+    arrays); the envelope fold is one streaming hash exchange keyed on the
+    partition id."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    mid = pa.schema([("zkey", pa.int64()), ("user_id", pa.int64()),
+                     ("event_id", pa.int64())])
+    out_schema = pa.schema([
+        ("part", pa.int64()), ("n_rows", pa.int64()),
+        ("u_min", pa.int64()), ("u_max", pa.int64()),
+        ("e_min", pa.int64()), ("e_max", pa.int64()),
+    ])
+
+    def zmap(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        um, em = u & 0xFFFF, e & 0xFFFF
+        z = np.zeros(len(u), np.int64)
+        for k in range(ZORDER_BITS):
+            z |= ((um >> k) & 1) << (2 * k)
+            z |= ((em >> k) & 1) << (2 * k + 1)
+        return pa.table({"zkey": pa.array(z), "user_id": t["user_id"],
+                         "event_id": t["event_id"]}, schema=mid)
+
+    keyed = _read(sf_dir, "events", columns=["event_id", "user_id"]
+                  ).map_batches(zmap, batch_format="pyarrow").materialize()
+    zmax = int(keyed.max("zkey"))
+
+    def assign(t: pa.Table) -> pa.Table:
+        z = t["zkey"].to_numpy(zero_copy_only=False)
+        part = z * ZORDER_PARTS // (zmax + 1)
+        return pa.table({"part": pa.array(part.astype(np.int64)),
+                         "user_id": t["user_id"],
+                         "event_id": t["event_id"]})
+
+    def envelope(tbl: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (
+            _pl().from_arrow(tbl).group_by("part")
+            .agg(pl.len().cast(pl.Int64).alias("n_rows"),
+                 pl.col("user_id").min().alias("u_min"),
+                 pl.col("user_id").max().alias("u_max"),
+                 pl.col("event_id").min().alias("e_min"),
+                 pl.col("event_id").max().alias("e_max"))
+        )
+        return df.to_arrow().cast(out_schema)
+
+    parts = keyed.map_batches(assign, batch_format="pyarrow")
+    return hash_group_exchange(parts, ["part"], envelope, out_schema)
+
+
+SQL_REL_ZORDER_LAYOUT = f"""
+WITH z AS (
+  SELECT user_id, event_id,
+    CAST(list_sum(list_transform(range(0, {ZORDER_BITS}), k ->
+      (((user_id & 65535) >> k) & 1) * (CAST(1 AS BIGINT) << (2*k)) +
+      (((event_id & 65535) >> k) & 1) * (CAST(1 AS BIGINT) << (2*k + 1))))
+      AS BIGINT) AS zkey
+  FROM events),
+m AS (SELECT MAX(zkey) AS zm FROM z)
+SELECT zkey * {ZORDER_PARTS} // (zm + 1) AS part, COUNT(*) AS n_rows,
+  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+  MIN(event_id) AS e_min, MAX(event_id) AS e_max
+FROM z CROSS JOIN m GROUP BY 1
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_filter": q_rel_filter,
@@ -2360,6 +2441,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_regr_slope": q_rel_regr_slope,
         "rel_pushdown_read": q_rel_pushdown_read,
         "rel_mode": q_rel_mode,
+        "rel_zorder_layout": q_rel_zorder_layout,
     }
 
 
@@ -2427,4 +2509,5 @@ def oracle_sql() -> Dict[str, str]:
         "rel_regr_slope": SQL_REL_REGR_SLOPE,
         "rel_pushdown_read": SQL_REL_PUSHDOWN_READ,
         "rel_mode": SQL_REL_MODE,
+        "rel_zorder_layout": SQL_REL_ZORDER_LAYOUT,
     }
