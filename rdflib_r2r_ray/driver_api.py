@@ -3012,6 +3012,7 @@ _LATE_R4 = {
     "mm_image_ahash", "rel_jsonl_roundtrip", "kg_char_sets",
     "graph_modularity", "graph_assortativity", "kg_fk_discovery",
     "kg_schema_summary", "kg_fusion", "rel_zorder_layout",
+    "ml_nb_classify", "kg_amie_rules", "text_source_filter",
 }
 
 
@@ -3029,7 +3030,7 @@ def _rotate(d: dict) -> dict:
 
 
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
-    from . import dataq, relq
+    from . import dataq, mlq, relq
 
     out = {
         "kg_direct_nation": q_kg_direct_nation,
@@ -3112,11 +3113,12 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     }
     out.update(relq.queries())
     out.update(dataq.queries())
+    out.update(mlq.queries())
     return _rotate(out)
 
 
 def oracle_sql() -> Dict[str, str]:
-    from . import dataq, relq
+    from . import dataq, mlq, relq
 
     out = {
         "kg_direct_nation": _sql_kg_direct_nation(),
@@ -3199,4 +3201,5 @@ def oracle_sql() -> Dict[str, str]:
     }
     out.update(relq.oracle_sql())
     out.update(dataq.oracle_sql())
+    out.update(mlq.oracle_sql())
     return _rotate(out)

@@ -1,0 +1,476 @@
+"""Model-training / rule-mining query registry: the supervised-classifier,
+KG-rule-discovery and corpus-reputation operators a training-data pipeline
+layers on top of the curation surface (``dataq.py``).
+
+Every query carries a DuckDB oracle.  Iterative / statistical operators are
+made oracle-able the same way the graph family is (``dataq.py`` PageRank /
+HITS): all decision-making arithmetic is **fixed-point integer** — log
+probabilities quantized to 1e-6 (``_fxlog``), confidences in permille with
+floor division — so argmax/threshold decisions are bit-exact against the
+SQL replay, and the only floats ever compared are none at all.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .stages import text as T
+
+
+def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# ml_nb_classify — multinomial Naive Bayes (train + score in one pipeline)
+# ---------------------------------------------------------------------------
+
+NB_VOCAB_CAP = 4096  # top-N tokens by corpus count (ties: token asc)
+NB_SCALE = 1_000_000  # fixed-point log scale
+
+
+def _fxlog(num, den) -> np.ndarray:
+    """floor(1e6·ln(num/den) + 0.5) as int64 — the fixed-point log weight.
+
+    ``floor(x + 0.5)`` (NOT banker's ``round``) so numpy and DuckDB agree;
+    num/den are exact small integers, so the double division is identical
+    on both sides and only a last-ulp ``ln`` difference could flip a
+    weight — a ~1e-10 event per table entry."""
+    x = np.asarray(num, np.float64) / np.asarray(den, np.float64)
+    return np.floor(NB_SCALE * np.log(x) + 0.5).astype(np.int64)
+
+
+_NB_STATS_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("tok", pa.string()), ("c", pa.int64())]
+)
+
+
+def q_ml_nb_classify(sf_dir: str) -> rd.Dataset:
+    """Multinomial Naive Bayes language classifier, trained and applied in
+    one distributed pipeline (the fasttext-style quality/domain-classifier
+    shape every curation stack carries — cf. CCNet / Gopher filtering):
+
+    - **split**: train = ``doc_id % 5 != 0``, test = the rest;
+    - **train**: ONE pass over the train split — a per-block polars
+      combiner emits local (lang, token) counts plus a class-count carrier
+      row (``tok=''``, impossible as a real token), merged by the grouped
+      exchange; vocabulary is capped to the ``NB_VOCAB_CAP`` most frequent
+      tokens IN-PIPELINE (count desc, token asc) so the driver-side model
+      is bounded at any corpus scale;
+    - **model**: add-1-smoothed log P(token|class) and log prior, both
+      fixed-point int64 (``_fxlog``) — scoring is pure integer addition,
+      so argmax decisions replay bit-exact in SQL;
+    - **score**: weights broadcast once (``ray.put``); each test batch is
+      one polars explode → join → grouped-sum, then an integer argmax
+      (ties → lexicographically smallest class, numpy ``argmax`` = first).
+
+    Output: (doc_id, pred_lang, score) for every test doc with ≥1 token.
+    """
+    import ray
+
+    from .relational import grouped_agg, topk
+    from .stages.dedup import _pl
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def train_counts(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b).filter(pl.col("doc_id") % 5 != 0)
+        toks = (
+            df.select("lang", pl.col("text").str.split(" ").alias("tok"))
+            .explode("tok")
+            .filter(pl.col("tok") != "")
+            .group_by("lang", "tok")
+            .len(name="c")
+            .select("lang", "tok", pl.col("c").cast(pl.Int64))
+        )
+        dc = (
+            df.group_by("lang")
+            .len(name="c")
+            .select("lang", pl.lit("").alias("tok"), pl.col("c").cast(pl.Int64))
+        )
+        return pl.concat([toks, dc]).to_arrow().cast(_NB_STATS_SCHEMA)
+
+    stats = grouped_agg(
+        docs.map_batches(train_counts, batch_format="pyarrow"),
+        ["lang", "tok"], sums=["c"], in_schema=_NB_STATS_SCHEMA,
+    ).materialize()  # reused: vocab cap + model rows (bounded: vocab×classes)
+
+    def drop_carrier(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["tok"], ""))
+
+    tok_tot = grouped_agg(
+        stats.map_batches(drop_carrier, batch_format="pyarrow"),
+        ["tok"], sums=["c"], in_schema=pa.schema([("tok", pa.string()),
+                                                  ("c", pa.int64())]),
+    )
+    kept_rows = topk(tok_tot, ["c", "tok"], NB_VOCAB_CAP,
+                     descending=[True, False]).take_all()
+    kept = {r["tok"] for r in kept_rows}
+
+    rows = stats.take_all()  # ≤ cap×classes + classes rows
+    classes = sorted({r["lang"] for r in rows})
+    cidx = {c: i for i, c in enumerate(classes)}
+    vocab = sorted(kept)
+    vidx = {t: i for i, t in enumerate(vocab)}
+    V, C = len(vocab), len(classes)
+    cnt = np.zeros((V, C), np.int64)
+    ndocs = np.zeros(C, np.int64)
+    for r in rows:
+        if r["tok"] == "":
+            ndocs[cidx[r["lang"]]] = r["c"]
+        elif r["tok"] in vidx:
+            cnt[vidx[r["tok"]], cidx[r["lang"]]] = r["c"]
+    tot = cnt.sum(axis=0)  # kept-vocab token total per class
+    W = _fxlog(cnt + 1, (tot + V)[None, :])  # (V, C)
+    unk = _fxlog(np.ones(C, np.int64), tot + V)
+    prior = _fxlog(ndocs, int(ndocs.sum()))
+
+    wcols = {"tok": pa.array(vocab, pa.string())}
+    for i in range(C):
+        wcols[f"w{i}"] = pa.array(W[:, i], pa.int64())
+    ref = ray.put((pa.table(wcols), unk, prior, classes))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("pred_lang", pa.string()),
+                            ("score", pa.int64())])
+
+    def score(b: pa.Table, _r=ref) -> pa.Table:
+        pl = _pl()
+        wt, unk_v, prior_v, cls = ray.get(_r)
+        nc = len(cls)
+        df = pl.from_arrow(b).filter(pl.col("doc_id") % 5 == 0)
+        t = (
+            df.select("doc_id", pl.col("text").str.split(" ").alias("tok"))
+            .explode("tok")
+            .filter(pl.col("tok") != "")
+        )
+        if t.height == 0:
+            return out_schema.empty_table()
+        j = t.join(pl.from_arrow(wt), on="tok", how="left").with_columns(
+            [pl.col(f"w{i}").fill_null(int(unk_v[i])) for i in range(nc)]
+        )
+        g = j.group_by("doc_id").agg(
+            [pl.col(f"w{i}").sum() for i in range(nc)]
+        ).sort("doc_id")
+        S = g.select([f"w{i}" for i in range(nc)]).to_numpy().astype(np.int64)
+        S = S + prior_v[None, :]
+        pred = S.argmax(axis=1)  # first max = lexicographically least class
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+            "pred_lang": pa.array(np.asarray(cls, object)[pred].tolist(),
+                                  pa.string()),
+            "score": pa.array(S[np.arange(len(S)), pred], pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_ML_NB_CLASSIFY = f"""
+WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 != 0),
+toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+  FROM train),
+cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, SUM(c) AS tc FROM cnt GROUP BY tok
+    ORDER BY tc DESC, tok LIMIT {NB_VOCAB_CAP})),
+kcnt AS (SELECT c.* FROM cnt c JOIN vocab v USING (tok)),
+cls AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY 1),
+tot AS (
+  SELECT cls.lang, COALESCE(k.t, 0) AS t
+  FROM cls LEFT JOIN (SELECT lang, SUM(c) AS t FROM kcnt GROUP BY 1) k
+  USING (lang)),
+vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+w AS (
+  SELECT k.lang, k.tok,
+    CAST(floor({NB_SCALE} * ln(CAST(k.c + 1 AS DOUBLE) / (tot.t + vs.v)) + 0.5)
+         AS BIGINT) AS w
+  FROM kcnt k JOIN tot USING (lang) CROSS JOIN vs),
+unk AS (
+  SELECT tot.lang,
+    CAST(floor({NB_SCALE} * ln(1.0 / (tot.t + vs.v)) + 0.5) AS BIGINT) AS w
+  FROM tot CROSS JOIN vs),
+prior AS (
+  SELECT cls.lang,
+    CAST(floor({NB_SCALE} * ln(CAST(cls.nd AS DOUBLE)
+                               / (SELECT COUNT(*) FROM train)) + 0.5)
+         AS BIGINT) AS p
+  FROM cls),
+test AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+ttok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+  FROM test),
+sc AS (
+  SELECT tt.doc_id, u.lang, SUM(COALESCE(w.w, u.w)) + MIN(p.p) AS score
+  FROM ttok tt
+  CROSS JOIN unk u
+  LEFT JOIN w ON w.lang = u.lang AND w.tok = tt.tok
+  JOIN prior p ON p.lang = u.lang
+  GROUP BY 1, 2)
+SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score FROM (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM sc) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# kg_amie_rules — AMIE-style horn-rule mining over the constructed KG
+# ---------------------------------------------------------------------------
+
+_P_RAW = "<http://kg.ex/p/mentions_raw>"
+_P_SAME = "<http://kg.ex/p/sameAs>"
+
+
+def _variant_triples(m: rd.Dataset):
+    """(raw-mention triples over variant IRIs, sameAs chain edges) — the
+    same deterministic e/e2/e3 diversion protocol as ``kg_owl_sameas``
+    (slug-length mod 3; e3→e2→e1 chains), emitted here as first-class
+    predicates so the rule miner has something to discover."""
+    from .stages.dedup import _pl, distinct_on
+
+    def divert(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b)
+        slug = pl.col("obj").str.slice(16, pl.col("obj").str.len_chars() - 17)
+        k = slug.str.len_chars().cast(pl.Int64) % 3
+        obj = (pl.when(k == 1)
+               .then(pl.lit("<http://kg.ex/e2/") + slug + pl.lit(">"))
+               .when(k == 2)
+               .then(pl.lit("<http://kg.ex/e3/") + slug + pl.lit(">"))
+               .otherwise(pl.col("obj")))
+        return df.select(
+            pl.col("subj"), pl.lit(_P_RAW).alias("pred"), obj.alias("obj")
+        ).to_arrow().cast(pa.schema([("subj", pa.string()),
+                                     ("pred", pa.string()),
+                                     ("obj", pa.string())]))
+
+    def sameas_edges(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b)
+        slug = pl.col("obj").str.slice(16, pl.col("obj").str.len_chars() - 17)
+        df = df.with_columns(s=slug,
+                             k=slug.str.len_chars().cast(pl.Int64) % 3)
+        e1 = pl.lit("<http://kg.ex/e/") + pl.col("s") + pl.lit(">")
+        e2 = pl.lit("<http://kg.ex/e2/") + pl.col("s") + pl.lit(">")
+        e3 = pl.lit("<http://kg.ex/e3/") + pl.col("s") + pl.lit(">")
+        p = pl.lit(_P_SAME).alias("pred")
+        lo = df.filter(pl.col("k") == 1).select(subj=e2, pred=p, obj=e1)
+        hi = df.filter(pl.col("k") == 2)
+        out = pl.concat([lo, hi.select(subj=e3, pred=p, obj=e2),
+                         hi.select(subj=e2, pred=p, obj=e1)])
+        return out.to_arrow().cast(pa.schema([("subj", pa.string()),
+                                              ("pred", pa.string()),
+                                              ("obj", pa.string())]))
+
+    raw = m.map_batches(divert, batch_format="pyarrow")
+    ents = distinct_on(m.select_columns(["obj"]), ["obj"])
+    same = ents.map_batches(sameas_edges, batch_format="pyarrow")
+    return raw, same
+
+
+def q_kg_amie_rules(sf_dir: str) -> rd.Dataset:
+    """AMIE-style rule mining (Galárraga et al. 2013) over the constructed
+    KG: score every length-2 closed horn rule p1(x,z) ∧ p2(z,y) ⇒ p3(x,y)
+    by support, PCA-free standard confidence and head coverage.  The input
+    graph carries raw mentions over variant IRIs, their sameAs chains and
+    the canonicalized mentions, so the miner must *discover* that
+    ``mentions_raw ∘ sameAs ⇒ mentions`` holds with high confidence while
+    e.g. ``sameAs ∘ sameAs ⇒ sameAs`` has support but near-zero confidence
+    (the chains are not transitive-closed).
+
+    All-distributed: body instantiation is ONE self-join of the triple
+    Dataset on z (hash exchange), deduplicated to distinct (p1,p2,x,y)
+    bindings; the head check is a second join; per-rule counters are
+    grouped-agg exchanges whose outputs are O(|predicates|³) — only those
+    tiny aggregates ever reach the driver.  Confidence/head-coverage are
+    integer permille (floor), so the whole miner replays bit-exact in SQL."""
+    from . import driver_api
+    from .relational import grouped_agg, planned_join
+    from .stages.dedup import distinct_on
+
+    m = driver_api.q_kg_mentions(sf_dir)
+    m = m.materialize()  # reused three times (raw / sameAs / canonical)
+    raw, same = _variant_triples(m)
+    t = m.union(raw).union(same).materialize()  # reused: body join + head join
+
+    left = t.map_batches(
+        lambda b: pa.table({"x": b["subj"], "p1": b["pred"], "z": b["obj"]}),
+        batch_format="pyarrow")
+    right = t.map_batches(
+        lambda b: pa.table({"z2": b["subj"], "p2": b["pred"], "y": b["obj"]}),
+        batch_format="pyarrow")
+    body = planned_join(left, right, on=["z"], right_on=["z2"])
+    bd = distinct_on(body, ["p1", "p2", "x", "y"])
+
+    bp = grouped_agg(bd, ["p1", "p2"], count_as="body_pairs").take_all()
+    head = t.map_batches(
+        lambda b: pa.table({"hx": b["subj"], "p3": b["pred"], "hy": b["obj"]}),
+        batch_format="pyarrow")
+    sup = grouped_agg(
+        planned_join(bd, head, on=["x", "y"], right_on=["hx", "hy"]),
+        ["p1", "p2", "p3"], count_as="support",
+    ).take_all()
+    hp = grouped_agg(t, ["pred"], count_as="head_pairs").take_all()
+
+    smap = {(r["p1"], r["p2"], r["p3"]): r["support"] for r in sup}
+    out = {k: [] for k in ("p1", "p2", "p3", "body_pairs", "support",
+                           "conf_permille", "hc_permille")}
+    for b in sorted(bp, key=lambda r: (r["p1"], r["p2"])):
+        for h in sorted(hp, key=lambda r: r["pred"]):
+            s = smap.get((b["p1"], b["p2"], h["pred"]), 0)
+            out["p1"].append(b["p1"])
+            out["p2"].append(b["p2"])
+            out["p3"].append(h["pred"])
+            out["body_pairs"].append(b["body_pairs"])
+            out["support"].append(s)
+            out["conf_permille"].append(s * 1000 // b["body_pairs"])
+            out["hc_permille"].append(s * 1000 // h["head_pairs"])
+    return rd.from_arrow(pa.table({
+        "p1": pa.array(out["p1"], pa.string()),
+        "p2": pa.array(out["p2"], pa.string()),
+        "p3": pa.array(out["p3"], pa.string()),
+        "body_pairs": pa.array(out["body_pairs"], pa.int64()),
+        "support": pa.array(out["support"], pa.int64()),
+        "conf_permille": pa.array(out["conf_permille"], pa.int64()),
+        "hc_permille": pa.array(out["hc_permille"], pa.int64()),
+    }))
+
+
+def _sql_kg_amie_rules() -> str:
+    from .driver_api import _sql_kg_mentions
+
+    return f"""
+WITH m AS ({_sql_kg_mentions()}),
+ds AS (
+  SELECT subj, pred, obj,
+         substr(obj, 17, length(obj) - 17) AS slug,
+         length(substr(obj, 17, length(obj) - 17)) % 3 AS k
+  FROM m),
+raw AS (
+  SELECT subj, '{_P_RAW}' AS pred,
+    CASE k WHEN 1 THEN '<http://kg.ex/e2/' || slug || '>'
+           WHEN 2 THEN '<http://kg.ex/e3/' || slug || '>'
+           ELSE obj END AS obj
+  FROM ds),
+ents AS (SELECT DISTINCT obj, slug, k FROM ds),
+same AS (
+  SELECT '<http://kg.ex/e2/' || slug || '>' AS subj, '{_P_SAME}' AS pred,
+         obj FROM ents WHERE k = 1
+  UNION ALL
+  SELECT '<http://kg.ex/e3/' || slug || '>', '{_P_SAME}',
+         '<http://kg.ex/e2/' || slug || '>' FROM ents WHERE k = 2
+  UNION ALL
+  SELECT '<http://kg.ex/e2/' || slug || '>', '{_P_SAME}', obj
+  FROM ents WHERE k = 2),
+t AS (SELECT subj, pred, obj FROM m
+      UNION ALL SELECT subj, pred, obj FROM raw
+      UNION ALL SELECT subj, pred, obj FROM same),
+bd AS (
+  SELECT DISTINCT a.pred AS p1, b.pred AS p2, a.subj AS x, b.obj AS y
+  FROM t a JOIN t b ON a.obj = b.subj),
+bp AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS body_pairs
+       FROM bd GROUP BY 1, 2),
+hp AS (SELECT pred AS p3, CAST(COUNT(*) AS BIGINT) AS head_pairs
+       FROM t GROUP BY 1),
+sp AS (
+  SELECT bd.p1, bd.p2, h.pred AS p3, CAST(COUNT(*) AS BIGINT) AS support
+  FROM bd JOIN t h ON h.subj = bd.x AND h.obj = bd.y
+  GROUP BY 1, 2, 3)
+SELECT bp.p1, bp.p2, hp.p3, bp.body_pairs,
+  COALESCE(sp.support, 0) AS support,
+  COALESCE(sp.support, 0) * 1000 // bp.body_pairs AS conf_permille,
+  COALESCE(sp.support, 0) * 1000 // hp.head_pairs AS hc_permille
+FROM bp CROSS JOIN hp
+LEFT JOIN sp ON sp.p1 = bp.p1 AND sp.p2 = bp.p2 AND sp.p3 = hp.p3
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_source_filter — C4/RefinedWeb-style domain (source) reputation gate
+# ---------------------------------------------------------------------------
+
+def q_text_source_filter(sf_dir: str) -> rd.Dataset:
+    """Source-level reputation filtering (the domain-blocklist step of
+    C4/RefinedWeb): aggregate the integer Gopher quality score per source
+    (ONE scoring pass + a tiny grouped exchange — O(sources) rows move),
+    block every source whose mean quality is strictly below the corpus
+    mean (compared as exact integer cross-products, no float division),
+    and keep only documents from surviving sources.  The blocklist is
+    broadcast once; the keep pass streams."""
+    import ray
+
+    from .relational import grouped_agg
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    scorer = T.QualityScorer()
+
+    def score_rows(b: pa.Table, _s=scorer) -> pa.Table:
+        sc = _s(b.select(["doc_id", "text"]))  # row-aligned with b
+        return pa.table({"source": b["source"],
+                         "q": pc.cast(sc["quality_score"], pa.int64())})
+
+    rep = grouped_agg(
+        docs.map_batches(score_rows, batch_format="pyarrow"),
+        ["source"], sums=["q"], count_as="n",
+        in_schema=pa.schema([("source", pa.string()), ("q", pa.int64())]),
+    ).take_all()  # O(distinct sources)
+    tot_q = sum(r["q"] for r in rep)
+    tot_n = sum(r["n"] for r in rep)
+    blocked = {r["source"] for r in rep if r["q"] * tot_n < tot_q * r["n"]}
+    bref = ray.put(blocked)
+
+    def keep(b: pa.Table, _r=bref) -> pa.Table:
+        bl = ray.get(_r)
+        mask = pc.invert(pc.is_in(b["source"],
+                                  pa.array(sorted(bl), pa.string())))
+        out = b.filter(mask)
+        return pa.table({"doc_id": out["doc_id"], "source": out["source"]})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
+def _sql_text_source_filter() -> str:
+    from .dataq import SQL_TEXT_QUALITY
+
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+src AS (SELECT doc_id, source FROM documents),
+sc AS (SELECT src.source, q.quality_score AS qs
+       FROM q JOIN src ON q.doc_id = src.doc_id),
+rep AS (SELECT source, CAST(SUM(qs) AS BIGINT) AS q, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sc GROUP BY 1),
+tot AS (SELECT CAST(SUM(q) AS BIGINT) AS tq, CAST(SUM(n) AS BIGINT) AS tn FROM rep),
+blocked AS (SELECT source FROM rep, tot WHERE rep.q * tot.tn < tot.tq * rep.n)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.source NOT IN (SELECT source FROM blocked)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
+    return {
+        "ml_nb_classify": q_ml_nb_classify,
+        "kg_amie_rules": q_kg_amie_rules,
+        "text_source_filter": q_text_source_filter,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "ml_nb_classify": SQL_ML_NB_CLASSIFY,
+        "kg_amie_rules": _sql_kg_amie_rules(),
+        "text_source_filter": _sql_text_source_filter(),
+    }
