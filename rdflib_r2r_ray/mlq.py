@@ -457,6 +457,118 @@ WHERE d.source NOT IN (SELECT source FROM blocked)
 
 
 # ---------------------------------------------------------------------------
+# ml_linreg_moments — one-pass closed-form multivariate OLS
+# ---------------------------------------------------------------------------
+
+def q_ml_linreg_moments(sf_dir: str) -> rd.Dataset:
+    """Two-feature ordinary least squares (n_chars ~ token count + distinct
+    token count) in ONE streaming pass: each block emits a single row of
+    exact int64 sufficient moments (n, Σx, Σxx, Σxy, Σyy — the classic
+    distributed-regression sketch; communication is O(blocks), never
+    O(rows)); the driver combines them with arbitrary-precision Python
+    ints and solves the 2×2 centered normal equations in closed form.
+
+    Every intermediate the float math sees is an EXACT integer on both
+    sides (Python bigint here, HUGEINT in the oracle), and the double
+    expressions are written identically, so β/R² agree to the last ulp —
+    extends ``rel_regr_slope``'s 1-D protocol to the multivariate case."""
+    from .stages.dedup import _pl
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    mom_schema = pa.schema([(c, pa.int64()) for c in
+                            ("n", "sx1", "sx2", "sy", "sx11", "sx12",
+                             "sx22", "sx1y", "sx2y", "syy")])
+
+    def moments(b: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = pl.from_arrow(b).select(
+            pl.col("text").str.split(" ")
+            .list.eval(pl.element().filter(pl.element() != ""))
+            .alias("toks"),
+            pl.col("n_chars").alias("y"),
+        ).with_columns(
+            x1=pl.col("toks").list.len().cast(pl.Int64),
+            x2=pl.col("toks").list.n_unique().cast(pl.Int64),
+        )
+        agg = df.select(
+            n=pl.len().cast(pl.Int64),
+            sx1=pl.col("x1").sum(),
+            sx2=pl.col("x2").sum(),
+            sy=pl.col("y").sum(),
+            sx11=(pl.col("x1") * pl.col("x1")).sum(),
+            sx12=(pl.col("x1") * pl.col("x2")).sum(),
+            sx22=(pl.col("x2") * pl.col("x2")).sum(),
+            sx1y=(pl.col("x1") * pl.col("y")).sum(),
+            sx2y=(pl.col("x2") * pl.col("y")).sum(),
+            syy=(pl.col("y") * pl.col("y")).sum(),
+        )
+        return agg.to_arrow().cast(mom_schema)
+
+    rows = docs.map_batches(moments, batch_format="pyarrow").take_all()
+    m = {k: sum(int(r[k]) for r in rows if r["n"]) for k in mom_schema.names}
+    n = m["n"]
+    # n-scaled centered moments — exact bigints (HUGEINT in the oracle)
+    a = n * m["sx11"] - m["sx1"] * m["sx1"]
+    b = n * m["sx12"] - m["sx1"] * m["sx2"]
+    c = n * m["sx22"] - m["sx2"] * m["sx2"]
+    d = n * m["sx1y"] - m["sx1"] * m["sy"]
+    e = n * m["sx2y"] - m["sx2"] * m["sy"]
+    sst = n * m["syy"] - m["sy"] * m["sy"]
+    det = a * c - b * b
+    beta1 = float(c * d - b * e) / float(det)
+    beta2 = float(a * e - b * d) / float(det)
+    beta0 = (float(m["sy"]) - beta1 * float(m["sx1"])
+             - beta2 * float(m["sx2"])) / float(n)
+    r2 = (beta1 * float(d) + beta2 * float(e)) / float(sst)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "beta0": pa.array([beta0], pa.float64()),
+        "beta1": pa.array([beta1], pa.float64()),
+        "beta2": pa.array([beta2], pa.float64()),
+        "r2": pa.array([r2], pa.float64()),
+    }))
+
+
+SQL_ML_LINREG_MOMENTS = """
+WITH f AS (
+  SELECT len(list_filter(string_split(text, ' '), t -> t != '')) AS x1,
+         len(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS x2,
+         n_chars AS y
+  FROM documents),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS sx1, CAST(SUM(x2) AS HUGEINT) AS sx2,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS sx11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS sx12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS sx22,
+         CAST(SUM(x1 * y) AS HUGEINT) AS sx1y,
+         CAST(SUM(x2 * y) AS HUGEINT) AS sx2y,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM f),
+cm AS (
+  SELECT n, sx1, sx2, sy,
+         n * sx11 - sx1 * sx1 AS a, n * sx12 - sx1 * sx2 AS b,
+         n * sx22 - sx2 * sx2 AS c, n * sx1y - sx1 * sy AS d,
+         n * sx2y - sx2 * sy AS e, n * syy - sy * sy AS sst
+  FROM m),
+beta AS (
+  SELECT n, sx1, sx2, sy, d, e, sst,
+         CAST(c * d - b * e AS DOUBLE) / CAST(a * c - b * b AS DOUBLE) AS beta1,
+         CAST(a * e - b * d AS DOUBLE) / CAST(a * c - b * b AS DOUBLE) AS beta2
+  FROM cm)
+SELECT CAST(n AS BIGINT) AS n,
+  (CAST(sy AS DOUBLE) - beta1 * CAST(sx1 AS DOUBLE)
+   - beta2 * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) AS beta0,
+  beta1, beta2,
+  (beta1 * CAST(d AS DOUBLE) + beta2 * CAST(e AS DOUBLE))
+    / CAST(sst AS DOUBLE) AS r2
+FROM beta
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -465,6 +577,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ml_nb_classify": q_ml_nb_classify,
         "kg_amie_rules": q_kg_amie_rules,
         "text_source_filter": q_text_source_filter,
+        "ml_linreg_moments": q_ml_linreg_moments,
     }
 
 
@@ -473,4 +586,5 @@ def oracle_sql() -> Dict[str, str]:
         "ml_nb_classify": SQL_ML_NB_CLASSIFY,
         "kg_amie_rules": _sql_kg_amie_rules(),
         "text_source_filter": _sql_text_source_filter(),
+        "ml_linreg_moments": SQL_ML_LINREG_MOMENTS,
     }
