@@ -860,6 +860,67 @@ it{i} AS (
     return f"WITH {head}{its}\nSELECT node AS vec_id, r AS rank FROM it5"
 
 
+PPR_SEEDS = 3
+
+
+def q_graph_ppr(sf_dir: str) -> rd.Dataset:
+    """Personalized PageRank (random walk with restart) from the 3
+    lowest-id seed vectors over the directed cosine 5-NN graph — the
+    seed-expansion primitive for topic-targeted corpus mining (find docs
+    graph-close to a trusted seed set).  Teleport mass lands only on the
+    seeds; otherwise the same fixed-point integer recurrence / join +
+    grouped-sum exchange rounds as ``graph_pagerank``
+    (``stages/graph.personalized_pagerank``), so the whole iteration
+    replays bit-exact in an unrolled-CTE oracle."""
+    import pyarrow.parquet as pq
+
+    from .stages.graph import personalized_pagerank
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    seeds = sorted(t["vec_id"].to_pylist())[:PPR_SEEDS]
+    edges = _knn5_dir_edges(sf_dir)
+    nodes = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
+    ranks = personalized_pagerank(edges, nodes, seeds, out_degree=KNN_K,
+                                  iters=5)
+    return ranks.map_batches(lambda t: t.rename_columns(["vec_id", "rank"]),
+                             batch_format="pyarrow")
+
+
+def _sql_graph_ppr() -> str:
+    from .stages.graph import PR_SCALE
+
+    seed_sql = f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PPR_SEEDS})"
+    seed_all = f"(CAST({PR_SCALE} AS BIGINT) // {PPR_SEEDS})"
+    head = f"""
+sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+knn AS (
+  SELECT vec_id AS src, nbr_id AS dst FROM (
+    SELECT vec_id, nbr_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rnk
+    FROM sims) WHERE rnk <= {KNN_K}),
+nodesv AS (SELECT vec_id AS node FROM embeddings),
+it0 AS (SELECT node,
+        CASE WHEN node IN {seed_sql} THEN {seed_all}
+             ELSE CAST(0 AS BIGINT) END AS r FROM nodesv)"""
+    its = ""
+    for i in range(1, 6):
+        its += f""",
+it{i} AS (
+  SELECT n.node,
+    CASE WHEN n.node IN {seed_sql}
+         THEN (15 * {seed_all}) // 100 ELSE CAST(0 AS BIGINT) END
+      + CAST((85 * COALESCE(agg.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodesv n LEFT JOIN (
+    SELECT e.dst AS node, SUM(pr.r // {KNN_K}) AS s
+    FROM knn e JOIN it{i - 1} pr ON pr.node = e.src
+    GROUP BY e.dst) agg USING (node))"""
+    return f"WITH {head}{its}\nSELECT node AS vec_id, r AS rank FROM it5"
+
+
 HITS_ITERS = 3
 
 
@@ -4358,6 +4419,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_knn_graph": q_ann_knn_graph,
         "ann_range_search": q_ann_range_search,
         "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
         "graph_clustering_coeff": q_graph_clustering_coeff,
@@ -4445,6 +4507,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_knn_graph": SQL_ANN_KNN_GRAPH,
         "ann_range_search": SQL_ANN_RANGE_SEARCH,
         "graph_pagerank": _sql_graph_pagerank(),
+        "graph_ppr": _sql_graph_ppr(),
         "graph_components": _sql_graph_components(),
         "graph_triangles": _sql_graph_triangles(),
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),

@@ -404,6 +404,110 @@ def pagerank(
     return ranks
 
 
+def _ppr_local(seeds: list, out_degree: int, iters: int, damping_pct: int,
+               node_col: str, src_col: str, dst_col: str, rank_col: str,
+               n_node_blocks: int, *blocks: pa.Table) -> pa.Table:
+    nt = [b for b in blocks[:n_node_blocks] if b.num_rows]
+    et = [b for b in blocks[n_node_blocks:] if b.num_rows]
+    nodes = (pa.concat_tables(nt)[node_col].to_numpy(zero_copy_only=False)
+             if nt else np.array([], np.int64))
+    nodes = np.sort(nodes)
+    if et:
+        edges = pa.concat_tables(et)
+        src = np.searchsorted(nodes, edges[src_col].to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(nodes, edges[dst_col].to_numpy(zero_copy_only=False))
+    else:
+        src = dst = np.array([], np.int64)
+    seed_mask = np.isin(nodes, np.asarray(sorted(seeds), np.int64))
+    seed_all = PR_SCALE // max(1, len(seeds))
+    restart = ((100 - damping_pct) * seed_all) // 100
+    r = np.where(seed_mask, seed_all, 0).astype(np.int64)
+    for _ in range(iters):
+        s = np.zeros(len(nodes), np.int64)
+        np.add.at(s, dst, r[src] // out_degree)
+        r = np.where(seed_mask, restart, 0) + (damping_pct * s) // 100
+    return pa.table({node_col: pa.array(nodes, pa.int64()),
+                     rank_col: pa.array(r, pa.int64())})
+
+
+def personalized_pagerank(
+    edges: rd.Dataset,
+    nodes: rd.Dataset,
+    seeds: list,
+    out_degree: int,
+    iters: int = 5,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rank_col: str = "rank",
+) -> rd.Dataset:
+    """Personalized PageRank (random walk with restart to a seed set) —
+    the graph-proximity expansion primitive (seed docs → related docs for
+    topic-targeted corpus mining).  Same constant-out-degree integer
+    recurrence as :func:`pagerank` but the teleport mass lands ONLY on
+    ``seeds``: init r = PR_SCALE//|S| on seeds (0 elsewhere); per round
+    r' = restart·[v∈S] + damping·(Σ in-contribs)//100.  The seed set is a
+    tiny plan constant carried in task closures; each round is one
+    planned join + one grouped-sum exchange, ranks materialized per
+    generation (O(|V|) in the object store, never on the driver); small
+    graphs take the one-task vectorized path."""
+    from ..relational import grouped_agg, planned_join
+
+    seeds = sorted(int(s) for s in seeds)
+    seed_all = PR_SCALE // max(1, len(seeds))
+    restart = ((100 - damping_pct) * seed_all) // 100
+    seed_arr = pa.array(seeds, pa.int64())
+
+    nodes = nodes.materialize()
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    if edges.count() <= _LOCAL_PR_MAX_EDGES:
+        nrefs = nodes.to_arrow_refs()
+        out = ray.remote(_ppr_local).remote(
+            seeds, out_degree, iters, damping_pct, node_col, src_col,
+            dst_col, rank_col, len(nrefs), *nrefs, *edges.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    def init(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b[node_col], value_set=seed_arr)
+        r = pc.if_else(m, pa.scalar(seed_all, pa.int64()),
+                       pa.scalar(0, pa.int64()))
+        return pa.table({node_col: b[node_col], rank_col: r})
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    contrib_schema = pa.schema([(dst_col, pa.int64()), ("c", pa.int64())])
+
+    for _ in range(iters):
+        joined = planned_join(edges, ranks, on=[src_col], right_on=[node_col])
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = pc.divide(t[rank_col], pa.scalar(out_degree, pa.int64()))
+            return pa.table({dst_col: t[dst_col], "c": c},
+                            schema=contrib_schema)
+
+        sums = grouped_agg(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            [dst_col], sums=["c"], in_schema=contrib_schema,
+        )
+        padded = planned_join(nodes, sums, on=[node_col], right_on=[dst_col],
+                              join_type="left_outer")
+
+        def step(t: pa.Table) -> pa.Table:
+            s = pc.fill_null(pc.cast(t["c"], pa.int64()), 0)
+            d = pc.divide(pc.multiply(s, pa.scalar(damping_pct, pa.int64())),
+                          pa.scalar(100, pa.int64()))
+            m = pc.is_in(t[node_col], value_set=seed_arr)
+            b0 = pc.if_else(m, pa.scalar(restart, pa.int64()),
+                            pa.scalar(0, pa.int64()))
+            return pa.table({node_col: t[node_col],
+                             rank_col: pc.add(b0, d)})
+
+        ranks = padded.map_batches(step, batch_format="pyarrow").materialize()
+
+    return ranks
+
+
 HITS_SCALE = 10**6
 
 

@@ -237,3 +237,50 @@ def test_label_prop_modes_matches_reference(ray_session, monkeypatch, path):
     assert len({got[v] for v in range(3)}) == 1          # clique 1 agrees
     assert len({got[v] for v in range(11, 14)}) == 1     # clique 2 agrees
     assert got[0] != got[13]                             # bridge didn't merge
+
+
+def _ref_ppr(edges, seeds, out_degree, iters=5, scale=10**12,
+             damping_pct=85):
+    """Literal personalized-PageRank recurrence (dict arithmetic, same
+    floor divisions) — the Python oracle for personalized_pagerank."""
+    seed_all = scale // len(seeds)
+    restart = ((100 - damping_pct) * seed_all) // 100
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    r = {v: (seed_all if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for src, dst in edges:
+            s[dst] += r[src] // out_degree
+        r = {v: (restart if v in seeds else 0)
+             + (damping_pct * s[v]) // 100 for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_personalized_pagerank_matches_recurrence(ray_session, monkeypatch,
+                                                  path):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages import graph as G
+    from rdflib_r2r_ray.stages.graph import personalized_pagerank
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_PR_MAX_EDGES", 0)
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4),
+             (3, 4), (3, 5), (4, 5), (4, 0), (5, 0), (5, 1)]
+    et = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                   "dst": pa.array([e[1] for e in edges], pa.int64())})
+    nt = pa.table({"node": pa.array(list(range(6)), pa.int64())})
+    eds = rd.from_arrow(et).repartition(3)
+    nds = rd.from_arrow(nt).repartition(2)
+
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(eds, nds, seeds=[0, 3],
+                                          out_degree=2, iters=5).take_all()}
+    want = _ref_ppr(edges, seeds={0, 3}, out_degree=2, iters=5)
+    assert got == want
+    # teleport mass is seed-only: non-seed sinks hold strictly less rank
+    # than seeds, and every node reachable from a seed has positive rank
+    assert got[0] > got[1] and got[3] > got[5]
+    assert all(v >= 0 for v in got.values())
