@@ -2762,6 +2762,34 @@ SELECT 'user_id', COUNT(DISTINCT user_id), CAST(1 AS BOOLEAN) FROM events
 """
 
 
+_BPE_MERGES: dict = {}
+
+
+def _bpe_word_counts(sf_dir: str) -> rd.Dataset:
+    """Corpus word counts (w, c) — the ONE pass over raw text the BPE
+    family needs; cached per (process, sf_dir) like the kNN edge sets so
+    train + encode share it instead of re-scanning the corpus."""
+    from . import relational as R
+
+    def build():
+        ds = _read(sf_dir, "documents", columns=["text"])
+        wc_schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
+
+        def wc_partial(b: pa.Table) -> pa.Table:
+            pl = D._pl()
+            out = (pl.from_arrow(b)
+                   .select(pl.col("text").str.split(" ").alias("w"))
+                   .explode("w", empty_as_null=False)
+                   .group_by("w").len(name="c"))
+            return out.to_arrow().cast(wc_schema)
+
+        return R.grouped_agg(
+            ds.map_batches(wc_partial, batch_format="pyarrow"),
+            ["w"], sums=["c"], in_schema=wc_schema).materialize()
+
+    return _cached_edges("bpe_words", sf_dir, build)
+
+
 def q_text_bpe_train(sf_dir: str):
     """Distributed BPE tokenizer training (first 3 merge rounds — the
     Sennrich 2016 algorithm the GPT/Llama tokenizers derive from):
@@ -2778,19 +2806,10 @@ def q_text_bpe_train(sf_dir: str):
 
     from . import relational as R
 
-    ds = _read(sf_dir, "documents", columns=["text"])
-    wc_schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
+    if sf_dir in _BPE_MERGES:  # per-process cache — shared with bpe_encode
+        return _BPE_MERGES[sf_dir].copy()
 
-    def wc_partial(b: pa.Table) -> pa.Table:
-        pl = D._pl()
-        out = (pl.from_arrow(b)
-               .select(pl.col("text").str.split(" ").alias("w"))
-               .explode("w", empty_as_null=False).group_by("w").len(name="c"))
-        return out.to_arrow().cast(wc_schema)
-
-    words = R.grouped_agg(
-        ds.map_batches(wc_partial, batch_format="pyarrow"),
-        ["w"], sums=["c"], in_schema=wc_schema)
+    words = _bpe_word_counts(sf_dir)
 
     sym_schema = pa.schema([("sym", pa.string()), ("c", pa.int64())])
 
@@ -2834,7 +2853,8 @@ def q_text_bpe_train(sf_dir: str):
                 b["sym"], f" {_p} ", f" {merged} "))
 
         cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
-    return pd.DataFrame(rows)
+    _BPE_MERGES[sf_dir] = pd.DataFrame(rows)
+    return _BPE_MERGES[sf_dir].copy()
 
 
 def q_text_bpe_encode(sf_dir: str) -> rd.Dataset:
@@ -2846,19 +2866,7 @@ def q_text_bpe_encode(sf_dir: str) -> rd.Dataset:
     the distributed top-k reducer."""
     from . import relational as R
 
-    ds = _read(sf_dir, "documents", columns=["text"])
-    wc_schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
-
-    def wc_partial(b: pa.Table) -> pa.Table:
-        pl = D._pl()
-        out = (pl.from_arrow(b)
-               .select(pl.col("text").str.split(" ").alias("w"))
-               .explode("w", empty_as_null=False).group_by("w").len(name="c"))
-        return out.to_arrow().cast(wc_schema)
-
-    words = R.grouped_agg(
-        ds.map_batches(wc_partial, batch_format="pyarrow"),
-        ["w"], sums=["c"], in_schema=wc_schema)
+    words = _bpe_word_counts(sf_dir)
     merges = [r["pair"] for _, r in
               q_text_bpe_train(sf_dir).iterrows()]
 

@@ -2168,10 +2168,13 @@ def q_kg_plugin_virtual_pred(sf_dir: str) -> rd.Dataset:
 
     register_bgp_plugin(kchars_matcher)
     try:
+        # broadcast_threshold as in the SPARQL front end: the plugin-served
+        # side is O(docs-with-n_chars) — broadcast while small instead of
+        # Ray's native shuffle join (3.1 s fixed cost on a 17k×2k join)
         out = execute_bgp(_documents_triples(sf_dir), [
             (Var("d"), "<http://kg.ex/p/lang>", "en"),
             (Var("d"), KCH, Var("k")),
-        ])
+        ], broadcast_threshold=100_000)
     finally:
         unregister_bgp_plugin(kchars_matcher)
     return out.select_columns(["d", "k"])
