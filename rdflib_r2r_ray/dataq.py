@@ -921,6 +921,50 @@ it{i} AS (
     return f"WITH {head}{its}\nSELECT node AS vec_id, r AS rank FROM it5"
 
 
+def q_graph_scc(sf_dir: str) -> rd.Dataset:
+    """Strongly connected components of the DIRECTED cosine 5-NN graph —
+    the mutual-reachability cluster structure an asymmetric similarity
+    graph hides from weak components (A points to B without B pointing
+    back).  Distributed forward/backward min-label refinement
+    (``stages/graph.scc``): per outer round two min-label fixpoints over
+    partition-restricted edges + one (f,b) group split; node state never
+    on the driver; label = min vec_id of the SCC.  Small graphs take a
+    one-task iterative Kosaraju.  Oracle: recursive-CTE transitive
+    closure + mutual-pair min."""
+    from .stages.graph import scc
+
+    edges = _knn5_dir_edges(sf_dir)
+    nodes = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
+    out = scc(edges, nodes)
+    return out.map_batches(lambda t: t.rename_columns(["vec_id", "scc"]),
+                           batch_format="pyarrow")
+
+
+def _sql_graph_scc() -> str:
+    return f"""
+WITH RECURSIVE sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+knn AS (
+  SELECT vec_id AS src, nbr_id AS dst FROM (
+    SELECT vec_id, nbr_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rnk
+    FROM sims) WHERE rnk <= {KNN_K}),
+reach AS (
+  SELECT src AS x, dst AS y FROM knn
+  UNION
+  SELECT r.x, e.dst FROM reach r JOIN knn e ON e.src = r.y),
+mutual AS (
+  SELECT r1.x AS node, r1.y AS m
+  FROM reach r1 JOIN reach r2 ON r1.x = r2.y AND r1.y = r2.x)
+SELECT n.vec_id, LEAST(n.vec_id, COALESCE(MIN(mu.m), n.vec_id)) AS scc
+FROM embeddings n LEFT JOIN mutual mu ON mu.node = n.vec_id
+GROUP BY n.vec_id
+"""
+
+
 HITS_ITERS = 3
 
 
@@ -4428,6 +4472,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_range_search": q_ann_range_search,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
+        "graph_scc": q_graph_scc,
         "graph_components": q_graph_components,
         "graph_triangles": q_graph_triangles,
         "graph_clustering_coeff": q_graph_clustering_coeff,
@@ -4516,6 +4561,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_range_search": SQL_ANN_RANGE_SEARCH,
         "graph_pagerank": _sql_graph_pagerank(),
         "graph_ppr": _sql_graph_ppr(),
+        "graph_scc": _sql_graph_scc(),
         "graph_components": _sql_graph_components(),
         "graph_triangles": _sql_graph_triangles(),
         "graph_clustering_coeff": _sql_graph_clustering_coeff(),

@@ -812,3 +812,184 @@ def bfs_hops(
         dist = grouped_agg(dist.union(cand), [node_col], mins=[hop_col],
                            in_schema=hop_schema).materialize()
     return dist
+
+
+def _scc_local(src_col: str, dst_col: str, node_col: str, scc_col: str,
+               n_node_blocks: int, *blocks: pa.Table) -> pa.Table:
+    """One-task SCC: iterative Kosaraju (two DFS passes over adjacency
+    dicts) — the small-graph fast path, same integer label contract as
+    the distributed refinement (label = min node id of the component)."""
+    nt = [b for b in blocks[:n_node_blocks] if b.num_rows]
+    et = [b for b in blocks[n_node_blocks:] if b.num_rows]
+    nodes = sorted({int(v) for b in nt
+                    for v in b[node_col].to_pylist()})
+    fwd: dict = {v: [] for v in nodes}
+    rev: dict = {v: [] for v in nodes}
+    for b in et:
+        for s, d in zip(b[src_col].to_pylist(), b[dst_col].to_pylist()):
+            if s in fwd and d in fwd:
+                fwd[s].append(d)
+                rev[d].append(s)
+    order: list = []
+    seen = set()
+    for root in nodes:  # pass 1: finish order (iterative DFS)
+        if root in seen:
+            continue
+        stack = [(root, iter(fwd[root]))]
+        seen.add(root)
+        while stack:
+            v, it = stack[-1]
+            nxt = next((u for u in it if u not in seen), None)
+            if nxt is None:
+                order.append(v)
+                stack.pop()
+            else:
+                seen.add(nxt)
+                stack.append((nxt, iter(fwd[nxt])))
+    label: dict = {}
+    for root in reversed(order):  # pass 2: reverse-graph components
+        if root in label:
+            continue
+        comp = [root]
+        label[root] = root
+        while comp:
+            v = comp.pop()
+            for u in rev[v]:
+                if u not in label:
+                    label[u] = root
+                    comp.append(u)
+    # canonical label = min node id per component
+    rep: dict = {}
+    for v, r in label.items():
+        rep[r] = min(rep.get(r, v), v)
+    out = sorted(nodes)
+    return pa.table({node_col: pa.array(out, pa.int64()),
+                     scc_col: pa.array([rep[label[v]] for v in out],
+                                       pa.int64())})
+
+
+def _min_prop_fixpoint(edges: rd.Dataset, nodes: rd.Dataset, forward: bool,
+                       max_inner: int, node_col: str, src_col: str,
+                       dst_col: str, out_col: str) -> rd.Dataset:
+    """Min-label fixpoint along DIRECTED edges (forward: labels flow
+    src→dst, i.e. out = min over in-part ancestors ∪ self; backward:
+    reversed).  Same join + grouped-min + change-count protocol as
+    ``canonicalize.label_propagation_components`` — the label table never
+    reaches the driver."""
+    from ..relational import grouped_agg, planned_join
+
+    a, b = (src_col, dst_col) if forward else (dst_col, src_col)
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({node_col: t[node_col], "label": t[node_col]})
+
+    labels = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(max_inner):
+        flow = planned_join(edges, labels, on=[a], right_on=[node_col]) \
+            .map_batches(
+                lambda t, _b=b: pa.table({node_col: t[_b],
+                                          "label": t["label"]}),
+                batch_format="pyarrow")
+        new = grouped_agg(labels.union(flow), [node_col],
+                          mins=["label"]).materialize()
+        improved = planned_join(
+            new.map_batches(lambda t: t.rename_columns([node_col, "nl"]),
+                            batch_format="pyarrow"),
+            labels, on=[node_col], right_on=[node_col],
+        ).map_batches(lambda t: t.filter(pc.less(t["nl"], t["label"])),
+                      batch_format="pyarrow")
+        n_improved = improved.count()
+        labels = new
+        if n_improved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"scc: min-label propagation did not converge in {max_inner} "
+            "rounds — raise max_inner for graphs of this diameter")
+    return labels.map_batches(
+        lambda t: t.rename_columns([node_col, out_col]),
+        batch_format="pyarrow")
+
+
+def scc(
+    edges: rd.Dataset,
+    nodes: rd.Dataset,
+    max_outer: int = 15,
+    max_inner: int = 40,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scc_col: str = "scc",
+) -> rd.Dataset:
+    """Strongly connected components of a DIRECTED edge Dataset via
+    distributed forward/backward min-label refinement (the Pregel-style
+    coloring family — Yan et al. 2014): each outer round computes, within
+    the current partition, f(v) = min in-part ancestor-or-self and
+    b(v) = min in-part descendant-or-self (two min-label fixpoints, each
+    a sequence of join + grouped-min exchanges), then splits every group
+    to its (f, b) signature.  SCC-mates always share (f, b); a group
+    where f == b == m certifies m→v and v→m for all members, so the
+    stable partition is EXACTLY the SCC partition with label = min node
+    id (since labels are node ids, the group's global-min membership
+    forces f == b at the fixpoint — a group can never stabilize with
+    f ≠ b).  Node/label state never reaches the driver; only change
+    counts do.  Small graphs take a one-task iterative Kosaraju."""
+    from ..relational import grouped_agg, planned_join
+
+    nodes = nodes.select_columns([node_col]).materialize()
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    if edges.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        nrefs = nodes.to_arrow_refs()
+        out = ray.remote(_scc_local).remote(
+            src_col, dst_col, node_col, scc_col, len(nrefs),
+            *nrefs, *edges.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    def init_part(t: pa.Table) -> pa.Table:
+        return pa.table({node_col: t[node_col],
+                         "part": pa.array([0] * len(t), pa.int64())})
+
+    part = nodes.map_batches(init_part, batch_format="pyarrow").materialize()
+
+    for _ in range(max_outer):
+        # restrict edges to same-partition endpoints (two joins + filter)
+        ep = planned_join(edges, part, on=[src_col], right_on=[node_col]) \
+            .map_batches(lambda t: pa.table({src_col: t[src_col],
+                                             dst_col: t[dst_col],
+                                             "ps": t["part"]}),
+                         batch_format="pyarrow")
+        ep = planned_join(ep, part.map_batches(
+                lambda t: t.rename_columns([node_col, "pd"]),
+                batch_format="pyarrow"), on=[dst_col], right_on=[node_col]) \
+            .map_batches(lambda t: t.filter(pc.equal(t["ps"], t["pd"]))
+                         .select([src_col, dst_col]),
+                         batch_format="pyarrow").materialize()
+
+        f = _min_prop_fixpoint(ep, nodes, True, max_inner, node_col,
+                               src_col, dst_col, "f")
+        bwd = _min_prop_fixpoint(ep, nodes, False, max_inner, node_col,
+                                 src_col, dst_col, "b")
+        fb = planned_join(f, bwd, on=[node_col], right_on=[node_col]) \
+            .materialize()
+
+        n_open = fb.map_batches(
+            lambda t: t.filter(pc.not_equal(t["f"], t["b"])),
+            batch_format="pyarrow").count()
+        if n_open == 0:
+            return fb.map_batches(
+                lambda t: pa.table({node_col: t[node_col],
+                                    scc_col: t["f"]}),
+                batch_format="pyarrow")
+        # refine: new partition id = min node of each (f, b) group
+        rep = grouped_agg(fb, ["f", "b"], mins=[node_col])
+        part = planned_join(
+            fb, rep.map_batches(
+                lambda t: t.rename_columns(["rf", "rb", "part"]),
+                batch_format="pyarrow"),
+            on=["f", "b"], right_on=["rf", "rb"],
+        ).map_batches(
+            lambda t: pa.table({node_col: t[node_col], "part": t["part"]}),
+            batch_format="pyarrow").materialize()
+    raise RuntimeError(
+        f"scc: partition refinement did not stabilize in {max_outer} rounds")

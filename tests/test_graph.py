@@ -284,3 +284,47 @@ def test_personalized_pagerank_matches_recurrence(ray_session, monkeypatch,
     # than seeds, and every node reachable from a seed has positive rank
     assert got[0] > got[1] and got[3] > got[5]
     assert all(v >= 0 for v in got.values())
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_scc_two_cycles_and_bridge(ray_session, monkeypatch, path):
+    """Two directed cycles {0,1,2} and {5,6} joined by one-way bridges
+    2->5 and 6->9 (9 is a sink, 4 isolated): SCCs are {0,1,2}, {5,6},
+    and singletons {4}, {9} — weak components would merge everything
+    but 4."""
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages import graph as G
+    from rdflib_r2r_ray.stages.graph import scc
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 5), (5, 6), (6, 5), (6, 9)]
+    et = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                   "dst": pa.array([e[1] for e in edges], pa.int64())})
+    nt = pa.table({"node": pa.array([0, 1, 2, 4, 5, 6, 9], pa.int64())})
+    eds = rd.from_arrow(et).repartition(3)
+    nds = rd.from_arrow(nt).repartition(2)
+
+    got = {r["node"]: r["scc"] for r in scc(eds, nds).take_all()}
+    assert got == {0: 0, 1: 0, 2: 0, 4: 4, 5: 5, 6: 5, 9: 9}
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_scc_dag_is_all_singletons(ray_session, monkeypatch, path):
+    import ray.data as rd
+
+    from rdflib_r2r_ray.stages import graph as G
+    from rdflib_r2r_ray.stages.graph import scc
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    et = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                   "dst": pa.array([e[1] for e in edges], pa.int64())})
+    nt = pa.table({"node": pa.array([0, 1, 2, 3], pa.int64())})
+    got = {r["node"]: r["scc"]
+           for r in scc(rd.from_arrow(et), rd.from_arrow(nt)).take_all()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
