@@ -618,7 +618,10 @@ def q_dd_semantic(sf_dir: str) -> rd.Dataset:
     return A.semantic_dedup(ds, k=4, iters=2, threshold=0.35)
 
 
-def _sql_dd_semantic() -> str:
+def _sql_kmeans_cte() -> str:
+    """WITH-body replaying ``kmeans_distributed(k=4, iters=2)`` (init →
+    ``c2`` final centroids → ``a2`` final assignment) — shared by
+    ``dd_semantic`` and ``mlq.ml_prototype_prune``."""
     # one assignment CTE + one centroid-update CTE per Lloyd iteration;
     # empty clusters COALESCE back to their previous centroid, matching
     # kmeans_distributed exactly
@@ -639,8 +642,7 @@ def _sql_dd_semantic() -> str:
                unnest(range(len(embedding))) AS d FROM {a})
       GROUP BY c, d)
     GROUP BY c) m ON i.c = m.c"""
-    return f"""
-WITH init AS (
+    return f"""init AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
          embedding
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
@@ -649,7 +651,12 @@ a0 AS ({assign.format(cent="init")}),
 c1 AS ({update.format(prev="init", a="a0")}),
 a1 AS ({assign.format(cent="c1")}),
 c2 AS ({update.format(prev="c1", a="a1")}),
-a2 AS ({assign.format(cent="c2")})
+a2 AS ({assign.format(cent="c2")})"""
+
+
+def _sql_dd_semantic() -> str:
+    return f"""
+WITH {_sql_kmeans_cte()}
 SELECT a.vec_id, CAST(a.c AS INTEGER) AS cluster,
   NOT EXISTS (
     SELECT 1 FROM a2 b

@@ -3016,7 +3016,8 @@ _LATE_R4 = {
     "graph_modularity", "graph_assortativity", "kg_fk_discovery",
     "kg_schema_summary", "kg_fusion", "rel_zorder_layout",
     "ml_nb_classify", "kg_amie_rules", "text_source_filter",
-    "ml_linreg_moments", "graph_ppr", "graph_scc",
+    "ml_linreg_moments", "graph_ppr", "graph_scc", "rel_scd2",
+    "ml_prototype_prune",
 }
 
 

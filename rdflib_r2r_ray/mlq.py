@@ -457,6 +457,73 @@ WHERE d.source NOT IN (SELECT source FROM blocked)
 
 
 # ---------------------------------------------------------------------------
+# ml_prototype_prune — cluster-based hard-example data pruning
+# ---------------------------------------------------------------------------
+
+PRUNE_KEEP = 20
+
+
+def q_ml_prototype_prune(sf_dir: str) -> rd.Dataset:
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): cluster the embeddings with the same
+    distributed k-means as ``dd_semantic`` (k=4, 2 Lloyd iterations, the
+    SSL-prototypes protocol), score every vector by cosine similarity to
+    its centroid, and keep the ``PRUNE_KEEP`` HARDEST (least prototypical)
+    examples per cluster — the keep-hard regime that beats random pruning
+    on large corpora.  Scoring is one broadcast-centroid matmul per batch
+    (streams); selection is ``grouped_topk``'s combiner + exchange, so at
+    most k rows per (cluster, block) ever move.  Scores are half-up
+    permille integers, ranked with a vec_id tiebreak — deterministic and
+    SQL-replayable (float64 on both sides; the only float surface is the
+    last-ulp of the cosine, shared with the dd_semantic oracle)."""
+    import ray
+
+    from .relational import grouped_topk
+    from .stages import ann as A
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = A.kmeans_distributed(ds, k=4, iters=2)
+    ref = ray.put(cent)
+
+    def assign_sim(b: pa.Table, _r=ref) -> pa.Table:
+        c = ray.get(_r)
+        m = A._to_matrix(b["embedding"])
+        sims = A._unit(m) @ A._unit(c).T
+        a = sims.argmax(axis=1)  # ties → lowest cluster (numpy argmax)
+        s = sims[np.arange(len(a)), a]
+        sp = np.floor(1000.0 * s + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster": pa.array(a.astype(np.int32), pa.int32()),
+            "spermille": pa.array(sp, pa.int64()),
+        })
+
+    assigned = ds.map_batches(assign_sim, batch_format="pyarrow")
+    return grouped_topk(assigned, ["cluster"],
+                        [("spermille", False), ("vec_id", False)],
+                        PRUNE_KEEP, keep=["vec_id"])
+
+
+def _sql_ml_prototype_prune() -> str:
+    from .dataq import _sql_kmeans_cte
+
+    return f"""
+WITH {_sql_kmeans_cte()},
+sp AS (
+  SELECT a.vec_id, CAST(a.c AS INTEGER) AS cluster,
+    CAST(floor(1000.0 * list_cosine_similarity(
+           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+           i.embedding) + 0.5) AS BIGINT) AS spermille
+  FROM a2 a JOIN c2 i ON i.c = a.c)
+SELECT cluster, spermille, vec_id FROM (
+  SELECT cluster, spermille, vec_id,
+    row_number() OVER (PARTITION BY cluster
+                       ORDER BY spermille, vec_id) AS rn
+  FROM sp) WHERE rn <= {PRUNE_KEEP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_linreg_moments — one-pass closed-form multivariate OLS
 # ---------------------------------------------------------------------------
 
@@ -578,6 +645,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_amie_rules": q_kg_amie_rules,
         "text_source_filter": q_text_source_filter,
         "ml_linreg_moments": q_ml_linreg_moments,
+        "ml_prototype_prune": q_ml_prototype_prune,
     }
 
 
@@ -587,4 +655,5 @@ def oracle_sql() -> Dict[str, str]:
         "kg_amie_rules": _sql_kg_amie_rules(),
         "text_source_filter": _sql_text_source_filter(),
         "ml_linreg_moments": SQL_ML_LINREG_MOMENTS,
+        "ml_prototype_prune": _sql_ml_prototype_prune(),
     }

@@ -2377,8 +2377,83 @@ FROM z CROSS JOIN m GROUP BY 1
 """
 
 
+def q_rel_scd2(sf_dir: str) -> rd.Dataset:
+    """SCD Type-2 dimension build from the event stream: collapse each
+    user's consecutive runs of equal ``event_type`` into validity
+    intervals (valid_from, valid_to; open-ended for the current state) —
+    the slowly-changing-dimension history table a warehouse derives from
+    CDC feeds.  One hash exchange on user_id, then a vectorized
+    sort + shifted-comparison run detector per partition (same scale
+    shape as sessionize / lag: never per-group Python)."""
+    import numpy as np
+
+    from .stages.dedup import hash_group_exchange
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("valid_from_us", pa.int64()), ("valid_to_us", pa.int64()),
+    ])
+
+    def scd2_part(part: pa.Table) -> pa.Table:
+        g = part.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return out_schema.empty_table()
+        brk = np.ones(n, bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(brk)
+        r_uid = uid[starts]
+        r_from = ts[starts]
+        nxt_from = np.roll(r_from, -1)
+        nxt_uid = np.roll(r_uid, -1)
+        open_end = np.ones(len(starts), bool)
+        if len(starts) > 1:
+            open_end[:-1] = nxt_uid[:-1] != r_uid[:-1]
+        vt = pc.if_else(pa.array(~open_end),
+                        pa.array(nxt_from.astype(np.int64), pa.int64()),
+                        pa.scalar(None, pa.int64()))
+        return pa.table({
+            "user_id": pa.array(r_uid.astype(np.int64), pa.int64()),
+            "event_type": pa.array(et[starts].tolist(), pa.string()),
+            "valid_from_us": pa.array(r_from.astype(np.int64), pa.int64()),
+            "valid_to_us": vt,
+        }, schema=out_schema)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    return hash_group_exchange(ds, ["user_id"], scd2_part, out_schema)
+
+
+SQL_REL_SCD2 = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM r),
+runs AS (
+  SELECT user_id, event_type, grp,
+         CAST(epoch_us(MIN(ts)) AS BIGINT) AS valid_from_us
+  FROM g GROUP BY 1, 2, 3)
+SELECT user_id, event_type, valid_from_us,
+  LEAD(valid_from_us) OVER (PARTITION BY user_id
+                            ORDER BY valid_from_us, grp) AS valid_to_us
+FROM runs
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
+        "rel_scd2": q_rel_scd2,
         "rel_filter": q_rel_filter,
         "rel_grouped_topk": q_rel_grouped_topk,
         "rel_pricing": q_rel_pricing,
@@ -2490,6 +2565,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_pivot": SQL_REL_PIVOT,
         "rel_rank_window": SQL_REL_RANK_WINDOW,
         "rel_lag_delta": SQL_REL_LAG_DELTA,
+        "rel_scd2": SQL_REL_SCD2,
         "dd_url_dedup": SQL_DD_URL_DEDUP,
         "rel_bloom_semi_join": SQL_REL_BLOOM_SEMI_JOIN,
         "rel_grouped_quantiles": SQL_REL_GROUPED_QUANTILES,
