@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .stages import text as T
+from .stages.ann import _to_matrix
 
 
 def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
@@ -636,6 +637,268 @@ FROM beta
 
 
 # ---------------------------------------------------------------------------
+# shared embedding feature extraction (ml_auc / ml_calibration /
+# ml_perceptron)
+# ---------------------------------------------------------------------------
+
+FEAT_DIMS = 4  # first-k embedding dims as the linear-model feature panel
+FEAT_SCALE = 1000  # milli quantization
+
+
+def _feat_batch(b: pa.Table) -> pa.Table:
+    """(vec_id, q1..q4, y) — per-dim half-up milli quantization of the
+    first ``FEAT_DIMS`` embedding dims (float32 → float64 exactly, then
+    ``floor(x·1000 + 0.5)``, the shared numpy/DuckDB-deterministic
+    protocol of ``_fxlog``) plus the ±1 parity label ``y``."""
+    m = _to_matrix(b["embedding"]).astype(np.float64)[:, :FEAT_DIMS]
+    q = np.floor(m * float(FEAT_SCALE) + 0.5).astype(np.int64)
+    lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    y = np.where(lab % 2 == 1, 1, -1).astype(np.int64)
+    cols = {"vec_id": pc.cast(b["vec_id"], pa.int64())}
+    for k in range(FEAT_DIMS):
+        cols[f"q{k + 1}"] = pa.array(q[:, k])
+    cols["y"] = pa.array(y)
+    return pa.table(cols)
+
+
+_SQL_FEAT = f"""
+feat AS (
+  SELECT vec_id,
+    {", ".join(
+        f"CAST(floor(CAST(embedding[{k + 1}] AS DOUBLE) * {FEAT_SCALE}.0"
+        f" + 0.5) AS BIGINT) AS q{k + 1}" for k in range(FEAT_DIMS))},
+    CASE WHEN label % 2 = 1 THEN 1 ELSE -1 END AS y
+  FROM embeddings)"""
+
+
+def _features(sf_dir: str) -> rd.Dataset:
+    return _read(sf_dir, "embeddings",
+                 columns=["vec_id", "embedding", "label"]).map_batches(
+        _feat_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ml_auc — exact ROC-AUC via the distributed Mann-Whitney rank-sum
+# ---------------------------------------------------------------------------
+
+def q_ml_auc(sf_dir: str) -> rd.Dataset:
+    """Exact ROC-AUC of a linear scorer (Σ of the quantized feature dims)
+    against the parity label — the model-evaluation pass every
+    classifier-filtered curation stack runs, at corpus scale: NO global
+    sort.  Scores collapse to a (score → count, positives) table via the
+    grouped exchange (one row per DISTINCT score, not per example), then
+    ONE task computes tie-aware average ranks by cumulative sum and the
+    Mann-Whitney statistic — communication O(distinct scores), driver
+    holds one row.  All integer (2·rank sums, micro-scaled floor
+    division), so the value replays bit-exact in SQL window functions."""
+    from .relational import grouped_agg
+
+    def score(b: pa.Table) -> pa.Table:
+        s = b[f"q1"].to_numpy(zero_copy_only=False).copy()
+        for k in range(2, FEAT_DIMS + 1):
+            s += b[f"q{k}"].to_numpy(zero_copy_only=False)
+        pos = (b["y"].to_numpy(zero_copy_only=False) == 1).astype(np.int64)
+        return pa.table({"score": pa.array(s), "cnt": pa.array(
+            np.ones(len(s), np.int64)), "pos": pa.array(pos)})
+
+    g = grouped_agg(
+        _features(sf_dir).map_batches(score, batch_format="pyarrow"),
+        ["score"], sums=["cnt", "pos"],
+        in_schema=pa.schema([("score", pa.int64()), ("cnt", pa.int64()),
+                             ("pos", pa.int64())]))
+
+    def mann_whitney(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        o = np.argsort(s, kind="stable")
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)[o]
+        pos = t["pos"].to_numpy(zero_copy_only=False)[o]
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        # 2·Σ(avg rank of positives): tie group spanning ranks
+        # [cum+1, cum+cnt] has average rank cum + (cnt+1)/2
+        r2 = int(np.sum(pos * (2 * cum + cnt + 1)))
+        n_pos, n_neg = int(pos.sum()), int((cnt - pos).sum())
+        auc = ((r2 - n_pos * (n_pos + 1)) * 1_000_000
+               // (2 * n_pos * n_neg)) if n_pos and n_neg else 0
+        return pa.table({"n_pos": pa.array([n_pos], pa.int64()),
+                         "n_neg": pa.array([n_neg], pa.int64()),
+                         "auc_micros": pa.array([auc], pa.int64())})
+
+    return g.repartition(1).map_batches(
+        mann_whitney, batch_format="pyarrow",
+        batch_size=None)
+
+
+SQL_ML_AUC = f"""
+WITH {_SQL_FEAT},
+sc AS (
+  SELECT q1 + q2 + q3 + q4 AS score,
+         CASE WHEN y = 1 THEN 1 ELSE 0 END AS pos
+  FROM feat),
+g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS pos
+      FROM sc GROUP BY score),
+c AS (
+  SELECT score, cnt, pos,
+    COALESCE(SUM(cnt) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM g),
+s AS (SELECT CAST(SUM(pos * (2 * cum + cnt + 1)) AS BIGINT) AS r2,
+             CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(SUM(cnt - pos) AS BIGINT) AS nn
+      FROM c)
+SELECT np AS n_pos, nn AS n_neg,
+  ((r2 - np * (np + 1)) * 1000000) // (2 * np * nn) AS auc_micros
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration — reliability diagram bins
+# ---------------------------------------------------------------------------
+
+CALIB_BIN_W = 100  # milli-score units per bin
+
+
+def q_ml_calibration(sf_dir: str) -> rd.Dataset:
+    """Reliability-diagram bins for the linear scorer: fixed-width bins
+    over the integer score (floor division — no global min/max pass), per
+    bin the example count, positive count and empirical positive rate in
+    permille.  One map-side combine + grouped exchange; output is one row
+    per occupied bin.  The calibration table every scored-corpus release
+    ships next to its classifier threshold."""
+    from .relational import grouped_agg
+
+    def binify(b: pa.Table) -> pa.Table:
+        s = b["q1"].to_numpy(zero_copy_only=False).copy()
+        for k in range(2, FEAT_DIMS + 1):
+            s += b[f"q{k}"].to_numpy(zero_copy_only=False)
+        bins = s // CALIB_BIN_W  # numpy floor div == SQL //
+        pos = (b["y"].to_numpy(zero_copy_only=False) == 1).astype(np.int64)
+        return pa.table({"bin": pa.array(bins), "n": pa.array(
+            np.ones(len(s), np.int64)), "n_pos": pa.array(pos)})
+
+    g = grouped_agg(
+        _features(sf_dir).map_batches(binify, batch_format="pyarrow"),
+        ["bin"], sums=["n", "n_pos"],
+        in_schema=pa.schema([("bin", pa.int64()), ("n", pa.int64()),
+                             ("n_pos", pa.int64())]))
+
+    def rate(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rate_permille",
+            pc.divide(pc.multiply(t["n_pos"], pa.scalar(1000, pa.int64())),
+                      t["n"]))
+
+    return g.map_batches(rate, batch_format="pyarrow")
+
+
+SQL_ML_CALIBRATION = f"""
+WITH {_SQL_FEAT},
+sc AS (
+  SELECT q1 + q2 + q3 + q4 AS score,
+         CASE WHEN y = 1 THEN 1 ELSE 0 END AS pos
+  FROM feat)
+SELECT CAST(floor(CAST(score AS DOUBLE) / {CALIB_BIN_W}.0) AS BIGINT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(pos) AS BIGINT) AS n_pos,
+  (CAST(SUM(pos) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT)
+    AS rate_permille
+FROM sc GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_perceptron — batch (synchronous) perceptron training
+# ---------------------------------------------------------------------------
+
+PCT_EPOCHS = 4
+
+
+def q_ml_perceptron(sf_dir: str) -> rd.Dataset:
+    """Batch-synchronous perceptron training over the quantized feature
+    panel — the distributed iterative-training shape (parameter broadcast
+    → data-parallel gradient → tiny all-reduce → update) in its simplest
+    bit-exact form.  Each of ``PCT_EPOCHS`` epochs: weights (5 ints)
+    broadcast by closure; every block emits ONE partial row
+    (Σ y·x over currently misclassified examples, margin y·(w·x+b) ≤ 0);
+    the driver folds the partials and updates — communication per epoch is
+    O(blocks), the feature Dataset is materialized once and re-read from
+    the object store.  Pure integer recurrence ⇒ the whole trajectory
+    (and the final misclassified count) replays in an unrolled-CTE SQL
+    oracle."""
+    feats = _features(sf_dir).materialize()
+    part_schema = pa.schema(
+        [(f"d{k + 1}", pa.int64()) for k in range(FEAT_DIMS)]
+        + [("db", pa.int64()), ("mis", pa.int64())])
+
+    w = [0] * FEAT_DIMS
+    b0 = 0
+    mis = 0
+    for _ in range(PCT_EPOCHS + 1):  # last pass only counts
+        wk, bk = list(w), b0
+
+        def partial(t: pa.Table, wk=wk, bk=bk) -> pa.Table:
+            y = t["y"].to_numpy(zero_copy_only=False)
+            x = np.stack([t[f"q{k + 1}"].to_numpy(zero_copy_only=False)
+                          for k in range(FEAT_DIMS)], axis=1)
+            margin = y * (x @ np.asarray(wk, np.int64) + bk)
+            m = margin <= 0
+            ym = y[m]
+            cols = {f"d{k + 1}": pa.array(
+                [int(np.sum(ym * x[m, k]))], pa.int64())
+                for k in range(FEAT_DIMS)}
+            cols["db"] = pa.array([int(ym.sum())], pa.int64())
+            cols["mis"] = pa.array([int(m.sum())], pa.int64())
+            return pa.table(cols, schema=part_schema)
+
+        rows = feats.map_batches(partial,
+                                 batch_format="pyarrow").take_all()
+        mis = sum(int(r["mis"]) for r in rows)
+        d = [sum(int(r[f"d{k + 1}"]) for r in rows)
+             for k in range(FEAT_DIMS)]
+        db = sum(int(r["db"]) for r in rows)
+        w = [w[k] + d[k] for k in range(FEAT_DIMS)]
+        b0 += db
+    # the loop ran EPOCHS updates + one extra partial pass; undo the last
+    w = [w[k] - d[k] for k in range(FEAT_DIMS)]
+    b0 -= db
+    cols = {f"w{k + 1}": pa.array([w[k]], pa.int64())
+            for k in range(FEAT_DIMS)}
+    cols["bias"] = pa.array([b0], pa.int64())
+    cols["n_mis"] = pa.array([mis], pa.int64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def _sql_ml_perceptron() -> str:
+    dims = range(1, FEAT_DIMS + 1)
+    head = f"""
+WITH {_SQL_FEAT},
+w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{k}" for k in dims)},
+              CAST(0 AS BIGINT) AS b)"""
+    its = ""
+    for i in range(1, PCT_EPOCHS + 1):
+        dot = " + ".join(f"w.w{k} * f.q{k}" for k in dims)
+        deltas = ", ".join(
+            f"CAST(w.w{k} + COALESCE(SUM(CASE WHEN f.y * ({dot} + w.b) <= 0 "
+            f"THEN f.y * f.q{k} END), 0) AS BIGINT) AS w{k}" for k in dims)
+        its += f""",
+w{i} AS (
+  SELECT {deltas},
+    CAST(w.b + COALESCE(SUM(CASE WHEN f.y * ({dot} + w.b) <= 0
+                        THEN f.y END), 0) AS BIGINT) AS b
+  FROM feat f CROSS JOIN w{i - 1} w
+  GROUP BY {", ".join(f"w.w{k}" for k in dims)}, w.b)"""
+    dot_n = " + ".join(f"w.w{k} * f.q{k}" for k in dims)
+    return f"""{head}{its}
+SELECT {", ".join(f"w.w{k}" for k in dims)}, w.b AS bias,
+  CAST(SUM(CASE WHEN f.y * ({dot_n} + w.b) <= 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_mis
+FROM feat f CROSS JOIN w{PCT_EPOCHS} w
+GROUP BY {", ".join(f"w.w{k}" for k in dims)}, w.b
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -646,6 +909,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_source_filter": q_text_source_filter,
         "ml_linreg_moments": q_ml_linreg_moments,
         "ml_prototype_prune": q_ml_prototype_prune,
+        "ml_auc": q_ml_auc,
+        "ml_calibration": q_ml_calibration,
+        "ml_perceptron": q_ml_perceptron,
     }
 
 
@@ -656,4 +922,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_source_filter": _sql_text_source_filter(),
         "ml_linreg_moments": SQL_ML_LINREG_MOMENTS,
         "ml_prototype_prune": _sql_ml_prototype_prune(),
+        "ml_auc": SQL_ML_AUC,
+        "ml_calibration": SQL_ML_CALIBRATION,
+        "ml_perceptron": _sql_ml_perceptron(),
     }
