@@ -1452,6 +1452,161 @@ it{i} AS (
     return f"{head}{its}\nSELECT node AS vec_id, hop FROM it{BFS_HOPS}"
 
 
+CLOSE_SEED_MOD, CLOSE_MAX_SEEDS, CLOSE_HOPS = 41, 32, 4
+
+
+def _closeness_local(hops: int, *tables: pa.Table) -> pa.Table:
+    """One-task multi-seed closeness: dense (node × seed) distance matrix,
+    vectorized Bellman-Ford relaxation — the small-graph path."""
+    schema = pa.schema([("seed", pa.int64()), ("n_reached", pa.int64()),
+                        ("sum_hops", pa.int64()),
+                        ("harmonic_milli", pa.int64())])
+    seed_t = [t for t in tables if t is not None and t.num_rows
+              and t.column_names == ["seed"]]
+    edge_t = [t for t in tables if t is not None and t.num_rows
+              and t.column_names != ["seed"]]
+    if not seed_t:
+        return schema.empty_table()
+    seeds = np.sort(np.unique(pa.concat_tables(seed_t)["seed"]
+                              .to_numpy(zero_copy_only=False)
+                              .astype(np.int64)))
+    if edge_t:
+        e = pa.concat_tables(edge_t).combine_chunks()
+        a = e["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = e["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a = b = np.empty(0, np.int64)
+    nodes = np.unique(np.concatenate([seeds, a, b]))
+    big = np.int64(2**62)
+    dist = np.full((len(nodes), len(seeds)), big, np.int64)
+    si = np.searchsorted(nodes, seeds)
+    dist[si, np.arange(len(seeds))] = 0
+    ai, bi = np.searchsorted(nodes, a), np.searchsorted(nodes, b)
+    src, dst = np.concatenate([ai, bi]), np.concatenate([bi, ai])
+    for _ in range(hops):
+        nd = dist.copy()
+        np.minimum.at(nd, dst, dist[src] + 1)
+        dist = nd
+    reached = (dist < big) & (dist > 0)
+    h = np.where(reached, dist, 1)  # dummy 1 avoids div-by-huge overflowless
+    return pa.table({
+        "seed": pa.array(seeds),
+        "n_reached": pa.array(reached.sum(axis=0).astype(np.int64)),
+        "sum_hops": pa.array(np.where(reached, dist, 0).sum(axis=0)
+                             .astype(np.int64)),
+        "harmonic_milli": pa.array(
+            np.where(reached, 1000 // h, 0).sum(axis=0).astype(np.int64)),
+    }, schema=schema)
+
+
+def q_graph_closeness(sf_dir: str) -> rd.Dataset:
+    """Per-seed closeness/harmonic centrality of a bounded seed PANEL
+    (≤ ``CLOSE_MAX_SEEDS`` deterministic panel members) over the 2-NN
+    similarity graph — the hub-representativeness audit run over a sampled
+    panel because exact all-sources closeness is O(V²) at any scale.  The
+    distributed path keys the BFS state by the COMPOSITE (seed, node):
+    each of ``CLOSE_HOPS`` rounds is one expansion join on the node part +
+    one grouped-MIN exchange over (seed, node) — state is O(panel × V)
+    rows in the object store, never on the driver; the edge list is NOT
+    replicated per seed.  Per-seed sums (reached count, total hops,
+    harmonic milli = Σ 1000//hop) come off one final grouped exchange.
+    Small graphs run one vectorized dense-matrix task.  Deterministic
+    relaxation ⇒ unrolled-CTE SQL replay."""
+    from .relational import grouped_agg, planned_join
+
+    und = _nn2_und_edges(sf_dir).materialize()
+    emb = _read(sf_dir, "embeddings", columns=["vec_id"])
+    cap = CLOSE_SEED_MOD * CLOSE_MAX_SEEDS
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = v[(v % CLOSE_SEED_MOD == 0) & (v < cap)]
+        return pa.table({"seed": pa.array(v)})
+
+    seeds = emb.map_batches(seed_rows, batch_format="pyarrow").materialize()
+
+    from .stages.graph import _LOCAL_GRAPH_MAX_EDGES
+    import ray
+
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = ray.remote(_closeness_local).remote(
+            CLOSE_HOPS, *seeds.to_arrow_refs(), *und.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    st_schema = pa.schema([("seed", pa.int64()), ("node", pa.int64()),
+                           ("hop", pa.int64())])
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = und.map_batches(both, batch_format="pyarrow").materialize()
+    dist = seeds.map_batches(
+        lambda t: pa.table({"seed": t["seed"], "node": t["seed"],
+                            "hop": pa.array(np.zeros(len(t), np.int64))},
+                           schema=st_schema),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(CLOSE_HOPS):
+        j = planned_join(edges, dist, on=["src"], right_on=["node"])
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"seed": t["seed"], "node": t["dst"],
+                 "hop": pc.add(t["hop"], pa.scalar(1, pa.int64()))},
+                schema=st_schema)
+
+        cand = j.map_batches(relax, batch_format="pyarrow")
+        dist = grouped_agg(dist.union(cand), ["seed", "node"],
+                           mins=["hop"], in_schema=st_schema).materialize()
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["hop"], pa.scalar(0, pa.int64())))
+        hop = t["hop"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seed": t["seed"],
+            "n_reached": pa.array(np.ones(len(t), np.int64)),
+            "sum_hops": pa.array(hop),
+            "harmonic_milli": pa.array(1000 // hop),
+        })
+
+    return grouped_agg(
+        dist.map_batches(fin, batch_format="pyarrow"), ["seed"],
+        sums=["n_reached", "sum_hops", "harmonic_milli"],
+        in_schema=pa.schema([("seed", pa.int64()),
+                             ("n_reached", pa.int64()),
+                             ("sum_hops", pa.int64()),
+                             ("harmonic_milli", pa.int64())]))
+
+
+def _sql_graph_closeness() -> str:
+    cap = CLOSE_SEED_MOD * CLOSE_MAX_SEEDS
+    head = f"""
+WITH {_SQL_NN2_UND},
+edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+it0 AS (SELECT CAST(vec_id AS BIGINT) AS seed, CAST(vec_id AS BIGINT) AS node,
+               CAST(0 AS BIGINT) AS hop
+        FROM embeddings
+        WHERE vec_id % {CLOSE_SEED_MOD} = 0 AND vec_id < {cap})"""
+    its = ""
+    for i in range(1, CLOSE_HOPS + 1):
+        its += f""",
+it{i} AS (
+  SELECT seed, node, MIN(hop) AS hop FROM (
+    SELECT seed, node, hop FROM it{i - 1}
+    UNION ALL
+    SELECT d.seed, e.b AS node, d.hop + 1
+    FROM edges e JOIN it{i - 1} d ON d.node = e.a
+  ) GROUP BY seed, node)"""
+    return f"""{head}{its}
+SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+  CAST(SUM(hop) AS BIGINT) AS sum_hops,
+  CAST(SUM(1000 // hop) AS BIGINT) AS harmonic_milli
+FROM it{CLOSE_HOPS} WHERE hop > 0 GROUP BY seed"""
+
+
 SSSP_SEED_MOD, SSSP_ROUNDS = 29, 6
 
 
@@ -1853,6 +2008,60 @@ SELECT doc_id,
   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
   length(text) - length(replace(text, ' ', '')) AS n_spaces
 FROM documents
+"""
+
+
+def q_text_readability(sf_dir: str) -> rd.Dataset:
+    """Flesch reading-ease scoring, all-integer (the readability gate most
+    quality-filter recipes add next to Gopher rules): words = ``\\S+``
+    runs, sentences = ``[.!?]+`` runs, syllables = vowel-group runs plus
+    one per vowel-less token (the ``max(1, groups)`` per-word floor,
+    computed without per-word iteration as ``groups + (words −
+    vowel-bearing tokens)``).  Four RE2 kernels per batch, zero joins;
+    ``flesch_milli = 206835 − (1015·W)//S − (84600·Y)//W`` with explicit
+    floor division so the score replays bit-exact in SQL."""
+    VOWEL = "[aeiouyAEIOUY]"
+
+    def score(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        one = pa.scalar(1, pa.int64())
+
+        def cnt(pat):
+            return pc.cast(pc.fill_null(
+                pc.count_substring_regex(text, pat), 0), pa.int64())
+
+        w = pc.max_element_wise(cnt(r"\S+"), one)
+        s = pc.max_element_wise(cnt(r"[.!?]+"), one)
+        groups = cnt(f"{VOWEL}+")
+        vtoks = cnt(f"[^\\s]*{VOWEL}[^\\s]*")
+        y = pc.max_element_wise(
+            pc.add(groups, pc.subtract(w, vtoks)), one)
+        flesch = pc.subtract(
+            pc.subtract(
+                pa.scalar(206835, pa.int64()),
+                pc.divide(pc.multiply(pa.scalar(1015, pa.int64()), w), s)),
+            pc.divide(pc.multiply(pa.scalar(84600, pa.int64()), y), w))
+        return pa.table({"doc_id": t["doc_id"], "words": w,
+                         "sentences": s, "syllables": y,
+                         "flesch_milli": flesch})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+SQL_TEXT_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+    greatest(len(regexp_extract_all(text, '\\S+')), 1) AS w,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS grp,
+    len(regexp_extract_all(text, '[^\\s]*[aeiouyAEIOUY][^\\s]*')) AS vtoks
+  FROM documents),
+y AS (SELECT doc_id, w, s, greatest(grp + (w - vtoks), 1) AS syl FROM c)
+SELECT doc_id, CAST(w AS BIGINT) AS words, CAST(s AS BIGINT) AS sentences,
+  CAST(syl AS BIGINT) AS syllables,
+  CAST(206835 - (1015 * w) // s - (84600 * syl) // w AS BIGINT)
+    AS flesch_milli
+FROM y
 """
 
 
@@ -4551,11 +4760,15 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_normalize": q_text_normalize,
         "text_decontaminate": q_text_decontaminate,
         "text_pack_sequences": q_text_pack_sequences,
+        "graph_closeness": q_graph_closeness,
+        "text_readability": q_text_readability,
     }
 
 
 def oracle_sql() -> Dict[str, str]:
     return {
+        "graph_closeness": _sql_graph_closeness(),
+        "text_readability": SQL_TEXT_READABILITY,
         "dd_paragraph": SQL_DD_PARAGRAPH,
         "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
         "dd_containment": SQL_DD_CONTAINMENT,

@@ -2987,6 +2987,7 @@ _DRIVER_VERIFIED = {
 # round; oldest-unverified-first maximizes union coverage across rounds).
 _LATE_R4 = {
     "ml_auc", "ml_calibration", "ml_perceptron",
+    "graph_closeness", "text_readability",
     "ann_range_search", "text_lm_bigram", "rel_full_outer",
     "rel_moving_sum", "rel_percentile_cont", "rel_funnel",
     "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",

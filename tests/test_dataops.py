@@ -1403,3 +1403,53 @@ def test_hard_negative_topk_label_mask(ray_session):
     })
     out2 = hard_negative_topk(rd.from_arrow(t2), q2, k=5).to_pandas()
     assert len(out2) == 0
+
+
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_graph_closeness_paths(ray_session, monkeypatch, path):
+    """Both execution paths of the per-seed closeness panel agree on
+    sf0.001, and every seed reaches at least one node with sane sums
+    (harmonic ≤ 1000·reached, sum_hops ≥ reached)."""
+    from rdflib_r2r_ray import dataq
+    from rdflib_r2r_ray.stages import graph as G
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
+    rows = {r["seed"]: (r["n_reached"], r["sum_hops"], r["harmonic_milli"])
+            for r in dataq.q_graph_closeness("/root/testdata/sf0.001")
+            .take_all()}
+    assert rows
+    for seed, (n, sh, hm) in rows.items():
+        assert seed % dataq.CLOSE_SEED_MOD == 0
+        assert n >= 1 and sh >= n and hm <= 1000 * n
+    if path == "local":
+        test_graph_closeness_paths._local = rows
+    else:
+        assert rows == test_graph_closeness_paths._local
+
+
+def test_text_readability_edges(ray_session, tmp_path):
+    """Hand-checked Flesch floors: empty text, vowel-less tokens, missing
+    sentence punctuation all hit the documented max(1, ·) clamps."""
+    import pyarrow.parquet as pq
+
+    from rdflib_r2r_ray import dataq
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "bcd fgh", "Hi there. Go now!"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            dataq.q_text_readability(str(tmp_path)).take_all()}
+    # empty: all floors kick in
+    assert (rows[1]["words"], rows[1]["sentences"], rows[1]["syllables"]) \
+        == (1, 1, 1)
+    # vowel-less: syllables = one per token
+    assert (rows[2]["words"], rows[2]["sentences"], rows[2]["syllables"]) \
+        == (2, 1, 2)
+    # "Hi there. Go now!": 4 words, 2 sentence runs, vowel groups:
+    # Hi(i) there(e,e) Go(o) now(o) = 5 groups, no vowel-less tokens
+    r3 = rows[3]
+    assert (r3["words"], r3["sentences"], r3["syllables"]) == (4, 2, 5)
+    assert r3["flesch_milli"] == 206835 - (1015 * 4) // 2 - (84600 * 5) // 4
