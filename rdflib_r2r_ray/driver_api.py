@@ -294,6 +294,88 @@ def q_kg_owl_sameas(sf_dir: str) -> rd.Dataset:
     return distinct_on(out, ["subj", "pred", "obj"])
 
 
+# owl:inverseOf TBox — a symmetric property IS inverseOf(p, p), so one
+# rule table covers both OWL axioms (reference scope: the rdflib graph the
+# reference materializes would carry these as plain triples; here the
+# inference itself is a pipeline stage).
+OWL_INV_TBOX = {
+    "<http://kg.ex/p/mentions>": "<http://kg.ex/p/mentionedBy>",
+    "<http://kg.ex/p/relatedTo>": "<http://kg.ex/p/relatedTo>",
+}
+
+
+def q_kg_owl_inverse(sf_dir: str) -> rd.Dataset:
+    """owl:inverseOf / owl:SymmetricProperty materialization: the base
+    graph (mention triples + co-occurrence ``relatedTo`` edges) is closed
+    under a broadcast TBox of inverse-property axioms — symmetric
+    properties are the ``inverseOf(p, p)`` special case, so ONE vectorized
+    rule pass covers both.  The TBox ships once (``ray.put``); each batch
+    maps ``pred`` through the rule table (polars ``replace_strict``) and
+    emits base + swapped-inverse rows; one distinct exchange closes the
+    graph.  Inference cost is O(|G|·|rules hit|) with no joins — the shape
+    that survives a 100-TB triple stream."""
+    import ray
+
+    from .stages.dedup import _pl, distinct_on
+
+    trip_schema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                             ("obj", pa.string())])
+    m = q_kg_mentions(sf_dir)
+    co = q_kg_entity_cooccur(sf_dir)
+
+    def co_trip(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "subj": pc.cast(t["e1"], pa.string()),
+            "pred": pa.array(["<http://kg.ex/p/relatedTo>"] * n),
+            "obj": pc.cast(t["e2"], pa.string())}, schema=trip_schema)
+
+    base = m.union(co.map_batches(co_trip, batch_format="pyarrow"))
+    tbox_ref = ray.put(OWL_INV_TBOX)
+
+    def infer(t: pa.Table, _r=tbox_ref) -> pa.Table:
+        pl = _pl()
+        tb = ray.get(_r)
+        df = pl.from_arrow(t.select(["subj", "pred", "obj"]))
+        inv = (df.with_columns(
+                   ipred=pl.col("pred").replace_strict(
+                       tb, default=None, return_dtype=pl.String))
+               .filter(pl.col("ipred").is_not_null())
+               .select(subj=pl.col("obj"), pred=pl.col("ipred"),
+                       obj=pl.col("subj")))
+        return pl.concat([df, inv]).to_arrow().cast(trip_schema)
+
+    return distinct_on(base.map_batches(infer, batch_format="pyarrow"),
+                       ["subj", "pred", "obj"])
+
+
+def _sql_kg_owl_inverse() -> str:
+    return f"""
+WITH me AS (
+  SELECT DISTINCT doc_id, '<' || entity || '>' AS e
+  FROM documents, {alias_values_sql()}
+  WHERE regexp_matches(text, '\\b' || alias || '\\b')),
+base AS (
+  SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' AS subj,
+         '<http://kg.ex/p/mentions>' AS pred, e AS obj
+  FROM me
+  UNION ALL
+  SELECT DISTINCT a.e, '<http://kg.ex/p/relatedTo>', b.e
+  FROM me a JOIN me b ON a.doc_id = b.doc_id AND a.e < b.e),
+inv AS (
+  SELECT obj AS subj,
+    CASE pred WHEN '<http://kg.ex/p/mentions>'
+                THEN '<http://kg.ex/p/mentionedBy>'
+              WHEN '<http://kg.ex/p/relatedTo>'
+                THEN '<http://kg.ex/p/relatedTo>' END AS pred,
+    subj AS obj
+  FROM base
+  WHERE pred IN ('<http://kg.ex/p/mentions>', '<http://kg.ex/p/relatedTo>'))
+SELECT DISTINCT subj, pred, obj
+FROM (SELECT * FROM base UNION ALL SELECT * FROM inv)
+"""
+
+
 def q_kg_entity_cooccur(sf_dir: str) -> rd.Dataset:
     """Entity co-occurrence mining over the linked KG (the knowledge-graph
     edge-weighting / relatedness primitive): for every entity pair appearing
@@ -2987,7 +3069,7 @@ _DRIVER_VERIFIED = {
 # round; oldest-unverified-first maximizes union coverage across rounds).
 _LATE_R4 = {
     "ml_auc", "ml_calibration", "ml_perceptron",
-    "graph_closeness", "text_readability",
+    "graph_closeness", "text_readability", "kg_owl_inverse",
     "ann_range_search", "text_lm_bigram", "rel_full_outer",
     "rel_moving_sum", "rel_percentile_cont", "rel_funnel",
     "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",
@@ -3105,6 +3187,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_csv_source": q_kg_csv_source,
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "kg_owl_sameas": q_kg_owl_sameas,
+        "kg_owl_inverse": q_kg_owl_inverse,
         "kg_r2rml_docs": q_kg_r2rml_docs,
         "kg_r2rml_view": q_kg_r2rml_view,
         "kg_ref_join": q_kg_ref_join,
@@ -3193,6 +3276,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_csv_source": _sql_kg_direct_nation(),
         "kg_entity_cooccur": _sql_kg_entity_cooccur(),
         "kg_owl_sameas": _sql_kg_mentions(),
+        "kg_owl_inverse": _sql_kg_owl_inverse(),
         "kg_r2rml_docs": _sql_kg_doc_meta(),
         "kg_r2rml_view": _sql_kg_view_filtered(),
         "kg_ref_join": _sql_kg_ref_join(),
