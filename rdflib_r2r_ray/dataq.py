@@ -3854,6 +3854,55 @@ def q_mm_video_avi_frames(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_mm_video_scene_cut(sf_dir: str) -> rd.Dataset:
+    """Shot-boundary detection over REAL demuxed video: each doc gets a
+    RIFF-AVI with ``4 + doc_id%3`` deterministic 4×4 frames whose pixel
+    pattern switches scene at frame ``1 + doc_id%3``; the
+    ``SceneCutDetector`` stage demuxes and emits per-consecutive-frame
+    absolute pixel-diff sums + cut flags (one numpy diff per payload).
+    Within-scene diffs are exactly 0 and the cut diff is a closed form of
+    the pixel arithmetic, so the whole output replays in SQL without
+    decoding bytes — the keyframe-selection primitive of video curation,
+    exercised through the real container path."""
+    from .stages.codecs import encode_avi
+
+    def synth_avi(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        j = np.arange(4 * 4 * 3, dtype=np.int64)
+        payloads = []
+        for i in ids:
+            nf, cut = 4 + i % 3, 1 + i % 3
+            frames = [((i * 13 + (97 if f >= cut else 0) + j * 3) % 256)
+                      .astype(np.uint8).reshape(4, 4, 3)
+                      for f in range(nf)]
+            payloads.append(encode_avi(frames, fps=10))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _docs(sf_dir).map_batches(synth_avi, batch_format="pyarrow")
+    return ds.map_batches(MM.SceneCutDetector(), batch_format="pyarrow",
+                          batch_size=256)
+
+
+SQL_MM_VIDEO_SCENE_CUT = """
+WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS nf, 1 + doc_id % 3 AS cut
+           FROM documents),
+     fr AS (SELECT unnest(range(1, 6)) AS f),
+     px AS (SELECT unnest(range(0, 48)) AS j),
+     diff AS (
+       SELECT d.doc_id, fr.f,
+         CAST(SUM(CASE WHEN (fr.f >= d.cut) = (fr.f - 1 >= d.cut) THEN 0
+           ELSE abs(CAST((d.doc_id * 13 + 97 + j * 3) % 256 AS BIGINT)
+                    - CAST((d.doc_id * 13 + j * 3) % 256 AS BIGINT)) END)
+           AS BIGINT) AS diff_sum
+       FROM d JOIN fr ON fr.f < d.nf CROSS JOIN px
+       GROUP BY d.doc_id, fr.f)
+SELECT doc_id, CAST(f AS INTEGER) AS frame, diff_sum,
+  CAST(CASE WHEN diff_sum >= 1 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+FROM diff
+"""
+
+
 # same arithmetic as SQL_MM_VIDEO_FRAMES: the AVI container round-trips the
 # identical frames, so the oracle is unchanged modulo the pixel constants
 SQL_MM_VIDEO_AVI_FRAMES = """
@@ -4762,6 +4811,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_pack_sequences": q_text_pack_sequences,
         "graph_closeness": q_graph_closeness,
         "text_readability": q_text_readability,
+        "mm_video_scene_cut": q_mm_video_scene_cut,
     }
 
 
@@ -4769,6 +4819,7 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "graph_closeness": _sql_graph_closeness(),
         "text_readability": SQL_TEXT_READABILITY,
+        "mm_video_scene_cut": SQL_MM_VIDEO_SCENE_CUT,
         "dd_paragraph": SQL_DD_PARAGRAPH,
         "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
         "dd_containment": SQL_DD_CONTAINMENT,

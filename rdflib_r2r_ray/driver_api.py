@@ -3070,6 +3070,8 @@ _DRIVER_VERIFIED = {
 _LATE_R4 = {
     "ml_auc", "ml_calibration", "ml_perceptron",
     "graph_closeness", "text_readability", "kg_owl_inverse",
+    "mm_video_scene_cut", "rel_event_bigrams",
+    "ml_stump_split", "ml_chi2_independence", "ml_confusion",
     "ann_range_search", "text_lm_bigram", "rel_full_outer",
     "rel_moving_sum", "rel_percentile_cont", "rel_funnel",
     "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",

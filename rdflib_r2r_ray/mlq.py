@@ -899,6 +899,220 @@ GROUP BY {", ".join(f"w.w{k}" for k in dims)}, w.b
 
 
 # ---------------------------------------------------------------------------
+# ml_confusion — classifier evaluation: confusion matrix of NB vs gold
+# ---------------------------------------------------------------------------
+
+def q_ml_confusion(sf_dir: str) -> rd.Dataset:
+    """Confusion matrix of the Naive-Bayes language classifier against the
+    gold ``lang`` column on the held-out split — the evaluation join every
+    model-gated curation stage runs after scoring.  Predictions stream out
+    of ``ml_nb_classify``; truth attaches via ONE planned join on doc_id
+    (broadcast while small, hash exchange at scale); counts collapse
+    map-side through the grouped exchange.  Output: (gold, pred, n)."""
+    from .relational import grouped_agg, planned_join
+
+    preds = q_ml_nb_classify(sf_dir)
+    gold = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    j = planned_join(preds.select_columns(["doc_id", "pred_lang"]), gold,
+                     on=["doc_id"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"gold": pc.cast(t["lang"], pa.string()),
+                         "pred": pc.cast(t["pred_lang"], pa.string()),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return grouped_agg(
+        j.map_batches(ones, batch_format="pyarrow"), ["gold", "pred"],
+        sums=["n"],
+        in_schema=pa.schema([("gold", pa.string()), ("pred", pa.string()),
+                             ("n", pa.int64())]))
+
+
+def _sql_ml_confusion() -> str:
+    return f"""
+WITH nb AS ({SQL_ML_NB_CLASSIFY})
+SELECT d.lang AS gold, nb.pred_lang AS pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM nb JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_stump_split — decision-stump (CART root) split search
+# ---------------------------------------------------------------------------
+
+def q_ml_stump_split(sf_dir: str) -> rd.Dataset:
+    """Decision-stump training (the CART root-split search — the first
+    boosting round of every tree ensemble) over the quantized feature
+    panel: for each feature, every distinct value is a candidate
+    threshold; the best split maximizes the Gini gain surrogate
+    ``score = ⌊1e6·(Σl_c²)/L⌋ + ⌊1e6·(Σr_c²)/R⌋`` (per-side floor —
+    deterministic, replayable in SQL window cumsums).
+
+    Distributed shape: one map-side combine collapses examples to
+    (feature, value) → (count, positives) via the grouped exchange —
+    O(distinct values) rows move, never examples; ONE task per output
+    computes prefix sums and the argmax (ties → smaller feature id, then
+    smaller threshold).  Output: one row (feature, threshold ≤, score,
+    left/right counts)."""
+    from .relational import grouped_agg
+
+    def unpivot(b: pa.Table) -> pa.Table:
+        pos = (b["y"].to_numpy(zero_copy_only=False) == 1).astype(np.int64)
+        n = len(pos)
+        feats, vals = [], []
+        for k in range(FEAT_DIMS):
+            feats.append(np.full(n, k + 1, np.int64))
+            vals.append(b[f"q{k + 1}"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "feature": pa.array(np.concatenate(feats)),
+            "val": pa.array(np.concatenate(vals)),
+            "cnt": pa.array(np.ones(n * FEAT_DIMS, np.int64)),
+            "pos": pa.array(np.tile(pos, FEAT_DIMS)),
+        })
+
+    g = grouped_agg(
+        _features(sf_dir).map_batches(unpivot, batch_format="pyarrow"),
+        ["feature", "val"], sums=["cnt", "pos"],
+        in_schema=pa.schema([("feature", pa.int64()), ("val", pa.int64()),
+                             ("cnt", pa.int64()), ("pos", pa.int64())]))
+
+    def best(t: pa.Table) -> pa.Table:
+        f = t["feature"].to_numpy(zero_copy_only=False)
+        v = t["val"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, f))
+        f, v = f[o], v[o]
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)[o]
+        pos = t["pos"].to_numpy(zero_copy_only=False)[o]
+        best_row = None
+        for k in np.unique(f):
+            m = f == k
+            c, p = cnt[m], pos[m]
+            tot, tot_p = int(c.sum()), int(p.sum())
+            lc, lp = np.cumsum(c), np.cumsum(p)
+            # last threshold keeps an empty right side — exclude it
+            lc, lp, thr = lc[:-1], lp[:-1], v[m][:-1]
+            rc, rp = tot - lc, tot_p - lp
+            score = (1_000_000 * (lp * lp + (lc - lp) ** 2) // lc
+                     + 1_000_000 * (rp * rp + (rc - rp) ** 2) // rc)
+            i = int(np.argmax(score))  # first max → smallest threshold
+            row = (int(score[i]), int(k), int(thr[i]),
+                   int(lc[i]), int(rc[i]))
+            if best_row is None or row[0] > best_row[0] or (
+                    row[0] == best_row[0] and row[1:3] < best_row[1:3]):
+                best_row = row
+        s, k, thr, l, r = best_row
+        return pa.table({"feature": pa.array([k], pa.int64()),
+                         "threshold": pa.array([thr], pa.int64()),
+                         "score": pa.array([s], pa.int64()),
+                         "n_left": pa.array([l], pa.int64()),
+                         "n_right": pa.array([r], pa.int64())})
+
+    return g.repartition(1).map_batches(best, batch_format="pyarrow",
+                                        batch_size=None)
+
+
+def _sql_ml_stump_split() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS feature, q{k} AS val, "
+        "CASE WHEN y = 1 THEN 1 ELSE 0 END AS pos FROM feat"
+        for k in range(1, FEAT_DIMS + 1))
+    return f"""
+WITH {_SQL_FEAT},
+u AS ({unions}),
+g AS (SELECT feature, val, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS pos
+      FROM u GROUP BY feature, val),
+c AS (
+  SELECT feature, val,
+    SUM(cnt) OVER w AS lc, SUM(pos) OVER w AS lp,
+    SUM(cnt) OVER (PARTITION BY feature) AS tot,
+    SUM(pos) OVER (PARTITION BY feature) AS totp
+  FROM g
+  WINDOW w AS (PARTITION BY feature ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT feature, val AS threshold, lc, tot - lc AS rc,
+    CAST(1000000 * (lp * lp + (lc - lp) * (lc - lp)) // lc
+       + 1000000 * ((totp - lp) * (totp - lp)
+                    + ((tot - lc) - (totp - lp)) * ((tot - lc) - (totp - lp)))
+         // (tot - lc) AS BIGINT) AS score
+  FROM c WHERE lc < tot)
+SELECT CAST(feature AS BIGINT) AS feature, threshold, score,
+  CAST(lc AS BIGINT) AS n_left, CAST(rc AS BIGINT) AS n_right
+FROM s ORDER BY score DESC, feature, threshold LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_chi2_independence — exact-integer chi-squared contingency test
+# ---------------------------------------------------------------------------
+
+def q_ml_chi2_independence(sf_dir: str) -> rd.Dataset:
+    """Chi-squared independence test between ``lang`` and ``source`` (the
+    corpus-composition drift check run before/after every curation stage):
+    the contingency table is ONE grouped-count exchange (cells, not rows,
+    move); the statistic uses the all-integer identity
+    ``(o−e)²/e = (o·N − rt·ct)² / (N·rt·ct)`` with a per-cell micro floor,
+    folded with Python bigints on the driver over the tiny cell table —
+    no float ever crosses a worker boundary, so the value replays
+    bit-exact in HUGEINT SQL."""
+    from .relational import grouped_agg
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"], "source": t["source"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = grouped_agg(
+        docs.map_batches(ones, batch_format="pyarrow"),
+        ["lang", "source"], sums=["n"],
+        in_schema=pa.schema([("lang", pa.string()), ("source", pa.string()),
+                             ("n", pa.int64())])).take_all()
+    rt: Dict[str, int] = {}
+    ct: Dict[str, int] = {}
+    for r in cells:
+        rt[r["lang"]] = rt.get(r["lang"], 0) + int(r["n"])
+        ct[r["source"]] = ct.get(r["source"], 0) + int(r["n"])
+    n = sum(rt.values())
+    chi2 = 0
+    for lang, rtot in rt.items():
+        for src, ctot in ct.items():
+            o = next((int(r["n"]) for r in cells
+                      if r["lang"] == lang and r["source"] == src), 0)
+            chi2 += (1_000_000 * (o * n - rtot * ctot) ** 2
+                     // (n * rtot * ctot))
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "dof": pa.array([dof], pa.int64()),
+        "chi2_micros": pa.array([chi2], pa.int64()),
+    }))
+
+
+SQL_ML_CHI2 = """
+WITH g AS (SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
+           FROM documents GROUP BY lang, source),
+rt AS (SELECT lang, SUM(o) AS rtot FROM g GROUP BY lang),
+ct AS (SELECT source, SUM(o) AS ctot FROM g GROUP BY source),
+n AS (SELECT SUM(o) AS n FROM g),
+cells AS (
+  SELECT rt.lang, ct.source, rt.rtot, ct.ctot,
+         COALESCE(g.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN g ON g.lang = rt.lang AND g.source = ct.source)
+SELECT CAST(n.n AS BIGINT) AS n,
+  CAST(((SELECT COUNT(*) FROM rt) - 1)
+       * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+  CAST(SUM(1000000 * (o * n.n - rtot * ctot) * (o * n.n - rtot * ctot)
+           // (n.n * rtot * ctot)) AS BIGINT) AS chi2_micros
+FROM cells CROSS JOIN n
+GROUP BY n.n
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -912,6 +1126,9 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ml_auc": q_ml_auc,
         "ml_calibration": q_ml_calibration,
         "ml_perceptron": q_ml_perceptron,
+        "ml_stump_split": q_ml_stump_split,
+        "ml_chi2_independence": q_ml_chi2_independence,
+        "ml_confusion": q_ml_confusion,
     }
 
 
@@ -925,4 +1142,7 @@ def oracle_sql() -> Dict[str, str]:
         "ml_auc": SQL_ML_AUC,
         "ml_calibration": SQL_ML_CALIBRATION,
         "ml_perceptron": _sql_ml_perceptron(),
+        "ml_stump_split": _sql_ml_stump_split(),
+        "ml_chi2_independence": SQL_ML_CHI2,
+        "ml_confusion": _sql_ml_confusion(),
     }

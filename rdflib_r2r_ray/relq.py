@@ -2451,8 +2451,72 @@ FROM runs
 """
 
 
+def q_rel_event_bigrams(sf_dir: str) -> rd.Dataset:
+    """Sequential pattern mining: per-user consecutive event-type
+    transitions (the Markov/journey-analysis primitive behind funnel
+    discovery and next-event prediction).  One user-keyed hash exchange
+    co-locates each user's timeline; pair extraction is a whole-partition
+    vectorized shift (sort by user/ts/event_id, mask same-user) with a
+    per-partition combine, so the final grouped exchange moves one row per
+    distinct transition per partition; the permille transition rate is
+    computed on the tiny |types|² result in one task."""
+    from .stages.dedup import hash_group_exchange
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    pair_schema = pa.schema([("e_from", pa.string()), ("e_to", pa.string()),
+                             ("n", pa.int64())])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        g = part.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        if len(uid) < 2:
+            return pair_schema.empty_table()
+        same = uid[1:] == uid[:-1]
+        t = pa.table({"e_from": pa.array(et[:-1][same]),
+                      "e_to": pa.array(et[1:][same])})
+        return (t.group_by(["e_from", "e_to"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["e_from", "e_to", "n"])
+                .cast(pair_schema))
+
+    parts = hash_group_exchange(ev, ["user_id"], pairs, pair_schema)
+    g = R.grouped_agg(parts, ["e_from", "e_to"], sums=["n"],
+                      in_schema=pair_schema)
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        keys = t["e_from"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(keys, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, n)
+        return t.append_column(
+            "rate_permille", pa.array(n * 1000 // tot[inv], pa.int64()))
+
+    return g.repartition(1).map_batches(rate, batch_format="pyarrow",
+                                        batch_size=None)
+
+
+SQL_REL_EVENT_BIGRAMS = """
+WITH o AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+  FROM events),
+g AS (
+  SELECT event_type AS e_from, nxt AS e_to, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT e_from, CAST(SUM(n) AS BIGINT) AS tot FROM g GROUP BY 1)
+SELECT g.e_from, g.e_to, g.n, (g.n * 1000) // t.tot AS rate_permille
+FROM g JOIN t USING (e_from)
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
+        "rel_event_bigrams": q_rel_event_bigrams,
         "rel_scd2": q_rel_scd2,
         "rel_filter": q_rel_filter,
         "rel_grouped_topk": q_rel_grouped_topk,
@@ -2522,6 +2586,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
 
 def oracle_sql() -> Dict[str, str]:
     return {
+        "rel_event_bigrams": SQL_REL_EVENT_BIGRAMS,
         "rel_filter": SQL_REL_FILTER,
         "rel_grouped_topk": SQL_REL_GROUPED_TOPK,
         "rel_pricing": SQL_REL_PRICING,

@@ -328,3 +328,51 @@ def synthesize_payloads(batch: pa.Table, text_col: str = "text", id_col: str = "
         px = ((i * 31 + j * 7) % 256).astype(np.uint8)
         payloads.append(pack_payload("img", 8, 8, 1, px.tobytes()))
     return pa.table({id_col: pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
+
+
+class SceneCutDetector:
+    """Actor-pool stage: video payloads → per-consecutive-frame absolute
+    pixel-difference sums + cut flags (``diff_sum ≥ threshold``) — the
+    shot-boundary / keyframe-selection primitive of video curation
+    pipelines.  RIFF-AVI containers demux FOR REAL (``codecs.demux_avi``);
+    MMB1 'vid' payloads decode by frame slicing.  One numpy ``diff`` over
+    the stacked frame matrix per payload — no per-pixel Python."""
+
+    def __init__(self, threshold: int = 1, bin_col: str = "payload",
+                 id_col: str = "doc_id"):
+        self.threshold, self.bin_col, self.id_col = threshold, bin_col, id_col
+
+    def _frames(self, buf: bytes) -> Optional[np.ndarray]:
+        hdr = unpack_header(buf)
+        if hdr is None and avi_info(buf) is not None:
+            fr = demux_avi(buf)
+            return np.stack([f.reshape(-1) for f in fr]) if fr else None
+        if hdr is None or hdr["kind"] != "vid":
+            return None
+        w, h, n = hdr["width"], hdr["height"], hdr["frames"]
+        fsize = w * h * 3
+        data = buf[_HEADER_SIZE : _HEADER_SIZE + hdr["payload_len"]]
+        if len(data) < n * fsize:
+            return None
+        return np.frombuffer(data[: n * fsize], np.uint8).reshape(n, fsize)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: List = []
+        frame_idx: List[int] = []
+        diffs: List[int] = []
+        for i, buf in zip(batch[self.id_col].to_pylist(),
+                          batch[self.bin_col].to_pylist()):
+            m = self._frames(buf or b"")
+            if m is None or len(m) < 2:
+                continue
+            d = np.abs(np.diff(m.astype(np.int64), axis=0)).sum(axis=1)
+            ids_out.extend([i] * len(d))
+            frame_idx.extend(range(1, len(d) + 1))
+            diffs.extend(int(x) for x in d)
+        diff_arr = np.asarray(diffs, np.int64) if diffs else np.empty(0, np.int64)
+        return pa.table({
+            self.id_col: pa.array(ids_out, pa.int64()),
+            "frame": pa.array(frame_idx, pa.int32()),
+            "diff_sum": pa.array(diff_arr),
+            "is_cut": pa.array((diff_arr >= self.threshold).astype(np.int64)),
+        })
