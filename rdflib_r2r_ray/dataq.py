@@ -2065,6 +2065,65 @@ FROM y
 """
 
 
+def q_text_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document character-level Shannon entropy (the compressibility /
+    gibberish signal next to ``text_zlib_ratio``, without the compressor):
+    one vectorized pass per batch — all texts concatenated into one byte
+    buffer, per-(doc, byte) counts via a single ``np.unique`` over
+    ``doc_idx·256 + byte``, and the entropy in micro-bits from the
+    fixed-point protocol ``H_micro = ⌊1e6·log2(W)+0.5⌋ −
+    (Σ⌊1e6·k·log2(k)+0.5⌋)//W`` — per-term half-up quantization, so the
+    only float surface is one libm log2 per distinct (doc, char), shared
+    with the NB oracle's ``_fxlog`` acceptance.  Corpus is ASCII
+    (verified), so byte == character on both sides."""
+
+    def entropy(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.array([len(s) for s in texts], np.int64)
+        keep = lens > 0
+        buf = "".join(texts).encode()
+        codes = np.frombuffer(buf, np.uint8).astype(np.int64)
+        didx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        key, k = np.unique(didx * 256 + codes, return_counts=True)
+        kd = key // 256
+        term = np.floor((1_000_000.0 * k) * np.log2(k.astype(np.float64))
+                        + 0.5).astype(np.int64)
+        b = np.zeros(len(texts), np.int64)
+        np.add.at(b, kd, term)
+        dk = np.zeros(len(texts), np.int64)
+        np.add.at(dk, kd, 1)
+        w = np.maximum(lens, 1)
+        a = np.floor(1_000_000.0 * np.log2(w.astype(np.float64))
+                     + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "distinct_chars": pa.array(dk[keep]),
+            "h_micro": pa.array((a - b // w)[keep]),
+        })
+
+    return _docs(sf_dir).map_batches(entropy, batch_format="pyarrow")
+
+
+SQL_TEXT_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE text != ''),
+cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+       FROM ch GROUP BY doc_id, c),
+agg AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS w,
+    CAST(COUNT(*) AS BIGINT) AS dk,
+    CAST(SUM(CAST(floor((1000000.0 * k) * log2(CAST(k AS DOUBLE)) + 0.5)
+                  AS BIGINT)) AS BIGINT) AS b
+  FROM cc GROUP BY doc_id)
+SELECT doc_id, dk AS distinct_chars,
+  CAST(floor(1000000.0 * log2(CAST(w AS DOUBLE)) + 0.5) AS BIGINT) - b // w
+    AS h_micro
+FROM agg
+"""
+
+
 def q_text_tokens(sf_dir: str) -> rd.Dataset:
     """Whitespace + BPE-ish (lookahead-free GPT-2-style regex) token counts
     via the TokenCounter stage."""
@@ -4812,6 +4871,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "graph_closeness": q_graph_closeness,
         "text_readability": q_text_readability,
         "mm_video_scene_cut": q_mm_video_scene_cut,
+        "text_entropy": q_text_entropy,
     }
 
 
@@ -4820,6 +4880,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_closeness": _sql_graph_closeness(),
         "text_readability": SQL_TEXT_READABILITY,
         "mm_video_scene_cut": SQL_MM_VIDEO_SCENE_CUT,
+        "text_entropy": SQL_TEXT_ENTROPY,
         "dd_paragraph": SQL_DD_PARAGRAPH,
         "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
         "dd_containment": SQL_DD_CONTAINMENT,

@@ -899,6 +899,92 @@ GROUP BY {", ".join(f"w.w{k}" for k in dims)}, w.b
 
 
 # ---------------------------------------------------------------------------
+# ml_welch_ttest — two-sample Welch t-test from distributed integer moments
+# ---------------------------------------------------------------------------
+
+TT_A, TT_B = "src0", "src1"
+
+
+def q_ml_welch_ttest(sf_dir: str) -> rd.Dataset:
+    """Welch two-sample t-test (``n_chars`` of source ``src0`` vs ``src1``)
+    — the A/B significance check run when comparing corpus slices or
+    curation variants.  ONE streaming pass emits per-block exact int64
+    moments (n, Σx, Σx²) per group; the driver folds them with Python
+    bigints and evaluates the t statistic and Welch–Satterthwaite df as
+    double expressions written IDENTICALLY in the SQL oracle (the
+    ``ml_linreg_moments`` protocol: every value the float math sees is an
+    exact integer on both sides)."""
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    mom_schema = pa.schema([("g", pa.string()), ("n", pa.int64()),
+                            ("sx", pa.int64()), ("sxx", pa.int64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        rows = {"g": [], "n": [], "sx": [], "sxx": []}
+        src = t["source"].to_numpy(zero_copy_only=False)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for g in (TT_A, TT_B):
+            m = src == g
+            xm = x[m]
+            rows["g"].append(g)
+            rows["n"].append(int(m.sum()))
+            rows["sx"].append(int(xm.sum()))
+            rows["sxx"].append(int((xm * xm).sum()))
+        return pa.table(rows, schema=mom_schema)
+
+    parts = docs.map_batches(moments, batch_format="pyarrow").take_all()
+    m = {g: [0, 0, 0] for g in (TT_A, TT_B)}
+    for r in parts:
+        m[r["g"]][0] += int(r["n"])
+        m[r["g"]][1] += int(r["sx"])
+        m[r["g"]][2] += int(r["sxx"])
+    (n1, sx1, sxx1), (n2, sx2, sxx2) = m[TT_A], m[TT_B]
+    d1, d2 = n1 * sxx1 - sx1 * sx1, n2 * sxx2 - sx2 * sx2
+    a = float(d1) / float(n1 * (n1 - 1) * n1)
+    b = float(d2) / float(n2 * (n2 - 1) * n2)
+    t_stat = (float(sx1) / float(n1) - float(sx2) / float(n2)) \
+        / float(np.sqrt(a + b))
+    df = (a + b) * (a + b) / (a * a / float(n1 - 1)
+                              + b * b / float(n2 - 1))
+    return rd.from_arrow(pa.table({
+        "n1": pa.array([n1], pa.int64()), "n2": pa.array([n2], pa.int64()),
+        "t_stat": pa.array([t_stat], pa.float64()),
+        "df": pa.array([df], pa.float64()),
+    }))
+
+
+SQL_ML_WELCH_TTEST = f"""
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(n_chars) AS HUGEINT) AS sx,
+    CAST(SUM(n_chars * n_chars) AS HUGEINT) AS sxx
+  FROM documents WHERE source IN ('{TT_A}', '{TT_B}') GROUP BY source),
+p AS (
+  SELECT
+    MAX(CASE WHEN source = '{TT_A}' THEN n END) AS n1,
+    MAX(CASE WHEN source = '{TT_A}' THEN sx END) AS sx1,
+    MAX(CASE WHEN source = '{TT_A}' THEN sxx END) AS sxx1,
+    MAX(CASE WHEN source = '{TT_B}' THEN n END) AS n2,
+    MAX(CASE WHEN source = '{TT_B}' THEN sx END) AS sx2,
+    MAX(CASE WHEN source = '{TT_B}' THEN sxx END) AS sxx2
+  FROM g),
+ab AS (
+  SELECT n1, n2,
+    CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+      / CAST(n1 * (n1 - 1) * n1 AS DOUBLE) AS a,
+    CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+      / CAST(n2 * (n2 - 1) * n2 AS DOUBLE) AS b,
+    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+    CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+  FROM p)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  (m1 - m2) / sqrt(a + b) AS t_stat,
+  (a + b) * (a + b) / (a * a / CAST(n1 - 1 AS DOUBLE)
+                       + b * b / CAST(n2 - 1 AS DOUBLE)) AS df
+FROM ab
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_confusion — classifier evaluation: confusion matrix of NB vs gold
 # ---------------------------------------------------------------------------
 
@@ -1129,6 +1215,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ml_stump_split": q_ml_stump_split,
         "ml_chi2_independence": q_ml_chi2_independence,
         "ml_confusion": q_ml_confusion,
+        "ml_welch_ttest": q_ml_welch_ttest,
     }
 
 
@@ -1145,4 +1232,5 @@ def oracle_sql() -> Dict[str, str]:
         "ml_stump_split": _sql_ml_stump_split(),
         "ml_chi2_independence": SQL_ML_CHI2,
         "ml_confusion": _sql_ml_confusion(),
+        "ml_welch_ttest": SQL_ML_WELCH_TTEST,
     }
