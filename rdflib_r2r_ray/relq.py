@@ -2499,6 +2499,73 @@ def q_rel_event_bigrams(sf_dir: str) -> rd.Dataset:
                                         batch_size=None)
 
 
+EWMA_A, EWMA_S = 300, 1000  # alpha = 0.3 in permille fixed point
+
+
+def q_rel_ewma(sf_dir: str) -> rd.Dataset:
+    """Exponentially weighted moving average of ``value`` per user timeline
+    (the streaming smoothing operator behind anomaly baselines and rate
+    trackers) in exact fixed point: ``s₀ = v₀``, ``sₜ = (A·vₜ +
+    (S−A)·sₜ₋₁) // S`` over half-up milli-quantized values.  The
+    recurrence is inherently sequential IN TIME but parallel ACROSS users:
+    one user-keyed hash exchange co-locates timelines, then each partition
+    advances all its users ONE rank per vectorized step (≤ max
+    events/user steps, each a numpy gather over the whole partition — no
+    per-row Python).  The integer recurrence replays in a recursive-CTE
+    SQL oracle."""
+    from .stages.dedup import hash_group_exchange
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("ewma_milli", pa.int64())])
+
+    def smooth(part: pa.Table) -> pa.Table:
+        g = part.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        v = np.floor(g["value"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            return out_schema.empty_table()
+        start = np.ones(n, bool)
+        start[1:] = uid[1:] != uid[:-1]
+        starts_idx = np.nonzero(start)[0]
+        counts = np.diff(np.append(starts_idx, n))
+        rank = np.arange(n) - np.repeat(starts_idx, counts)
+        s = v.copy()
+        for r in range(1, int(rank.max()) + 1 if n else 0):
+            idx = np.nonzero(rank == r)[0]
+            if not len(idx):
+                break
+            s[idx] = (EWMA_A * v[idx] + (EWMA_S - EWMA_A) * s[idx - 1]) \
+                // EWMA_S
+        return pa.table({
+            "event_id": pc.cast(g["event_id"], pa.int64()),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ewma_milli": pa.array(s)}, schema=out_schema)
+
+    return hash_group_exchange(ev, ["user_id"], smooth, out_schema)
+
+
+SQL_REL_EWMA = f"""
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id,
+    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+  FROM events),
+e AS (
+  SELECT user_id, event_id, r, v, v AS s FROM o WHERE r = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.r, o.v,
+    ({EWMA_A} * o.v + {EWMA_S - EWMA_A} * e.s) // {EWMA_S}
+  FROM e JOIN o ON o.user_id = e.user_id AND o.r = e.r + 1)
+SELECT event_id, user_id, CAST(s AS BIGINT) AS ewma_milli FROM e
+"""
+
+
 SQL_REL_EVENT_BIGRAMS = """
 WITH o AS (
   SELECT user_id, event_type,
@@ -2517,6 +2584,7 @@ FROM g JOIN t USING (e_from)
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_event_bigrams": q_rel_event_bigrams,
+        "rel_ewma": q_rel_ewma,
         "rel_scd2": q_rel_scd2,
         "rel_filter": q_rel_filter,
         "rel_grouped_topk": q_rel_grouped_topk,
@@ -2587,6 +2655,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
 def oracle_sql() -> Dict[str, str]:
     return {
         "rel_event_bigrams": SQL_REL_EVENT_BIGRAMS,
+        "rel_ewma": SQL_REL_EWMA,
         "rel_filter": SQL_REL_FILTER,
         "rel_grouped_topk": SQL_REL_GROUPED_TOPK,
         "rel_pricing": SQL_REL_PRICING,
