@@ -2566,6 +2566,76 @@ SELECT event_id, user_id, CAST(s AS BIGINT) AS ewma_milli FROM e
 """
 
 
+def q_rel_changepoint(sf_dir: str) -> rd.Dataset:
+    """Single mean-shift changepoint per user timeline (the CUSUM-style
+    anomaly localizer): for every split rank k the shift score is the
+    cross-multiplied exact integer ``|l_sum·r_cnt − r_sum·l_cnt|`` (no
+    division, no float), and the reported split maximizes it (ties →
+    earliest rank).  One user-keyed hash exchange; per partition the
+    cumulative sums, per-user totals and the arg-max are whole-partition
+    polars/numpy ops.  Output: (user_id, split_rank, split_event_id,
+    score)."""
+    from .stages.dedup import _pl, hash_group_exchange
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("split_rank", pa.int64()),
+                            ("split_event_id", pa.int64()),
+                            ("score", pa.int64())])
+
+    def best_split(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        df = (pl.from_arrow(part)
+              .with_columns(v=(pl.col("value") * 1000.0 + 0.5)
+                            .floor().cast(pl.Int64))
+              .sort(["user_id", "ts", "event_id"])
+              .with_columns(
+                  r=pl.col("event_id").cum_count().over("user_id")
+                  .cast(pl.Int64),
+                  n=pl.col("v").count().over("user_id").cast(pl.Int64),
+                  lsum=pl.col("v").cum_sum().over("user_id"),
+                  tsum=pl.col("v").sum().over("user_id"))
+              .filter(pl.col("r") < pl.col("n"))
+              .with_columns(
+                  score=(pl.col("lsum") * (pl.col("n") - pl.col("r"))
+                         - (pl.col("tsum") - pl.col("lsum")) * pl.col("r"))
+                  .abs())
+              .sort(["user_id", "score", "r"],
+                    descending=[False, True, False])
+              .group_by("user_id", maintain_order=True).first()
+              .select(pl.col("user_id").cast(pl.Int64),
+                      pl.col("r").alias("split_rank"),
+                      pl.col("event_id").alias("split_event_id")
+                      .cast(pl.Int64),
+                      pl.col("score")))
+        return df.to_arrow().cast(out_schema)
+
+    return hash_group_exchange(ev, ["user_id"], best_split, out_schema)
+
+
+SQL_REL_CHANGEPOINT = """
+WITH o AS (
+  SELECT user_id, event_id,
+    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r,
+    COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+c AS (
+  SELECT user_id, event_id, r, n,
+    SUM(v) OVER (PARTITION BY user_id ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+    SUM(v) OVER (PARTITION BY user_id) AS tsum
+  FROM o)
+SELECT user_id, CAST(r AS BIGINT) AS split_rank,
+  event_id AS split_event_id,
+  CAST(abs(lsum * (n - r) - (tsum - lsum) * r) AS BIGINT) AS score
+FROM c WHERE r < n
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY score DESC, r) = 1
+"""
+
+
 SQL_REL_EVENT_BIGRAMS = """
 WITH o AS (
   SELECT user_id, event_type,
@@ -2585,6 +2655,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
         "rel_event_bigrams": q_rel_event_bigrams,
         "rel_ewma": q_rel_ewma,
+        "rel_changepoint": q_rel_changepoint,
         "rel_scd2": q_rel_scd2,
         "rel_filter": q_rel_filter,
         "rel_grouped_topk": q_rel_grouped_topk,
@@ -2656,6 +2727,7 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "rel_event_bigrams": SQL_REL_EVENT_BIGRAMS,
         "rel_ewma": SQL_REL_EWMA,
+        "rel_changepoint": SQL_REL_CHANGEPOINT,
         "rel_filter": SQL_REL_FILTER,
         "rel_grouped_topk": SQL_REL_GROUPED_TOPK,
         "rel_pricing": SQL_REL_PRICING,
