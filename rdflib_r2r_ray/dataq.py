@@ -3810,6 +3810,61 @@ FROM documents d
 """
 
 
+def q_mm_image_hist(sf_dir: str) -> rd.Dataset:
+    """Luminance histograms over REAL decoded images (the
+    exposure/content-binning feature of image curation): each doc's
+    deterministic 8×8 BMP decodes through the same dependency-free DIB
+    path as ``mm_image_bmp_meta``; per pixel ``lum = (r+g+b)//3``, 16
+    fixed bins of 16 levels, counts folded per (doc, bin) with one numpy
+    ``unique`` per batch.  Pixel arithmetic is closed-form, so SQL
+    recomputes the histogram without touching bytes."""
+    from .stages.codecs import decode_bmp, encode_bmp
+
+    def synth_bmp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        j = np.arange(8 * 8 * 3, dtype=np.int64)
+        payloads = [
+            encode_bmp(((i * 31 + j * 7) % 256).astype(np.uint8)
+                       .reshape(8, 8, 3))
+            for i in ids
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mats = [decode_bmp(b).astype(np.int64).reshape(-1, 3)
+                for b in batch["payload"].to_pylist()]
+        if not mats:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lum = np.concatenate([m.sum(axis=1) // 3 for m in mats])
+        didx = np.repeat(np.arange(len(ids)), [len(m) for m in mats])
+        key, n = np.unique(didx * 16 + lum // 16, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids[key // 16]),
+            "bin": pa.array(key % 16),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    ds = _docs(sf_dir).map_batches(synth_bmp, batch_format="pyarrow")
+    return ds.map_batches(hist, batch_format="pyarrow", batch_size=256)
+
+
+SQL_MM_IMAGE_HIST = """
+WITH px AS (SELECT unnest(range(0, 64)) AS q),
+l AS (
+  SELECT d.doc_id,
+    (((d.doc_id * 31 + (3 * q) * 7) % 256
+      + (d.doc_id * 31 + (3 * q + 1) * 7) % 256
+      + (d.doc_id * 31 + (3 * q + 2) * 7) % 256) // 3) // 16 AS bin
+  FROM documents d CROSS JOIN px)
+SELECT doc_id, CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM l GROUP BY doc_id, bin
+"""
+
+
 def q_mm_image_gif_meta(sf_dir: str) -> rd.Dataset:
     """REAL GIF decode: deterministic palette indices are GIF-ENCODED with
     a real LZW compressor (``stages.codecs.encode_gif``) against an
@@ -4872,6 +4927,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_readability": q_text_readability,
         "mm_video_scene_cut": q_mm_video_scene_cut,
         "text_entropy": q_text_entropy,
+        "mm_image_hist": q_mm_image_hist,
     }
 
 
@@ -4881,6 +4937,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_readability": SQL_TEXT_READABILITY,
         "mm_video_scene_cut": SQL_MM_VIDEO_SCENE_CUT,
         "text_entropy": SQL_TEXT_ENTROPY,
+        "mm_image_hist": SQL_MM_IMAGE_HIST,
         "dd_paragraph": SQL_DD_PARAGRAPH,
         "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
         "dd_containment": SQL_DD_CONTAINMENT,

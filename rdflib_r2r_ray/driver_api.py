@@ -3073,6 +3073,7 @@ _LATE_R4 = {
     "mm_video_scene_cut", "rel_event_bigrams",
     "ml_stump_split", "ml_chi2_independence", "ml_confusion",
     "ml_welch_ttest", "text_entropy", "rel_ewma", "rel_changepoint",
+    "rel_k_anonymity", "ml_mutual_info", "mm_image_hist",
     "ann_range_search", "text_lm_bigram", "rel_full_outer",
     "rel_moving_sum", "rel_percentile_cont", "rel_funnel",
     "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",

@@ -985,6 +985,68 @@ FROM ab
 
 
 # ---------------------------------------------------------------------------
+# ml_mutual_info — exact fixed-point mutual information (lang ; source)
+# ---------------------------------------------------------------------------
+
+def q_ml_mutual_info(sf_dir: str) -> rd.Dataset:
+    """Mutual information between ``lang`` and ``source`` in micro-bits —
+    the dependence measure behind feature selection and leakage checks,
+    computed on the same contingency protocol as ``ml_chi2_independence``:
+    one grouped-count exchange produces the cell table; the driver folds
+    ``MI_micro = Σ ⌊1e6·(o/N)·log2(o·N/(rt·ct)) + 0.5⌋`` per occupied
+    cell with exact integer operands (only the shared last-ulp log2
+    surface is float).  Empty cells contribute 0 exactly."""
+    from .relational import grouped_agg
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"], "source": t["source"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = grouped_agg(
+        docs.map_batches(ones, batch_format="pyarrow"),
+        ["lang", "source"], sums=["n"],
+        in_schema=pa.schema([("lang", pa.string()), ("source", pa.string()),
+                             ("n", pa.int64())])).take_all()
+    rt: Dict[str, int] = {}
+    ct: Dict[str, int] = {}
+    for r in cells:
+        rt[r["lang"]] = rt.get(r["lang"], 0) + int(r["n"])
+        ct[r["source"]] = ct.get(r["source"], 0) + int(r["n"])
+    n = sum(rt.values())
+    mi = 0
+    for r in cells:
+        o = int(r["n"])
+        ratio = (float(o) * float(n)) / (float(rt[r["lang"]])
+                                         * float(ct[r["source"]]))
+        mi += int(np.floor(1_000_000.0 * (float(o) / float(n))
+                           * np.log2(ratio) + 0.5))
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_cells": pa.array([len(cells)], pa.int64()),
+        "mi_micros": pa.array([mi], pa.int64()),
+    }))
+
+
+SQL_ML_MUTUAL_INFO = """
+WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents GROUP BY lang, source),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rtot FROM g GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ctot FROM g GROUP BY source),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM g)
+SELECT n.n AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(CAST(floor(
+    1000000.0 * (CAST(o AS DOUBLE) / CAST(n.n AS DOUBLE))
+    * log2((CAST(o AS DOUBLE) * CAST(n.n AS DOUBLE))
+           / (CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)))
+    + 0.5) AS BIGINT)) AS BIGINT) AS mi_micros
+FROM g JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+GROUP BY n.n
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_confusion — classifier evaluation: confusion matrix of NB vs gold
 # ---------------------------------------------------------------------------
 
@@ -1216,6 +1278,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ml_chi2_independence": q_ml_chi2_independence,
         "ml_confusion": q_ml_confusion,
         "ml_welch_ttest": q_ml_welch_ttest,
+        "ml_mutual_info": q_ml_mutual_info,
     }
 
 
@@ -1233,4 +1296,5 @@ def oracle_sql() -> Dict[str, str]:
         "ml_chi2_independence": SQL_ML_CHI2,
         "ml_confusion": _sql_ml_confusion(),
         "ml_welch_ttest": SQL_ML_WELCH_TTEST,
+        "ml_mutual_info": SQL_ML_MUTUAL_INFO,
     }

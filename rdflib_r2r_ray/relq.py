@@ -2614,6 +2614,55 @@ def q_rel_changepoint(sf_dir: str) -> rd.Dataset:
     return hash_group_exchange(ev, ["user_id"], best_split, out_schema)
 
 
+K_ANON = 30
+
+
+def q_rel_k_anonymity(sf_dir: str) -> rd.Dataset:
+    """k-anonymity audit over the (lang, source) quasi-identifier pair —
+    the re-identification-risk report privacy review runs before a corpus
+    release: every equivalence class with its size and a risk flag
+    (``n < k`` ⇒ suppression candidate), plus each class's share of the
+    corpus in permille.  One map-side combine + grouped exchange (classes,
+    not rows, move); the tiny class table finishes in one task."""
+    from .relational import grouped_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"], "source": t["source"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    g = grouped_agg(docs.map_batches(ones, batch_format="pyarrow"),
+                    ["lang", "source"], sums=["n"],
+                    in_schema=pa.schema([("lang", pa.string()),
+                                         ("source", pa.string()),
+                                         ("n", pa.int64())]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        tot = int(n.sum())
+        return pa.table({
+            "lang": t["lang"], "source": t["source"], "n": t["n"],
+            "at_risk": pa.array((n < K_ANON).astype(np.int64)),
+            "share_permille": pa.array(n * 1000 // tot),
+        })
+
+    return g.repartition(1).map_batches(flag, batch_format="pyarrow",
+                                        batch_size=None)
+
+
+SQL_REL_K_ANONYMITY = f"""
+WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang, source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+SELECT lang, source, n,
+  CAST(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END AS BIGINT) AS at_risk,
+  (n * 1000) // tot AS share_permille
+FROM g CROSS JOIN t
+"""
+
+
 SQL_REL_CHANGEPOINT = """
 WITH o AS (
   SELECT user_id, event_id,
@@ -2656,6 +2705,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "rel_event_bigrams": q_rel_event_bigrams,
         "rel_ewma": q_rel_ewma,
         "rel_changepoint": q_rel_changepoint,
+        "rel_k_anonymity": q_rel_k_anonymity,
         "rel_scd2": q_rel_scd2,
         "rel_filter": q_rel_filter,
         "rel_grouped_topk": q_rel_grouped_topk,
@@ -2728,6 +2778,7 @@ def oracle_sql() -> Dict[str, str]:
         "rel_event_bigrams": SQL_REL_EVENT_BIGRAMS,
         "rel_ewma": SQL_REL_EWMA,
         "rel_changepoint": SQL_REL_CHANGEPOINT,
+        "rel_k_anonymity": SQL_REL_K_ANONYMITY,
         "rel_filter": SQL_REL_FILTER,
         "rel_grouped_topk": SQL_REL_GROUPED_TOPK,
         "rel_pricing": SQL_REL_PRICING,
