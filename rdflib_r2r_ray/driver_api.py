@@ -2219,6 +2219,51 @@ SQL_REL_JSONL_ROUNDTRIP = (
     "SELECT doc_id, lang, source, n_chars FROM documents")
 
 
+def q_rel_ipc_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Arrow IPC (Feather v2) sink → source round-trip — the zero-copy
+    interchange format between Arrow-native engines: each block writes
+    itself as one ``.arrow`` IPC file (per-block streaming, one manifest
+    row back, no driver data); the source side is a custom binary-format
+    connector (``read_binary_files`` → ``pa.ipc.open_file`` per shard)
+    that must reproduce the relation exactly.  Both directions stream —
+    the pattern for any block-oriented binary format Ray Data lacks a
+    built-in reader for."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    out_dir = ("/tmp/ipc_roundtrip_"
+               + hashlib.sha1(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ds = read_table(sf_dir, "documents", columns=cols)
+
+    def write_ipc(t: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, uuid.uuid4().hex + ".arrow")
+        with pa.OSFile(path, "wb") as f, \
+                pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(write_ipc, batch_format="pyarrow").materialize()
+
+    def decode(b: pa.Table) -> pa.Table:
+        tabs = [pa.ipc.open_file(pa.BufferReader(buf)).read_all()
+                for buf in b["bytes"].to_pylist()]
+        return pa.concat_tables(tabs).select(cols) if tabs \
+            else pa.schema([]).empty_table()
+
+    return rd.read_binary_files(out_dir).map_batches(
+        decode, batch_format="pyarrow")
+
+
+SQL_REL_IPC_ROUNDTRIP = (
+    "SELECT doc_id, lang, source, n_chars FROM documents")
+
+
 def q_kg_plugin_virtual_pred(sf_dir: str) -> rd.Dataset:
     """X4 plugin hook end-to-end (reference SQLConverterPlugin,
     ``sql_converter.py:235,307-312``): a registered matcher claims the
@@ -3074,6 +3119,7 @@ _LATE_R4 = {
     "ml_stump_split", "ml_chi2_independence", "ml_confusion",
     "ml_welch_ttest", "text_entropy", "rel_ewma", "rel_changepoint",
     "rel_k_anonymity", "ml_mutual_info", "mm_image_hist",
+    "rel_ipc_roundtrip", "ml_pca_power",
     "ann_range_search", "text_lm_bigram", "rel_full_outer",
     "rel_moving_sum", "rel_percentile_cont", "rel_funnel",
     "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",
@@ -3159,6 +3205,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "kg_ttl_roundtrip": q_kg_ttl_roundtrip,
         "kg_skolemize": q_kg_skolemize,
         "rel_jsonl_roundtrip": q_rel_jsonl_roundtrip,
+        "rel_ipc_roundtrip": q_rel_ipc_roundtrip,
         "kg_char_sets": q_kg_char_sets,
         "kg_fk_discovery": q_kg_fk_discovery,
         "kg_schema_summary": q_kg_schema_summary,
@@ -3248,6 +3295,7 @@ def oracle_sql() -> Dict[str, str]:
         "kg_ttl_roundtrip": _sql_kg_doc_meta(),
         "kg_skolemize": _sql_kg_skolemize(),
         "rel_jsonl_roundtrip": SQL_REL_JSONL_ROUNDTRIP,
+        "rel_ipc_roundtrip": SQL_REL_IPC_ROUNDTRIP,
         "kg_char_sets": _sql_kg_char_sets(),
         "kg_fk_discovery": _sql_kg_fk_discovery(),
         "kg_schema_summary": _sql_kg_schema_summary(),

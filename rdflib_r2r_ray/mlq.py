@@ -985,6 +985,103 @@ FROM ab
 
 
 # ---------------------------------------------------------------------------
+# ml_pca_power — top principal component by integer power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division — DuckDB's BIGINT ``//`` semantics
+    (Python ``//`` floors; the two differ on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def q_ml_pca_power(sf_dir: str) -> rd.Dataset:
+    """Top principal component of the quantized feature panel by integer
+    power iteration — the PCA/whitening primitive of embedding curation,
+    in the one-pass-moments + tiny-driver-solve shape of
+    ``ml_linreg_moments``: ONE streaming pass emits per-block exact int64
+    moments (n, Σx, all ΣxᵢxⱼΤ pairs); the driver builds the n-scaled
+    scatter matrix ``C = n·Σxxᵀ − (Σx)(Σx)ᵀ`` with Python bigints and
+    runs ``PCA_ITERS`` rounds of ``v ← trunc(1000·Cv / max|Cv|)`` —
+    every iterate is an exact integer (HUGEINT in the oracle, truncating
+    division on both sides), so the direction replays bit-exact in an
+    unrolled-CTE SQL oracle.  Output: the scaled eigenvector v1..v4,
+    its max-|component| normalizer sign convention, and n."""
+    feats = _features(sf_dir)
+    pairs = [(i, j) for i in range(FEAT_DIMS) for j in range(i, FEAT_DIMS)]
+    names = (["n"] + [f"s{i + 1}" for i in range(FEAT_DIMS)]
+             + [f"s{i + 1}{j + 1}" for i, j in pairs])
+    mom_schema = pa.schema([(c, pa.int64()) for c in names])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = np.stack([t[f"q{k + 1}"].to_numpy(zero_copy_only=False)
+                      for k in range(FEAT_DIMS)], axis=1)
+        cols = {"n": [x.shape[0]]}
+        for i in range(FEAT_DIMS):
+            cols[f"s{i + 1}"] = [int(x[:, i].sum())]
+        for i, j in pairs:
+            cols[f"s{i + 1}{j + 1}"] = [int((x[:, i] * x[:, j]).sum())]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()}, schema=mom_schema)
+
+    rows = feats.map_batches(moments, batch_format="pyarrow").take_all()
+    m = {k: sum(int(r[k]) for r in rows) for k in names}
+    n = m["n"]
+    C = [[0] * FEAT_DIMS for _ in range(FEAT_DIMS)]
+    for i in range(FEAT_DIMS):
+        for j in range(FEAT_DIMS):
+            a, b = (i, j) if i <= j else (j, i)
+            C[i][j] = (n * m[f"s{a + 1}{b + 1}"]
+                       - m[f"s{i + 1}"] * m[f"s{j + 1}"])
+    v = [1000] * FEAT_DIMS
+    for _ in range(PCA_ITERS):
+        w = [sum(C[k][l] * v[l] for l in range(FEAT_DIMS))
+             for k in range(FEAT_DIMS)]
+        mx = max(abs(x) for x in w)
+        v = [_tdiv(x * 1000, mx) for x in w]
+    cols = {f"v{k + 1}": pa.array([v[k]], pa.int64())
+            for k in range(FEAT_DIMS)}
+    cols["n"] = pa.array([n], pa.int64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def _sql_ml_pca_power() -> str:
+    dims = range(1, FEAT_DIMS + 1)
+    pairs = [(i, j) for i in dims for j in dims if i <= j]
+    moms = ", ".join(
+        [f"CAST(COUNT(*) AS HUGEINT) AS n"]
+        + [f"CAST(SUM(q{i}) AS HUGEINT) AS s{i}" for i in dims]
+        + [f"CAST(SUM(q{i} * q{j}) AS HUGEINT) AS s{i}{j}"
+           for i, j in pairs])
+    cexprs = ", ".join(
+        f"n * s{min(i, j)}{max(i, j)} - s{i} * s{j} AS c{i}{j}"
+        for i in dims for j in dims)
+    v0 = ", ".join(f"CAST(1000 AS HUGEINT) AS v{i}" for i in dims)
+    its = ""
+    for t in range(1, PCA_ITERS + 1):
+        ws = ", ".join(
+            f"{' + '.join(f'c.c{i}{j} * v.v{j}' for j in dims)} AS w{i}"
+            for i in dims)
+        mx = f"greatest({', '.join(f'abs(w{i})' for i in dims)})"
+        vs = ", ".join(f"(w{i} * 1000) // {mx} AS v{i}" for i in dims)
+        its += f""",
+w{t} AS (SELECT {ws} FROM c CROSS JOIN v{t - 1} v),
+v{t} AS (SELECT {vs} FROM w{t})"""
+    return f"""
+WITH {_SQL_FEAT},
+m AS (SELECT {moms} FROM feat),
+c AS (SELECT {cexprs}, n FROM m),
+v0 AS (SELECT {v0}){its}
+SELECT {", ".join(f"CAST(v{i} AS BIGINT) AS v{i}" for i in dims)},
+  CAST(c.n AS BIGINT) AS n
+FROM v{PCA_ITERS} CROSS JOIN c
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_mutual_info — exact fixed-point mutual information (lang ; source)
 # ---------------------------------------------------------------------------
 
@@ -1279,6 +1376,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ml_confusion": q_ml_confusion,
         "ml_welch_ttest": q_ml_welch_ttest,
         "ml_mutual_info": q_ml_mutual_info,
+        "ml_pca_power": q_ml_pca_power,
     }
 
 
@@ -1297,4 +1395,5 @@ def oracle_sql() -> Dict[str, str]:
         "ml_confusion": _sql_ml_confusion(),
         "ml_welch_ttest": SQL_ML_WELCH_TTEST,
         "ml_mutual_info": SQL_ML_MUTUAL_INFO,
+        "ml_pca_power": _sql_ml_pca_power(),
     }
