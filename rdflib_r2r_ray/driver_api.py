@@ -1742,6 +1742,32 @@ WHERE lang IS NOT NULL AND source IS NOT NULL
 """
 
 
+def q_sparql_hash_builtins(sf_dir: str) -> rd.Dataset:
+    """SPARQL 1.1 hash + URI-encoding builtins (MD5 / SHA256 /
+    ENCODE_FOR_URI; SHA1/384/512 covered in pytest) — rdflib evaluates
+    these in the reference's SPARQL layer, so parity requires them in the
+    string front end."""
+    from . import sparql
+
+    q = """
+    SELECT ?id (MD5(?l) AS ?h1) (SHA256(?s) AS ?h2)
+           (ENCODE_FOR_URI(CONCAT(?l, " ", ?s)) AS ?enc) WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      ?d <http://kg.ex/p/source> ?s .
+      BIND(STRAFTER(STR(?d), "doc/") AS ?id)
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_hash_builtins() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS id, md5(lang) AS h1, sha256(source) AS h2,
+  replace(lang || ' ' || source, ' ', '%20') AS enc
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+"""
+
+
 def q_sparql_count_distinct(sf_dir: str) -> rd.Dataset:
     """DISTINCT inside aggregates (reference Q10,
     ``query_conversions.py:57-81``): the (keys, value) stream dedups through
@@ -3119,7 +3145,7 @@ _LATE_R4 = {
     "ml_stump_split", "ml_chi2_independence", "ml_confusion",
     "ml_welch_ttest", "text_entropy", "rel_ewma", "rel_changepoint",
     "rel_k_anonymity", "ml_mutual_info", "mm_image_hist",
-    "rel_ipc_roundtrip", "ml_pca_power",
+    "rel_ipc_roundtrip", "ml_pca_power", "sparql_hash_builtins",
     "ann_range_search", "text_lm_bigram", "rel_full_outer",
     "rel_moving_sum", "rel_percentile_cont", "rel_funnel",
     "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",
@@ -3199,6 +3225,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_minus": q_sparql_minus,
         "sparql_union_join": q_sparql_union_join,
         "sparql_count_distinct": q_sparql_count_distinct,
+        "sparql_hash_builtins": q_sparql_hash_builtins,
         "sparql_avg": q_sparql_avg,
         "sparql_subselect": q_sparql_subselect,
         "kg_nt_roundtrip": q_kg_nt_roundtrip,
@@ -3289,6 +3316,7 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_minus": _sql_sparql_minus(),
         "sparql_union_join": _sql_sparql_union_join(),
         "sparql_count_distinct": _sql_sparql_count_distinct(),
+        "sparql_hash_builtins": _sql_sparql_hash_builtins(),
         "sparql_avg": _sql_sparql_avg(),
         "sparql_subselect": _sql_sparql_subselect(),
         "kg_nt_roundtrip": _sql_kg_doc_meta(),

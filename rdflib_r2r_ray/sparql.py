@@ -50,8 +50,10 @@ Semantics notes (documented divergences):
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
+from urllib.parse import quote
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
@@ -991,6 +993,8 @@ _BUILTIN_FNS: Dict[str, Tuple[int, int]] = {
     "COALESCE": (1, 64), "LANG": (1, 1), "DATATYPE": (1, 1),
     "ISIRI": (1, 1), "ISURI": (1, 1), "ISLITERAL": (1, 1),
     "ISBLANK": (1, 1), "ISNUMERIC": (1, 1), "SAMETERM": (2, 2),
+    "MD5": (1, 1), "SHA1": (1, 1), "SHA256": (1, 1),
+    "SHA384": (1, 1), "SHA512": (1, 1), "ENCODE_FOR_URI": (1, 1),
 }
 _SFUNC_NUM = {"STRLEN", "ABS", "CEIL", "FLOOR", "ROUND"}
 _SFUNC_BOOL = {"STRSTARTS", "STRENDS", "CONTAINS", "ISIRI", "ISURI",
@@ -1251,6 +1255,21 @@ def _eval_sfunc(e: E, batch: pa.Table):
             pat = "(?i)" + pat
         rep = re.sub(r"\$(\d)", r"\\\1", rep)  # SPARQL $1 → RE2 \1
         return pc.replace_substring_regex(lex(0), pattern=pat, replacement=rep), "str"
+    if op in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+        # SPARQL 1.1 hash builtins over the UTF-8 lexical form.  Hashing is
+        # inherently per-string C work (hashlib releases the GIL); the loop
+        # is over the batch's simple-literal column, same cost class as the
+        # multimodal payload decodes.
+        algo = op.lower()
+        out = [None if s is None else hashlib.new(algo, s.encode()).hexdigest()
+               for s in lex(0).to_pylist()]
+        return pa.array(out, pa.string()), "str"
+    if op == "ENCODE_FOR_URI":
+        # percent-encode everything but RFC 3986 unreserved (SPARQL 1.1
+        # fn:encode-for-uri semantics)
+        out = [None if s is None else quote(s, safe="-_.~")
+               for s in lex(0).to_pylist()]
+        return pa.array(out, pa.string()), "str"
     if op in ("ABS", "CEIL", "FLOOR"):
         fn = {"ABS": pc.abs, "CEIL": pc.ceil, "FLOOR": pc.floor}[op]
         return fn(_to_num(*_eval(e.args[0], batch))), "num"

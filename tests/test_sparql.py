@@ -922,3 +922,26 @@ def test_update_decodes_dict_encoded_graph(ray_session):
     out = update(g, 'DELETE DATA { <a> <p> "x" }')
     rows = sorted(map(tuple, out.to_pandas().values.tolist()))
     assert rows == [("<b>", "<p>", "y")]
+
+
+def test_hash_and_encode_builtins(ray_session):
+    """SPARQL 1.1 MD5/SHA1/SHA256/SHA384/SHA512 hash the UTF-8 lexical
+    form; ENCODE_FOR_URI percent-encodes all but RFC 3986 unreserved."""
+    import hashlib
+
+    rows = execute(_graph(), """
+      SELECT ?n (MD5(?n) AS ?m) (SHA1(?n) AS ?s1) (SHA256(?n) AS ?s2)
+             (SHA384(?n) AS ?s3) (SHA512(?n) AS ?s5)
+             (ENCODE_FOR_URI(CONCAT(?n, " & co/~x")) AS ?e) WHERE {
+        ?d <name> ?n .
+      }
+    """).take_all()
+    assert len(rows) == 2
+    for r in rows:
+        n = r["n"].encode()
+        assert r["m"] == hashlib.md5(n).hexdigest()
+        assert r["s1"] == hashlib.sha1(n).hexdigest()
+        assert r["s2"] == hashlib.sha256(n).hexdigest()
+        assert r["s3"] == hashlib.sha384(n).hexdigest()
+        assert r["s5"] == hashlib.sha512(n).hexdigest()
+        assert r["e"] == r["n"] + "%20%26%20co%2F~x"
