@@ -1452,6 +1452,104 @@ it{i} AS (
     return f"{head}{its}\nSELECT node AS vec_id, hop FROM it{BFS_HOPS}"
 
 
+WALK_LEN, WALK_H1, WALK_H2, WALK_HM = 4, 1_000_003, 7_919, 104_729
+
+
+def q_graph_walks(sf_dir: str) -> rd.Dataset:
+    """DeepWalk-style random-walk corpus generation over the directed 5-NN
+    graph — the training-data generator for node/KG embeddings
+    (node2vec/DeepWalk skip-gram pairs).  One walk of length
+    ``WALK_LEN`` starts at every node; the 'random' next hop is the
+    DETERMINISTIC hash pick ``rnk = ((start·H1 + step·H2) mod HM) mod k +
+    1`` over neighbors ranked by dst — reproducible under any block
+    layout AND replayable in SQL (the hash-in-place-of-RNG protocol the
+    sampling family already uses).  Each step is one planned join of the
+    frontier against the rank-annotated edge table + a vectorized pick
+    filter; walk state is O(V) rows in the object store, never on the
+    driver."""
+    from .relational import grouped_agg, planned_join
+    from .stages.dedup import _pl, hash_group_exchange
+
+    edges = _knn5_dir_edges(sf_dir)
+    rnk_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                            ("rnk", pa.int64())])
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        pl = _pl()
+        return (pl.from_arrow(part).sort(["src", "dst"])
+                .with_columns(rnk=pl.col("dst").cum_count().over("src")
+                              .cast(pl.Int64))
+                .select(pl.col("src").cast(pl.Int64),
+                        pl.col("dst").cast(pl.Int64), "rnk")
+                .to_arrow().cast(rnk_schema))
+
+    ranked = hash_group_exchange(edges, ["src"], rank_part,
+                                 rnk_schema).materialize()
+    st_schema = pa.schema([("start", pa.int64()), ("cur", pa.int64()),
+                           ("step", pa.int64())])
+    state = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"start": pc.cast(t["vec_id"], pa.int64()),
+                            "cur": pc.cast(t["vec_id"], pa.int64()),
+                            "step": pa.array(np.zeros(len(t), np.int64))},
+                           schema=st_schema),
+        batch_format="pyarrow").materialize()
+    outs = [state]
+    for t in range(1, WALK_LEN + 1):
+        j = planned_join(ranked, state, on=["src"], right_on=["cur"])
+
+        def pick(tb: pa.Table, _t=t) -> pa.Table:
+            start = tb["start"].to_numpy(zero_copy_only=False)
+            want = ((start * WALK_H1 + _t * WALK_H2) % WALK_HM) % KNN_K + 1
+            keep = tb["rnk"].to_numpy(zero_copy_only=False) == want
+            tb = tb.filter(pa.array(keep))
+            return pa.table({"start": tb["start"], "cur": tb["dst"],
+                             "step": pa.array(
+                                 np.full(tb.num_rows, _t, np.int64))},
+                            schema=st_schema)
+
+        state = j.map_batches(pick, batch_format="pyarrow").materialize()
+        outs.append(state)
+    # all step states are materialized: one ref-concat dataset instead of
+    # N-branch Dataset.union (each branch costs ~2.3 s executor startup)
+    walk = rd.from_arrow_refs(
+        [r for ds in outs for r in ds.to_arrow_refs()])
+    return walk.map_batches(
+        lambda tb: pa.table({"start": tb["start"], "step": tb["step"],
+                             "node": tb["cur"]}),
+        batch_format="pyarrow")
+
+
+def _sql_graph_walks() -> str:
+    head = f"""
+WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+    list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+knn AS (
+  SELECT vec_id AS src, nbr_id AS dst FROM (
+    SELECT vec_id, nbr_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rnk
+    FROM sims) WHERE rnk <= {KNN_K}),
+e AS (SELECT src, dst,
+        row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+      FROM knn),
+w0 AS (SELECT CAST(vec_id AS BIGINT) AS start,
+              CAST(vec_id AS BIGINT) AS cur, CAST(0 AS BIGINT) AS step
+       FROM embeddings)"""
+    its = ""
+    for t in range(1, WALK_LEN + 1):
+        its += f""",
+w{t} AS (
+  SELECT w.start, CAST(e.dst AS BIGINT) AS cur, CAST({t} AS BIGINT) AS step
+  FROM w{t - 1} w JOIN e ON e.src = w.cur
+    AND e.rnk = ((w.start * {WALK_H1} + {t} * {WALK_H2})
+                 % {WALK_HM}) % {KNN_K} + 1)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT start, step, cur AS node FROM w{t}"
+        for t in range(WALK_LEN + 1))
+    return f"{head}{its}\n{union}"
+
+
 CLOSE_SEED_MOD, CLOSE_MAX_SEEDS, CLOSE_HOPS = 41, 32, 4
 
 
@@ -4928,6 +5026,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "mm_video_scene_cut": q_mm_video_scene_cut,
         "text_entropy": q_text_entropy,
         "mm_image_hist": q_mm_image_hist,
+        "graph_walks": q_graph_walks,
     }
 
 
@@ -4938,6 +5037,7 @@ def oracle_sql() -> Dict[str, str]:
         "mm_video_scene_cut": SQL_MM_VIDEO_SCENE_CUT,
         "text_entropy": SQL_TEXT_ENTROPY,
         "mm_image_hist": SQL_MM_IMAGE_HIST,
+        "graph_walks": _sql_graph_walks(),
         "dd_paragraph": SQL_DD_PARAGRAPH,
         "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
         "dd_containment": SQL_DD_CONTAINMENT,
