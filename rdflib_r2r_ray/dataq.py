@@ -1519,6 +1519,51 @@ def q_graph_walks(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+SKIPGRAM_WIN = 2
+
+
+def q_graph_walk_skipgrams(sf_dir: str) -> rd.Dataset:
+    """Skip-gram (center, context) pair extraction from the deterministic
+    walk corpus — the actual trainer input of DeepWalk/node2vec: pairs of
+    nodes co-visited within ``SKIPGRAM_WIN`` steps on the same walk,
+    counted corpus-wide.  The walk table self-joins on its walk id (one
+    planned join), the window filter + pair emission are vectorized, and
+    the grouped-count exchange moves one row per distinct pair per
+    partition."""
+    from .relational import grouped_agg, planned_join
+
+    walk = q_graph_walks(sf_dir).materialize()
+    j = planned_join(
+        walk, walk.map_batches(
+            lambda t: t.rename_columns(["start", "step2", "node2"]),
+            batch_format="pyarrow"),
+        on=["start"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = (t["step2"].to_numpy(zero_copy_only=False)
+             - t["step"].to_numpy(zero_copy_only=False))
+        keep = (d >= 1) & (d <= SKIPGRAM_WIN)
+        t = t.filter(pa.array(keep))
+        return pa.table({"center": t["node"], "context": t["node2"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return grouped_agg(
+        j.map_batches(pairs, batch_format="pyarrow"),
+        ["center", "context"], sums=["n"],
+        in_schema=pa.schema([("center", pa.int64()),
+                             ("context", pa.int64()), ("n", pa.int64())]))
+
+
+def _sql_graph_walk_skipgrams() -> str:
+    return f"""
+WITH w AS ({_sql_graph_walks()})
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n
+FROM w a JOIN w b ON a.start = b.start
+  AND b.step - a.step BETWEEN 1 AND {SKIPGRAM_WIN}
+GROUP BY 1, 2
+"""
+
+
 def _sql_graph_walks() -> str:
     head = f"""
 WITH sims AS (
@@ -5027,6 +5072,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_entropy": q_text_entropy,
         "mm_image_hist": q_mm_image_hist,
         "graph_walks": q_graph_walks,
+        "graph_walk_skipgrams": q_graph_walk_skipgrams,
     }
 
 
@@ -5038,6 +5084,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_entropy": SQL_TEXT_ENTROPY,
         "mm_image_hist": SQL_MM_IMAGE_HIST,
         "graph_walks": _sql_graph_walks(),
+        "graph_walk_skipgrams": _sql_graph_walk_skipgrams(),
         "dd_paragraph": SQL_DD_PARAGRAPH,
         "dd_dup_ngrams": SQL_DD_DUP_NGRAMS,
         "dd_containment": SQL_DD_CONTAINMENT,

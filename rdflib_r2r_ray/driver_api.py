@@ -3146,7 +3146,7 @@ _LATE_R4 = {
     "ml_welch_ttest", "text_entropy", "rel_ewma", "rel_changepoint",
     "rel_k_anonymity", "ml_mutual_info", "mm_image_hist",
     "rel_ipc_roundtrip", "ml_pca_power", "sparql_hash_builtins",
-    "graph_walks",
+    "graph_walks", "graph_walk_skipgrams",
     "ann_range_search", "text_lm_bigram", "rel_full_outer",
     "rel_moving_sum", "rel_percentile_cont", "rel_funnel",
     "rel_global_enumerate", "rel_percent_rank", "graph_pagerank",
