@@ -1598,6 +1598,48 @@ w{t} AS (
 CLOSE_SEED_MOD, CLOSE_MAX_SEEDS, CLOSE_HOPS = 41, 32, 4
 
 
+def _seed_bfs_dist(und: rd.Dataset, seeds: rd.Dataset, hops: int) -> rd.Dataset:
+    """Multi-seed BFS frontier state over an undirected (a, b) edge set —
+    the shared engine under the per-seed centrality panels (closeness,
+    eccentricity).  State is keyed by the COMPOSITE (seed, node): each of
+    ``hops`` rounds is one expansion join on the node part + one grouped-MIN
+    exchange over (seed, node), so state is O(panel × V) rows in the object
+    store, never on the driver, and the edge list is NOT replicated per
+    seed.  Returns the final (seed, node, hop) distance table."""
+    from .relational import grouped_agg, planned_join
+
+    st_schema = pa.schema([("seed", pa.int64()), ("node", pa.int64()),
+                           ("hop", pa.int64())])
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = und.map_batches(both, batch_format="pyarrow").materialize()
+    dist = seeds.map_batches(
+        lambda t: pa.table({"seed": t["seed"], "node": t["seed"],
+                            "hop": pa.array(np.zeros(len(t), np.int64))},
+                           schema=st_schema),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(hops):
+        j = planned_join(edges, dist, on=["src"], right_on=["node"])
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"seed": t["seed"], "node": t["dst"],
+                 "hop": pc.add(t["hop"], pa.scalar(1, pa.int64()))},
+                schema=st_schema)
+
+        cand = j.map_batches(relax, batch_format="pyarrow")
+        dist = grouped_agg(dist.union(cand), ["seed", "node"],
+                           mins=["hop"], in_schema=st_schema).materialize()
+
+    return dist
+
+
 def _closeness_local(hops: int, *tables: pa.Table) -> pa.Table:
     """One-task multi-seed closeness: dense (node × seed) distance matrix,
     vectorized Bellman-Ford relaxation — the small-graph path."""
@@ -1676,34 +1718,7 @@ def q_graph_closeness(sf_dir: str) -> rd.Dataset:
             CLOSE_HOPS, *seeds.to_arrow_refs(), *und.to_arrow_refs())
         return rd.from_arrow_refs([out])
 
-    st_schema = pa.schema([("seed", pa.int64()), ("node", pa.int64()),
-                           ("hop", pa.int64())])
-
-    def both(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(np.concatenate([a, b])),
-                         "dst": pa.array(np.concatenate([b, a]))})
-
-    edges = und.map_batches(both, batch_format="pyarrow").materialize()
-    dist = seeds.map_batches(
-        lambda t: pa.table({"seed": t["seed"], "node": t["seed"],
-                            "hop": pa.array(np.zeros(len(t), np.int64))},
-                           schema=st_schema),
-        batch_format="pyarrow").materialize()
-
-    for _ in range(CLOSE_HOPS):
-        j = planned_join(edges, dist, on=["src"], right_on=["node"])
-
-        def relax(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {"seed": t["seed"], "node": t["dst"],
-                 "hop": pc.add(t["hop"], pa.scalar(1, pa.int64()))},
-                schema=st_schema)
-
-        cand = j.map_batches(relax, batch_format="pyarrow")
-        dist = grouped_agg(dist.union(cand), ["seed", "node"],
-                           mins=["hop"], in_schema=st_schema).materialize()
+    dist = _seed_bfs_dist(und, seeds, CLOSE_HOPS)
 
     def fin(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["hop"], pa.scalar(0, pa.int64())))
@@ -1748,6 +1763,123 @@ SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
   CAST(SUM(hop) AS BIGINT) AS sum_hops,
   CAST(SUM(1000 // hop) AS BIGINT) AS harmonic_milli
 FROM it{CLOSE_HOPS} WHERE hop > 0 GROUP BY seed"""
+
+
+ECC_SEED_MOD, ECC_MAX_SEEDS, ECC_HOPS = 37, 32, 4
+
+
+def _ecc_local(hops: int, *tables: pa.Table) -> pa.Table:
+    """One-task multi-seed eccentricity: dense (node × seed) distance
+    matrix, vectorized relaxation — the small-graph path."""
+    schema = pa.schema([("seed", pa.int64()), ("ecc", pa.int64()),
+                        ("n_reached", pa.int64())])
+    seed_t = [t for t in tables if t is not None and t.num_rows
+              and t.column_names == ["seed"]]
+    edge_t = [t for t in tables if t is not None and t.num_rows
+              and t.column_names != ["seed"]]
+    if not seed_t:
+        return schema.empty_table()
+    seeds = np.sort(np.unique(pa.concat_tables(seed_t)["seed"]
+                              .to_numpy(zero_copy_only=False)
+                              .astype(np.int64)))
+    if edge_t:
+        e = pa.concat_tables(edge_t).combine_chunks()
+        a = e["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = e["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a = b = np.empty(0, np.int64)
+    nodes = np.unique(np.concatenate([seeds, a, b]))
+    big = np.int64(2**62)
+    dist = np.full((len(nodes), len(seeds)), big, np.int64)
+    si = np.searchsorted(nodes, seeds)
+    dist[si, np.arange(len(seeds))] = 0
+    ai, bi = np.searchsorted(nodes, a), np.searchsorted(nodes, b)
+    src, dst = np.concatenate([ai, bi]), np.concatenate([bi, ai])
+    for _ in range(hops):
+        nd = dist.copy()
+        np.minimum.at(nd, dst, dist[src] + 1)
+        dist = nd
+    reached = (dist < big) & (dist > 0)
+    return pa.table({
+        "seed": pa.array(seeds),
+        "ecc": pa.array(np.where(reached, dist, 0).max(axis=0)
+                        .astype(np.int64)),
+        "n_reached": pa.array(reached.sum(axis=0).astype(np.int64)),
+    }, schema=schema)
+
+
+def q_graph_eccentricity(sf_dir: str) -> rd.Dataset:
+    """Hop-capped ECCENTRICITY panel over the 2-NN similarity graph — the
+    per-seed max-BFS-depth statistic whose panel max/min lower-bound the
+    graph DIAMETER and RADIUS (the iFUB-style bound used to audit whether
+    a similarity graph is one tight community or a long chain).  Same
+    composite-key BFS engine as ``graph_closeness`` (``_seed_bfs_dist``):
+    ``ECC_HOPS`` expansion-join + grouped-MIN-exchange rounds, then ONE
+    grouped max/count exchange per seed — state never on the driver; the
+    hop cap makes the panel O(panel × V) at any scale (exact all-pairs
+    eccentricity is O(V·E) and not a 100-TB operation).  Small graphs run
+    one vectorized dense-matrix task.  Deterministic ⇒ unrolled-CTE SQL
+    replay."""
+    from .relational import grouped_agg
+
+    und = _nn2_und_edges(sf_dir).materialize()
+    emb = _read(sf_dir, "embeddings", columns=["vec_id"])
+    cap = ECC_SEED_MOD * ECC_MAX_SEEDS
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = v[(v % ECC_SEED_MOD == 0) & (v < cap)]
+        return pa.table({"seed": pa.array(v)})
+
+    seeds = emb.map_batches(seed_rows, batch_format="pyarrow").materialize()
+
+    from .stages.graph import _LOCAL_GRAPH_MAX_EDGES
+    import ray
+
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = ray.remote(_ecc_local).remote(
+            ECC_HOPS, *seeds.to_arrow_refs(), *und.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    dist = _seed_bfs_dist(und, seeds, ECC_HOPS)
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["hop"], pa.scalar(0, pa.int64())))
+        return pa.table({
+            "seed": t["seed"], "ecc": t["hop"],
+            "n_reached": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    return grouped_agg(
+        dist.map_batches(fin, batch_format="pyarrow"), ["seed"],
+        sums=["n_reached"], maxs=["ecc"],
+        in_schema=pa.schema([("seed", pa.int64()), ("ecc", pa.int64()),
+                             ("n_reached", pa.int64())]))
+
+
+def _sql_graph_eccentricity() -> str:
+    cap = ECC_SEED_MOD * ECC_MAX_SEEDS
+    head = f"""
+WITH {_SQL_NN2_UND},
+edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+it0 AS (SELECT CAST(vec_id AS BIGINT) AS seed, CAST(vec_id AS BIGINT) AS node,
+               CAST(0 AS BIGINT) AS hop
+        FROM embeddings
+        WHERE vec_id % {ECC_SEED_MOD} = 0 AND vec_id < {cap})"""
+    its = ""
+    for i in range(1, ECC_HOPS + 1):
+        its += f""",
+it{i} AS (
+  SELECT seed, node, MIN(hop) AS hop FROM (
+    SELECT seed, node, hop FROM it{i - 1}
+    UNION ALL
+    SELECT d.seed, e.b AS node, d.hop + 1
+    FROM edges e JOIN it{i - 1} d ON d.node = e.a
+  ) GROUP BY seed, node)"""
+    return f"""{head}{its}
+SELECT seed, CAST(MAX(hop) AS BIGINT) AS ecc,
+  CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM it{ECC_HOPS} WHERE hop > 0 GROUP BY seed"""
 
 
 SSSP_SEED_MOD, SSSP_ROUNDS = 29, 6
@@ -3221,6 +3353,72 @@ SELECT 'event_id' AS col, COUNT(DISTINCT event_id) AS exact_distinct,
        CAST(1 AS BOOLEAN) AS within_5pct FROM events
 UNION ALL
 SELECT 'user_id', COUNT(DISTINCT user_id), CAST(1 AS BOOLEAN) FROM events
+"""
+
+
+def q_sketch_set_ops(sf_dir: str):
+    """HLL SET ALGEBRA — audience-overlap estimation without a join: the
+    click-audience and purchase-audience (distinct user-DAYS, so the sets
+    genuinely differ) are sketched independently; |A∪B| comes from the
+    elementwise register max (the sketch of the union — the property that
+    makes HLLs mergeable across shards/days without re-reading them) and
+    |A∩B| from inclusion–exclusion.  Exact counts run through the distinct
+    exchange and are what the SQL oracle verifies; the estimates are gated
+    in-pipeline (ANN-recall pattern) — union at ±5 %, intersection at
+    ±15 % (inclusion–exclusion compounds the three sketches' error).
+    Deterministic: seeded hash ⇒ fixed error per input."""
+    import pandas as pd
+
+    def keyed(etype: str) -> rd.Dataset:
+        ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+        def to_key(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], etype))
+            day = pc.strftime(b["ts"], format="%Y-%m-%d")
+            uid = pc.cast(b["user_id"], pa.string())
+            k = pc.binary_join_element_wise(uid, day, ":")
+            return pa.table({"k": k})
+
+        return ds.map_batches(to_key, batch_format="pyarrow")
+
+    a, b = keyed("click"), keyed("purchase")
+    ra, rb = SK.hll_registers(a, "k", p=12), SK.hll_registers(b, "k", p=12)
+    est_a, est_b = SK.hll_estimate(ra), SK.hll_estimate(rb)
+    est_u = SK.hll_estimate(np.maximum(ra, rb))
+    est_i = est_a + est_b - est_u
+
+    exact_a = D.distinct_on(a, ["k"]).count()
+    exact_b = D.distinct_on(b, ["k"]).count()
+    exact_u = D.distinct_on(a.union(b), ["k"]).count()
+    exact_i = exact_a + exact_b - exact_u  # exact by inclusion–exclusion
+
+    def ok(est: float, exact: int, pct: float) -> bool:
+        return abs(est - exact) <= pct / 100.0 * max(1, exact)
+
+    return pd.DataFrame([{
+        "exact_a": exact_a, "exact_b": exact_b,
+        "exact_union": exact_u, "exact_intersect": exact_i,
+        "a_ok": ok(est_a, exact_a, 5.0), "b_ok": ok(est_b, exact_b, 5.0),
+        "union_ok": ok(est_u, exact_u, 5.0),
+        "intersect_ok": ok(est_i, exact_i, 15.0),
+    }])
+
+
+SQL_SKETCH_SET_OPS = """
+WITH a AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || ':'
+                  || strftime(ts, '%Y-%m-%d') AS k
+           FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || ':'
+                  || strftime(ts, '%Y-%m-%d') AS k
+           FROM events WHERE event_type = 'purchase'),
+     u AS (SELECT k FROM a UNION SELECT k FROM b)
+SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+       (SELECT COUNT(*) FROM b) AS exact_b,
+       (SELECT COUNT(*) FROM u) AS exact_union,
+       (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+         - (SELECT COUNT(*) FROM u) AS exact_intersect,
+       CAST(1 AS BOOLEAN) AS a_ok, CAST(1 AS BOOLEAN) AS b_ok,
+       CAST(1 AS BOOLEAN) AS union_ok, CAST(1 AS BOOLEAN) AS intersect_ok
 """
 
 
@@ -5047,6 +5245,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "sketch_distinct": q_sketch_distinct,
+        "sketch_set_ops": q_sketch_set_ops,
         "sketch_quantiles": q_sketch_quantiles,
         "dd_edit_distance": q_dd_edit_distance,
         "rel_profile": q_rel_profile,
@@ -5067,6 +5266,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_decontaminate": q_text_decontaminate,
         "text_pack_sequences": q_text_pack_sequences,
         "graph_closeness": q_graph_closeness,
+        "graph_eccentricity": q_graph_eccentricity,
         "text_readability": q_text_readability,
         "mm_video_scene_cut": q_mm_video_scene_cut,
         "text_entropy": q_text_entropy,
@@ -5079,6 +5279,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
 def oracle_sql() -> Dict[str, str]:
     return {
         "graph_closeness": _sql_graph_closeness(),
+        "graph_eccentricity": _sql_graph_eccentricity(),
         "text_readability": SQL_TEXT_READABILITY,
         "mm_video_scene_cut": SQL_MM_VIDEO_SCENE_CUT,
         "text_entropy": SQL_TEXT_ENTROPY,
@@ -5149,6 +5350,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_langid": _sql_langid(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "sketch_distinct": SQL_SKETCH_DISTINCT,
+        "sketch_set_ops": SQL_SKETCH_SET_OPS,
         "sketch_quantiles": SQL_SKETCH_QUANTILES,
         "dd_edit_distance": SQL_DD_EDIT_DISTANCE,
         "rel_profile": SQL_REL_PROFILE,

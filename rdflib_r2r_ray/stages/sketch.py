@@ -67,10 +67,13 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
-    """Approximate ``COUNT(DISTINCT col)``: per-batch register fold (one
-    tiny row per block moves), driver-side maximum-merge of O(blocks)
-    m-byte rows."""
+def hll_registers(ds: rd.Dataset, col: str, p: int = 12) -> np.ndarray:
+    """Merged m=2^p HLL register array for ``col``: per-batch register fold
+    (one tiny row per block moves), driver-side maximum-merge of O(blocks)
+    m-byte rows.  Register arrays are the MERGEABLE form of the sketch —
+    elementwise max of two columns' registers is the sketch of their set
+    UNION, which makes |A∪B| / |A∩B| (inclusion–exclusion) estimable
+    without re-reading either input."""
     m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -85,7 +88,12 @@ def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     merged = np.zeros(m, dtype=np.uint8)
     for r in rows:
         merged = np.maximum(merged, np.asarray(r["reg"], dtype=np.uint8))
-    return hll_estimate(merged)
+    return merged
+
+
+def approx_count_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Approximate ``COUNT(DISTINCT col)`` off the merged registers."""
+    return hll_estimate(hll_registers(ds, col, p))
 
 
 def grouped_approx_count_distinct(

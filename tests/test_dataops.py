@@ -1428,6 +1428,28 @@ def test_graph_closeness_paths(ray_session, monkeypatch, path):
         assert rows == test_graph_closeness_paths._local
 
 
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_graph_eccentricity_paths(ray_session, monkeypatch, path):
+    """Both execution paths of the eccentricity panel agree on sf0.001;
+    ecc is within the hop cap and positive whenever anything is reached."""
+    from rdflib_r2r_ray import dataq
+    from rdflib_r2r_ray.stages import graph as G
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
+    rows = {r["seed"]: (r["ecc"], r["n_reached"])
+            for r in dataq.q_graph_eccentricity("/root/testdata/sf0.001")
+            .take_all()}
+    assert rows
+    for seed, (ecc, n) in rows.items():
+        assert seed % dataq.ECC_SEED_MOD == 0
+        assert 1 <= ecc <= dataq.ECC_HOPS and n >= ecc
+    if path == "local":
+        test_graph_eccentricity_paths._local = rows
+    else:
+        assert rows == test_graph_eccentricity_paths._local
+
+
 def test_text_readability_edges(ray_session, tmp_path):
     """Hand-checked Flesch floors: empty text, vowel-less tokens, missing
     sentence punctuation all hit the documented max(1, ·) clamps."""
