@@ -3318,6 +3318,115 @@ def q_text_fingerprint(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id", "n"])
 
 
+_MOJIBAKE_CHARS = ("Ã", "Â", "â", "€")  # UTF-8-read-as-latin1 tells
+
+
+def q_text_mojibake(sf_dir: str) -> rd.Dataset:
+    """ENCODING-ANOMALY (mojibake) detection — the CCNet/CommonCrawl filter
+    that drops documents whose bytes were decoded with the wrong charset
+    (UTF-8 read as latin-1 leaves 'Ã¡'/'â€™'-style digraphs): corpus
+    corruption is PLANTED deterministically (docs with doc_id ≡ 0 mod 3 get
+    'a' → 'Ã¡', the latin-1 rendering of UTF-8 'á'), then the detector —
+    which does not know the planting rule — counts tell-tale codepoints
+    (Ã Â â €) with one ``count_substring`` kernel each and emits hits,
+    hits-per-char permille, and the drop flag.  Pure vectorized map —
+    streams; the oracle replays plant + detector with length-difference
+    counting."""
+    ds = _docs(sf_dir)
+
+    def detect(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mod3 = pa.array(ids % 3 == 0)
+        planted = pc.replace_substring(t, pattern="a", replacement="Ã¡")
+        t2 = pc.if_else(mod3, planted, t)
+        hits = pa.array(np.zeros(len(b), np.int64))
+        for ch in _MOJIBAKE_CHARS:
+            hits = pc.add(hits, pc.cast(pc.count_substring(t2, ch), pa.int64()))
+        n = pc.cast(pc.utf8_length(t2), pa.int64())
+        permille = pc.if_else(
+            pc.greater(n, pa.scalar(0, pa.int64())),
+            pc.divide(pc.multiply(hits, pa.scalar(1000, pa.int64())),
+                      pc.max_element_wise(n, pa.scalar(1, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "mojibake_hits": hits,
+            "mojibake_permille": permille,
+            "flagged": pc.greater(hits, pa.scalar(0, pa.int64())),
+        })
+
+    return ds.map_batches(detect, batch_format="pyarrow")
+
+
+SQL_TEXT_MOJIBAKE = """
+WITH t2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'Ã¡') ELSE text END AS t
+  FROM documents),
+h AS (
+  SELECT doc_id, t,
+    (length(t) - length(replace(t, 'Ã', '')))
+    + (length(t) - length(replace(t, 'Â', '')))
+    + (length(t) - length(replace(t, 'â', '')))
+    + (length(t) - length(replace(t, '€', ''))) AS hits
+  FROM t2)
+SELECT doc_id, CAST(hits AS BIGINT) AS mojibake_hits,
+  CAST(hits * 1000 // GREATEST(length(t), 1) AS BIGINT) AS mojibake_permille,
+  hits > 0 AS flagged
+FROM h
+"""
+
+
+def q_text_winnowing(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprint selection (the MOSS / local-minima document
+    sketch under plagiarism and clone detection — the positional
+    complement of the MinHash family): per doc, k-gram polynomial hashes →
+    rightmost-minimum selection per w-window → per-doc audit stats over
+    the selected fingerprint set (``stages/text.WinnowStats``).  Pure
+    per-document map — streams, no shuffle; the oracle recomputes hashes
+    closed-form from ``substr``/``unicode`` and replays the window
+    argmin in two grouped joins."""
+    return _docs(sf_dir).map_batches(T.WinnowStats(), batch_format="pyarrow",
+                                     batch_size=256)
+
+
+# h(p) = (Σ_j unicode(text[p+j])·31^(4−j)) mod (2^31−1); windows are full
+# w=4 runs (HAVING COUNT(*)=4); per window keep the rightmost position
+# attaining the window min; stats over DISTINCT selected positions.
+SQL_TEXT_WINNOWING = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents
+           WHERE length(text) >= {T.WINNOW_K + T.WINNOW_W - 1}),
+pos AS (SELECT doc_id, text,
+               CAST(unnest(range(0, L - {T.WINNOW_K - 1})) AS BIGINT) AS p
+        FROM d),
+h AS (SELECT doc_id, p,
+        (unicode(substr(text, CAST(p + 1 AS INT), 1)) * 923521
+         + unicode(substr(text, CAST(p + 2 AS INT), 1)) * 29791
+         + unicode(substr(text, CAST(p + 3 AS INT), 1)) * 961
+         + unicode(substr(text, CAST(p + 4 AS INT), 1)) * 31
+         + unicode(substr(text, CAST(p + 5 AS INT), 1))) % 2147483647 AS hv
+      FROM pos),
+win AS (SELECT w.doc_id, w.p AS ws, MIN(q.hv) AS mn
+        FROM h w JOIN h q ON q.doc_id = w.doc_id
+                         AND q.p BETWEEN w.p AND w.p + {T.WINNOW_W - 1}
+        GROUP BY w.doc_id, w.p HAVING COUNT(*) = {T.WINNOW_W}),
+sel AS (SELECT DISTINCT win.doc_id, mx.sp FROM win JOIN (
+          SELECT w2.doc_id, w2.ws, MAX(q.p) AS sp
+          FROM win w2 JOIN h q ON q.doc_id = w2.doc_id
+                              AND q.p BETWEEN w2.ws AND w2.ws + {T.WINNOW_W - 1}
+                              AND q.hv = w2.mn
+          GROUP BY w2.doc_id, w2.ws) mx
+        ON mx.doc_id = win.doc_id AND mx.ws = win.ws)
+SELECT s.doc_id, MAX(d.L) - {T.WINNOW_K - 1} AS n_kgrams,
+       COUNT(*) AS n_selected, MIN(q.hv) AS fp_min,
+       CAST(SUM(q.hv) AS BIGINT) AS fp_sum
+FROM sel s JOIN h q ON q.doc_id = s.doc_id AND q.p = s.sp
+           JOIN d ON d.doc_id = s.doc_id
+GROUP BY s.doc_id
+"""
+
+
 SQL_TEXT_FINGERPRINT = f"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM (
   SELECT doc_id, text FROM documents
@@ -3976,6 +4085,86 @@ bits AS (
                ORDER BY k) AS ahash
   FROM g JOIN tot USING (doc_id) GROUP BY g.doc_id)
 SELECT ahash, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM bits GROUP BY ahash
+"""
+
+
+def q_mm_image_dhash(sf_dir: str) -> rd.Dataset:
+    """Difference-hash IMAGE dedup — the brightness-shift-invariant sibling
+    of ``mm_image_ahash``: decode every payload, compute the row-gradient
+    hash (``stages/multimodal.ImageDHash``; bit = gray[r,c+1] > gray[r,c]),
+    keep one doc per hash group (min doc_id, group size) through the
+    combiner + hash exchange.  The corpus plants a BRIGHTNESS-SHIFTED copy
+    (+10 on every channel, saturating arithmetic avoided by the formula's
+    range) of every image — aHash-style mean thresholds can flip near-mean
+    bits under that shift; dHash groups original and shifted copy exactly.
+    The oracle replays gradient bits closed-form from the pixel formula."""
+    from .stages.dedup import hash_group_exchange
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(MM.synthesize_payloads, batch_format="pyarrow")
+
+    def plant_shifted(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        pays = batch["payload"].to_pylist()
+        sids, spays = [], []
+        for i, buf in zip(ids, pays):
+            hdr = MM.unpack_header(buf)
+            n = hdr["width"] * hdr["height"] * 3
+            px = np.frombuffer(buf[MM._HEADER_SIZE : MM._HEADER_SIZE + n],
+                               np.uint8).astype(np.int64)
+            shifted = np.minimum(px + 10, 255).astype(np.uint8)  # clip, no wrap
+            sids.append(i + DUP_OFFSET)
+            spays.append(MM.pack_payload("img", hdr["width"], hdr["height"],
+                                         1, shifted.tobytes()))
+        return pa.table({
+            "doc_id": pa.array(ids + sids, pa.int64()),
+            "payload": pa.array(pays + spays, pa.binary()),
+        })
+
+    ds = ds.map_batches(plant_shifted, batch_format="pyarrow")
+    hashed = ds.map_batches(MM.ImageDHash(), batch_format="pyarrow",
+                            batch_size=256)
+    out_schema = pa.schema([("dhash", pa.string()), ("doc_id", pa.int64()),
+                            ("n", pa.int64())])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("dhash").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return pa.table(
+            {"dhash": g["dhash"], "doc_id": g["doc_id_min"],
+             "n": pc.cast(g["doc_id_count"], pa.int64())}, schema=out_schema)
+
+    partials = hashed.map_batches(combine, batch_format="pyarrow")
+
+    def merge(part: pa.Table) -> pa.Table:
+        g = part.group_by("dhash").aggregate([("doc_id", "min"), ("n", "sum")])
+        return pa.table(
+            {"dhash": g["dhash"], "doc_id": g["doc_id_min"],
+             "n": pc.cast(g["n_sum"], pa.int64())}, schema=out_schema)
+
+    return hash_group_exchange(partials, ["dhash"], merge, out_schema)
+
+
+# gray_k = (Σ_c clip((src*31+(3k+c)*7)%256 + shift) ) // 3; shifted copy adds
+# +10 per channel with a 255 clip.  dHash bit (r,c): gray(r*8+c+1) > gray(r*8+c)
+# for c ∈ 0..6 — 56 bits row-major.
+SQL_MM_IMAGE_DHASH = f"""
+WITH base AS (
+  SELECT doc_id, doc_id AS src, 0 AS sh FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, doc_id, 10 FROM documents),
+g AS (
+  SELECT b.doc_id, k,
+    (LEAST((b.src*31 + (3*k)*7) % 256 + b.sh, 255)
+     + LEAST((b.src*31 + (3*k+1)*7) % 256 + b.sh, 255)
+     + LEAST((b.src*31 + (3*k+2)*7) % 256 + b.sh, 255)) // 3 AS gray
+  FROM base b, generate_series(0, 63) t(k)),
+bits AS (
+  SELECT a.doc_id,
+    string_agg(CASE WHEN b.gray > a.gray THEN '1' ELSE '0' END, ''
+               ORDER BY a.k) AS dhash
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k % 8 < 7 GROUP BY a.doc_id)
+SELECT dhash, MIN(doc_id) AS doc_id, COUNT(*) AS n FROM bits GROUP BY dhash
 """
 
 
@@ -5225,6 +5414,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ann_hard_negatives": q_ann_hard_negatives,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "mm_image_ahash": q_mm_image_ahash,
+        "mm_image_dhash": q_mm_image_dhash,
         "graph_modularity": q_graph_modularity,
         "graph_assortativity": q_graph_assortativity,
         "text_stats": q_text_stats,
@@ -5244,6 +5434,8 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnowing": q_text_winnowing,
+        "text_mojibake": q_text_mojibake,
         "sketch_distinct": q_sketch_distinct,
         "sketch_set_ops": q_sketch_set_ops,
         "sketch_quantiles": q_sketch_quantiles,
@@ -5331,6 +5523,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_hard_negatives": SQL_ANN_HARD_NEGATIVES,
         "text_boilerplate_strip": SQL_TEXT_BOILERPLATE_STRIP,
         "mm_image_ahash": SQL_MM_IMAGE_AHASH,
+        "mm_image_dhash": SQL_MM_IMAGE_DHASH,
         "graph_modularity": _sql_graph_modularity(),
         "graph_assortativity": _sql_graph_assortativity(),
         "text_stats": SQL_TEXT_STATS,
@@ -5349,6 +5542,8 @@ def oracle_sql() -> Dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_langid": _sql_langid(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "text_winnowing": SQL_TEXT_WINNOWING,
+        "text_mojibake": SQL_TEXT_MOJIBAKE,
         "sketch_distinct": SQL_SKETCH_DISTINCT,
         "sketch_set_ops": SQL_SKETCH_SET_OPS,
         "sketch_quantiles": SQL_SKETCH_QUANTILES,

@@ -3179,6 +3179,8 @@ _LATE_R4 = {
     "ml_nb_classify", "kg_amie_rules", "text_source_filter",
     "ml_linreg_moments", "graph_ppr", "graph_scc", "rel_scd2",
     "ml_prototype_prune",
+    "sketch_set_ops", "graph_eccentricity", "mm_image_dhash",
+    "ml_silhouette", "text_winnowing", "text_mojibake",
 }
 
 

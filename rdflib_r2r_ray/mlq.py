@@ -525,6 +525,75 @@ SELECT cluster, spermille, vec_id FROM (
 
 
 # ---------------------------------------------------------------------------
+# ml_silhouette — cluster-quality audit (centroid-simplified silhouette)
+# ---------------------------------------------------------------------------
+
+def q_ml_silhouette(sf_dir: str) -> rd.Dataset:
+    """Per-vector SIMPLIFIED SILHOUETTE (Hruschka et al. 2004 — the
+    centroid form of Rousseeuw's silhouette that large-scale libraries
+    ship, because the exact coefficient needs all O(V²) pairwise
+    distances): cluster with the shared distributed k-means (k=4, 2 Lloyd
+    iterations — the ``dd_semantic`` protocol), then per vector a = cosine
+    distance to OWN centroid, b = distance to the NEAREST OTHER centroid,
+    s = (b-a)/max(a,b).  One broadcast-centroid matmul per batch (streams,
+    no shuffle at all after training).  Similarities are half-up permille
+    integers and s is scaled-integer division — the assignment makes
+    a ≤ b, so the numerator is non-negative and ``//`` agrees between
+    numpy and SQL.  Per-vector rows (not just means) so a single flipped
+    assignment fails the gate."""
+    import ray
+
+    from .stages import ann as A
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = A.kmeans_distributed(ds, k=4, iters=2)
+    ref = ray.put(cent)
+
+    def score(b: pa.Table, _r=ref) -> pa.Table:
+        c = ray.get(_r)
+        m = _to_matrix(b["embedding"])
+        sims = A._unit(m) @ A._unit(c).T
+        a = sims.argmax(axis=1)  # ties → lowest cluster (numpy argmax)
+        rows = np.arange(len(a))
+        s_own = sims[rows, a]
+        rest = sims.copy()
+        rest[rows, a] = -np.inf
+        s_oth = rest.max(axis=1)
+        spo = np.floor(1000.0 * s_own + 0.5).astype(np.int64)
+        spt = np.floor(1000.0 * s_oth + 0.5).astype(np.int64)
+        silh = (spo - spt) * 1000 // np.maximum(1000 - spt, 1)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster": pa.array(a.astype(np.int32), pa.int32()),
+            "silh_permille": pa.array(silh, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_ml_silhouette() -> str:
+    from .dataq import _sql_kmeans_cte
+
+    return f"""
+WITH {_sql_kmeans_cte()},
+sims AS (
+  SELECT a.vec_id, a.c, i.c AS cc,
+    CAST(floor(1000.0 * list_cosine_similarity(
+           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+           i.embedding) + 0.5) AS BIGINT) AS sp
+  FROM a2 a CROSS JOIN c2 i),
+ab AS (
+  SELECT vec_id, CAST(c AS INTEGER) AS cluster,
+    MAX(CASE WHEN cc = c THEN sp END) AS spo,
+    MAX(CASE WHEN cc <> c THEN sp END) AS spt
+  FROM sims GROUP BY vec_id, c)
+SELECT vec_id, cluster,
+  (spo - spt) * 1000 // GREATEST(1000 - spt, 1) AS silh_permille
+FROM ab
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_linreg_moments — one-pass closed-form multivariate OLS
 # ---------------------------------------------------------------------------
 
@@ -1368,6 +1437,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_source_filter": q_text_source_filter,
         "ml_linreg_moments": q_ml_linreg_moments,
         "ml_prototype_prune": q_ml_prototype_prune,
+        "ml_silhouette": q_ml_silhouette,
         "ml_auc": q_ml_auc,
         "ml_calibration": q_ml_calibration,
         "ml_perceptron": q_ml_perceptron,
@@ -1387,6 +1457,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_source_filter": _sql_text_source_filter(),
         "ml_linreg_moments": SQL_ML_LINREG_MOMENTS,
         "ml_prototype_prune": _sql_ml_prototype_prune(),
+        "ml_silhouette": _sql_ml_silhouette(),
         "ml_auc": SQL_ML_AUC,
         "ml_calibration": SQL_ML_CALIBRATION,
         "ml_perceptron": _sql_ml_perceptron(),

@@ -218,6 +218,41 @@ class ImageAHash:
              "ahash": pa.array(out, pa.string())})
 
 
+class ImageDHash:
+    """Actor-pool stage: MMB1 'img' payloads → row-gradient DIFFERENCE
+    HASH (dHash: grayscale, one bit per horizontally adjacent pixel pair,
+    ``gray[r,c+1] > gray[r,c]``) — the near-duplicate key that, unlike
+    aHash's global mean threshold, is invariant to uniform brightness
+    shifts (each bit compares neighbours, not the image mean).  All-integer
+    math ⇒ bit-exact and replayable by a SQL oracle over the synthetic
+    pixel formula.  Emits height·(width-1) bits as a bitstring key for a
+    grouped dedup exchange."""
+
+    def __init__(self, bin_col: str = "payload", id_col: str = "doc_id"):
+        self.bin_col, self.id_col = bin_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: List[Optional[str]] = []
+        for buf in batch[self.bin_col].to_pylist():
+            buf = buf or b""
+            hdr = unpack_header(buf)
+            if hdr is None or hdr["kind"] != "img":
+                out.append(None)
+                continue
+            w, h = hdr["width"], hdr["height"]
+            n = w * h * 3
+            px = np.frombuffer(buf[_HEADER_SIZE : _HEADER_SIZE + n], dtype=np.uint8)
+            if len(px) != n:
+                out.append(None)
+                continue
+            gray = (px.astype(np.int64).reshape(-1, 3).sum(axis=1) // 3).reshape(h, w)
+            bits = gray[:, 1:] > gray[:, :-1]
+            out.append("".join(np.where(bits.reshape(-1), "1", "0").tolist()))
+        return pa.table(
+            {self.id_col: batch[self.id_col],
+             "dhash": pa.array(out, pa.string())})
+
+
 class AudioFrameSampler:
     """Actor-pool stage: MMB1 'aud' payloads (int16 PCM) → per-clip frame
     stats sampled every ``hop`` samples (RMS energy proxy). Real audio

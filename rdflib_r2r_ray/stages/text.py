@@ -346,6 +346,59 @@ def rolling_fingerprint(text: str, window: int = 50) -> int:
     return int(h)
 
 
+WINNOW_K, WINNOW_W = 5, 4  # k-gram length / winnowing window
+_WINNOW_MOD = 2147483647
+_WINNOW_POW = np.array([31 ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)],
+                       dtype=np.int64)
+
+
+class WinnowStats:
+    """Actor-pool stage: per-document WINNOWING fingerprint selection
+    (Schleimer/Wilkerson/Aiken 2003, the MOSS algorithm): codepoint-level
+    k-gram polynomial hashes (k=5, base 31, mod 2^31−1 — closed-form, so a
+    SQL oracle recomputes them from ``substr``/``unicode``), then per
+    sliding window of w=4 hashes select the RIGHTMOST MINIMUM; the distinct
+    selected positions are the document's fingerprint set (guarantee: any
+    shared substring ≥ w+k−1 chars yields a shared selected hash).  Emits
+    per-doc audit stats (n_kgrams, n_selected, fp_min, fp_sum) — exact
+    integers, fully SQL-replayable.  Codepoints come from one
+    ``utf-32`` reinterpret per text and hashes/mins from sliding-window
+    views — no per-character Python.  Docs shorter than k+w−1 are skipped
+    (no full window), matching the oracle's length filter."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, n_kg, n_sel, fmin, fsum = [], [], [], [], []
+        swv = np.lib.stride_tricks.sliding_window_view
+        for i, t in zip(ids, texts):
+            t = t or ""
+            if len(t) < WINNOW_K + WINNOW_W - 1:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.int64)
+            h = (swv(codes, WINNOW_K) * _WINNOW_POW).sum(axis=1) % _WINNOW_MOD
+            wn = swv(h, WINNOW_W)
+            # rightmost minimum per window: argmin over the reversed window
+            right = (WINNOW_W - 1) - np.argmin(wn[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(wn)) + right)
+            hs = h[sel]
+            out_id.append(i)
+            n_kg.append(len(h))
+            n_sel.append(len(sel))
+            fmin.append(int(hs.min()))
+            fsum.append(int(hs.sum()))
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "n_kgrams": pa.array(n_kg, pa.int64()),
+            "n_selected": pa.array(n_sel, pa.int64()),
+            "fp_min": pa.array(fmin, pa.int64()),
+            "fp_sum": pa.array(fsum, pa.int64()),
+        })
+
+
 class Fingerprinter:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id", window: int = 50):
         self.text_col, self.id_col, self.window = text_col, id_col, window
