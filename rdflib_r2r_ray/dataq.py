@@ -1882,6 +1882,235 @@ SELECT seed, CAST(MAX(hop) AS BIGINT) AS ecc,
 FROM it{ECC_HOPS} WHERE hop > 0 GROUP BY seed"""
 
 
+STRESS_SEED_MOD, STRESS_MAX_SEEDS, STRESS_HOPS = 43, 32, 3
+
+
+def _stress_local(hops: int, *tables: pa.Table) -> pa.Table:
+    """One-task stress centrality for a seed panel: per seed, vectorized
+    BFS with path counting (sigma) then backward suffix accumulation (T) —
+    the small-graph path."""
+    schema = pa.schema([("node", pa.int64()), ("stress", pa.int64())])
+    seed_t = [t for t in tables if t is not None and t.num_rows
+              and t.column_names == ["seed"]]
+    edge_t = [t for t in tables if t is not None and t.num_rows
+              and t.column_names != ["seed"]]
+    if not seed_t:
+        return schema.empty_table()
+    seeds = np.sort(np.unique(pa.concat_tables(seed_t)["seed"]
+                              .to_numpy(zero_copy_only=False)
+                              .astype(np.int64)))
+    if edge_t:
+        e = pa.concat_tables(edge_t).combine_chunks()
+        ea = e["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = e["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        ea = eb = np.empty(0, np.int64)
+    nodes = np.unique(np.concatenate([seeds, ea, eb]))
+    ai, bi = np.searchsorted(nodes, ea), np.searchsorted(nodes, eb)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    n = len(nodes)
+    stress = np.zeros(n, np.int64)
+    for s in np.searchsorted(nodes, seeds):
+        d = np.full(n, -1, np.int64)
+        sigma = np.zeros(n, np.int64)
+        d[s], sigma[s] = 0, 1
+        for k in range(1, hops + 1):
+            sel = d[src] == k - 1
+            new = dst[sel][d[dst[sel]] == -1]
+            d[new] = k
+            sel2 = sel & (d[dst] == k)
+            np.add.at(sigma, dst[sel2], sigma[src[sel2]])
+        t = np.zeros(n, np.int64)
+        for l in range(hops - 1, -1, -1):
+            sel = (d[src] == l) & (d[dst] == l + 1)
+            tl = np.zeros(n, np.int64)
+            np.add.at(tl, src[sel], 1 + t[dst[sel]])
+            t[d == l] = tl[d == l]
+        stress += np.where(d >= 1, sigma * t, 0)
+    keep = stress > 0
+    return pa.table({"node": pa.array(nodes[keep]),
+                     "stress": pa.array(stress[keep])}, schema=schema)
+
+
+def q_graph_stress_centrality(sf_dir: str) -> rd.Dataset:
+    """Hop-capped STRESS CENTRALITY (Shimbel 1953; the integer sibling of
+    Brandes betweenness — the number of shortest paths PASSING THROUGH a
+    node, the standard hub/broker score where betweenness's fractional
+    dependency accumulation would break integer-exact oracles): a bounded
+    seed panel runs the two-phase Brandes shape fully distributed —
+    FORWARD, per BFS layer, one expansion join + one grouped-SUM exchange
+    accumulates sigma (shortest-path counts, layer membership gated by the
+    shared ``_seed_bfs_dist`` distance state); BACKWARD, per layer from
+    the deepest, one join against the successor layer's suffix counts +
+    one grouped-SUM exchange computes T(v) = Σ_succ (1 + T(w)), zero rows
+    unioned in so childless nodes keep T=0 without an anti-join.  Per-seed
+    through-traffic is sigma·T (exact: # of seed→t shortest paths with v
+    interior), summed over the panel by one final exchange.  State is
+    O(panel × V) rows, never on the driver.  Small graphs run one dense
+    task.  All-integer ⇒ unrolled-CTE SQL replay."""
+    from .relational import grouped_agg, planned_join
+
+    und = _nn2_und_edges(sf_dir).materialize()
+    emb = _read(sf_dir, "embeddings", columns=["vec_id"])
+    cap = STRESS_SEED_MOD * STRESS_MAX_SEEDS
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = v[(v % STRESS_SEED_MOD == 0) & (v < cap)]
+        return pa.table({"seed": pa.array(v)})
+
+    seeds = emb.map_batches(seed_rows, batch_format="pyarrow").materialize()
+
+    from .stages.graph import _LOCAL_GRAPH_MAX_EDGES
+    import ray
+
+    if und.count() <= _LOCAL_GRAPH_MAX_EDGES:
+        out = ray.remote(_stress_local).remote(
+            STRESS_HOPS, *seeds.to_arrow_refs(), *und.to_arrow_refs())
+        return rd.from_arrow_refs([out])
+
+    H = STRESS_HOPS
+    dist = _seed_bfs_dist(und, seeds, H)
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = und.map_batches(both, batch_format="pyarrow").materialize()
+
+    sig_schema = pa.schema([("seed", pa.int64()), ("node", pa.int64()),
+                            ("sigma", pa.int64())])
+
+    def layer(k: int) -> rd.Dataset:
+        return dist.filter(
+            lambda r, _k=k: r["hop"] == _k).materialize()
+
+    layers = [layer(k) for k in range(H + 1)]
+    sig = [None] * (H + 1)
+    sig[0] = seeds.map_batches(
+        lambda t: pa.table({"seed": t["seed"], "node": t["seed"],
+                            "sigma": pa.array(np.ones(len(t), np.int64))},
+                           schema=sig_schema),
+        batch_format="pyarrow").materialize()
+    for k in range(1, H + 1):
+        cand = planned_join(edges, sig[k - 1], on=["src"], right_on=["node"])
+
+        def fwd(t: pa.Table) -> pa.Table:
+            return pa.table({"seed": t["seed"], "node": t["dst"],
+                             "sigma": t["sigma"]}, schema=sig_schema)
+
+        summed = grouped_agg(cand.map_batches(fwd, batch_format="pyarrow"),
+                             ["seed", "node"], sums=["sigma"],
+                             in_schema=sig_schema)
+        # gate to true layer-k members (distance == k under the BFS state)
+        lk = layers[k].map_batches(
+            lambda t: pa.table({"seed": t["seed"], "node": t["node"]}),
+            batch_format="pyarrow")
+        sig[k] = planned_join(summed, lk, on=["seed", "node"],
+                              right_on=["seed", "node"]).materialize()
+
+    t_schema = pa.schema([("seed", pa.int64()), ("node", pa.int64()),
+                          ("t", pa.int64())])
+
+    def zeros_of(sig_ds: rd.Dataset) -> rd.Dataset:
+        return sig_ds.map_batches(
+            lambda t: pa.table({"seed": t["seed"], "node": t["node"],
+                                "t": pa.array(np.zeros(len(t), np.int64))},
+                               schema=t_schema),
+            batch_format="pyarrow")
+
+    tfull = [None] * (H + 1)
+    tfull[H] = zeros_of(sig[H]).materialize()
+    for l in range(H - 1, 0, -1):
+        vsucc = planned_join(edges, sig[l], on=["src"], right_on=["node"])
+        # (seed, v=src-matched node, dst) against the successor layer's T
+        wjoin = planned_join(
+            vsucc.map_batches(
+                lambda t: pa.table({"seed": t["seed"], "v": t["src"],
+                                    "node": t["dst"]}),
+                batch_format="pyarrow"),
+            tfull[l + 1], on=["seed", "node"], right_on=["seed", "node"])
+
+        def contrib(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"seed": t["seed"], "node": t["v"],
+                 "t": pc.add(t["t"], pa.scalar(1, pa.int64()))},
+                schema=t_schema)
+
+        cands = wjoin.map_batches(contrib, batch_format="pyarrow")
+        tfull[l] = grouped_agg(cands.union(zeros_of(sig[l])),
+                               ["seed", "node"], sums=["t"],
+                               in_schema=t_schema).materialize()
+
+    out_schema = pa.schema([("node", pa.int64()), ("stress", pa.int64())])
+    through = None
+    for l in range(1, H + 1):
+        j = planned_join(sig[l], tfull[l], on=["seed", "node"],
+                         right_on=["seed", "node"])
+
+        def mul(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"],
+                             "stress": pc.multiply(t["sigma"], t["t"])},
+                            schema=out_schema)
+
+        part = j.map_batches(mul, batch_format="pyarrow")
+        through = part if through is None else through.union(part)
+
+    total = grouped_agg(through, ["node"], sums=["stress"],
+                        in_schema=out_schema)
+    return total.filter(lambda r: r["stress"] > 0)
+
+
+def _sql_graph_stress_centrality() -> str:
+    cap = STRESS_SEED_MOD * STRESS_MAX_SEEDS
+    H = STRESS_HOPS
+    head = f"""
+WITH {_SQL_NN2_UND},
+edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+it0 AS (SELECT CAST(vec_id AS BIGINT) AS seed, CAST(vec_id AS BIGINT) AS node,
+               CAST(0 AS BIGINT) AS hop
+        FROM embeddings
+        WHERE vec_id % {STRESS_SEED_MOD} = 0 AND vec_id < {cap})"""
+    its = ""
+    for i in range(1, H + 1):
+        its += f""",
+it{i} AS (
+  SELECT seed, node, MIN(hop) AS hop FROM (
+    SELECT seed, node, hop FROM it{i - 1}
+    UNION ALL
+    SELECT d.seed, e.b AS node, d.hop + 1
+    FROM edges e JOIN it{i - 1} d ON d.node = e.a
+  ) GROUP BY seed, node)"""
+    sig = """,
+l0 AS (SELECT seed, node, CAST(1 AS BIGINT) AS sigma FROM it0)"""
+    for k in range(1, H + 1):
+        sig += f""",
+l{k} AS (
+  SELECT s.seed, e.b AS node, SUM(s.sigma) AS sigma
+  FROM edges e JOIN l{k - 1} s ON s.node = e.a
+  JOIN it{H} dd ON dd.seed = s.seed AND dd.node = e.b AND dd.hop = {k}
+  GROUP BY s.seed, e.b)"""
+    ts = f""",
+t{H} AS (SELECT seed, node, CAST(0 AS BIGINT) AS t FROM l{H})"""
+    for l in range(H - 1, 0, -1):
+        ts += f""",
+t{l} AS (
+  SELECT v.seed, v.node, COALESCE(SUM(1 + w.t), 0) AS t
+  FROM l{l} v LEFT JOIN edges e ON e.a = v.node
+              LEFT JOIN t{l + 1} w ON w.seed = v.seed AND w.node = e.b
+  GROUP BY v.seed, v.node)"""
+    unions = " UNION ALL ".join(
+        f"SELECT l{l}.seed, l{l}.node, sigma, t FROM l{l} "
+        f"JOIN t{l} ON t{l}.seed = l{l}.seed AND t{l}.node = l{l}.node"
+        for l in range(1, H + 1))
+    return f"""{head}{its}{sig}{ts}
+SELECT node, CAST(SUM(sigma * t) AS BIGINT) AS stress
+FROM ({unions}) GROUP BY node HAVING SUM(sigma * t) > 0"""
+
+
 SSSP_SEED_MOD, SSSP_ROUNDS = 29, 6
 
 
@@ -4201,6 +4430,53 @@ FROM d JOIN fr ON f * 1024 < n
 """
 
 
+def q_mm_audio_energy_trim(sf_dir: str) -> rd.Dataset:
+    """Binary audio column → SILENCE-TRIM audit (``AudioEnergyTrimmer``):
+    each synthetic clip carries ``doc_id % 3`` leading SILENT frames
+    (all-zero PCM) before an integer sawtooth — the detector reports
+    frame/active counts, first/last active frame and exact total energy,
+    i.e. everything a lead-in/lead-out trim pass needs.  PCM is pure
+    doc_id arithmetic ((doc_id·7 + t·13) mod 255 − 127, zeroed below the
+    silence boundary) so the int64 energies replay closed-form in SQL;
+    docs where the silence rule covers every frame exercise the
+    fully-silent (−1 sentinel) path."""
+
+    def synth_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            n = 2048 + (i % 7) * 512
+            t = np.arange(n, dtype=np.int64)
+            pcm = (i * 7 + t * 13) % 255 - 127
+            pcm[(t // 1024) < (i % 3)] = 0  # leading silent frames
+            payloads.append(MM.pack_payload("aud", 16000, 1, n,
+                                            pcm.astype(np.int16).tobytes()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(synth_audio, batch_format="pyarrow")
+    return ds.map_batches(MM.AudioEnergyTrimmer(), batch_format="pyarrow",
+                          batch_size=256)
+
+
+SQL_MM_AUDIO_ENERGY_TRIM = """
+WITH d AS (SELECT doc_id, 2048 + (doc_id % 7) * 512 AS n FROM documents),
+pcm AS (SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS t FROM d),
+v AS (SELECT doc_id, t // 1024 AS f,
+        CASE WHEN t // 1024 < doc_id % 3 THEN 0
+             ELSE (doc_id * 7 + t * 13) % 255 - 127 END AS s
+      FROM pcm),
+fe AS (SELECT doc_id, f, SUM(s * s) AS e FROM v GROUP BY doc_id, f)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(COUNT(*) FILTER (e > 0) AS BIGINT) AS n_active,
+  CAST(COALESCE(MIN(f) FILTER (e > 0), -1) AS BIGINT) AS first_active,
+  CAST(COALESCE(MAX(f) FILTER (e > 0), -1) AS BIGINT) AS last_active,
+  CAST(SUM(e) AS BIGINT) AS total_energy
+FROM fe GROUP BY doc_id
+"""
+
+
 def q_mm_video_frames(sf_dir: str) -> rd.Dataset:
     """Binary video column → strided frame sampling (every 2nd frame) with
     an integer content feature per sampled frame.  Frame pixels are doc_id
@@ -5447,6 +5723,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "mm_image_meta": q_mm_image_meta,
         "mm_image_resize": q_mm_image_resize,
         "mm_audio_frames": q_mm_audio_frames,
+        "mm_audio_energy_trim": q_mm_audio_energy_trim,
         "mm_video_frames": q_mm_video_frames,
         "mm_image_png_meta": q_mm_image_png_meta,
         "mm_audio_wav_frames": q_mm_audio_wav_frames,
@@ -5459,6 +5736,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "text_pack_sequences": q_text_pack_sequences,
         "graph_closeness": q_graph_closeness,
         "graph_eccentricity": q_graph_eccentricity,
+        "graph_stress_centrality": q_graph_stress_centrality,
         "text_readability": q_text_readability,
         "mm_video_scene_cut": q_mm_video_scene_cut,
         "text_entropy": q_text_entropy,
@@ -5472,6 +5750,7 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "graph_closeness": _sql_graph_closeness(),
         "graph_eccentricity": _sql_graph_eccentricity(),
+        "graph_stress_centrality": _sql_graph_stress_centrality(),
         "text_readability": SQL_TEXT_READABILITY,
         "mm_video_scene_cut": SQL_MM_VIDEO_SCENE_CUT,
         "text_entropy": SQL_TEXT_ENTROPY,
@@ -5555,6 +5834,7 @@ def oracle_sql() -> Dict[str, str]:
         "mm_image_meta": SQL_MM_IMAGE_META,
         "mm_image_resize": SQL_MM_IMAGE_RESIZE,
         "mm_audio_frames": SQL_MM_AUDIO_FRAMES,
+        "mm_audio_energy_trim": SQL_MM_AUDIO_ENERGY_TRIM,
         "mm_video_frames": SQL_MM_VIDEO_FRAMES,
         "mm_image_png_meta": SQL_MM_IMAGE_PNG_META,
         "mm_audio_wav_frames": SQL_MM_AUDIO_WAV_FRAMES,

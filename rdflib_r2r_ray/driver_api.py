@@ -3181,6 +3181,7 @@ _LATE_R4 = {
     "ml_prototype_prune",
     "sketch_set_ops", "graph_eccentricity", "mm_image_dhash",
     "ml_silhouette", "text_winnowing", "text_mojibake",
+    "ml_knn_classify", "mm_audio_energy_trim", "graph_stress_centrality",
 }
 
 

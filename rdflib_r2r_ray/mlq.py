@@ -525,6 +525,86 @@ SELECT cluster, spermille, vec_id FROM (
 
 
 # ---------------------------------------------------------------------------
+# ml_knn_classify — k-NN label-propagation accuracy over the embeddings
+# ---------------------------------------------------------------------------
+
+KNN_CLS_MOD, KNN_CLS_K = 17, 5
+
+
+def q_ml_knn_classify(sf_dir: str) -> rd.Dataset:
+    """k-NN CLASSIFIER audit (the standard representation-quality probe —
+    kNN accuracy over frozen embeddings, à la the SimCLR/DINO linear/knn
+    eval): every ``vec_id ≡ 0 (mod {MOD})`` vector is held out as a query,
+    the rest are the labeled train corpus, and each query takes the
+    majority label of its 5 nearest train neighbours by cosine (ties →
+    smallest label).  ``stages/ann.knn_classify``: broadcast query matrix,
+    one matmul + local top-k per train block, per-query reduce over
+    O(blocks × k) rows.  Output keeps the vote margin and a correctness
+    flag per query so one flipped neighbour ranking fails the gate."""
+    import pyarrow.parquet as pq
+
+    panel = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    ids = np.asarray(panel["vec_id"].to_pylist(), dtype=np.int64)
+    sel = ids % KNN_CLS_MOD == 0
+    q = panel.filter(pa.array(sel)).rename_columns(
+        ["query_id", "embedding", "label"])
+    truth = {int(r["query_id"]): int(r["label"]) for r in q.to_pylist()}
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def train_only(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(v % KNN_CLS_MOD != 0))
+
+    from .stages import ann as A
+
+    pred = A.knn_classify(ds.map_batches(train_only, batch_format="pyarrow"),
+                          q, k=KNN_CLS_K)
+
+    def attach_truth(b: pa.Table) -> pa.Table:
+        tl = pa.array([truth[int(x)] for x in b["query_id"].to_pylist()],
+                      pa.int32())
+        return pa.table({
+            "vec_id": pc.cast(b["query_id"], pa.int64()),
+            "pred_label": b["pred_label"],
+            "true_label": tl,
+            "n_votes": b["n_votes"],
+            "correct": pc.equal(b["pred_label"], tl),
+        })
+
+    return pred.map_batches(attach_truth, batch_format="pyarrow")
+
+
+SQL_ML_KNN_CLASSIFY = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlab
+           FROM embeddings WHERE vec_id % {KNN_CLS_MOD} = 0),
+tr AS (SELECT vec_id, embedding, label FROM embeddings
+       WHERE vec_id % {KNN_CLS_MOD} <> 0),
+sims AS (
+  SELECT q.qid, q.qlab, tr.vec_id, tr.label,
+    list_cosine_similarity(
+      list_transform(tr.embedding, x -> CAST(x AS DOUBLE)),
+      list_transform(q.qe, x -> CAST(x AS DOUBLE))) AS s
+  FROM q CROSS JOIN tr),
+top AS (SELECT qid, qlab, label FROM (
+  SELECT qid, qlab, label,
+    row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+  FROM sims) WHERE rn <= {KNN_CLS_K}),
+vote AS (SELECT qid, qlab, label, COUNT(*) AS c
+         FROM top GROUP BY qid, qlab, label),
+pred AS (SELECT qid, qlab, label AS pred_label, c FROM (
+  SELECT qid, qlab, label, c,
+    row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) AS rn
+  FROM vote) WHERE rn = 1)
+SELECT qid AS vec_id, CAST(pred_label AS INTEGER) AS pred_label,
+       CAST(qlab AS INTEGER) AS true_label, CAST(c AS BIGINT) AS n_votes,
+       pred_label = qlab AS correct
+FROM pred
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_silhouette — cluster-quality audit (centroid-simplified silhouette)
 # ---------------------------------------------------------------------------
 
@@ -1438,6 +1518,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "ml_linreg_moments": q_ml_linreg_moments,
         "ml_prototype_prune": q_ml_prototype_prune,
         "ml_silhouette": q_ml_silhouette,
+        "ml_knn_classify": q_ml_knn_classify,
         "ml_auc": q_ml_auc,
         "ml_calibration": q_ml_calibration,
         "ml_perceptron": q_ml_perceptron,
@@ -1458,6 +1539,7 @@ def oracle_sql() -> Dict[str, str]:
         "ml_linreg_moments": SQL_ML_LINREG_MOMENTS,
         "ml_prototype_prune": _sql_ml_prototype_prune(),
         "ml_silhouette": _sql_ml_silhouette(),
+        "ml_knn_classify": SQL_ML_KNN_CLASSIFY,
         "ml_auc": SQL_ML_AUC,
         "ml_calibration": SQL_ML_CALIBRATION,
         "ml_perceptron": _sql_ml_perceptron(),

@@ -414,6 +414,72 @@ def _block_pair_sims(threshold: float, id_col: str, vec_col: str,
     return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi)})
 
 
+def knn_classify(
+    ds: rd.Dataset,
+    queries: pa.Table,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> rd.Dataset:
+    """k-nearest-neighbour CLASSIFICATION of a bounded query panel against
+    a labeled embedding corpus — the non-parametric baseline every
+    embedding-quality audit starts with (label-propagation accuracy over
+    the representation).  Same scale shape as :func:`brute_force_topk`:
+    the query matrix is broadcast once, every train batch does one matmul
+    and keeps its local (cosine desc, id asc) top-k per query with the
+    neighbour LABEL attached, and the per-query reduce sees only
+    (num_blocks × q × k) rows — then majority-votes (ties → smallest
+    label).  Output: (query_id, pred_label, n_votes)."""
+    qm = _unit(_to_matrix(queries[vec_col]))
+    qids = np.asarray(queries[query_id_col].to_pylist())
+    q_ref = ray.put((qids, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        _qids, _qm = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        labs = np.asarray(batch[label_col].to_pylist())
+        m = _unit(_to_matrix(batch[vec_col]))
+        sims = m @ _qm.T
+        out_q: List = []
+        out_v: List = []
+        out_l: List = []
+        out_s: List[float] = []
+        kk = min(k, len(ids))
+        for qi in range(len(_qids)):
+            col = sims[:, qi]
+            take = min(kk, len(ids))
+            part = np.argpartition(-col, take - 1)[:take]
+            out_q.extend([_qids[qi]] * len(part))
+            out_v.extend(ids[part].tolist())
+            out_l.extend(labs[part].tolist())
+            out_s.extend(col[part].tolist())
+        return pa.table({
+            query_id_col: pa.array(out_q),
+            id_col: pa.array(out_v),
+            label_col: pa.array(out_l, pa.int32()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def vote(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"),
+                           (id_col, "ascending")]).slice(0, k)
+        labs = np.asarray(g[label_col].to_pylist(), dtype=np.int64)
+        uniq, counts = np.unique(labs, return_counts=True)
+        best = counts.max()
+        pred = int(uniq[counts == best].min())  # tie → smallest label
+        return pa.table({
+            query_id_col: g[query_id_col].slice(0, 1),
+            "pred_label": pa.array([pred], pa.int32()),
+            "n_votes": pa.array([int(best)], pa.int64()),
+        })
+
+    return partials.groupby(query_id_col).map_groups(vote, batch_format="pyarrow")
+
+
 def embedding_near_dup_exact(
     ds: rd.Dataset,
     threshold: float,

@@ -365,6 +365,52 @@ def synthesize_payloads(batch: pa.Table, text_col: str = "text", id_col: str = "
     return pa.table({id_col: pa.array(ids, pa.int64()), "payload": pa.array(payloads, pa.binary())})
 
 
+class AudioEnergyTrimmer:
+    """Actor-pool stage: MMB1 'aud' payloads (int16 PCM) → SILENCE-TRIM
+    stats per clip (frame size ``hop``): frame count, active-frame count,
+    first/last non-silent frame index (−1 when the whole clip is silent)
+    and total energy — the lead-in/lead-out trimming primitive of speech
+    curation (VAD's integer-exact little sibling).  Frame energy is the
+    exact int64 Σ pcm² via one ``np.add.reduceat`` per clip — no
+    per-sample Python, and fully SQL-replayable when the PCM is integer
+    arithmetic."""
+
+    def __init__(self, hop: int = 1024, bin_col: str = "payload",
+                 id_col: str = "doc_id"):
+        self.hop, self.bin_col, self.id_col = hop, bin_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nf, na, fa, la, te = [], [], [], [], [], []
+        for i, buf in zip(batch[self.id_col].to_pylist(),
+                          batch[self.bin_col].to_pylist()):
+            buf = buf or b""
+            hdr = unpack_header(buf)
+            if hdr is None or hdr["kind"] != "aud":
+                continue
+            pcm = np.frombuffer(
+                buf[_HEADER_SIZE : _HEADER_SIZE + hdr["payload_len"]],
+                dtype=np.int16).astype(np.int64)
+            if len(pcm) == 0:
+                continue
+            offs = np.arange(0, len(pcm), self.hop)
+            e = np.add.reduceat(pcm * pcm, offs)
+            act = np.nonzero(e > 0)[0]
+            ids.append(i)
+            nf.append(len(offs))
+            na.append(len(act))
+            fa.append(int(act[0]) if len(act) else -1)
+            la.append(int(act[-1]) if len(act) else -1)
+            te.append(int(e.sum()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "n_active": pa.array(na, pa.int64()),
+            "first_active": pa.array(fa, pa.int64()),
+            "last_active": pa.array(la, pa.int64()),
+            "total_energy": pa.array(te, pa.int64()),
+        })
+
+
 class SceneCutDetector:
     """Actor-pool stage: video payloads → per-consecutive-frame absolute
     pixel-difference sums + cut flags (``diff_sum ≥ threshold``) — the

@@ -1450,6 +1450,27 @@ def test_graph_eccentricity_paths(ray_session, monkeypatch, path):
         assert rows == test_graph_eccentricity_paths._local
 
 
+@pytest.mark.parametrize("path", ["local", "distributed"])
+def test_graph_stress_paths(ray_session, monkeypatch, path):
+    """Both execution paths of the stress-centrality panel agree on
+    sf0.001; every stress value is a positive integer and seeds (d=0)
+    never appear with through-traffic credited as interiors of their own
+    trivial paths (hand property: stress > 0 only)."""
+    from rdflib_r2r_ray import dataq
+    from rdflib_r2r_ray.stages import graph as G
+
+    if path == "distributed":
+        monkeypatch.setattr(G, "_LOCAL_GRAPH_MAX_EDGES", 0)
+    rows = {r["node"]: r["stress"]
+            for r in dataq.q_graph_stress_centrality("/root/testdata/sf0.001")
+            .take_all()}
+    assert rows and all(v > 0 for v in rows.values())
+    if path == "local":
+        test_graph_stress_paths._local = rows
+    else:
+        assert rows == test_graph_stress_paths._local
+
+
 def test_text_readability_edges(ray_session, tmp_path):
     """Hand-checked Flesch floors: empty text, vowel-less tokens, missing
     sentence punctuation all hit the documented max(1, ·) clamps."""
