@@ -278,6 +278,11 @@ def _variant_triples(m: rd.Dataset):
     return raw, same
 
 
+# Left-side frequency at which a body-join key counts as a hub and is
+# broadcast-joined instead of exchanged (tests lower it to force the path).
+AMIE_HOT_KEY_COUNT = 4096
+
+
 def q_kg_amie_rules(sf_dir: str) -> rd.Dataset:
     """AMIE-style rule mining (Galárraga et al. 2013) over the constructed
     KG: score every length-2 closed horn rule p1(x,z) ∧ p2(z,y) ⇒ p3(x,y)
@@ -289,13 +294,18 @@ def q_kg_amie_rules(sf_dir: str) -> rd.Dataset:
     (the chains are not transitive-closed).
 
     All-distributed: body instantiation is ONE self-join of the triple
-    Dataset on z (hash exchange), deduplicated to distinct (p1,p2,x,y)
-    bindings; the head check is a second join; per-rule counters are
-    grouped-agg exchanges whose outputs are O(|predicates|³) — only those
-    tiny aggregates ever reach the driver.  Confidence/head-coverage are
-    integer permille (floor), so the whole miner replays bit-exact in SQL."""
+    Dataset on z — routed through ``relational.skew_join`` because a hub
+    entity in a power-law KG would serialize its whole row set through a
+    single exchange bucket (keys whose left frequency reaches
+    ``AMIE_HOT_KEY_COUNT`` join by broadcast instead; with no hub the
+    planner degrades to the plain hash join) — deduplicated to distinct
+    (p1,p2,x,y) bindings; the head check is a second join; per-rule
+    counters are grouped-agg exchanges whose outputs are O(|predicates|³)
+    — only those tiny aggregates ever reach the driver.
+    Confidence/head-coverage are integer permille (floor), so the whole
+    miner replays bit-exact in SQL."""
     from . import driver_api
-    from .relational import grouped_agg, planned_join
+    from .relational import grouped_agg, planned_join, skew_join
     from .stages.dedup import distinct_on
 
     m = driver_api.q_kg_mentions(sf_dir)
@@ -307,9 +317,9 @@ def q_kg_amie_rules(sf_dir: str) -> rd.Dataset:
         lambda b: pa.table({"x": b["subj"], "p1": b["pred"], "z": b["obj"]}),
         batch_format="pyarrow")
     right = t.map_batches(
-        lambda b: pa.table({"z2": b["subj"], "p2": b["pred"], "y": b["obj"]}),
+        lambda b: pa.table({"z": b["subj"], "p2": b["pred"], "y": b["obj"]}),
         batch_format="pyarrow")
-    body = planned_join(left, right, on=["z"], right_on=["z2"])
+    body = skew_join(left, right, on=["z"], hot_count=AMIE_HOT_KEY_COUNT)
     bd = distinct_on(body, ["p1", "p2", "x", "y"])
 
     bp = grouped_agg(bd, ["p1", "p2"], count_as="body_pairs").take_all()
@@ -583,9 +593,9 @@ tr AS (SELECT vec_id, embedding, label FROM embeddings
        WHERE vec_id % {KNN_CLS_MOD} <> 0),
 sims AS (
   SELECT q.qid, q.qlab, tr.vec_id, tr.label,
-    list_cosine_similarity(
+    CAST(floor(1000.0 * list_cosine_similarity(
       list_transform(tr.embedding, x -> CAST(x AS DOUBLE)),
-      list_transform(q.qe, x -> CAST(x AS DOUBLE))) AS s
+      list_transform(q.qe, x -> CAST(x AS DOUBLE))) + 0.5) AS BIGINT) AS s
   FROM q CROSS JOIN tr),
 top AS (SELECT qid, qlab, label FROM (
   SELECT qid, qlab, label,
@@ -863,8 +873,11 @@ def q_ml_auc(sf_dir: str) -> rd.Dataset:
         pos = t["pos"].to_numpy(zero_copy_only=False)[o]
         cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
         # 2·Σ(avg rank of positives): tie group spanning ranks
-        # [cum+1, cum+cnt] has average rank cum + (cnt+1)/2
-        r2 = int(np.sum(pos * (2 * cum + cnt + 1)))
+        # [cum+1, cum+cnt] has average rank cum + (cnt+1)/2.  Python-int
+        # fold (object dtype) — rank sums reach n_pos·2N, which wraps
+        # int64 at corpus scale while the SQL oracle stays exact.
+        r2 = int((pos.astype(object)
+                  * (2 * cum.astype(object) + cnt.astype(object) + 1)).sum())
         n_pos, n_neg = int(pos.sum()), int((cnt - pos).sum())
         auc = ((r2 - n_pos * (n_pos + 1)) * 1_000_000
                // (2 * n_pos * n_neg)) if n_pos and n_neg else 0
@@ -1387,9 +1400,15 @@ def q_ml_stump_split(sf_dir: str) -> rd.Dataset:
             # last threshold keeps an empty right side — exclude it
             lc, lp, thr = lc[:-1], lp[:-1], v[m][:-1]
             rc, rp = tot - lc, tot_p - lp
+            # object dtype → Python-int arithmetic: exact at any split
+            # size (int64 would silently wrap once a side exceeds ~3M
+            # rows, where the SQL oracle stays exact)
+            lc, lp = lc.astype(object), lp.astype(object)
+            rc, rp = rc.astype(object), rp.astype(object)
             score = (1_000_000 * (lp * lp + (lc - lp) ** 2) // lc
                      + 1_000_000 * (rp * rp + (rc - rp) ** 2) // rc)
-            i = int(np.argmax(score))  # first max → smallest threshold
+            i = max(range(len(score)),
+                    key=lambda j: score[j])  # first max → smallest threshold
             row = (int(score[i]), int(k), int(thr[i]),
                    int(lc[i]), int(rc[i]))
             if best_row is None or row[0] > best_row[0] or (

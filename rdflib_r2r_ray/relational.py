@@ -328,6 +328,11 @@ def values_dataset(rows: List[dict]) -> rd.Dataset:
 # broadcast of the right side's hot rows could be unbounded — fail loudly.
 SKEW_JOIN_MAX_HOT_KEYS = 10_000
 
+# Diagnostic: hot keys detected by the most recent skew_join call in this
+# process (list of python values; [] when the all-cold path ran).  Read by
+# tests and by operators that want to log their skew decisions loudly.
+LAST_SKEW_JOIN_HOT_KEYS: list = []
+
 
 def skew_join(
     left: rd.Dataset,
@@ -371,6 +376,7 @@ def skew_join(
     hot_vals = pa.concat_tables(hot_tbls).filter(
         pc.greater_equal(pc.field("__cnt"), hot_count))[key].combine_chunks() \
         if hot_tbls else pa.array([], kt)
+    LAST_SKEW_JOIN_HOT_KEYS[:] = hot_vals.to_pylist()
     if len(hot_vals) > SKEW_JOIN_MAX_HOT_KEYS:
         raise ValueError(
             f"skew_join detected {len(hot_vals)} hot keys (cap "

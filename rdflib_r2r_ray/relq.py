@@ -2506,7 +2506,9 @@ def q_rel_ewma(sf_dir: str) -> rd.Dataset:
     """Exponentially weighted moving average of ``value`` per user timeline
     (the streaming smoothing operator behind anomaly baselines and rate
     trackers) in exact fixed point: ``s₀ = v₀``, ``sₜ = (A·vₜ +
-    (S−A)·sₜ₋₁) // S`` over half-up milli-quantized values.  The
+    (S−A)·sₜ₋₁) // S`` over half-up milli-quantized values, with ``//``
+    truncating toward zero on BOTH sides (DuckDB's semantics — numpy's
+    floor division would silently diverge on negative values).  The
     recurrence is inherently sequential IN TIME but parallel ACROSS users:
     one user-keyed hash exchange co-locates timelines, then each partition
     advances all its users ONE rank per vectorized step (≤ max
@@ -2540,8 +2542,10 @@ def q_rel_ewma(sf_dir: str) -> rd.Dataset:
             idx = np.nonzero(rank == r)[0]
             if not len(idx):
                 break
-            s[idx] = (EWMA_A * v[idx] + (EWMA_S - EWMA_A) * s[idx - 1]) \
-                // EWMA_S
+            num = EWMA_A * v[idx] + (EWMA_S - EWMA_A) * s[idx - 1]
+            # truncate toward zero like DuckDB's `//` (numpy's `//` floors,
+            # which diverges on negative values)
+            s[idx] = np.sign(num) * (np.abs(num) // EWMA_S)
         return pa.table({
             "event_id": pc.cast(g["event_id"], pa.int64()),
             "user_id": pa.array(uid.astype(np.int64)),

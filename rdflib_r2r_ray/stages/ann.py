@@ -431,7 +431,11 @@ def knn_classify(
     and keeps its local (cosine desc, id asc) top-k per query with the
     neighbour LABEL attached, and the per-query reduce sees only
     (num_blocks × q × k) rows — then majority-votes (ties → smallest
-    label).  Output: (query_id, pred_label, n_votes)."""
+    label).  Cosines are quantized to HALF-UP PERMILLE integers before any
+    ranking (the ``ml_silhouette`` fixed-point protocol) and boundary ties
+    break by ascending id, so the ranking is identical regardless of FP
+    evaluation order — matmul here, ``list_cosine_similarity`` in the
+    DuckDB oracle.  Output: (query_id, pred_label, n_votes)."""
     qm = _unit(_to_matrix(queries[vec_col]))
     qids = np.asarray(queries[query_id_col].to_pylist())
     q_ref = ray.put((qids, qm))
@@ -439,18 +443,27 @@ def knn_classify(
     def local_topk(batch: pa.Table) -> pa.Table:
         _qids, _qm = ray.get(q_ref)
         ids = np.asarray(batch[id_col].to_pylist())
+        if len(ids) == 0:
+            # a block fully removed by an upstream filter (e.g. train_only)
+            return pa.table({
+                query_id_col: pa.array([], pa.int64()),
+                id_col: batch[id_col],
+                label_col: pa.array([], pa.int32()),
+                "cosine": pa.array([], pa.int64()),
+            })
         labs = np.asarray(batch[label_col].to_pylist())
         m = _unit(_to_matrix(batch[vec_col]))
-        sims = m @ _qm.T
+        simq = np.floor(1000.0 * (m @ _qm.T) + 0.5).astype(np.int64)
         out_q: List = []
         out_v: List = []
         out_l: List = []
-        out_s: List[float] = []
+        out_s: List[int] = []
         kk = min(k, len(ids))
         for qi in range(len(_qids)):
-            col = sims[:, qi]
-            take = min(kk, len(ids))
-            part = np.argpartition(-col, take - 1)[:take]
+            col = simq[:, qi]
+            # exact (permille desc, id asc) order — id tie-break at the
+            # k-th boundary, unlike bare argpartition
+            part = np.lexsort((ids, -col))[:kk]
             out_q.extend([_qids[qi]] * len(part))
             out_v.extend(ids[part].tolist())
             out_l.extend(labs[part].tolist())
@@ -459,7 +472,7 @@ def knn_classify(
             query_id_col: pa.array(out_q),
             id_col: pa.array(out_v),
             label_col: pa.array(out_l, pa.int32()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "cosine": pa.array(out_s, pa.int64()),
         })
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")

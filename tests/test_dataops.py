@@ -1496,3 +1496,40 @@ def test_text_readability_edges(ray_session, tmp_path):
     r3 = rows[3]
     assert (r3["words"], r3["sentences"], r3["syllables"]) == (4, 2, 5)
     assert r3["flesch_milli"] == 206835 - (1015 * 4) // 2 - (84600 * 5) // 4
+
+
+def test_amie_hub_key_skew(ray_session, tmp_path, monkeypatch):
+    """Plant a hub entity (every document mentions 'scan') and assert the
+    AMIE body self-join routes its key through skew_join's hot-key
+    broadcast path — and that the mined rules are identical to the
+    all-cold plain-hash-join plan."""
+    import pyarrow.parquet as pq
+
+    import rdflib_r2r_ray.relational as R
+    from rdflib_r2r_ray import mlq
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    text = pa.array([t + " scan" for t in src["text"].to_pylist()])
+    planted = src.set_column(src.schema.get_field_index("text"), "text", text)
+    sf = str(tmp_path)
+    pq.write_table(planted, f"{sf}/documents.parquet")
+
+    hub = "<http://kg.ex/e/scan>"
+    calls = []
+    orig_bj = R.broadcast_join
+
+    def spy(left, small, on, **kw):
+        calls.append(list(on))
+        return orig_bj(left, small, on, **kw)
+
+    monkeypatch.setattr(R, "broadcast_join", spy)
+    monkeypatch.setattr(mlq, "AMIE_HOT_KEY_COUNT", 50)
+    hot = mlq.q_kg_amie_rules(sf).to_pandas()
+    assert hub in R.LAST_SKEW_JOIN_HOT_KEYS, \
+        "planted hub entity not detected as a hot body-join key"
+    assert ["z"] in calls, "hot keys never took the broadcast path"
+
+    monkeypatch.setattr(mlq, "AMIE_HOT_KEY_COUNT", 10**9)
+    cold = mlq.q_kg_amie_rules(sf).to_pandas()
+    key = lambda df: df.sort_values(["p1", "p2", "p3"]).reset_index(drop=True)
+    assert key(hot).equals(key(cold))
