@@ -3205,7 +3205,9 @@ _LATE_R4 = {
 
 # Round-5 registrations the round-4 judge explicitly requested driver rows
 # for (BSBM query shapes, the live-DB source, SPARQL corner closures).
-_PRIORITY_R5: set = set()
+_PRIORITY_R5: set = {
+    "rel_sqlite_source",
+}
 
 # The round-4 judge called out the never-driver-verified *families* —
 # graph_* (19), ml_* (14 left), sketch_* (5 left) — plus four flagship r4

@@ -2704,8 +2704,67 @@ FROM g JOIN t USING (e_from)
 """
 
 
+def q_rel_sqlite_source(sf_dir: str) -> rd.Dataset:
+    """Partitioned LIVE-DATABASE source end-to-end (reference S1 reads its
+    relations from a SQLAlchemy engine — ``r2r_store.py:150-154``,
+    ``old_tests/util.py:6-35``): the orders relation is loaded into a
+    sqlite file (money pre-integerized to cents with the shared
+    half-away-from-zero protocol), then ``sources.sqldb.read_sql_table``
+    streams it back as 16 key-range fragment queries over a read-only
+    actor-pool connection — predicate AND column pruning pushed into every
+    fragment's SQL — and the fragments feed the ordinary grouped-agg
+    exchange.  Oracle replays the same filter/group over the parquet
+    twin."""
+    import sqlite3
+
+    import pyarrow.parquet as pq
+
+    from .driver_api import _roundtrip_dir
+    from .sources.sqldb import read_sql_table
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cents = R.money_cents(t, "o_totalprice")
+    db = _roundtrip_dir("sqlite_src") + "/orders.db"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE orders (o_orderkey INTEGER PRIMARY KEY, "
+                "o_custkey INTEGER, price_cents INTEGER)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)",
+        zip(t["o_orderkey"].to_pylist(), t["o_custkey"].to_pylist(),
+            cents.to_pylist()))
+    con.commit()
+    con.close()
+
+    ds = read_sql_table(
+        f"sqlite:///{db}", "orders", "o_orderkey",
+        columns=["o_custkey", "price_cents"],
+        predicate="price_cents > 10000000", num_fragments=16)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                         "sum_cents": pc.cast(b["price_cents"], pa.int64())})
+
+    return R.grouped_agg(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        ["o_custkey"], sums=["sum_cents"], count_as="n_orders",
+        in_schema=pa.schema([("o_custkey", pa.int64()),
+                             ("sum_cents", pa.int64())]))
+
+
+SQL_REL_SQLITE_SOURCE = """
+SELECT o_custkey,
+  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  COUNT(*) AS n_orders
+FROM orders
+WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) > 10000000
+GROUP BY o_custkey
+"""
+
+
 def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
     return {
+        "rel_sqlite_source": q_rel_sqlite_source,
         "rel_event_bigrams": q_rel_event_bigrams,
         "rel_ewma": q_rel_ewma,
         "rel_changepoint": q_rel_changepoint,
@@ -2779,6 +2838,7 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
 
 def oracle_sql() -> Dict[str, str]:
     return {
+        "rel_sqlite_source": SQL_REL_SQLITE_SOURCE,
         "rel_event_bigrams": SQL_REL_EVENT_BIGRAMS,
         "rel_ewma": SQL_REL_EWMA,
         "rel_changepoint": SQL_REL_CHANGEPOINT,

@@ -138,11 +138,18 @@ def view_dataset(sql: str, sf_dir: str, tables: Dict[str, str]) -> rd.Dataset:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     cap = int(os.environ.get("GRAFT_VIEW_FALLBACK_MAX_ROWS", "5000000"))
     probe = sql.rstrip().rstrip(";")
-    n = con.execute(f"SELECT COUNT(*) FROM ({probe}) __v").fetchone()[0]
-    if n > cap:
-        raise ValueError(
-            f"SQL-view fallback would materialize {n} rows on the driver "
-            f"(cap {cap}; raise GRAFT_VIEW_FALLBACK_MAX_ROWS to override). "
-            "Rewrite the view as a row-wise single-table query so it can "
-            "stream, or pre-materialize it to parquet.")
-    return rd.from_arrow(con.execute(probe).arrow())
+    # Single execution with a bounded incremental fetch: the view runs ONCE
+    # and the guard trips as soon as the result stream exceeds the cap (a
+    # COUNT(*) probe would execute the whole view twice at real scale).
+    reader = con.execute(probe).fetch_record_batch(65536)
+    batches, n = [], 0
+    for b in reader:
+        n += b.num_rows
+        if n > cap:
+            raise ValueError(
+                f"SQL-view fallback would materialize over {cap} rows on "
+                f"the driver (cap {cap}; raise GRAFT_VIEW_FALLBACK_MAX_ROWS "
+                "to override). Rewrite the view as a row-wise single-table "
+                "query so it can stream, or pre-materialize it to parquet.")
+        batches.append(b)
+    return rd.from_arrow(pa.Table.from_batches(batches, schema=reader.schema))

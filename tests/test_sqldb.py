@@ -1,0 +1,91 @@
+"""Partitioned live-database source: key-range fragmenting over sqlite and
+DuckDB files, predicate/column pushdown, and the empty-table edge."""
+
+import sqlite3
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sqlite_db(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("sqldb") / "t.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE items (id INTEGER PRIMARY KEY, grp TEXT, "
+                "val INTEGER)")
+    con.executemany("INSERT INTO items VALUES (?, ?, ?)",
+                    [(i, f"g{i % 3}", i * 10) for i in range(100)])
+    con.commit()
+    con.close()
+    return p
+
+
+@pytest.fixture(scope="module")
+def duckdb_db(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("sqldb") / "t.duckdb")
+    con = duckdb.connect(p)
+    con.execute("CREATE TABLE items (id BIGINT, grp VARCHAR, val BIGINT)")
+    con.execute("INSERT INTO items SELECT i, 'g' || (i % 3), i * 10 "
+                "FROM range(100) t(i)")
+    con.close()
+    return p
+
+
+def _rows(ds):
+    return sorted((r["id"], r.get("grp"), r.get("val"))
+                  for r in ds.take_all())
+
+
+def test_sqlite_fragments_cover_table(ray_session, sqlite_db):
+    from rdflib_r2r_ray.sources.sqldb import read_sql_table
+
+    ds = read_sql_table(f"sqlite:///{sqlite_db}", "items", "id",
+                        num_fragments=7)
+    got = _rows(ds)
+    assert len(got) == 100
+    assert got[0] == (0, "g0", 0) and got[99] == (99, "g0", 990)
+
+
+def test_duckdb_fragments_and_predicate(ray_session, duckdb_db):
+    from rdflib_r2r_ray.sources.sqldb import read_sql_table
+
+    ds = read_sql_table(f"duckdb:///{duckdb_db}", "items", "id",
+                        columns=["id", "val"], predicate="val >= 500",
+                        num_fragments=5)
+    rows = sorted((r["id"], r["val"]) for r in ds.take_all())
+    assert rows == [(i, i * 10) for i in range(50, 100)]
+    # pruned: grp never leaves the database
+    assert set(ds.schema().names) == {"id", "val"}
+
+
+def test_sqlite_column_pruning_in_fragment_sql(ray_session, sqlite_db):
+    from rdflib_r2r_ray.sources.sqldb import read_sql_table
+
+    ds = read_sql_table(f"sqlite:///{sqlite_db}", "items", "id",
+                        columns=["id"], num_fragments=3)
+    assert ds.schema().names == ["id"]
+    assert ds.count() == 100
+
+
+def test_empty_table(ray_session, tmp_path):
+    from rdflib_r2r_ray.sources.sqldb import read_sql_table
+
+    p = str(tmp_path / "empty.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE emptytab (id INTEGER, x TEXT)")
+    con.commit()
+    con.close()
+    ds = read_sql_table(f"sqlite:///{p}", "emptytab", "id")
+    assert ds.count() == 0
+
+
+def test_read_only_connection(ray_session, sqlite_db):
+    """Fragment connections are read-only — a write through the reader's
+    connection path must fail rather than mutate the source."""
+    from rdflib_r2r_ray.sources.sqldb import _connect
+
+    con = _connect("sqlite", sqlite_db)
+    with pytest.raises(sqlite3.OperationalError):
+        con.execute("INSERT INTO items VALUES (1000, 'x', 1)")
+    con.close()

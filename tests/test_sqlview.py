@@ -52,10 +52,39 @@ def test_global_view_fallback_guard(ray_session, pq_table, monkeypatch):
 
 
 def test_global_view_guard_counts_before_materializing(ray_session, pq_table, monkeypatch):
-    """The guard is a COUNT(*) probe — a small result under the cap passes
-    even when the INPUT is larger than the cap."""
+    """The guard bounds the RESULT, not the input — a small result under
+    the cap passes even when the INPUT is larger than the cap."""
     from rdflib_r2r_ray.sources.sqlview import view_dataset
 
     monkeypatch.setenv("GRAFT_VIEW_FALLBACK_MAX_ROWS", "10")
     sql = 'SELECT MAX(id) AS m FROM "t" GROUP BY b'  # 7 rows from 200 inputs
     assert len(view_dataset(sql, "", {"t": pq_table}).take_all()) == 7
+
+
+def test_global_view_fallback_executes_once(ray_session, pq_table, monkeypatch):
+    """The driver fallback runs the view SQL exactly once (the old COUNT(*)
+    guard probe executed it twice — 2× the cost at real scale)."""
+    import duckdb
+
+    from rdflib_r2r_ray.sources import sqlview
+
+    sql = 'SELECT b, COUNT(*) AS c FROM "t" GROUP BY b'
+    executed = []
+    real_connect = duckdb.connect
+
+    class ConProxy:
+        def __init__(self, con):
+            self._con = con
+
+        def execute(self, stmt, *a, **k):
+            executed.append(stmt)
+            return self._con.execute(stmt, *a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._con, name)
+
+    monkeypatch.setattr(duckdb, "connect",
+                        lambda *a, **k: ConProxy(real_connect(*a, **k)))
+    out = sqlview.view_dataset(sql, "", {"t": pq_table}).take_all()
+    assert len(out) == 7
+    assert sum("GROUP BY" in s for s in executed) == 1
