@@ -3042,6 +3042,332 @@ WHERE n_chars > (SELECT AVG(n_chars) FROM documents)
 """
 
 
+def _doc_title_graph(sf_dir: str) -> rd.Dataset:
+    """Documents graph WITH language-tagged titles (BSBM's reviews carry
+    ``rev:text`` literals tagged with the review language — explore Q8
+    filters on them with langMatches): one pass over the table emits
+    ``"T{doc_id}"@{lang}`` title literals alongside the n_chars/source
+    triples, so no extra union branch is needed."""
+    from .stages.emit import TRIPLE_SCHEMA
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        subj = pl.lit("<http://kg.ex/doc/") \
+            + pl.col("doc_id").cast(pl.Utf8) + pl.lit(">")
+        title = (df.filter(pl.col("lang").is_not_null())
+                 .select(subj=subj,
+                         pred=pl.lit("<http://kg.ex/p/title>"),
+                         obj=pl.lit('"T') + pl.col("doc_id").cast(pl.Utf8)
+                         + pl.lit('"@') + pl.col("lang")))
+        nchars = (df.filter(pl.col("n_chars").is_not_null())
+                  .select(subj=subj,
+                          pred=pl.lit("<http://kg.ex/p/n_chars>"),
+                          obj=pl.lit('"') + pl.col("n_chars").cast(pl.Utf8)
+                          + pl.lit(f'"^^<{XSD_INT}>')))
+        src = (df.filter(pl.col("source").is_not_null())
+               .select(subj=subj,
+                       pred=pl.lit("<http://kg.ex/p/source>"),
+                       obj=pl.col("source")))
+        return pl.concat([title, nchars, src]).to_arrow().cast(
+            pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                       ("obj", pa.string())]))
+
+    def build():
+        ds = read_table(sf_dir, "documents",
+                        columns=["doc_id", "lang", "source", "n_chars"])
+        return ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    return _cached_graph("doc_titles", sf_dir, build)
+
+
+def _offer_graph(sf_dir: str) -> rd.Dataset:
+    """Offer-shaped graph over events (BSBM explore Q10's offer→vendor→
+    country chain with price/date filters): event = offer, user = vendor,
+    ``user_id % 3 == 0`` users are tier "gold" (≈ country US), price =
+    integer cents, validity day = the event date as a plain literal."""
+    def emit(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["event_id", "ts", "user_id", "value"]))
+        ev = pl.lit("<http://kg.ex/ev/") \
+            + pl.col("event_id").cast(pl.Utf8) + pl.lit(">")
+        usr = pl.lit("<http://kg.ex/u/") \
+            + pl.col("user_id").cast(pl.Utf8) + pl.lit(">")
+        cents = (pl.col("value") * 100).round(0).cast(pl.Int64)
+        user_t = df.select(subj=ev, pred=pl.lit("<http://kg.ex/p/user>"),
+                           obj=usr)
+        cents_t = df.select(subj=ev, pred=pl.lit("<http://kg.ex/p/cents>"),
+                            obj=pl.lit('"') + cents.cast(pl.Utf8)
+                            + pl.lit(f'"^^<{XSD_INT}>'))
+        day_t = df.select(subj=ev, pred=pl.lit("<http://kg.ex/p/day>"),
+                          obj=pl.col("ts").dt.strftime("%Y-%m-%d"))
+        tier = (df.unique("user_id")
+                .select(subj=usr, pred=pl.lit("<http://kg.ex/p/tier>"),
+                        obj=pl.when(pl.col("user_id") % 3 == 0)
+                        .then(pl.lit("gold")).otherwise(pl.lit("basic"))))
+        return pl.concat([user_t, cents_t, day_t, tier]).to_arrow().cast(
+            pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                       ("obj", pa.string())]))
+
+    def build():
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "user_id", "value"])
+        return (ds.map_batches(emit, batch_format="pyarrow")
+                .materialize())
+
+    return _cached_graph("offers", sf_dir, build)
+
+
+def q_sparql_bsbm_union_optionals(sf_dir: str) -> rd.Dataset:
+    """BSBM explore Q4 — the full shape (UNION of two star branches, EACH
+    with its own numeric FILTER and an OPTIONAL, under DISTINCT + ORDER BY
+    + OFFSET + LIMIT; reference ``BSBM/queries/explore/query4.txt``, one of
+    the three queries the reference engine times out on)."""
+    from . import sparql
+
+    q = """
+    SELECT DISTINCT ?d ?lang ?n ?src WHERE {
+      {
+        ?d a <http://kg.ex/c/Document> .
+        ?d <http://kg.ex/p/lang> ?lang .
+        ?d <http://kg.ex/p/n_chars> ?n .
+        OPTIONAL { ?d <http://kg.ex/p/source> ?src }
+        FILTER(?n >= 450)
+      } UNION {
+        ?d a <http://kg.ex/c/Document> .
+        ?d <http://kg.ex/p/lang> ?lang .
+        ?d <http://kg.ex/p/n_chars> ?n .
+        OPTIONAL { ?d <http://kg.ex/p/source> ?src }
+        FILTER(?n < 120)
+      }
+    }
+    ORDER BY ?d LIMIT 10 OFFSET 5
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_bsbm_union_optionals() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    n = f"'\"' || CAST(n_chars AS VARCHAR) || '\"^^<{XSD_INT}>'"
+    return f"""
+SELECT DISTINCT {d} AS d, lang, {n} AS n, source AS src
+FROM documents
+WHERE lang IS NOT NULL AND (n_chars >= 450 OR n_chars < 120)
+ORDER BY d LIMIT 10 OFFSET 5
+"""
+
+
+def q_sparql_bsbm_lang_filter(sf_dir: str) -> rd.Dataset:
+    """BSBM explore Q8 shape: star BGP over language-tagged literals with
+    ``FILTER langMatches(lang(?text), "EN")`` + OPTIONAL + ORDER BY
+    DESC(numeric) + LIMIT (reference ``BSBM/queries/explore/query8.txt``)."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?title ?n ?src WHERE {
+      ?d <http://kg.ex/p/title> ?title .
+      ?d <http://kg.ex/p/n_chars> ?n .
+      FILTER langMatches(LANG(?title), "EN")
+      OPTIONAL { ?d <http://kg.ex/p/source> ?src }
+    }
+    ORDER BY DESC(?n) ?d LIMIT 20
+    """
+    return sparql.execute(_doc_title_graph(sf_dir), q)
+
+
+def _sql_sparql_bsbm_lang_filter() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    n = f"'\"' || CAST(n_chars AS VARCHAR) || '\"^^<{XSD_INT}>'"
+    return f"""
+SELECT {d} AS d,
+       '"T' || CAST(doc_id AS VARCHAR) || '"@' || lang AS title,
+       {n} AS n, source AS src
+FROM documents
+WHERE n_chars IS NOT NULL
+  AND (lower(lang) = 'en' OR lower(lang) LIKE 'en-%')
+ORDER BY n_chars DESC, d LIMIT 20
+"""
+
+
+def q_sparql_bsbm_price_order(sf_dir: str) -> rd.Dataset:
+    """BSBM explore Q10 shape (reference times out on it): offer→vendor
+    chain with a constant-object tier pattern, one numeric and one date
+    FILTER, ORDER BY the price variable + LIMIT (reference
+    ``BSBM/queries/explore/query10.txt``)."""
+    from . import sparql
+
+    q = """
+    SELECT DISTINCT ?e ?c WHERE {
+      ?e <http://kg.ex/p/user> ?u .
+      ?u <http://kg.ex/p/tier> "gold" .
+      ?e <http://kg.ex/p/cents> ?c .
+      FILTER(?c <= 1500)
+      ?e <http://kg.ex/p/day> ?day .
+      FILTER(?day > "2024-01-20")
+    }
+    ORDER BY ?c ?e LIMIT 10
+    """
+    return sparql.execute(_offer_graph(sf_dir), q)
+
+
+def _sql_sparql_bsbm_price_order() -> str:
+    return f"""
+WITH g AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         strftime(ts, '%Y-%m-%d') AS day
+  FROM events)
+SELECT '<http://kg.ex/ev/' || CAST(event_id AS VARCHAR) || '>' AS e,
+       '"' || CAST(cents AS VARCHAR) || '"^^<{XSD_INT}>' AS c
+FROM g
+WHERE user_id % 3 = 0 AND cents <= 1500 AND day > '2024-01-20'
+ORDER BY cents, e LIMIT 10
+"""
+
+
+def q_sparql_bsbm_construct_export(sf_dir: str) -> rd.Dataset:
+    """BSBM explore Q12 shape: constant-subject star BGP feeding a
+    CONSTRUCT that re-exports the bindings under new vocabulary
+    (reference ``BSBM/queries/explore/query12.txt``)."""
+    from . import sparql
+
+    q = """
+    CONSTRUCT {
+      <http://kg.ex/doc/42> <http://kg.ex/export/lang> ?lang .
+      <http://kg.ex/doc/42> <http://kg.ex/export/chars> ?n .
+      <http://kg.ex/doc/42> <http://kg.ex/export/source> ?src .
+    }
+    WHERE {
+      <http://kg.ex/doc/42> <http://kg.ex/p/lang> ?lang .
+      <http://kg.ex/doc/42> <http://kg.ex/p/n_chars> ?n .
+      <http://kg.ex/doc/42> <http://kg.ex/p/source> ?src .
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_bsbm_construct_export() -> str:
+    s = "'<http://kg.ex/doc/42>'"
+    return f"""
+WITH sel AS (SELECT * FROM documents
+             WHERE doc_id = 42 AND lang IS NOT NULL
+               AND n_chars IS NOT NULL AND source IS NOT NULL)
+SELECT {s} AS subj, '<http://kg.ex/export/lang>' AS pred, lang AS obj
+FROM sel
+UNION ALL
+SELECT {s}, '<http://kg.ex/export/chars>',
+       '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' FROM sel
+UNION ALL
+SELECT {s}, '<http://kg.ex/export/source>', source FROM sel
+"""
+
+
+def q_sparql_bsbm_var_pred(sf_dir: str) -> rd.Dataset:
+    """BSBM explore Q11 shape: VARIABLE-PREDICATE pattern — dump every
+    (property, value) of one resource, no vocabulary knowledge (reference
+    ``BSBM/queries/explore/query11.txt``)."""
+    from . import sparql
+
+    q = """
+    SELECT ?p ?o WHERE { <http://kg.ex/doc/42> ?p ?o }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_bsbm_var_pred() -> str:
+    return f"""
+WITH sel AS (SELECT * FROM documents WHERE doc_id = 42)
+SELECT '<{RDF_TYPE}>' AS p, '<http://kg.ex/c/Document>' AS o FROM sel
+UNION ALL
+SELECT '<http://kg.ex/p/lang>', lang FROM sel WHERE lang IS NOT NULL
+UNION ALL
+SELECT '<http://kg.ex/p/source>', source FROM sel WHERE source IS NOT NULL
+UNION ALL
+SELECT '<http://kg.ex/p/n_chars>',
+       '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>'
+FROM sel WHERE n_chars IS NOT NULL
+"""
+
+
+def q_sparql_minus_disjoint(sf_dir: str) -> rd.Dataset:
+    """MINUS sharing NO variable with the required part: per the SPARQL
+    algebra a μ' with a disjoint domain never removes μ, so the MINUS is a
+    no-op — previously a NotImplementedError corner, now spec-exact."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?n WHERE {
+      ?d <http://kg.ex/p/n_chars> ?n .
+      MINUS { ?x <http://kg.ex/p/lang> "fr" }
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_minus_disjoint() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {d} AS d, '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' AS n
+FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
+def q_sparql_exists_uncorrelated(sf_dir: str) -> rd.Dataset:
+    """Uncorrelated [NOT] EXISTS (shares no variable with the group): one
+    global boolean — every solution is compatible with every sub-solution,
+    so the group keeps everything or nothing.  Both polarities in one
+    query: the NOT EXISTS probe matches nothing (no Klingon documents) so
+    it keeps all rows; a second, matching EXISTS probe also keeps all
+    (previously a NotImplementedError corner)."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?n WHERE {
+      ?d <http://kg.ex/p/n_chars> ?n .
+      FILTER NOT EXISTS { ?x <http://kg.ex/p/lang> "tlh" }
+      FILTER EXISTS { ?y <http://kg.ex/p/lang> "en" }
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_exists_uncorrelated() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {d} AS d, '"' || CAST(n_chars AS VARCHAR) || '"^^<{XSD_INT}>' AS n
+FROM documents
+WHERE n_chars IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM documents WHERE lang = 'tlh')
+  AND EXISTS (SELECT 1 FROM documents WHERE lang = 'en')
+"""
+
+
+def q_sparql_values_cross(sf_dir: str) -> rd.Dataset:
+    """VALUES sharing NO variable with the group: the compatibility join
+    over disjoint domains is a cross product — every solution extends by
+    every VALUES row (previously a NotImplementedError corner)."""
+    from . import sparql
+
+    q = """
+    SELECT ?d ?l ?tag WHERE {
+      ?d <http://kg.ex/p/lang> ?l .
+      VALUES ?tag { "a" "b" }
+    }
+    """
+    return sparql.execute(_documents_triples(sf_dir), q)
+
+
+def _sql_sparql_values_cross() -> str:
+    d = "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'"
+    return f"""
+SELECT {d} AS d, lang AS l, t.tag
+FROM documents, (VALUES ('a'), ('b')) t(tag)
+WHERE lang IS NOT NULL
+"""
+
+
 def _events_triples(sf_dir: str) -> rd.Dataset:
     """Events table → triples with a typed xsd:dateTime object column."""
     from .mapping import Mapping, PredicateObjectMap, TermMap, TriplesMap
@@ -3207,6 +3533,10 @@ _LATE_R4 = {
 # for (BSBM query shapes, the live-DB source, SPARQL corner closures).
 _PRIORITY_R5: set = {
     "rel_sqlite_source",
+    "sparql_bsbm_union_optionals", "sparql_bsbm_lang_filter",
+    "sparql_bsbm_price_order", "sparql_bsbm_construct_export",
+    "sparql_bsbm_var_pred", "sparql_minus_disjoint", "sparql_values_cross",
+    "sparql_exists_uncorrelated",
 }
 
 # The round-4 judge called out the never-driver-verified *families* —
@@ -3228,7 +3558,7 @@ _FAMILY_FRONT_R5 = [
     "ml_prototype_prune", "ml_silhouette", "ml_knn_classify",
     "sketch_grouped_distinct", "sketch_heavy_hitters", "sketch_quantiles",
     "sketch_join_size", "sketch_set_ops",
-    "sparql_update", "rel_merge_upsert", "kg_owl_sameas", "kg_shacl_report",
+    "sparql_update", "rel_merge_upsert", "kg_owl_sameas",
 ]
 
 
@@ -3332,6 +3662,14 @@ def queries() -> Dict[str, Callable[[str], rd.Dataset]]:
         "sparql_bsbm_notbound": q_sparql_bsbm_notbound,
         "sparql_values_undef": q_sparql_values_undef,
         "sparql_bsbm_global_avg": q_sparql_bsbm_global_avg,
+        "sparql_bsbm_union_optionals": q_sparql_bsbm_union_optionals,
+        "sparql_bsbm_lang_filter": q_sparql_bsbm_lang_filter,
+        "sparql_bsbm_price_order": q_sparql_bsbm_price_order,
+        "sparql_bsbm_construct_export": q_sparql_bsbm_construct_export,
+        "sparql_bsbm_var_pred": q_sparql_bsbm_var_pred,
+        "sparql_minus_disjoint": q_sparql_minus_disjoint,
+        "sparql_values_cross": q_sparql_values_cross,
+        "sparql_exists_uncorrelated": q_sparql_exists_uncorrelated,
         "sparql_xsd_date_cast": q_sparql_xsd_date_cast,
     }
     out.update(relq.queries())
@@ -3423,6 +3761,14 @@ def oracle_sql() -> Dict[str, str]:
         "sparql_bsbm_notbound": _sql_sparql_bsbm_notbound(),
         "sparql_values_undef": _sql_sparql_values_undef(),
         "sparql_bsbm_global_avg": _sql_sparql_bsbm_global_avg(),
+        "sparql_bsbm_union_optionals": _sql_sparql_bsbm_union_optionals(),
+        "sparql_bsbm_lang_filter": _sql_sparql_bsbm_lang_filter(),
+        "sparql_bsbm_price_order": _sql_sparql_bsbm_price_order(),
+        "sparql_bsbm_construct_export": _sql_sparql_bsbm_construct_export(),
+        "sparql_bsbm_var_pred": _sql_sparql_bsbm_var_pred(),
+        "sparql_minus_disjoint": _sql_sparql_minus_disjoint(),
+        "sparql_values_cross": _sql_sparql_values_cross(),
+        "sparql_exists_uncorrelated": _sql_sparql_exists_uncorrelated(),
         "sparql_xsd_date_cast": _sql_sparql_xsd_date_cast(),
     }
     out.update(relq.oracle_sql())

@@ -108,10 +108,14 @@ class Aggregate:
 
 @dataclass(frozen=True)
 class Group:
-    """A braced pattern group: OPTIONAL/MINUS/EXISTS/UNION-branch body."""
+    """A braced pattern group: OPTIONAL/MINUS/EXISTS/UNION-branch body.
+    ``optionals`` holds nested OPTIONAL sub-groups — consumed by the
+    UNION-branch executor (BSBM explore Q4's UNION-of-OPTIONALs shape);
+    the MINUS/EXISTS/GRAPH executors reject them explicitly."""
 
     patterns: Tuple[Tuple, ...]
     filters: Tuple[E, ...] = ()
+    optionals: Tuple["Group", ...] = ()
 
 
 @dataclass(frozen=True)
@@ -518,23 +522,36 @@ class SparqlParser:
     # --- groups ------------------------------------------------------------
 
     def _parse_group(self) -> Group:
-        """{ triples + FILTERs } — OPTIONAL/MINUS/EXISTS/UNION-branch body."""
+        """{ triples + FILTERs + OPTIONALs } — OPTIONAL/MINUS/EXISTS/
+        UNION-branch body."""
         pats: List[Tuple] = []
         fils: List[E] = []
+        opts: List[Group] = []
         self._expect("{")
         while True:
             k2, v2 = self._peek()
             if v2 == "}":
                 self._next()
-                return Group(tuple(pats), tuple(fils))
+                return Group(tuple(pats), tuple(fils), tuple(opts))
             if v2 == ".":
                 self._next()
                 continue
             if v2 == "FILTER":
                 self._next()
+                fk, fv = self._peek()
+                if (fk == "word"
+                        and (str(fv).upper() in _BUILTIN_FNS
+                             or str(fv).upper() in ("REGEX", "BOUND", "IF"))
+                        and self._peek(1)[1] == "("):
+                    fils.append(self._expr())
+                    continue
                 self._expect("(")
                 fils.append(self._expr())
                 self._expect(")")
+                continue
+            if k2 == "word" and str(v2).upper() == "OPTIONAL":
+                self._next()
+                opts.append(self._parse_group())
                 continue
             self._parse_triple_block(pats)
 
@@ -816,6 +833,14 @@ class SparqlParser:
                         raise ValueError(f"expected EXISTS after NOT, got {wv!r}")
                     exists.append((True, self._parse_group()))
                     continue
+                if (nk == "word"
+                        and (nv.upper() in _BUILTIN_FNS
+                             or nv.upper() in ("REGEX", "BOUND", "IF"))
+                        and self._peek(1)[1] == "("):
+                    # grammar Constraint ::= BuiltInCall — the bare
+                    # `FILTER langMatches(...)` form BSBM queries use
+                    filters.append(self._expr())
+                    continue
                 self._expect("(")
                 filters.append(self._expr())
                 self._expect(")")
@@ -990,7 +1015,8 @@ _BUILTIN_FNS: Dict[str, Tuple[int, int]] = {
     "CONTAINS": (2, 2), "STRBEFORE": (2, 2), "STRAFTER": (2, 2),
     "CONCAT": (1, 64), "REPLACE": (3, 4),
     "ABS": (1, 1), "CEIL": (1, 1), "FLOOR": (1, 1), "ROUND": (1, 1),
-    "COALESCE": (1, 64), "LANG": (1, 1), "DATATYPE": (1, 1),
+    "COALESCE": (1, 64), "LANG": (1, 1), "LANGMATCHES": (2, 2),
+    "DATATYPE": (1, 1),
     "ISIRI": (1, 1), "ISURI": (1, 1), "ISLITERAL": (1, 1),
     "ISBLANK": (1, 1), "ISNUMERIC": (1, 1), "SAMETERM": (2, 2),
     "MD5": (1, 1), "SHA1": (1, 1), "SHA256": (1, 1),
@@ -998,7 +1024,8 @@ _BUILTIN_FNS: Dict[str, Tuple[int, int]] = {
 }
 _SFUNC_NUM = {"STRLEN", "ABS", "CEIL", "FLOOR", "ROUND"}
 _SFUNC_BOOL = {"STRSTARTS", "STRENDS", "CONTAINS", "ISIRI", "ISURI",
-               "ISLITERAL", "ISBLANK", "ISNUMERIC", "SAMETERM"}
+               "ISLITERAL", "ISBLANK", "ISNUMERIC", "SAMETERM",
+               "LANGMATCHES"}
 
 
 def _col(batch: pa.Table, name: str) -> pa.Array:
@@ -1291,6 +1318,15 @@ def _eval_sfunc(e: E, batch: pa.Table):
             return pa.array([""] * n, pa.string()), "str"
         m = pc.extract_regex(x, r'@(?P<l>[A-Za-z0-9-]+)$')
         return pc.if_else(pc.is_valid(m), pc.struct_field(m, "l"), ""), "str"
+    if op == "LANGMATCHES":
+        # RFC 4647 basic filtering: "*" matches any non-empty tag; otherwise
+        # case-insensitive exact tag or subtag-prefix ("en" ⊇ "en-US")
+        tag = pc.utf8_lower(lex(0))
+        rng = cstr(1).lower()
+        if rng == "*":
+            return pc.not_equal(tag, ""), "bool"
+        return pc.or_(pc.equal(tag, rng),
+                      pc.starts_with(tag, rng + "-")), "bool"
     if op == "DATATYPE":
         x = raw(0)
         if not pa.types.is_string(x.type):
@@ -1899,12 +1935,47 @@ def _execute_parsed(
     def exec_group(pats, fils) -> rd.Dataset:
         return exec_group_cols(pats, fils)[0]
 
+    def exec_branch(g: Group):
+        """UNION-branch executor (BSBM explore Q4's UNION-of-OPTIONALs):
+        base BGP, then each branch-level OPTIONAL as a left join (matched
+        inner join + anti-joined remainder with typed null padding), then
+        the branch FILTERs — group-level, so a filter over an
+        optionally-bound variable gets SPARQL error→false semantics (the
+        null comparison drops the row)."""
+        out, names = exec_group_cols(g.patterns, ())
+        for og in g.optionals:
+            o_vars = {t.name for pat in og.patterns for t in pat
+                      if isinstance(t, Var)}
+            for f in og.filters:
+                if not _expr_vars(f) <= o_vars:
+                    raise NotImplementedError(
+                        "FILTER in a UNION-branch OPTIONAL referencing "
+                        "outer variables")
+            o_out, o_names = exec_group_cols(og.patterns, og.filters)
+            shared = [v for v in o_names if v in names]
+            if not shared:
+                raise NotImplementedError(
+                    "OPTIONAL sharing no variable with its UNION branch")
+            matched = planned_join(out, o_out, on=shared, join_type="inner")
+            base_cols = sorted(names)
+            remainder = planned_join(
+                out, matched.select_columns(base_cols),
+                on=base_cols, join_type="left_anti")
+            all_names = names + [n for n in o_names if n not in names]
+            out = union_pad(matched, remainder,
+                            schemas=[_str_schema(sorted(all_names)),
+                                     _str_schema(sorted(names))])
+            names = all_names
+        return _filter_batches(out, g.filters), names
+
     def exec_graph_cols(gterm, grp):
         """GRAPH <iri> { P }: the group's BGP runs against the quad stream
         filtered to that graph.  GRAPH ?g { pattern }: the single pattern's
         matches carry the ``graph`` column as the ?g binding (one
         vectorized filter+project pass; multi-pattern variable-graph groups
         would need per-pattern graph equijoins — raised as unsupported)."""
+        if grp.optionals:
+            raise NotImplementedError("OPTIONAL inside a GRAPH group")
         if not isinstance(gterm, Var):
             named = triples.map_batches(
                 lambda b, _g=gterm: b.filter(
@@ -1953,7 +2024,7 @@ def _execute_parsed(
                                  or q.minuses or values_list or q.graphs):
         # { A } UNION { B } alone: branches execute independently, results
         # align with null padding (reference results_union semantics)
-        branches = [exec_group_cols(g.patterns, g.filters) for g in q.union_branches]
+        branches = [exec_branch(g) for g in q.union_branches]
         out = union_pad(*[d for d, _ in branches],
                         schemas=[_str_schema(ns) for _, ns in branches])
         out_names = sorted({n for _, ns in branches for n in ns})
@@ -1966,15 +2037,16 @@ def _execute_parsed(
         uni = uni_names = None
         if q.union_branches:
             for g in q.union_branches:
-                gv = {t.name for pat in g.patterns for t in pat
+                gv = {t.name
+                      for grp in (g, *g.optionals)
+                      for pat in grp.patterns for t in pat
                       if isinstance(t, Var)}
                 for f in g.filters:
                     if not _expr_vars(f) <= gv:
                         raise NotImplementedError(
                             "FILTER in a UNION branch referencing outer "
                             "variables")
-            branches = [exec_group_cols(g.patterns, g.filters)
-                        for g in q.union_branches]
+            branches = [exec_branch(g) for g in q.union_branches]
             uni = union_pad(*[d for d, _ in branches],
                             schemas=[_str_schema(ns) for _, ns in branches])
             uni_names = sorted({n for _, ns in branches for n in ns})
@@ -2112,6 +2184,8 @@ def _execute_parsed(
         # NOT EXISTS, query_conversions.py:403-406; exact because BGP
         # solutions always bind their variables)
         for mns in q.minuses:
+            if mns.optionals:
+                raise NotImplementedError("OPTIONAL inside MINUS")
             m_pats, aug = _expand_transitive(bind_pats(mns.patterns), triples)
             m_out, m_names = execute_bgp_cols(
                 aug, m_pats, broadcast_threshold=broadcast_threshold)
@@ -2123,7 +2197,11 @@ def _execute_parsed(
             left_vars = set(out_names)
             shared = [v for v in m_names if v in left_vars]
             if not shared:
-                raise NotImplementedError("MINUS sharing no variable with the required part")
+                # SPARQL spec: a μ' with a domain disjoint from μ never
+                # removes μ — MINUS sharing no variable removes NOTHING
+                # (BGP solutions always bind their variables, so static
+                # name-disjointness is per-solution domain-disjointness)
+                continue
             out = planned_join(out, m_out.select_columns(shared), on=shared,
                                join_type="left_anti")
 
@@ -2148,8 +2226,10 @@ def _execute_parsed(
         from .relational import broadcast_join, cross_join
 
         out_vars = set(out_names)
-        if not any(v in out_vars for v in vars_):
-            raise NotImplementedError("VALUES sharing no variable with the group")
+        # VALUES sharing no variable with the group is the compatibility
+        # join over disjoint domains = cross product — every solution
+        # extends by every row; the per-mask machinery below already
+        # degrades to cross_join when a mask binds no shared variable.
         new_vars = [v for v in vars_ if v not in out_names]
         want = out_names + new_vars
         by_mask = defaultdict(list)
@@ -2177,6 +2257,8 @@ def _execute_parsed(
     # FILTER [NOT] EXISTS → semi/anti join on correlation variables
     # (reference convertExists, query_conversions.py:183-210)
     for negated, grp in q.exists:
+        if grp.optionals:
+            raise NotImplementedError("OPTIONAL inside EXISTS")
         sub_pats, aug = _expand_transitive(bind_pats(grp.patterns), triples)
         sub, sub_nm = execute_bgp_cols(
             aug, sub_pats, broadcast_threshold=broadcast_threshold)
@@ -2184,7 +2266,14 @@ def _execute_parsed(
         out_vars = set(out_names)
         shared = [v for v in sub_nm if v in out_vars]
         if not shared:
-            raise NotImplementedError("EXISTS sharing no variable with the group")
+            # uncorrelated [NOT] EXISTS: every solution is compatible with
+            # every sub-solution, so the filter is one global boolean —
+            # keep everything or nothing (one bounded 1-row probe)
+            keep = (sub.limit(1).count() > 0) != negated
+            if not keep:
+                out = out.map_batches(lambda b: b.slice(0, 0),
+                                      batch_format="pyarrow")
+            continue
         out = planned_join(out, sub.select_columns(shared), on=shared,
                            join_type="left_anti" if negated else "left_semi")
 
