@@ -19,7 +19,7 @@ import glob
 import json
 import os
 import sys
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
 import ray
@@ -231,6 +231,121 @@ def cmd_validate(args) -> int:
     return 0 if df.empty else 3
 
 
+def _term_to_json(v) -> Optional[dict]:
+    """Lexical term string → SPARQL 1.1 JSON-results binding object."""
+    if v is None:
+        return None
+    s = str(v)
+    if s.startswith("<") and s.endswith(">"):
+        return {"type": "uri", "value": s[1:-1]}
+    if s.startswith("_:"):
+        return {"type": "bnode", "value": s[2:]}
+    if s.startswith('"'):
+        import re as _re
+
+        m = _re.match(r'^"(.*)"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?$', s,
+                      _re.S)
+        if m:
+            out = {"type": "literal", "value": m.group(1)}
+            if m.group(2):
+                out["datatype"] = m.group(2)
+            if m.group(3):
+                out["xml:lang"] = m.group(3)
+            return out
+    return {"type": "literal", "value": s}
+
+
+_SERVE_FORM = """<!doctype html><title>rdflib_r2r_ray</title>
+<h2>SPARQL endpoint</h2>
+<form method="POST" action="/sparql">
+<textarea name="query" rows="12" cols="80">SELECT * WHERE { ?s ?p ?o } LIMIT 10</textarea>
+<br><button>Run</button> (or GET /sparql?query=...)
+</form>"""
+
+
+def cmd_serve(args) -> int:
+    """Minimal SPARQL-over-HTTP endpoint (the reference ships a Flask
+    SPARQL→SQL explorer, ``app/app.py:98-112``; this is the headless
+    stdlib analogue): the mapped graph is materialized once at startup,
+    each request executes against it and returns SPARQL 1.1 JSON results
+    (or CSV with ``Accept: text/csv``)."""
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from . import sparql
+
+    _init_ray(args.num_cpus)
+    graph = _load_graph(args).materialize()
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}/sparql",
+                      "triples": graph.count()}), flush=True)
+
+    def run_query(query: str, want_csv: bool) -> Tuple[int, str, str]:
+        try:
+            df = sparql.execute(graph, query).to_pandas()
+        except Exception as ex:  # malformed/unsupported query → 400
+            return 400, "text/plain", f"{type(ex).__name__}: {ex}"
+        if want_csv:
+            return 200, "text/csv", df.to_csv(index=False)
+        res = {
+            "head": {"vars": list(df.columns)},
+            "results": {"bindings": [
+                {c: j for c in df.columns
+                 if (j := _term_to_json(row[c])) is not None}
+                for _, row in df.iterrows()
+            ]},
+        }
+        return 200, "application/sparql-results+json", json.dumps(res)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self, code: int, ctype: str, body: str) -> None:
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            u = urllib.parse.urlparse(self.path)
+            if u.path == "/":
+                return self._respond(200, "text/html", _SERVE_FORM)
+            if u.path != "/sparql":
+                return self._respond(404, "text/plain", "not found")
+            q = urllib.parse.parse_qs(u.query).get("query", [""])[0]
+            if not q:
+                return self._respond(400, "text/plain", "missing ?query=")
+            want_csv = "text/csv" in self.headers.get("Accept", "")
+            self._respond(*run_query(q, want_csv))
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length).decode()
+            ctype = self.headers.get("Content-Type", "")
+            if "application/sparql-query" in ctype:
+                q = body
+            else:
+                q = urllib.parse.parse_qs(body).get("query", [""])[0]
+            if not q:
+                return self._respond(400, "text/plain", "missing query")
+            want_csv = "text/csv" in self.headers.get("Accept", "")
+            self._respond(*run_query(q, want_csv))
+
+        def log_message(self, fmt, *a):  # quiet by default
+            if args.verbose:
+                sys.stderr.write(fmt % a + "\n")
+
+    srv = ThreadingHTTPServer((args.host, args.port), Handler)
+    if args.port == 0:
+        print(json.dumps({"bound_port": srv.server_address[1]}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
 def _add_graph_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data", help="directory of tables")
     p.add_argument("--mapping", help="R2RML Turtle mapping file")
@@ -292,6 +407,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="validate an exported N-Triples graph instead of mapping tables")
     v.add_argument("--out", help="write the report as parquet instead of stdout CSV")
     v.set_defaults(fn=cmd_validate)
+
+    w = sub.add_parser("serve", help="HTTP SPARQL endpoint over the mapped "
+                                     "graph (SPARQL 1.1 JSON results)")
+    _add_graph_args(w)
+    w.add_argument("--graph-nt",
+                   help="serve an exported N-Triples graph instead of mapping tables")
+    w.add_argument("--host", default="127.0.0.1")
+    w.add_argument("--port", type=int, default=8890)
+    w.add_argument("--verbose", action="store_true")
+    w.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     try:

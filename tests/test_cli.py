@@ -137,3 +137,55 @@ def test_cli_update_and_validate(data_dir, tmp_path):
     assert r3.returncode == 3, (r3.returncode, r3.stderr[-2000:])
     # the report must name the violating focus (WEST region) and constraint
     assert "WEST" in r3.stdout and ",in," in r3.stdout, r3.stdout
+
+
+def test_cli_serve_sparql_endpoint(data_dir, tmp_path):
+    """`serve` exposes the mapped graph over HTTP: JSON results on
+    GET /sparql, CSV content negotiation, 400 on a bad query."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "rdflib_r2r_ray", "serve",
+         "--data", data_dir, "--direct",
+         "--pk", "region=r_regionkey", "--tables", "region",
+         "--port", "0", "--num-cpus", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=str(tmp_path))
+    try:
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                time.sleep(0.2)
+                continue
+            msg = json.loads(line)
+            if "bound_port" in msg:
+                port = msg["bound_port"]
+                break
+        assert port, "server never reported its port"
+        q = ("SELECT ?nm WHERE { ?r <http://example.com/base/region#r_name>"
+             " ?nm } ORDER BY ?nm")
+        import urllib.parse
+        url = f"http://127.0.0.1:{port}/sparql?query={urllib.parse.quote(q)}"
+        res = json.load(urllib.request.urlopen(url, timeout=60))
+        assert res["head"]["vars"] == ["nm"]
+        vals = [b["nm"]["value"] for b in res["results"]["bindings"]]
+        assert vals == ["EAST", "WEST"]
+        assert all(b["nm"]["type"] == "literal"
+                   for b in res["results"]["bindings"])
+
+        req = urllib.request.Request(url, headers={"Accept": "text/csv"})
+        csv_body = urllib.request.urlopen(req, timeout=60).read().decode()
+        assert csv_body.splitlines() == ["nm", "EAST", "WEST"]
+
+        bad = f"http://127.0.0.1:{port}/sparql?query=NOT_SPARQL"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=60)
+        assert ei.value.code == 400
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
