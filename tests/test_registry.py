@@ -38,3 +38,27 @@ def test_unknown_function_fails_at_plan_time():
 def test_duplicate_registration_guard():
     with pytest.raises(ValueError):
         reg.register("LOWER", lambda c: c)
+
+
+def test_api_docs_generate(tmp_path, monkeypatch):
+    """docs/gen_api.py regenerates the full API reference from live
+    docstrings (one page per module + registry, plus the index)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_api", os.path.join(repo, "docs", "gen_api.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    monkeypatch.setattr(gen, "REPO", str(tmp_path))
+    os.makedirs(tmp_path / "docs", exist_ok=True)
+    gen.main()
+    out = tmp_path / "docs" / "api"
+    pages = sorted(p.name for p in out.iterdir())
+    assert "index.md" in pages and "sparql.md" in pages
+    assert len(pages) == len(gen.MODULES) + len(gen.REGISTRIES) + 1
+    # registry pages enumerate every registered pipeline
+    dataq_doc = (out / "dataq.md").read_text()
+    from rdflib_r2r_ray import dataq
+    assert all(f"**{n}**" in dataq_doc for n in dataq.queries())
