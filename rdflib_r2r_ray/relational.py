@@ -371,10 +371,13 @@ def skew_join(
         [key], sums=["__cnt"],
         in_schema=pa.schema([(key, kt), ("__cnt", pa.int64())]),
     )
+    # the >= hot_count cut runs distributed, so the driver pulls only the
+    # hot keys themselves (bounded by SKEW_JOIN_MAX_HOT_KEYS below), never
+    # the O(distinct keys) count table
     hot_tbls = [t for t in ray.get(
-        counts.materialize().to_arrow_refs()) if t.num_rows]
-    hot_vals = pa.concat_tables(hot_tbls).filter(
-        pc.greater_equal(pc.field("__cnt"), hot_count))[key].combine_chunks() \
+        counts.filter(expr=f"__cnt >= {int(hot_count)}")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    hot_vals = pa.concat_tables(hot_tbls)[key].combine_chunks() \
         if hot_tbls else pa.array([], kt)
     LAST_SKEW_JOIN_HOT_KEYS[:] = hot_vals.to_pylist()
     if len(hot_vals) > SKEW_JOIN_MAX_HOT_KEYS:

@@ -1937,11 +1937,13 @@ def _execute_parsed(
 
     def exec_branch(g: Group):
         """UNION-branch executor (BSBM explore Q4's UNION-of-OPTIONALs):
-        base BGP, then each branch-level OPTIONAL as a left join (matched
-        inner join + anti-joined remainder with typed null padding), then
-        the branch FILTERs — group-level, so a filter over an
-        optionally-bound variable gets SPARQL error→false semantics (the
-        null comparison drops the row)."""
+        base BGP, then each branch-level OPTIONAL as ONE left-outer join —
+        legal here because the OPTIONAL's inner FILTERs are restricted to
+        its own variables and pre-applied (a cross filter would need the
+        matched/remainder split the main OPTIONAL path does) — then the
+        branch FILTERs, group-level, so a filter over an optionally-bound
+        variable gets SPARQL error→false semantics (the null comparison
+        drops the row)."""
         out, names = exec_group_cols(g.patterns, ())
         for og in g.optionals:
             o_vars = {t.name for pat in og.patterns for t in pat
@@ -1956,16 +1958,9 @@ def _execute_parsed(
             if not shared:
                 raise NotImplementedError(
                     "OPTIONAL sharing no variable with its UNION branch")
-            matched = planned_join(out, o_out, on=shared, join_type="inner")
-            base_cols = sorted(names)
-            remainder = planned_join(
-                out, matched.select_columns(base_cols),
-                on=base_cols, join_type="left_anti")
-            all_names = names + [n for n in o_names if n not in names]
-            out = union_pad(matched, remainder,
-                            schemas=[_str_schema(sorted(all_names)),
-                                     _str_schema(sorted(names))])
-            names = all_names
+            out = planned_join(out, o_out, on=shared,
+                               join_type="left_outer")
+            names = names + [n for n in o_names if n not in names]
         return _filter_batches(out, g.filters), names
 
     def exec_graph_cols(gterm, grp):
