@@ -279,8 +279,12 @@ def _variant_triples(m: rd.Dataset):
 
 
 # Left-side frequency at which a body-join key counts as a hub and is
-# broadcast-joined instead of exchanged (tests lower it to force the path).
-AMIE_HOT_KEY_COUNT = 4096
+# broadcast-joined instead of exchanged.  Set to the measured comfortable
+# exchange-partition size (~500k rows — see BASELINE.md perf findings): a
+# key only needs special handling when its row set would overload ONE
+# reduce partition, so below this the plain planned join is the better
+# plan.  Tests lower it to force the hot path.
+AMIE_HOT_KEY_COUNT = 500_000
 
 
 def q_kg_amie_rules(sf_dir: str) -> rd.Dataset:

@@ -353,32 +353,39 @@ def skew_join(
 
     Contract: the right side's hot-key rows must fit a broadcast (true by
     construction when the right side is dim-like); > ``SKEW_JOIN_MAX_HOT_KEYS``
-    detected hot keys raises rather than broadcasting unbounded state."""
+    detected hot keys raises rather than broadcasting unbounded state.
+
+    Detection is one streaming pass, no exchange: each block sends its
+    local value counts FILTERED to ``>= hot_count // 64`` (a real hub is
+    locally dense — pigeonhole over up to 64 contributing blocks), and the
+    driver sums the bounded candidate table.  A pathological hub spread
+    thinner than that may go undetected, which costs plan quality only —
+    ANY hot/cold split returns the identical join result."""
     keys = list(on)
     if len(keys) != 1:
         raise NotImplementedError("skew_join supports a single join key")
     key = keys[0]
+    local_min = max(1, int(hot_count) // 64)
 
     def count_partial(b: pa.Table) -> pa.Table:
         vc = pc.value_counts(pc.drop_null(b[key]))
-        return pa.table({key: vc.field("values"),
-                         "__cnt": pc.cast(vc.field("counts"), pa.int64())})
+        t = pa.table({key: vc.field("values"),
+                      "__cnt": pc.cast(vc.field("counts"), pa.int64())})
+        return t.filter(pc.greater_equal(t["__cnt"], local_min))
 
     kt = left.schema().types[left.schema().names.index(key)]
-    counts = grouped_agg(
+    cand_tbls = [t for t in ray.get(
         left.select_columns([key]).map_batches(
-            count_partial, batch_format="pyarrow"),
-        [key], sums=["__cnt"],
-        in_schema=pa.schema([(key, kt), ("__cnt", pa.int64())]),
-    )
-    # the >= hot_count cut runs distributed, so the driver pulls only the
-    # hot keys themselves (bounded by SKEW_JOIN_MAX_HOT_KEYS below), never
-    # the O(distinct keys) count table
-    hot_tbls = [t for t in ray.get(
-        counts.filter(expr=f"__cnt >= {int(hot_count)}")
+            count_partial, batch_format="pyarrow")
         .materialize().to_arrow_refs()) if t.num_rows]
-    hot_vals = pa.concat_tables(hot_tbls)[key].combine_chunks() \
-        if hot_tbls else pa.array([], kt)
+    if cand_tbls:
+        folded = pa.concat_tables(cand_tbls).group_by(key) \
+            .aggregate([("__cnt", "sum")])
+        hot_vals = folded.filter(
+            pc.greater_equal(folded["__cnt_sum"], hot_count)
+        )[key].combine_chunks()
+    else:
+        hot_vals = pa.array([], kt)
     LAST_SKEW_JOIN_HOT_KEYS[:] = hot_vals.to_pylist()
     if len(hot_vals) > SKEW_JOIN_MAX_HOT_KEYS:
         raise ValueError(
@@ -387,7 +394,9 @@ def skew_join(
             "not skew-shaped at that threshold")
 
     if len(hot_vals) == 0:
-        return hash_join(left, right, keys)
+        # no hub: degrade to the ordinary planner (broadcast-vs-shuffle
+        # from metadata), not a forced hash join
+        return planned_join(left, right, keys)
 
     def split(want_hot: bool):
         def f(b: pa.Table) -> pa.Table:
