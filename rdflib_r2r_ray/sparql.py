@@ -2138,10 +2138,34 @@ def _execute_parsed(
             opt_vars = set(opt_names)
             left_vars = set(out_names)
             shared = [v for v in opt_names if v in left_vars]
-            if not shared:
-                raise NotImplementedError("OPTIONAL sharing no variable with the required part")
             inner_fils = [f for f in opt.filters if _expr_vars(f) <= opt_vars]
             cross_fils = [f for f in opt.filters if not _expr_vars(f) <= opt_vars]
+            if not shared:
+                # disjoint-domain LeftJoin: every optional solution is
+                # compatible with every left solution, so a NON-empty
+                # optional side extends each left row by each of its rows
+                # (cross product); an EMPTY side leaves the left rows bare
+                # with the optional variables unbound (null columns)
+                if cross_fils:
+                    raise NotImplementedError(
+                        "FILTER in a disjoint OPTIONAL referencing outer "
+                        "variables")
+                from .relational import cross_join
+
+                opt_mat = _filter_batches(opt_out, inner_fils).materialize()
+                if opt_mat.count() == 0:
+                    new_cols = [n for n in opt_names if n not in left_vars]
+                    out = out.map_batches(
+                        lambda b, _nc=tuple(new_cols): pa.table(
+                            {**{c: b[c] for c in b.column_names},
+                             **{n: pa.nulls(len(b), pa.string())
+                                for n in _nc}}),
+                        batch_format="pyarrow")
+                else:
+                    out = cross_join(out, opt_mat)
+                out_names = out_names + [n for n in opt_names
+                                         if n not in out_names]
+                continue
             opt_out = _filter_batches(opt_out, inner_fils)
             if not cross_fils:
                 out = planned_join(out, opt_out, on=shared, join_type="left_outer")
@@ -2407,7 +2431,10 @@ def _execute_parsed(
         else:
             out = out.sort(sort_keys, descending=desc)
             if q.offset:
-                raise NotImplementedError("OFFSET without LIMIT needs a LIMIT bound")
+                # OFFSET without LIMIT: blocks of a sorted Dataset are
+                # ordered, so a distributed row split drops exactly the
+                # first ``offset`` solutions — no driver materialization
+                out = out.split_at_indices([q.offset])[1]
         if helpers:
             out = out.select_columns(list(out_names))
     elif q.limit is not None:

@@ -945,3 +945,66 @@ def test_hash_and_encode_builtins(ray_session):
         assert r["s3"] == hashlib.sha384(n).hexdigest()
         assert r["s5"] == hashlib.sha512(n).hexdigest()
         assert r["e"] == r["n"] + "%20%26%20co%2F~x"
+
+
+def test_disjoint_optional_cross_and_empty(ray_session):
+    """OPTIONAL sharing no variable with the required part: a non-empty
+    optional side cross-extends every solution; an empty side leaves the
+    optional variable unbound (null)."""
+    out = execute(_graph(), """
+      SELECT ?x ?nm WHERE {
+        ?x <age> ?a . FILTER(?a > 26)
+        OPTIONAL { ?p <name> ?nm . FILTER(?nm = "Alice") }
+      }
+    """)
+    got = sorted((r["x"], r["nm"]) for r in out.take_all())
+    assert got == [("<a>", "Alice"), ("<c>", "Alice")]
+
+    out2 = execute(_graph(), """
+      SELECT ?x ?nm WHERE {
+        ?x <age> ?a . FILTER(?a > 26)
+        OPTIONAL { ?p <name> ?nm . FILTER(?nm = "Nobody") }
+      }
+    """)
+    got2 = sorted((r["x"], r["nm"]) for r in out2.take_all())
+    assert got2 == [("<a>", None), ("<c>", None)]
+
+
+def test_offset_without_limit(ray_session):
+    out = execute(_graph(), """
+      SELECT ?x ?a WHERE { ?x <age> ?a } ORDER BY ?a OFFSET 1
+    """)
+    assert [r["x"] for r in out.take_all()] == ["<a>", "<c>"]
+
+
+def test_langmatches_edges(ray_session):
+    import ray.data as rd
+
+    g = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>", "<d>"],
+        "pred": ["<t>"] * 4,
+        "obj": ['"x"@en', '"y"@en-US', '"z"@fr', "plain"],
+    }))
+    out = execute(g, """
+      SELECT ?s WHERE { ?s <t> ?o . FILTER(LANGMATCHES(LANG(?o), "en")) }
+    """)
+    assert sorted(r["s"] for r in out.take_all()) == ["<a>", "<b>"]
+    out2 = execute(g, """
+      SELECT ?s WHERE { ?s <t> ?o . FILTER langMatches(lang(?o), "*") }
+    """)
+    assert sorted(r["s"] for r in out2.take_all()) == ["<a>", "<b>", "<c>"]
+
+
+def test_union_branch_optional_padding(ray_session):
+    """A UNION branch whose OPTIONAL matches nothing keeps its rows with
+    the optional variable null-padded."""
+    out = execute(_graph(), """
+      SELECT ?x ?nm WHERE {
+        { ?x <age> ?a . OPTIONAL { ?x <name> ?nm } FILTER(?a >= 40) }
+        UNION
+        { ?x <knows> ?y . ?x <name> ?nm . FILTER(?nm = "Bob") }
+      }
+    """)
+    got = sorted([(r["x"], r["nm"]) for r in out.take_all()],
+                 key=lambda t: (t[0], t[1] or ""))
+    assert got == [("<b>", "Bob"), ("<c>", None)]
