@@ -100,6 +100,14 @@ class _FragmentReader:
         return pa.concat_tables(outs)
 
 
+def fragment_bounds(lo: int, hi: int, num_fragments: int):
+    """Split the half-open key domain ``[lo, hi)`` into at most
+    ``num_fragments`` disjoint, contiguous, exhaustive ranges."""
+    k = max(1, min(int(num_fragments), hi - lo))
+    step = (hi - lo + k - 1) // k
+    return [(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+
 def read_sql_table(
     url: str,
     table: str,
@@ -129,10 +137,7 @@ def read_sql_table(
     columns = list(columns)
     if not n:
         return rd.from_arrow(pa.table({c: pa.array([]) for c in columns}))
-    lo, hi = int(lo), int(hi) + 1  # half-open overall domain
-    k = max(1, min(int(num_fragments), hi - lo))
-    step = (hi - lo + k - 1) // k
-    bounds = [(lo + i * step, min(lo + (i + 1) * step, hi)) for i in range(k)]
+    bounds = fragment_bounds(int(lo), int(hi) + 1, int(num_fragments))
     frags = rd.from_arrow(pa.table({
         "lo": pa.array([b[0] for b in bounds], pa.int64()),
         "hi": pa.array([b[1] for b in bounds], pa.int64()),

@@ -167,3 +167,19 @@ def test_nquads_line_codec_roundtrip(rows):
         got.append((m["s"], m["p"], o, m.get("g") if ok4[i].as_py() else None))
     want = [tuple(r) for r in rows]
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-10**9, 10**9), st.integers(1, 10**6), st.integers(1, 256))
+def test_sqldb_fragment_bounds_partition(lo, span, k):
+    """Key-range fragmentation is a PARTITION of [lo, hi): disjoint,
+    contiguous, exhaustive, at most k ranges, each non-empty."""
+    from rdflib_r2r_ray.sources.sqldb import fragment_bounds
+
+    hi = lo + span
+    b = fragment_bounds(lo, hi, k)
+    assert 1 <= len(b) <= k
+    assert b[0][0] == lo and b[-1][1] == hi
+    for (a0, a1), (b0, _) in zip(b, b[1:]):
+        assert a1 == b0
+    assert all(x0 < x1 for x0, x1 in b)
