@@ -93,3 +93,62 @@ def test_sparql_matches_sql(ray_session, seed):
     # SQL returns int — _norm stringifies both
     got = out.rename(columns={c: c for c in out.columns})
     assert _norm(got, proj) == _norm(want, proj), f"seed {seed}\n{q}\n{sql}"
+
+
+def _gen_union(seed: int):
+    """Randomized UNION-of-branches family (the BSBM explore Q4 shape the
+    round-5 executor work added): two star branches with independent
+    numeric/lang FILTERs, OPTIONAL in both branches or neither, optional
+    DISTINCT and ORDER/LIMIT/OFFSET modifiers."""
+    rng = random.Random(10_000 + seed)
+    lo1 = rng.randrange(0, 400)
+    hi1 = lo1 + rng.randrange(50, 300)
+    lo2 = rng.randrange(0, 400)
+    hi2 = lo2 + rng.randrange(50, 300)
+    lang = rng.choice(LANGS)
+    with_opt = rng.random() < 0.5
+    distinct = rng.random() < 0.4
+    modifiers = rng.random() < 0.5
+    limit = rng.randrange(5, 40)
+    offset = rng.randrange(0, 10)
+
+    proj = ["d", "l", "c"] + (["s"] if with_opt else [])
+    opt = "OPTIONAL { ?d <http://kg.ex/p/source> ?s }" if with_opt else ""
+    base = ("?d <http://kg.ex/p/lang> ?l . "
+            "?d <http://kg.ex/p/n_chars> ?c .")
+    b1 = f"{{ {base} {opt} FILTER(?c >= {lo1} && ?c < {hi1}) }}"
+    b2 = f'{{ {base} {opt} FILTER(?c >= {lo2} && ?c < {hi2} && ?l = "{lang}") }}'
+    mod = f"ORDER BY ?d LIMIT {limit} OFFSET {offset}" if modifiers else ""
+    q = f"""
+    SELECT {"DISTINCT " if distinct else ""}{" ".join("?" + v for v in proj)}
+    WHERE {{ {b1} UNION {b2} }}
+    {mod}
+    """
+
+    colmap = {
+        "d": "'<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>'",
+        "l": "lang", "c": "n_chars", "s": "source",
+    }
+    sel = ", ".join(f"{colmap[v]} AS {v}" for v in proj)
+    w1 = f"n_chars >= {lo1} AND n_chars < {hi1} AND lang IS NOT NULL"
+    w2 = (f"n_chars >= {lo2} AND n_chars < {hi2} AND lang = '{lang}'")
+    inner = (f"SELECT {sel} FROM documents WHERE {w1} "
+             f"UNION ALL SELECT {sel} FROM documents WHERE {w2}")
+    sql = f"SELECT {'DISTINCT ' if distinct else ''}* FROM ({inner}) t"
+    if modifiers:
+        sql += f" ORDER BY d LIMIT {limit} OFFSET {offset}"
+    return q, sql, proj
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_sparql_union_matches_sql(ray_session, seed):
+    from rdflib_r2r_ray import sparql
+    from rdflib_r2r_ray.driver_api import _documents_triples
+
+    q, sql, proj = _gen_union(seed)
+    out = sparql.execute(_documents_triples(SF), q).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(sql).df()
+    assert _norm(out, proj) == _norm(want, proj), f"seed {seed}\n{q}\n{sql}"
