@@ -1487,6 +1487,45 @@ def _sample_column(var: str, n: int, *tables: pa.Table) -> list:
     return out[:n]
 
 
+def _ordered_solution_slice(out: rd.Dataset, q) -> rd.Dataset:
+    """ORDER BY + LIMIT[/OFFSET] over the SOLUTION sequence, for the
+    CONSTRUCT/DESCRIBE branches (per spec, solution modifiers apply before
+    template instantiation / node extraction; without a LIMIT the ordering
+    is unobservable in a set-semantics graph, so callers only invoke this
+    when a LIMIT is present).  Numeric-vs-lexical per key decided exactly
+    like the SELECT path."""
+    from .relational import extend, topk, topk_offset
+
+    out = out.materialize()
+    cols = list(out.schema().names)
+    sort_keys: List[str] = []
+    desc = [d for _, d in q.order_by]
+    helpers: Dict[str, object] = {}
+    for i, (v, _) in enumerate(q.order_by):
+        if isinstance(v, E):
+            h = f"__ord{i}"
+            if _static_kind(v) == "num":
+                helpers[h] = (lambda b, _e=v: _full_array(
+                    _to_num(*_eval(_e, b)), pa.float64(), len(b)))
+            else:
+                helpers[h] = (lambda b, _e=v: _full_array(
+                    _to_raw(*_eval(_e, b)), pa.string(), len(b)))
+            sort_keys.append(h)
+        elif _probe_numeric(out, v):
+            h = f"__ord{i}"
+            helpers[h] = (lambda b, _v=v: _numeric_col(b, _v))
+            sort_keys.append(h)
+        else:
+            sort_keys.append(v)
+    if helpers:
+        out = extend(out, **helpers)
+    if q.offset:
+        out = topk_offset(out, sort_keys, q.limit, q.offset, descending=desc)
+    else:
+        out = topk(out, sort_keys, q.limit, descending=desc)
+    return out.select_columns(cols) if helpers else out
+
+
 def _probe_numeric(ds: rd.Dataset, var: str, sample: int = 64) -> bool:
     """Bounded-sample numeric sniff for MIN/MAX/ORDER BY semantics (see
     module docstring): pulls ≤ ``sample`` rows through the streaming
@@ -1893,10 +1932,6 @@ def _execute_parsed(
 ) -> rd.Dataset:
     from .relational import extend, grouped_agg, group_concat, planned_join, union_pad
 
-    if q.describe and q.order_by:
-        # a DESCRIBE result is a set-semantics graph (same contract as the
-        # CONSTRUCT branch below)
-        raise NotImplementedError("ORDER BY with DESCRIBE")
     if q.describe and not any((q.patterns, q.subselects, q.union_branches,
                                q.values, q.binds, q.optionals, q.minuses,
                                q.exists, q.filters, q.graphs)):
@@ -2302,8 +2337,12 @@ def _execute_parsed(
         # described nodes = constant IRIs ∪ distinct bindings of the
         # DESCRIBE variables; description = semi-join of the graph on subj.
         # LIMIT/OFFSET bound the SOLUTION sequence before node extraction
-        # (same contract as the CONSTRUCT branch below)
-        if q.limit is not None:
+        # (same contract as the CONSTRUCT branch below); with ORDER BY the
+        # slice is the ordered top-k, which selects WHICH nodes are
+        # described
+        if q.order_by and q.limit is not None:
+            out = _ordered_solution_slice(out, q)
+        elif q.limit is not None:
             out = out.limit(q.limit + q.offset)
         bound = set(out_names)
         nodes = None
@@ -2344,10 +2383,12 @@ def _execute_parsed(
 
     if q.construct:
         # solution modifiers apply to the solution sequence BEFORE template
-        # instantiation; ORDER BY is meaningless for a set-semantics graph
-        if q.order_by:
-            raise NotImplementedError("ORDER BY with CONSTRUCT")
-        if q.limit is not None:
+        # instantiation; ORDER BY is observable only through a LIMIT (the
+        # result graph is a set), where it selects WHICH solutions
+        # instantiate
+        if q.order_by and q.limit is not None:
+            out = _ordered_solution_slice(out, q)
+        elif q.limit is not None:
             out = out.limit(q.limit + q.offset)
         # instantiate each triple template per solution; rows with an
         # unbound term (OPTIONAL nulls) emit no triple; the result graph is

@@ -475,13 +475,11 @@ def test_describe_limit_bounds_solutions(ray_session):
     assert len(subs) == 1 and subs < {"<a>", "<b>", "<c>"}
 
 
-def test_describe_rejects_order_by():
-    with pytest.raises(NotImplementedError):
-        from rdflib_r2r_ray.sparql import execute as _e
-        import ray.data as rd
-        import pyarrow as pa
-        _e(rd.from_arrow(pa.table({"subj": ["<a>"], "pred": ["<p>"], "obj": ["<b>"]})),
-           "DESCRIBE ?x WHERE { ?x <p> ?o . } ORDER BY ?x")
+def test_describe_order_without_limit_is_set(ray_session):
+    """ORDER BY alone is unobservable in a DESCRIBE's set-semantics graph
+    (previously raised; now the full node set is described regardless)."""
+    out = execute(_graph(), "DESCRIBE ?x WHERE { ?x <age> ?a . } ORDER BY ?x")
+    assert {r["subj"] for r in out.take_all()} == {"<a>", "<b>", "<c>"}
 
 
 def test_describe_unbound_variable_is_empty(ray_session):
@@ -1008,3 +1006,25 @@ def test_union_branch_optional_padding(ray_session):
     got = sorted([(r["x"], r["nm"]) for r in out.take_all()],
                  key=lambda t: (t[0], t[1] or ""))
     assert got == [("<b>", "Bob"), ("<c>", None)]
+
+
+def test_construct_order_limit(ray_session):
+    """ORDER BY under CONSTRUCT is observable through LIMIT: the ordered
+    top-k of the solution sequence selects which solutions instantiate."""
+    out = execute(_graph(), """
+      CONSTRUCT { ?x <isOldest> "yes" }
+      WHERE { ?x <age> ?a } ORDER BY DESC(?a) LIMIT 1
+    """)
+    rows = sorted((r["subj"], r["pred"], r["obj"]) for r in out.take_all())
+    assert rows == [("<c>", "<isOldest>", "yes")]
+
+
+def test_describe_order_limit(ray_session):
+    """DESCRIBE with ORDER BY + LIMIT describes the top-k solutions'
+    nodes only."""
+    out = execute(_graph(), """
+      DESCRIBE ?x WHERE { ?x <age> ?a } ORDER BY DESC(?a) LIMIT 1
+    """)
+    rows = sorted((r["subj"], r["pred"], r["obj"]) for r in out.take_all())
+    assert rows == [("<c>", "<age>", f'"40"^^<{XSD_INT}>'),
+                    ("<c>", "<knows>", "<a>")]
