@@ -636,8 +636,6 @@ class SparqlParser:
             else:
                 # aggregate over a full expression (reference composes
                 # queryExpr into the aggregate, query_conversions.py:57-81)
-                if fn in ("group_concat", "sample"):
-                    raise NotImplementedError(f"{fn} over an expression")
                 agg_var = None
                 expr = e
         if fn == "group_concat" and self._peek()[1] == ";":
@@ -680,8 +678,6 @@ class SparqlParser:
             if e.kind == "var":
                 agg_var = e.val
             else:
-                if fn in ("group_concat", "sample"):
-                    raise NotImplementedError(f"{fn} over an expression")
                 expr = e
         self._expect(")")
         alias = f"__h{len(self._having_aggs)}"
@@ -2563,7 +2559,10 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery):
                 prep[a.alias] = ("num", a.var) if numeric else ("raw", a.var)
             (mins if a.fn == "min" else maxs).append(a.alias)
         elif a.fn == "sample":
-            prep[a.alias] = ("raw", a.var)
+            # deterministic min witness; an expression argument evaluates
+            # to a hidden raw column first
+            prep[a.alias] = ("eraw", a.expr) if a.expr is not None \
+                else ("raw", a.var)
             mins.append(a.alias)
         elif a.fn == "group_concat":
             gcs.append(a)
@@ -2616,9 +2615,18 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery):
             })
         parts.append(agg)
     for a in gcs:
-        parts.append(group_concat(out.select_columns(keys + [a.var]), keys,
-                                  a.var, a.alias, sep=a.sep))
+        src_ds, col = out, a.var
+        if a.expr is not None:
+            # GROUP_CONCAT over an expression: evaluate to a hidden raw
+            # column, then concat it like a plain variable
+            col = a.alias + "__gc"
+            src_ds = extend(out, **{col: (lambda b, _e=a.expr: _full_array(
+                _to_raw(*_eval(_e, b)), pa.string(), len(b)))})
+        parts.append(group_concat(src_ds.select_columns(keys + [col]), keys,
+                                  col, a.alias, sep=a.sep))
     for a in dags:
+        if a.expr is not None:
+            raise NotImplementedError(f"{a.fn}(DISTINCT <expression>)")
         sub = distinct_on(out.select_columns(keys + [a.var]), keys + [a.var])
         if a.fn == "group_concat":
             parts.append(group_concat(sub, keys, a.var, a.alias, sep=a.sep))

@@ -1028,3 +1028,23 @@ def test_describe_order_limit(ray_session):
     rows = sorted((r["subj"], r["pred"], r["obj"]) for r in out.take_all())
     assert rows == [("<c>", "<age>", f'"40"^^<{XSD_INT}>'),
                     ("<c>", "<knows>", "<a>")]
+
+
+def test_sample_and_group_concat_over_expressions(ray_session):
+    import ray.data as rd
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>", "<d>"],
+        "pred": ["<in>"] * 4,
+        "obj": ["<g1>", "<g1>", "<g2>", "<g1>"],
+    }))
+    out = execute(triples, """
+      SELECT ?g (GROUP_CONCAT(UCASE(STR(?x)); SEPARATOR="|") AS ?cat)
+                (SAMPLE(STR(?x)) AS ?w)
+      WHERE { ?x <in> ?g . } GROUP BY ?g
+    """)
+    rows = sorted((r["g"], r["cat"], r["w"]) for r in out.take_all())
+    assert rows[1] == ("<g2>", "C", "c")
+    g1_cat = rows[0][1]
+    assert sorted(g1_cat.split("|")) == ["A", "B", "D"]
+    assert rows[0][2] == "a"  # deterministic min witness
