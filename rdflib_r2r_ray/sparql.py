@@ -2012,34 +2012,47 @@ def _execute_parsed(
                 aug, pats2, broadcast_threshold=broadcast_threshold)
             return _filter_batches(g, grp.filters), names
         gvar = gterm.name
-        if len(grp.patterns) != 1:
-            raise NotImplementedError(
-                "GRAPH ?var over a multi-pattern group")
-        s, p, o = bind_pats(grp.patterns)[0]
-        if not isinstance(p, (str, Var)):
-            raise NotImplementedError("GRAPH ?var with a property path")
-        names: List[str] = []
-        for term in (s, p, o):
-            if isinstance(term, Var):
-                if term.name in names or term.name == gvar:
-                    raise NotImplementedError(
-                        "repeated variable in a GRAPH ?var pattern")
-                names.append(term.name)
-        names.append(gvar)
 
-        def f(b, _s=s, _p=p, _o=o, _names=tuple(names)):
-            m = pc.is_valid(b["graph"])
-            for term, col in ((_s, "subj"), (_p, "pred"), (_o, "obj")):
-                if not isinstance(term, Var):
-                    m = pc.and_(m, pc.equal(b[col], term))
-            t = b.filter(m)
-            cols = [t[col] for term, col in
-                    ((_s, "subj"), (_p, "pred"), (_o, "obj"))
-                    if isinstance(term, Var)]
-            cols.append(t["graph"])
-            return pa.table(dict(zip(_names, cols)))
+        def one_pattern(pat):
+            """One quad pattern → (bindings Dataset incl. the ?g column,
+            names)."""
+            s, p, o = pat
+            if not isinstance(p, (str, Var)):
+                raise NotImplementedError("GRAPH ?var with a property path")
+            nm: List[str] = []
+            for term in (s, p, o):
+                if isinstance(term, Var):
+                    if term.name in nm or term.name == gvar:
+                        raise NotImplementedError(
+                            "repeated variable in a GRAPH ?var pattern")
+                    nm.append(term.name)
+            nm.append(gvar)
 
-        gds = triples.map_batches(f, batch_format="pyarrow")
+            def f(b, _s=s, _p=p, _o=o, _names=tuple(nm)):
+                m = pc.is_valid(b["graph"])
+                for term, col in ((_s, "subj"), (_p, "pred"), (_o, "obj")):
+                    if not isinstance(term, Var):
+                        m = pc.and_(m, pc.equal(b[col], term))
+                t = b.filter(m)
+                cols = [t[col] for term, col in
+                        ((_s, "subj"), (_p, "pred"), (_o, "obj"))
+                        if isinstance(term, Var)]
+                cols.append(t["graph"])
+                return pa.table(dict(zip(_names, cols)))
+
+            return triples.map_batches(f, batch_format="pyarrow"), nm
+
+        # multi-pattern group: per-pattern quad matches equijoined on the
+        # shared variables — the ?g column is always shared, which pins
+        # every pattern of the group to the SAME named graph (SPARQL's
+        # GRAPH-scope semantics)
+        pats = bind_pats(grp.patterns)
+        gds, names = one_pattern(pats[0])
+        for pat in pats[1:]:
+            nxt, nm2 = one_pattern(pat)
+            shared = [v for v in nm2 if v in names]
+            gds = planned_join(gds, nxt, on=shared)
+            names = names + [v for v in nm2 if v not in names]
         return _filter_batches(gds, grp.filters), names
 
     def _str_schema(names):

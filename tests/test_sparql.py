@@ -828,11 +828,14 @@ def test_graph_clause(ray_session):
     assert list(out["s"]) == ["<a>", "<b>"]
     assert list(out["v"]) == ["x", "y"]
 
-    # unsupported: multi-pattern variable-graph group raises loudly
-    with pytest.raises(NotImplementedError, match="GRAPH"):
-        execute(_quads(), """
-          SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o . ?s <q> ?v } }
-        """).to_pandas()
+    # multi-pattern variable-graph group: per-pattern quad matches
+    # equijoined on shared vars INCLUDING ?g — both patterns must hold in
+    # the SAME named graph (the <q> triples live in the default graph, so
+    # nothing matches)
+    out = execute(_quads(), """
+      SELECT ?g WHERE { GRAPH ?g { ?s <p> ?o . ?s <q> ?v } }
+    """).to_pandas()
+    assert len(out) == 0
 
 
 def _upd_graph():
@@ -1048,3 +1051,21 @@ def test_sample_and_group_concat_over_expressions(ray_session):
     g1_cat = rows[0][1]
     assert sorted(g1_cat.split("|")) == ["A", "B", "D"]
     assert rows[0][2] == "a"  # deterministic min witness
+
+
+def test_graph_var_multi_pattern_same_graph(ray_session):
+    """GRAPH ?g over a star: patterns join within one named graph; a
+    subject whose second triple sits in a DIFFERENT graph is excluded."""
+    import ray.data as rd
+
+    quads = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<a>", "<b>", "<b>"],
+        "pred": ["<p>", "<q>", "<p>", "<q>"],
+        "obj": ["1", "x", "2", "y"],
+        "graph": ["<g1>", "<g1>", "<g1>", "<g2>"],
+    }))
+    out = execute(quads, """
+      SELECT ?g ?s ?o ?v WHERE { GRAPH ?g { ?s <p> ?o . ?s <q> ?v } }
+    """).to_pandas()
+    rows = sorted(map(tuple, out[["g", "s", "o", "v"]].itertuples(index=False)))
+    assert rows == [("<g1>", "<a>", "1", "x")]
