@@ -141,6 +141,8 @@ class SelectQuery:
     subselects: Tuple["SelectQuery", ...] = ()      # nested { SELECT ... } groups
     describe: Tuple = ()                            # DESCRIBE resources (Var | str)
     graphs: Tuple[Tuple[object, Group], ...] = ()   # GRAPH <iri>|?var { ... }
+    post_binds: Tuple[Tuple[str, E], ...] = ()      # projection expressions
+    # evaluated AFTER aggregation (they may reference aggregate aliases)
 
 
 # ---------------------------------------------------------------------------
@@ -967,11 +969,13 @@ class SparqlParser:
                 break
             else:
                 raise ValueError(f"unexpected trailing token {v!r}")
+        post_binds: Tuple = ()
         if proj_exprs and aggregates:
-            raise NotImplementedError(
-                "projection expressions mixed with aggregates — alias the "
-                "expression with BIND or a sub-SELECT instead")
-        binds.extend(proj_exprs)  # evaluate exactly like BIND, post-group
+            # SELECT (expr AS ?v) alongside aggregates: the expression may
+            # reference aggregate aliases, so it evaluates AFTER grouping
+            post_binds = tuple(proj_exprs)
+        else:
+            binds.extend(proj_exprs)  # evaluate exactly like BIND
         return SelectQuery(
             variables=tuple(variables),
             patterns=tuple(patterns),
@@ -994,6 +998,7 @@ class SparqlParser:
             subselects=tuple(subselects),
             describe=describe_terms,
             graphs=tuple(graphs),
+            post_binds=post_binds,
         )
 
 
@@ -2432,6 +2437,18 @@ def _execute_parsed(
         visible = [a.alias for a in q.aggregates if not a.alias.startswith("__h")]
         out_names = list(dict.fromkeys(
             (list(q.variables) if q.variables else gk) + visible))
+        # projection expressions alongside aggregates evaluate here, on the
+        # aggregated relation (they may reference aggregate aliases)
+        if q.post_binds:
+            for alias, e in q.post_binds:
+                out = out.map_batches(
+                    lambda b, _a=alias, _e=e: b.append_column(
+                        _a, _bind_output(*_eval(_e, b), len(b))
+                    ) if len(b) else b,
+                    batch_format="pyarrow")
+                if _static_kind(e) == "num":
+                    numeric_out_cols = numeric_out_cols | {alias}
+            out = out.select_columns(out_names)
     elif q.variables:
         out = out.select_columns(list(q.variables))
         out_names = list(q.variables)
@@ -2679,9 +2696,10 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery):
 
     group_keys = [] if global_agg else list(q.group_by)
     visible = [a for a in aliases if not a.startswith("__h")]
-    proj = list(dict.fromkeys(
+    post_aliases = {al for al, _ in q.post_binds}
+    proj = [v for v in dict.fromkeys(
         (list(q.variables) if q.variables else group_keys) + visible
-    ))
+    ) if v not in post_aliases]  # post-bind aliases don't exist yet
     # aliases whose output column is NATIVELY numeric (count/sum/avg always;
     # min/max when the numeric lowering was chosen) — lets ORDER BY sort them
     # directly instead of probing the lazy aggregate (a probe executes it)

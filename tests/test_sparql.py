@@ -435,11 +435,13 @@ def test_projection_expression(ray_session):
         ("<a>", 60.0), ("<b>", 50.0), ("<c>", 80.0)]
 
 
-def test_projection_expression_rejects_aggregate_mix():
-    with pytest.raises(NotImplementedError):
-        SparqlParser("""
-          SELECT (?a + 1 AS ?b) (COUNT(?x) AS ?n) WHERE { ?x <age> ?a . }
-        """).parse()
+def test_projection_expression_with_aggregate_parses():
+    q = SparqlParser("""
+      SELECT (?a + 1 AS ?b) (COUNT(?x) AS ?n) WHERE { ?x <age> ?a . }
+    """).parse()
+    # the expression is deferred to AFTER aggregation
+    assert [al for al, _ in q.post_binds] == ["b"]
+    assert not q.binds
 
 
 def test_describe_constant(ray_session):
@@ -1069,3 +1071,21 @@ def test_graph_var_multi_pattern_same_graph(ray_session):
     """).to_pandas()
     rows = sorted(map(tuple, out[["g", "s", "o", "v"]].itertuples(index=False)))
     assert rows == [("<g1>", "<a>", "1", "x")]
+
+
+def test_projection_expression_with_aggregates(ray_session):
+    """SELECT (expr AS ?v) alongside aggregates — the expression runs on
+    the aggregated relation and may reference aggregate aliases."""
+    import ray.data as rd
+
+    triples = rd.from_arrow(pa.table({
+        "subj": ["<a>", "<b>", "<c>", "<d>"],
+        "pred": ["<in>"] * 4,
+        "obj": ["<g1>", "<g1>", "<g2>", "<g1>"],
+    }))
+    out = execute(triples, """
+      SELECT ?g (COUNT(?x) AS ?n) (?n * 10 AS ?tens)
+      WHERE { ?x <in> ?g . } GROUP BY ?g
+    """)
+    rows = sorted((r["g"], r["n"], r["tens"]) for r in out.take_all())
+    assert rows == [("<g1>", 3, 30.0), ("<g2>", 1, 10.0)]
