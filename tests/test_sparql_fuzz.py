@@ -152,3 +152,70 @@ def test_sparql_union_matches_sql(ray_session, seed):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
     want = con.execute(sql).df()
     assert _norm(out, proj) == _norm(want, proj), f"seed {seed}\n{q}\n{sql}"
+
+
+def _gen_agg(seed: int):
+    """Randomized grouped-aggregate family: GROUP BY lang with a random
+    subset of COUNT/SUM/AVG/MIN/MAX over n_chars, optional HAVING on the
+    count, optional ORDER BY an aggregate alias + LIMIT."""
+    rng = random.Random(20_000 + seed)
+    fns = rng.sample(["count", "sum", "avg", "mn", "mx"],
+                     k=rng.randrange(1, 4))
+    having = rng.random() < 0.5
+    hmin = rng.randrange(1, 40)
+    order = rng.random() < 0.5
+    lo = rng.randrange(0, 300)
+
+    sparql_agg = {
+        "count": "(COUNT(?c) AS ?count)", "sum": "(SUM(?c) AS ?sum)",
+        "avg": "(AVG(?c) AS ?avg)", "mn": "(MIN(?c) AS ?mn)",
+        "mx": "(MAX(?c) AS ?mx)",
+    }
+    sql_agg = {
+        "count": "CAST(COUNT(n_chars) AS BIGINT) AS count",
+        "sum": "SUM(n_chars) AS sum", "avg": "AVG(n_chars) AS avg",
+        "mn": "CAST(MIN(n_chars) AS DOUBLE) AS mn",
+        "mx": "CAST(MAX(n_chars) AS DOUBLE) AS mx",
+    }
+    proj = ["l"] + fns
+    q = f"""
+    SELECT ?l {" ".join(sparql_agg[f] for f in fns)}
+    WHERE {{
+      ?d <http://kg.ex/p/lang> ?l .
+      ?d <http://kg.ex/p/n_chars> ?c .
+      FILTER(?c >= {lo})
+    }}
+    GROUP BY ?l
+    {f"HAVING(COUNT(?c) >= {hmin})" if having else ""}
+    {f"ORDER BY DESC(?{fns[0]}) ?l LIMIT 3" if order else ""}
+    """
+    sql = (f"SELECT lang AS l, {', '.join(sql_agg[f] for f in fns)} "
+           f"FROM documents WHERE n_chars >= {lo} AND lang IS NOT NULL "
+           "GROUP BY lang")
+    if having:
+        sql += f" HAVING COUNT(n_chars) >= {hmin}"
+    if order:
+        sql += f" ORDER BY {fns[0]} DESC, l LIMIT 3"
+    return q, sql, proj
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_sparql_agg_matches_sql(ray_session, seed):
+    from rdflib_r2r_ray import sparql
+    from rdflib_r2r_ray.driver_api import _documents_triples
+
+    q, sql, proj = _gen_agg(seed)
+    out = sparql.execute(_documents_triples(SF), q).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(sql).df()
+
+    def nrm(df):
+        rows = []
+        for tup in df[proj].itertuples(index=False):
+            rows.append(tuple(round(float(v), 6) if isinstance(v, (int, float))
+                              else str(v) for v in tup))
+        return sorted(rows)
+
+    assert nrm(out) == nrm(want), f"seed {seed}\n{q}\n{sql}"
