@@ -269,6 +269,7 @@ def cmd_serve(args) -> int:
     stdlib analogue): the mapped graph is materialized once at startup,
     each request executes against it and returns SPARQL 1.1 JSON results
     (or CSV with ``Accept: text/csv``)."""
+    import threading
     import urllib.parse
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -278,10 +279,15 @@ def cmd_serve(args) -> int:
     graph = _load_graph(args).materialize()
     print(json.dumps({"serving": f"http://{args.host}:{args.port}/sparql",
                       "triples": graph.count()}), flush=True)
+    # one query at a time: each request drives a full Ray Data execution,
+    # and concurrent executions on one driver would contend for the same
+    # CPU slots anyway
+    query_lock = threading.Lock()
 
     def run_query(query: str, want_csv: bool) -> Tuple[int, str, str]:
         try:
-            df = sparql.execute(graph, query).to_pandas()
+            with query_lock:
+                df = sparql.execute(graph, query).to_pandas()
         except Exception as ex:  # malformed/unsupported query → 400
             return 400, "text/plain", f"{type(ex).__name__}: {ex}"
         if want_csv:
