@@ -90,8 +90,14 @@ class _FragmentReader:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs: List[pa.Table] = []
-        for lo, hi in zip(batch["lo"].to_pylist(), batch["hi"].to_pylist()):
-            where = f'"{self._key}" >= {lo} AND "{self._key}" < {hi}'
+        for lo, hi, wn in zip(batch["lo"].to_pylist(),
+                              batch["hi"].to_pylist(),
+                              batch["with_nulls"].to_pylist()):
+            rng = f'"{self._key}" >= {lo} AND "{self._key}" < {hi}'
+            # NULL keys match NO range predicate — exactly one fragment
+            # carries them, or they would silently vanish from the read
+            where = f'(({rng}) OR "{self._key}" IS NULL)' if wn \
+                else f"({rng})"
             if self._pred:
                 where += f" AND ({self._pred})"
             sql = f'SELECT {self._sel} FROM "{self._table}" WHERE {where}'
@@ -137,10 +143,18 @@ def read_sql_table(
     columns = list(columns)
     if not n:
         return rd.from_arrow(pa.table({c: pa.array([]) for c in columns}))
-    bounds = fragment_bounds(int(lo), int(hi) + 1, int(num_fragments))
+    if lo is None:
+        # every key is NULL: one fragment with an empty range whose
+        # with_nulls flag picks up the whole table
+        bounds = [(0, 0)]
+    else:
+        bounds = fragment_bounds(int(lo), int(hi) + 1, int(num_fragments))
     frags = rd.from_arrow(pa.table({
         "lo": pa.array([b[0] for b in bounds], pa.int64()),
         "hi": pa.array([b[1] for b in bounds], pa.int64()),
+        # NULL-key rows ride with the FIRST fragment
+        "with_nulls": pa.array([i == 0 for i in range(len(bounds))],
+                               pa.bool_()),
     }))
     return frags.map_batches(
         _FragmentReader,

@@ -89,3 +89,32 @@ def test_read_only_connection(ray_session, sqlite_db):
     with pytest.raises(sqlite3.OperationalError):
         con.execute("INSERT INTO items VALUES (1000, 'x', 1)")
     con.close()
+
+
+def test_null_keys_not_lost(ray_session, tmp_path):
+    """Rows whose key is NULL match no range predicate — exactly one
+    fragment must pick them up (and an all-NULL-key table still reads)."""
+    from rdflib_r2r_ray.sources.sqldb import read_sql_table
+
+    p = str(tmp_path / "nk.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, f"v{i}") for i in range(20)]
+                    + [(None, "orphan1"), (None, "orphan2")])
+    con.commit()
+    con.close()
+    ds = read_sql_table(f"sqlite:///{p}", "t", "id", num_fragments=4)
+    rows = sorted((r["id"], r["v"]) for r in ds.take_all()
+                  if r["id"] is not None)
+    nulls = sorted(r["v"] for r in ds.take_all() if r["id"] is None)
+    assert len(rows) == 20 and nulls == ["orphan1", "orphan2"]
+
+    p2 = str(tmp_path / "allnull.db")
+    con = sqlite3.connect(p2)
+    con.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (NULL, ?)", [("a",), ("b",)])
+    con.commit()
+    con.close()
+    ds2 = read_sql_table(f"sqlite:///{p2}", "t", "id")
+    assert sorted(r["v"] for r in ds2.take_all()) == ["a", "b"]
