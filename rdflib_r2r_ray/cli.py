@@ -232,9 +232,14 @@ def cmd_validate(args) -> int:
 
 
 def _term_to_json(v) -> Optional[dict]:
-    """Lexical term string → SPARQL 1.1 JSON-results binding object."""
-    if v is None:
+    """Lexical term string → SPARQL 1.1 JSON-results binding object.
+    ``None``/NaN (a null in a pandas float column) = unbound → omitted."""
+    if v is None or (isinstance(v, float) and v != v):
         return None
+    if isinstance(v, float) and v.is_integer():
+        # nullable int64 columns surface as float64 in pandas — render
+        # integral values without the spurious ".0"
+        return {"type": "literal", "value": str(int(v))}
     s = str(v)
     if s.startswith("<") and s.endswith(">"):
         return {"type": "uri", "value": s[1:-1]}
@@ -292,6 +297,11 @@ def cmd_serve(args) -> int:
             return 400, "text/plain", f"{type(ex).__name__}: {ex}"
         if want_csv:
             return 200, "text/csv", df.to_csv(index=False)
+        if list(df.columns) == ["ask"] and len(df) == 1:
+            # SPARQL 1.1 JSON boolean form for ASK results
+            return (200, "application/sparql-results+json",
+                    json.dumps({"head": {},
+                                "boolean": bool(df["ask"].iloc[0])}))
         res = {
             "head": {"vars": list(df.columns)},
             "results": {"bindings": [

@@ -2213,8 +2213,13 @@ SELECT '{ct}' AS child_table, '{cc}' AS child_col,
 # gets a FRESH uuid-keyed dir (a fixed sf_dir-keyed dir raced when bench and
 # a correctness sweep ran the same query concurrently, and re-invoking
 # rmtree'd the files under a previously returned lazy dataset).  Dirs are
-# removed at interpreter exit, after every lazy reader over them is done.
+# removed at interpreter exit; a long-lived process (bench loops, serve) is
+# additionally capped: beyond _ROUNDTRIP_MAX_DIRS the OLDEST dirs are
+# reclaimed eagerly — by then their lazy readers are long consumed (a
+# reader still pending across that many newer invocations would re-raise
+# on read, loudly, rather than silently duplicating /tmp until it fills).
 _ROUNDTRIP_DIRS: list = []
+_ROUNDTRIP_MAX_DIRS = 16
 
 
 def _roundtrip_dir(prefix: str) -> str:
@@ -2229,6 +2234,8 @@ def _roundtrip_dir(prefix: str) -> str:
         atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
                                  for p in _ROUNDTRIP_DIRS])
     _ROUNDTRIP_DIRS.append(d)
+    while len(_ROUNDTRIP_DIRS) > _ROUNDTRIP_MAX_DIRS:
+        shutil.rmtree(_ROUNDTRIP_DIRS.pop(0), ignore_errors=True)
     return d
 
 
@@ -3095,7 +3102,10 @@ def _offer_graph(sf_dir: str) -> rd.Dataset:
             + pl.col("event_id").cast(pl.Utf8) + pl.lit(">")
         usr = pl.lit("<http://kg.ex/u/") \
             + pl.col("user_id").cast(pl.Utf8) + pl.lit(">")
-        cents = (pl.col("value") * 100).round(0).cast(pl.Int64)
+        # half-up floor — the shared fixed-point protocol; polars .round(0)
+        # is half-to-even and would diverge from the SQL oracle on exact
+        # .5 cents values
+        cents = (pl.col("value") * 100 + 0.5).floor().cast(pl.Int64)
         user_t = df.select(subj=ev, pred=pl.lit("<http://kg.ex/p/user>"),
                            obj=usr)
         cents_t = df.select(subj=ev, pred=pl.lit("<http://kg.ex/p/cents>"),
@@ -3216,7 +3226,7 @@ def _sql_sparql_bsbm_price_order() -> str:
     return f"""
 WITH g AS (
   SELECT event_id, user_id,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          strftime(ts, '%Y-%m-%d') AS day
   FROM events)
 SELECT '<http://kg.ex/ev/' || CAST(event_id AS VARCHAR) || '>' AS e,

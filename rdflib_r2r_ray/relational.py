@@ -356,16 +356,20 @@ def skew_join(
     detected hot keys raises rather than broadcasting unbounded state.
 
     Detection is one streaming pass, no exchange: each block sends its
-    local value counts FILTERED to ``>= hot_count // 64`` (a real hub is
-    locally dense — pigeonhole over up to 64 contributing blocks), and the
-    driver sums the bounded candidate table.  A pathological hub spread
-    thinner than that may go undetected, which costs plan quality only —
-    ANY hot/cold split returns the identical join result."""
+    local value counts FILTERED to ``>= hot_count // num_blocks``
+    (pigeonhole: a key with ``hot_count`` total rows must reach that local
+    count in at least one block), and the driver sums the bounded
+    candidate table.  The left side is materialized first — it is
+    consumed again by the split maps anyway, and the real block count
+    makes the pigeonhole threshold exact, so detection cannot miss a true
+    hub (a FALSE candidate only costs one extra row in the driver fold;
+    and ANY hot/cold split returns the identical join result)."""
     keys = list(on)
     if len(keys) != 1:
         raise NotImplementedError("skew_join supports a single join key")
     key = keys[0]
-    local_min = max(1, int(hot_count) // 64)
+    left = left.materialize()
+    local_min = max(1, int(hot_count) // max(1, left.num_blocks()))
 
     def count_partial(b: pa.Table) -> pa.Table:
         vc = pc.value_counts(pc.drop_null(b[key]))
@@ -379,11 +383,29 @@ def skew_join(
             count_partial, batch_format="pyarrow")
         .materialize().to_arrow_refs()) if t.num_rows]
     if cand_tbls:
-        folded = pa.concat_tables(cand_tbls).group_by(key) \
-            .aggregate([("__cnt", "sum")])
+        cands = pa.concat_tables(cand_tbls)[key].combine_chunks().unique()
+        # second pass, exact: the partial sums above undercount keys that
+        # sit below local_min in SOME blocks, so re-count the (bounded)
+        # candidate set precisely — pigeonhole guarantees every true hub
+        # is a candidate, so detection is now exact
+
+        def count_cands(b: pa.Table, _c=cands) -> pa.Table:
+            x = pc.drop_null(b[key])
+            x = x.filter(pc.is_in(x, value_set=_c))
+            vc = pc.value_counts(x)
+            return pa.table({key: vc.field("values"),
+                             "__cnt": pc.cast(vc.field("counts"),
+                                              pa.int64())})
+
+        exact_tbls = [t for t in ray.get(
+            left.select_columns([key]).map_batches(
+                count_cands, batch_format="pyarrow")
+            .materialize().to_arrow_refs()) if t.num_rows]
+        folded = pa.concat_tables(exact_tbls).group_by(key) \
+            .aggregate([("__cnt", "sum")]) if exact_tbls else None
         hot_vals = folded.filter(
             pc.greater_equal(folded["__cnt_sum"], hot_count)
-        )[key].combine_chunks()
+        )[key].combine_chunks() if folded is not None else pa.array([], kt)
     else:
         hot_vals = pa.array([], kt)
     LAST_SKEW_JOIN_HOT_KEYS[:] = hot_vals.to_pylist()

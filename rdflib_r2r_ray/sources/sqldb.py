@@ -66,14 +66,40 @@ def _connect(dialect: str, path: str):
                            check_same_thread=False)
 
 
-def _fetch_arrow(con, dialect: str, sql: str,
-                 columns: Sequence[str]) -> pa.Table:
+def _probe_schema(url: str, table: str,
+                  columns: Sequence[str]) -> pa.Schema:
+    """Canonical Arrow schema for the fragment tables, derived ONCE on the
+    driver — per-fragment inference would give empty or all-NULL fragments
+    null-typed columns and inconsistent block schemas downstream."""
+    dialect, path = _parse_url(url)
+    con = _connect(dialect, path)
+    sel = ", ".join(f'"{c}"' for c in columns)
+    try:
+        if dialect == "duckdb":
+            return con.execute(
+                f'SELECT {sel} FROM "{table}" LIMIT 0').arrow().schema
+        rows = con.execute(
+            f'SELECT {sel} FROM "{table}" LIMIT 1024').fetchall()
+        cols = list(zip(*rows)) if rows else [[] for _ in columns]
+        fields = []
+        for c, vals in zip(columns, cols):
+            t = pa.array(list(vals)).type
+            # no non-NULL probe value → string (sqlite types are dynamic)
+            fields.append((c, pa.string() if pa.types.is_null(t) else t))
+        return pa.schema(fields)
+    finally:
+        con.close()
+
+
+def _fetch_arrow(con, dialect: str, sql: str, columns: Sequence[str],
+                 schema: pa.Schema) -> pa.Table:
     if dialect == "duckdb":
-        return con.execute(sql).arrow()
+        return con.execute(sql).arrow().cast(schema)
     cur = con.execute(sql)
     rows = cur.fetchall()
     cols = list(zip(*rows)) if rows else [[] for _ in columns]
-    return pa.table({c: pa.array(list(v)) for c, v in zip(columns, cols)})
+    return pa.table({c: pa.array(list(v), type=schema.field(c).type)
+                     for c, v in zip(columns, cols)})
 
 
 class _FragmentReader:
@@ -81,12 +107,14 @@ class _FragmentReader:
     one fragment query per input row (``__call__``)."""
 
     def __init__(self, url: str, table: str, key_col: str,
-                 columns: Sequence[str], predicate: Optional[str]):
+                 columns: Sequence[str], predicate: Optional[str],
+                 schema: pa.Schema):
         self._dialect, path = _parse_url(url)
         self._con = _connect(self._dialect, path)
         self._cols = list(columns)
         self._sel = ", ".join(f'"{c}"' for c in self._cols)
         self._table, self._key, self._pred = table, key_col, predicate
+        self._schema = schema
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs: List[pa.Table] = []
@@ -102,7 +130,7 @@ class _FragmentReader:
                 where += f" AND ({self._pred})"
             sql = f'SELECT {self._sel} FROM "{self._table}" WHERE {where}'
             outs.append(_fetch_arrow(self._con, self._dialect, sql,
-                                     self._cols))
+                                     self._cols, self._schema))
         return pa.concat_tables(outs)
 
 
@@ -142,7 +170,7 @@ def read_sql_table(
         con.close()
     columns = list(columns)
     if not n:
-        return rd.from_arrow(pa.table({c: pa.array([]) for c in columns}))
+        return rd.from_arrow(_probe_schema(url, table, columns).empty_table())
     if lo is None:
         # every key is NULL: one fragment with an empty range whose
         # with_nulls flag picks up the whole table
@@ -156,8 +184,14 @@ def read_sql_table(
         "with_nulls": pa.array([i == 0 for i in range(len(bounds))],
                                pa.bool_()),
     }))
+    # one BLOCK per fragment spec: from_arrow yields a single block, and
+    # Ray dispatches map_batches per block (batch_size only slices within
+    # a task) — without the repartition every fragment would execute
+    # sequentially in ONE actor
+    frags = frags.repartition(len(bounds))
     return frags.map_batches(
         _FragmentReader,
-        fn_constructor_args=(url, table, key_col, columns, predicate),
+        fn_constructor_args=(url, table, key_col, columns, predicate,
+                             _probe_schema(url, table, columns)),
         batch_format="pyarrow", batch_size=1, concurrency=concurrency,
     )

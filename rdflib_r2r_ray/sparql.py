@@ -2358,6 +2358,10 @@ def _execute_parsed(
             out = _ordered_solution_slice(out, q)
         elif q.limit is not None:
             out = out.limit(q.limit + q.offset)
+            if q.offset:
+                # drop the offset prefix — limit+offset alone would
+                # describe more solutions than the slice allows
+                out = out.split_at_indices([q.offset])[1]
         bound = set(out_names)
         nodes = None
         for t in q.describe:
@@ -2404,6 +2408,10 @@ def _execute_parsed(
             out = _ordered_solution_slice(out, q)
         elif q.limit is not None:
             out = out.limit(q.limit + q.offset)
+            if q.offset:
+                # drop the offset prefix — limit+offset alone would
+                # instantiate more solutions than the slice allows
+                out = out.split_at_indices([q.offset])[1]
         # instantiate each triple template per solution; rows with an
         # unbound term (OPTIONAL nulls) emit no triple; the result graph is
         # a SET → distinct through the hash exchange

@@ -461,9 +461,16 @@ def knn_classify(
         kk = min(k, len(ids))
         for qi in range(len(_qids)):
             col = simq[:, qi]
-            # exact (permille desc, id asc) order — id tie-break at the
-            # k-th boundary, unlike bare argpartition
-            part = np.lexsort((ids, -col))[:kk]
+            # exact (permille desc, id asc) top-k without a full sort:
+            # argpartition finds the k-th value, then only the candidate
+            # set (top-k plus its boundary ties) is lexsorted — O(n + c
+            # log c) instead of O(n log n) per query
+            if len(col) > kk:
+                thresh = np.partition(col, -kk)[-kk]
+                cand = np.nonzero(col >= thresh)[0]
+            else:
+                cand = np.arange(len(col))
+            part = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
             out_q.extend([_qids[qi]] * len(part))
             out_v.extend(ids[part].tolist())
             out_l.extend(labs[part].tolist())

@@ -1498,7 +1498,7 @@ def test_text_readability_edges(ray_session, tmp_path):
     assert r3["flesch_milli"] == 206835 - (1015 * 4) // 2 - (84600 * 5) // 4
 
 
-def test_amie_hub_key_skew(ray_session, tmp_path, monkeypatch):
+def test_amie_hub_key_skew(ray_session, tmp_path, monkeypatch, sf_dir):
     """Plant a hub entity (every document mentions 'scan') and assert the
     AMIE body self-join routes its key through skew_join's hot-key
     broadcast path — and that the mined rules are identical to the
@@ -1508,7 +1508,7 @@ def test_amie_hub_key_skew(ray_session, tmp_path, monkeypatch):
     import rdflib_r2r_ray.relational as R
     from rdflib_r2r_ray import mlq
 
-    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
     text = pa.array([t + " scan" for t in src["text"].to_pylist()])
     planted = src.set_column(src.schema.get_field_index("text"), "text", text)
     sf = str(tmp_path)

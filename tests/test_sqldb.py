@@ -118,3 +118,28 @@ def test_null_keys_not_lost(ray_session, tmp_path):
     con.close()
     ds2 = read_sql_table(f"sqlite:///{p2}", "t", "id")
     assert sorted(r["v"] for r in ds2.take_all()) == ["a", "b"]
+
+
+def test_fragments_fan_out_in_parallel_blocks(ray_session, sqlite_db):
+    """Fragment specs occupy one BLOCK each, so Ray dispatches them as
+    independent tasks (a single-block spec table would serialize every
+    fragment through one actor)."""
+    from rdflib_r2r_ray.sources.sqldb import read_sql_table
+
+    ds = read_sql_table(f"sqlite:///{sqlite_db}", "items", "id",
+                        num_fragments=7).materialize()
+    assert ds.count() == 100
+    assert ds.num_blocks() >= 7
+
+
+def test_empty_fragments_keep_probed_schema(ray_session, sqlite_db):
+    """A predicate that empties most fragments must not produce null-typed
+    blocks — every fragment casts to the driver-probed schema."""
+    from rdflib_r2r_ray.sources.sqldb import read_sql_table
+
+    ds = read_sql_table(f"sqlite:///{sqlite_db}", "items", "id",
+                        predicate="val = 990", num_fragments=8)
+    rows = ds.take_all()
+    assert [(r["id"], r["val"]) for r in rows] == [(99, 990)]
+    sch = ds.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types]))["val"] == "int64"
