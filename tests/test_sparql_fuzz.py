@@ -219,3 +219,60 @@ def test_sparql_agg_matches_sql(ray_session, seed):
         return sorted(rows)
 
     assert nrm(out) == nrm(want), f"seed {seed}\n{q}\n{sql}"
+
+
+def _gen_strfn(seed: int):
+    """Randomized string-builtin family: one of STRLEN/UCASE/LCASE/SUBSTR/
+    CONTAINS/STRSTARTS/STRENDS/CONCAT/REPLACE over the source column as a
+    BIND + optional FILTER, paired with the DuckDB equivalent."""
+    rng = random.Random(30_000 + seed)
+    needle = rng.choice(["src1", "rc", "1", "src", "9"])
+    sub_start = rng.randrange(1, 4)
+    sub_len = rng.randrange(1, 4)
+    fam = rng.choice(["strlen", "ucase", "substr", "contains",
+                      "starts", "ends", "concat", "replace"])
+    cases = {
+        "strlen": ("BIND(STRLEN(?s) AS ?v)", "CAST(length(source) AS DOUBLE) AS v"),
+        "ucase": ("BIND(UCASE(?s) AS ?v)", "upper(source) AS v"),
+        "substr": (f"BIND(SUBSTR(?s, {sub_start}, {sub_len}) AS ?v)",
+                   f"substr(source, {sub_start}, {sub_len}) AS v"),
+        "contains": (f'BIND(IF(CONTAINS(?s, "{needle}"), "y", "n") AS ?v)',
+                     f"CASE WHEN position('{needle}' IN source) > 0 "
+                     "THEN 'y' ELSE 'n' END AS v"),
+        "starts": (f'BIND(IF(STRSTARTS(?s, "{needle}"), "y", "n") AS ?v)',
+                   f"CASE WHEN starts_with(source, '{needle}') "
+                   "THEN 'y' ELSE 'n' END AS v"),
+        "ends": (f'BIND(IF(STRENDS(?s, "{needle}"), "y", "n") AS ?v)',
+                 f"CASE WHEN source LIKE '%{needle}' THEN 'y' ELSE 'n' "
+                 "END AS v"),
+        "concat": ('BIND(CONCAT(?s, "-", ?l) AS ?v)',
+                   "source || '-' || lang AS v"),
+        "replace": ('BIND(REPLACE(?s, "src", "S") AS ?v)',
+                    "regexp_replace(source, 'src', 'S', 'g') AS v"),
+    }
+    bind, sqlv = cases[fam]
+    q = f"""
+    SELECT ?d ?v WHERE {{
+      ?d <http://kg.ex/p/source> ?s .
+      ?d <http://kg.ex/p/lang> ?l .
+      {bind}
+    }}
+    """
+    sql = (f"SELECT '<http://kg.ex/doc/' || CAST(doc_id AS VARCHAR) || '>' "
+           f"AS d, {sqlv} FROM documents "
+           "WHERE source IS NOT NULL AND lang IS NOT NULL")
+    return q, sql, ["d", "v"]
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_sparql_string_builtin_matches_sql(ray_session, seed):
+    from rdflib_r2r_ray import sparql
+    from rdflib_r2r_ray.driver_api import _documents_triples
+
+    q, sql, proj = _gen_strfn(seed)
+    out = sparql.execute(_documents_triples(SF), q).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(sql).df()
+    assert _norm(out, proj) == _norm(want, proj), f"seed {seed}\n{q}\n{sql}"
