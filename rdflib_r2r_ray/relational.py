@@ -241,6 +241,7 @@ def planned_join(
     join_type: str = "inner",
     right_on: Optional[Sequence[str]] = None,
     broadcast_limit: int = BROADCAST_LIMIT,
+    right_schema: Optional[pa.Schema] = None,
 ) -> rd.Dataset:
     """Join with a broadcast-vs-shuffle decision made from METADATA, never by
     pulling data to the driver: the build side is materialized (blocks stay
@@ -258,7 +259,12 @@ def planned_join(
         tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
         if not tables:
             s = mat.schema()
-            if s is None:
+            if s is None and right_schema is not None:
+                # caller knows the build side's column types (e.g. a BGP
+                # relation is all strings) — honor the hint so an OPTIONAL
+                # matching nothing still null-pads correctly
+                tables = [right_schema.empty_table()]
+            elif s is None:
                 # zero-row build side whose schema Ray can't infer (e.g. a
                 # MINUS group matching nothing): for anti/semi joins no
                 # right payload survives, so synthesize the key columns

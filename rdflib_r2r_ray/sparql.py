@@ -1995,7 +1995,8 @@ def _execute_parsed(
                 raise NotImplementedError(
                     "OPTIONAL sharing no variable with its UNION branch")
             out = planned_join(out, o_out, on=shared,
-                               join_type="left_outer")
+                               join_type="left_outer",
+                               right_schema=_str_schema(o_names))
             names = names + [n for n in o_names if n not in names]
         return _filter_batches(out, g.filters), names
 
@@ -2217,7 +2218,9 @@ def _execute_parsed(
                 continue
             opt_out = _filter_batches(opt_out, inner_fils)
             if not cross_fils:
-                out = planned_join(out, opt_out, on=shared, join_type="left_outer")
+                out = planned_join(out, opt_out, on=shared,
+                                   join_type="left_outer",
+                                   right_schema=_str_schema(opt_names))
             else:
                 # the reference compiles a FILTER referencing OUTER vars into
                 # the LEFT JOIN's ON clause (query_conversions.py:349-374):
@@ -2230,7 +2233,9 @@ def _execute_parsed(
                     if not _expr_vars(f) <= (opt_vars | left_vars):
                         raise NotImplementedError(
                             "FILTER in OPTIONAL referencing variables bound nowhere")
-                matched = planned_join(out, opt_out, on=shared, join_type="inner")
+                matched = planned_join(out, opt_out, on=shared,
+                                       join_type="inner",
+                                       right_schema=_str_schema(opt_names))
                 matched = _filter_batches(matched, cross_fils)
                 left_cols = sorted(left_vars)
                 remainder = planned_join(

@@ -186,6 +186,23 @@ def test_cli_serve_sparql_endpoint(data_dir, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=60)
         assert ei.value.code == 400
+
+        # ASK returns the SPARQL 1.1 JSON boolean form
+        ask = ("ASK { ?r <http://example.com/base/region#r_name> \"EAST\" }")
+        ares = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/sparql?query="
+            f"{urllib.parse.quote(ask)}", timeout=60))
+        assert ares == {"head": {}, "boolean": True}
+
+        # an unbound OPTIONAL variable is OMITTED from its binding, not
+        # serialized as a bogus literal
+        qo = ("SELECT ?r ?x WHERE { ?r <http://example.com/base/region#r_name>"
+              " ?nm OPTIONAL { ?r <http://example.com/base/region#nope> ?x } }")
+        ores = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/sparql?query="
+            f"{urllib.parse.quote(qo)}", timeout=60))
+        assert len(ores["results"]["bindings"]) == 2
+        assert all("x" not in b for b in ores["results"]["bindings"])
     finally:
         proc.terminate()
         proc.wait(timeout=30)

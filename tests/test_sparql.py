@@ -1089,3 +1089,24 @@ def test_projection_expression_with_aggregates(ray_session):
     """)
     rows = sorted((r["g"], r["n"], r["tens"]) for r in out.take_all())
     assert rows == [("<g1>", 3, 30.0), ("<g2>", 1, 10.0)]
+
+
+def test_optional_matching_nothing_pads_nulls(ray_session):
+    """An OPTIONAL whose pattern matches NO triples keeps every required
+    row with the optional variable null — including the cross-filter
+    lowering (regression: the empty build side had no inferable schema
+    and the left join raised)."""
+    out = execute(_graph(), """
+      SELECT ?x ?z WHERE { ?x <age> ?a . OPTIONAL { ?x <nosuch> ?z } }
+    """)
+    rows = sorted((r["x"], r["z"]) for r in out.take_all())
+    assert rows == [("<a>", None), ("<b>", None), ("<c>", None)]
+
+    out2 = execute(_graph(), """
+      SELECT ?x ?z WHERE {
+        ?x <age> ?a .
+        OPTIONAL { ?x <nosuch> ?z . FILTER(?a > 26) }
+      }
+    """)
+    rows2 = sorted((r["x"], r["z"]) for r in out2.take_all())
+    assert rows2 == [("<a>", None), ("<b>", None), ("<c>", None)]
