@@ -125,7 +125,12 @@ def _closure_fixpoint_local(subj_var, obj_var, max_iters, *tables):
     O(edges × diameter) rows, comfortably one worker's heap — and saves the
     ~1s/round driver-coordinated exchange cost that dominates small inputs."""
     pl = _pl()
-    tbl = pa.concat_tables([t for t in tables if t.num_rows])
+    nonempty = [t for t in tables if t.num_rows]
+    if not nonempty:
+        # no edges at all: the closure of the empty relation is empty
+        return pa.schema([(subj_var, pa.string()),
+                          (obj_var, pa.string())]).empty_table()
+    tbl = pa.concat_tables(nonempty)
     acc = pl.from_arrow(tbl).unique()
     n = acc.height
     for _ in range(max_iters):
@@ -175,8 +180,11 @@ def transitive_closure(
             batch_format="pyarrow",
         )
     # filter lineages carry schema-less empty blocks that crash Ray's
-    # hash-shuffle join aggregator — drop them once up front (metadata-only)
-    edges = _drop_empty_blocks(edges)
+    # hash-shuffle join aggregator — drop them once up front (metadata-only).
+    # A predicate with NO edges at all leaves nothing to infer a schema
+    # from, so pass the known (subj, obj) string layout.
+    edges = _drop_empty_blocks(edges, fallback_schema=pa.schema(
+        [(subj_var, pa.string()), (obj_var, pa.string())]))
     acc = distinct_on(edges, [subj_var, obj_var]).materialize()
     n = acc.count()
     if n <= _LOCAL_CLOSURE_MAX_EDGES:

@@ -89,7 +89,9 @@ def money_cents(batch: pa.Table, col: str) -> pa.Array:
 # Joins (Q5, Q6, Q8, Q16)
 # ---------------------------------------------------------------------------
 
-def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+def _drop_empty_blocks(
+    ds: rd.Dataset, fallback_schema: Optional[pa.Schema] = None
+) -> rd.Dataset:
     """Remove schema-less empty blocks from a Dataset.
 
     ``filter``/``union`` lineages emit zero-column empty blocks; they skip
@@ -98,7 +100,6 @@ def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     for key field ...").  Filtering on block METADATA (no data fetch) drops
     them; this materializes the input, which a hash join — itself a full
     barrier — already implies."""
-    schema = ds.schema()
     bundles = ds.iter_internal_ref_bundles()
     refs = [
         block
@@ -107,6 +108,15 @@ def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
         if meta.num_rows
     ]
     if not refs:
+        schema = ds.schema()
+        if schema is None:
+            # every block empty AND schema uninferable (e.g. a filter
+            # lineage that matched nothing): honor the caller's hint
+            if fallback_schema is None:
+                raise ValueError(
+                    "empty dataset with unknown schema — pass "
+                    "fallback_schema")
+            return rd.from_arrow(fallback_schema.empty_table())
         target = pa.schema(list(zip(schema.names, schema.types)))
         return rd.from_arrow(target.empty_table())
     return rd.from_arrow_refs(refs)
@@ -600,6 +610,13 @@ def group_concat(
 
     keys = list(keys)
     s = ds.schema()
+    if s is None:
+        # fully-empty schemaless input: no groups, so the concat relation
+        # is empty (string-typed keys — nothing downstream can observe
+        # the type of a zero-row column it never joins a row against)
+        return rd.from_arrow(pa.schema(
+            [(k, pa.string()) for k in keys]
+            + [(alias, pa.string())]).empty_table())
     out_schema = pa.schema(
         [(k, s.types[s.names.index(k)]) for k in keys] + [(alias, pa.string())]
     )

@@ -2704,6 +2704,31 @@ def _execute_aggregates(out: rd.Dataset, q: SelectQuery):
     for other in parts[1:]:
         agg_out = planned_join(agg_out, other, on=keys)
 
+    if global_agg:
+        mat = agg_out.materialize()
+        if mat.count() == 0:
+            # SPARQL: a keyless aggregate over the EMPTY solution multiset
+            # is ONE group — COUNT()=0, SUM()=0, GROUP_CONCAT()="",
+            # AVG/MIN/MAX/SAMPLE error → unbound (null)
+            cols: Dict[str, pa.Array] = {"__g": pa.array([0], pa.int8())}
+            for a in q.aggregates:
+                if a.fn == "count":
+                    cols[a.alias] = pa.array([0], pa.int64())
+                elif a.fn == "sum":
+                    cols[a.alias] = pa.array([0.0], pa.float64())
+                elif a.fn == "group_concat":
+                    cols[a.alias] = pa.array([""], pa.string())
+                elif a.fn in ("min", "max") and \
+                        prep.get(a.alias, (None,))[0] in ("num", "enum"):
+                    cols[a.alias] = pa.array([None], pa.float64())
+                elif a.fn == "avg":
+                    cols[a.alias] = pa.array([None], pa.float64())
+                else:
+                    cols[a.alias] = pa.array([None], pa.string())
+            agg_out = rd.from_arrow(pa.table(cols))
+        else:
+            agg_out = mat
+
     for h in q.having:
         agg_out = _filter_batches(agg_out, [h])
 

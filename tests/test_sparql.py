@@ -1110,3 +1110,24 @@ def test_optional_matching_nothing_pads_nulls(ray_session):
     """)
     rows2 = sorted((r["x"], r["z"]) for r in out2.take_all())
     assert rows2 == [("<a>", None), ("<b>", None), ("<c>", None)]
+
+
+def test_transitive_path_over_absent_predicate(ray_session):
+    """`<p>+` where the predicate has NO edges returns an empty relation
+    (regression: the empty edge set had no inferable schema and crashed)."""
+    out = execute(_graph(), "SELECT ?x ?z WHERE { ?x <nosuch>+ ?z }")
+    assert out.take_all() == []
+
+
+def test_global_aggregate_over_empty_input(ray_session):
+    """A keyless aggregate over zero solutions is ONE group per the spec:
+    COUNT=0, SUM=0, GROUP_CONCAT='', AVG unbound."""
+    out = execute(_graph(), """
+      SELECT (COUNT(?x) AS ?n) (SUM(?a) AS ?s) (AVG(?a) AS ?m)
+             (GROUP_CONCAT(?x) AS ?cat)
+      WHERE { ?x <nosuch> ?a }
+    """)
+    rows = out.take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 0 and r["s"] == 0.0 and r["m"] is None and r["cat"] == ""
