@@ -1131,3 +1131,26 @@ def test_global_aggregate_over_empty_input(ray_session):
     assert len(rows) == 1
     r = rows[0]
     assert r["n"] == 0 and r["s"] == 0.0 and r["m"] is None and r["cat"] == ""
+
+
+def test_more_empty_and_path_edges(ray_session):
+    """Shapes around the empty-relation fixes: `*` over an absent
+    predicate still yields identity pairs for bound subjects; an OPTIONAL
+    transitive path over an absent predicate null-pads; HAVING filters the
+    synthesized empty-global group away."""
+    out = execute(_graph(), """
+      SELECT ?x ?z WHERE { ?x <nosuch>* ?z . ?x <name> ?nm }
+    """)
+    assert sorted((r["x"], r["z"]) for r in out.take_all()) == \
+        [("<a>", "<a>"), ("<b>", "<b>")]
+
+    out2 = execute(_graph(), """
+      SELECT ?x ?z WHERE { ?x <name> ?nm . OPTIONAL { ?x <nosuch>+ ?z } }
+    """)
+    assert sorted((r["x"], r["z"]) for r in out2.take_all()) == \
+        [("<a>", None), ("<b>", None)]
+
+    out3 = execute(_graph(), """
+      SELECT (COUNT(?x) AS ?n) WHERE { ?x <nosuch> ?a } HAVING(?n > 0)
+    """)
+    assert out3.take_all() == []
