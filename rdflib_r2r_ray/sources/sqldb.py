@@ -142,6 +142,12 @@ def fragment_bounds(lo: int, hi: int, num_fragments: int):
     return [(s, min(s + step, hi)) for s in range(lo, hi, step)]
 
 
+# Auto-sizing target: one fragment per ~this many rows (COUNT(*) from the
+# driver probe), capped so the spec table itself stays tiny.
+ROWS_PER_FRAGMENT = 1_000_000
+MAX_FRAGMENTS = 4096
+
+
 def read_sql_table(
     url: str,
     table: str,
@@ -149,12 +155,15 @@ def read_sql_table(
     *,
     columns: Optional[Sequence[str]] = None,
     predicate: Optional[str] = None,
-    num_fragments: int = 16,
+    num_fragments: Optional[int] = None,
     concurrency: Tuple[int, int] = (1, 8),
 ) -> rd.Dataset:
     """Read a live sqlite/DuckDB table as a Dataset of key-range fragments.
 
     ``columns=None`` reads the full schema (probed once on the driver).
+    ``num_fragments=None`` auto-sizes from the probed row count (one
+    fragment per ~``ROWS_PER_FRAGMENT`` rows, at least 8 so even a small
+    table exercises the parallel path, capped at ``MAX_FRAGMENTS``).
     Returns an EMPTY typed dataset when the table has no rows.
     """
     dialect, path = _parse_url(url)
@@ -171,6 +180,9 @@ def read_sql_table(
     columns = list(columns)
     if not n:
         return rd.from_arrow(_probe_schema(url, table, columns).empty_table())
+    if num_fragments is None:
+        num_fragments = min(MAX_FRAGMENTS,
+                            max(8, -(-int(n) // ROWS_PER_FRAGMENT)))
     if lo is None:
         # every key is NULL: one fragment with an empty range whose
         # with_nulls flag picks up the whole table
