@@ -2182,14 +2182,48 @@ def _execute_parsed(
         # the filter's variables all live in the block (enforced), which is
         # the reference's ON-clause case with no left-side references
         for opt in q.optionals:
-            opt_pats, aug = _expand_transitive(bind_pats(opt.patterns), triples)
-            opt_out, opt_names = execute_bgp_cols(
-                aug, opt_pats, broadcast_threshold=broadcast_threshold)
-            opt_vars = set(opt_names)
-            left_vars = set(out_names)
-            shared = [v for v in opt_names if v in left_vars]
-            inner_fils = [f for f in opt.filters if _expr_vars(f) <= opt_vars]
-            cross_fils = [f for f in opt.filters if not _expr_vars(f) <= opt_vars]
+            if opt.optionals:
+                # OPTIONAL containing nested OPTIONALs (BSBM explore Q7's
+                # shape): the whole group evaluates as one relation via the
+                # branch executor (base BGP + nested left joins + group
+                # filters), then joins the required part like a plain
+                # OPTIONAL.  Group filters must be internal; a shared join
+                # variable must come from the group's REQUIRED patterns
+                # (an optionally-bound key would need compatibility-join
+                # semantics, not SQL equality).
+                grp_vars = {t.name for g2 in (opt, *opt.optionals)
+                            for pat in g2.patterns for t in pat
+                            if isinstance(t, Var)}
+                for f in opt.filters:
+                    if not _expr_vars(f) <= grp_vars:
+                        raise NotImplementedError(
+                            "FILTER in a nested OPTIONAL referencing outer "
+                            "variables")
+                opt_out, opt_names = exec_branch(opt)
+                req_vars = {t.name for pat in opt.patterns for t in pat
+                            if isinstance(t, Var)}
+                left_vars = set(out_names)
+                for v in opt_names:
+                    if v in left_vars and v not in req_vars:
+                        raise NotImplementedError(
+                            "nested-OPTIONAL group joins the required part "
+                            "on an optionally-bound variable")
+                opt_vars = set(opt_names)
+                shared = [v for v in opt_names if v in left_vars]
+                inner_fils: List[E] = []   # already applied by exec_branch
+                cross_fils: List[E] = []
+            else:
+                opt_pats, aug = _expand_transitive(bind_pats(opt.patterns),
+                                                   triples)
+                opt_out, opt_names = execute_bgp_cols(
+                    aug, opt_pats, broadcast_threshold=broadcast_threshold)
+                opt_vars = set(opt_names)
+                left_vars = set(out_names)
+                shared = [v for v in opt_names if v in left_vars]
+                inner_fils = [f for f in opt.filters
+                              if _expr_vars(f) <= opt_vars]
+                cross_fils = [f for f in opt.filters
+                              if not _expr_vars(f) <= opt_vars]
             if not shared:
                 # disjoint-domain LeftJoin: every optional solution is
                 # compatible with every left solution, so a NON-empty

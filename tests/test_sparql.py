@@ -1154,3 +1154,101 @@ def test_more_empty_and_path_edges(ray_session):
       SELECT (COUNT(?x) AS ?n) WHERE { ?x <nosuch> ?a } HAVING(?n > 0)
     """)
     assert out3.take_all() == []
+
+
+def _product_graph():
+    import ray.data as rd
+
+    rows = [
+        ("<prod1>", "<label>", "P1"),
+        ("<prod1>", "<comment>", "nice"),
+        ("<prod1>", "<producer>", "<maker>"),
+        ("<maker>", "<label>", "Maker Inc"),
+        ("<prod1>", "<feature>", "<f1>"),
+        ("<f1>", "<label>", "F-one"),
+        ("<prod1>", "<tex1>", "t1"),
+        ("<prod1>", "<num1>", '"7"^^<' + XSD_INT + ">"),
+        ("<prod1>", "<tex4>", "t4"),      # OPTIONAL present
+        # offers
+        ("<off1>", "<product>", "<prod1>"),
+        ("<off1>", "<price>", '"100"^^<' + XSD_INT + ">"),
+        ("<off1>", "<vendor>", "<v1>"),
+        ("<v1>", "<label>", "Vendor1"),
+        ("<v1>", "<country>", "<DE>"),
+        ("<off1>", "<validTo>", "2024-09-01"),
+        ("<off2>", "<product>", "<prod1>"),     # stale offer — filtered
+        ("<off2>", "<price>", '"90"^^<' + XSD_INT + ">"),
+        ("<off2>", "<vendor>", "<v1>"),
+        ("<off2>", "<validTo>", "2020-01-01"),
+        # reviews
+        ("<rev1>", "<reviewFor>", "<prod1>"),
+        ("<rev1>", "<reviewer>", "<person1>"),
+        ("<person1>", "<name>", "Ann"),
+        ("<rev1>", "<title>", "Great"),
+        ("<rev1>", "<rating1>", '"5"^^<' + XSD_INT + ">"),
+        # rev1 has NO rating2 → nested OPTIONAL null
+    ]
+    return rd.from_arrow(pa.table({
+        "subj": [r[0] for r in rows],
+        "pred": [r[1] for r in rows],
+        "obj": [r[2] for r in rows],
+    }))
+
+
+def test_bsbm_q2_shape_wide_star_with_optionals(ray_session):
+    """BSBM explore Q2's shape: constant-subject wide star with 1-hop
+    label joins plus OPTIONALs of which some match and some do not."""
+    out = execute(_product_graph(), """
+      SELECT ?label ?producer ?feat ?t4 ?t5 WHERE {
+        <prod1> <label> ?label .
+        <prod1> <comment> ?comment .
+        <prod1> <producer> ?p .
+        ?p <label> ?producer .
+        <prod1> <feature> ?f .
+        ?f <label> ?feat .
+        <prod1> <tex1> ?t1 .
+        <prod1> <num1> ?n1 .
+        OPTIONAL { <prod1> <tex4> ?t4 }
+        OPTIONAL { <prod1> <tex5> ?t5 }
+      }
+    """)
+    rows = out.take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["label"], r["producer"], r["feat"], r["t4"], r["t5"]) == \
+        ("P1", "Maker Inc", "F-one", "t4", None)
+
+
+def test_bsbm_q7_shape_nested_optionals(ray_session):
+    """BSBM explore Q7's shape: constant subject with two disjoint
+    multi-pattern OPTIONAL groups — one date-filtered offer chain, one
+    review chain containing a NESTED OPTIONAL (rating2 absent → null)."""
+    out = execute(_product_graph(), """
+      SELECT ?label ?offer ?price ?vendorTitle ?review ?revName ?r1 ?r2
+      WHERE {
+        <prod1> <label> ?label .
+        OPTIONAL {
+          ?offer <product> <prod1> .
+          ?offer <price> ?price .
+          ?offer <vendor> ?vendor .
+          ?vendor <label> ?vendorTitle .
+          ?vendor <country> <DE> .
+          ?offer <validTo> ?date .
+          FILTER(?date > "2024-01-01")
+        }
+        OPTIONAL {
+          ?review <reviewFor> <prod1> .
+          ?review <reviewer> ?reviewer .
+          ?reviewer <name> ?revName .
+          OPTIONAL { ?review <rating1> ?r1 }
+          OPTIONAL { ?review <rating2> ?r2 }
+        }
+      }
+    """)
+    rows = out.take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["label"] == "P1"
+    assert r["offer"] == "<off1>" and r["vendorTitle"] == "Vendor1"
+    assert r["review"] == "<rev1>" and r["revName"] == "Ann"
+    assert r["r1"] == f'"5"^^<{XSD_INT}>' and r["r2"] is None
