@@ -1982,14 +1982,29 @@ def _execute_parsed(
         drops the row)."""
         out, names = exec_group_cols(g.patterns, ())
         for og in g.optionals:
-            o_vars = {t.name for pat in og.patterns for t in pat
+            o_vars = {t.name for g2 in (og, *og.optionals)
+                      for pat in g2.patterns for t in pat
                       if isinstance(t, Var)}
             for f in og.filters:
                 if not _expr_vars(f) <= o_vars:
                     raise NotImplementedError(
                         "FILTER in a UNION-branch OPTIONAL referencing "
                         "outer variables")
-            o_out, o_names = exec_group_cols(og.patterns, og.filters)
+            if og.optionals:
+                # doubly nested OPTIONAL: recurse — the sub-group becomes
+                # one relation; joining on an optionally-bound variable
+                # would need compatibility semantics, so require the join
+                # keys to come from the sub-group's REQUIRED patterns
+                o_out, o_names = exec_branch(og)
+                req = {t.name for pat in og.patterns for t in pat
+                       if isinstance(t, Var)}
+                for v in o_names:
+                    if v in names and v not in req:
+                        raise NotImplementedError(
+                            "nested-OPTIONAL group joins its branch on an "
+                            "optionally-bound variable")
+            else:
+                o_out, o_names = exec_group_cols(og.patterns, og.filters)
             shared = [v for v in o_names if v in names]
             if not shared:
                 raise NotImplementedError(

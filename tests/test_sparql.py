@@ -1252,3 +1252,32 @@ def test_bsbm_q7_shape_nested_optionals(ray_session):
     assert r["offer"] == "<off1>" and r["vendorTitle"] == "Vendor1"
     assert r["review"] == "<rev1>" and r["revName"] == "Ann"
     assert r["r1"] == f'"5"^^<{XSD_INT}>' and r["r2"] is None
+
+
+def test_doubly_nested_optional_in_union(ray_session):
+    """OPTIONAL inside OPTIONAL inside a UNION branch recurses through the
+    branch executor rather than silently dropping the innermost group."""
+    out = execute(_product_graph(), """
+      SELECT ?p ?review ?revName ?r2 WHERE {
+        {
+          ?p <label> ?lab .
+          OPTIONAL {
+            ?review <reviewFor> ?p .
+            ?review <reviewer> ?rv .
+            OPTIONAL { ?review <rating2> ?r2 }
+            ?rv <name> ?revName .
+          }
+        } UNION {
+          ?p <comment> ?c .
+        }
+      }
+    """)
+    rows = sorted([(r["p"], r["review"], r["revName"], r["r2"])
+                   for r in out.take_all()],
+                  key=lambda t: tuple(str(x) for x in t))
+    # branch 1: prod1/maker/f1 have labels; only prod1 has a review (no
+    # rating2 → null); branch 2: prod1 has a comment
+    assert (("<prod1>", "<rev1>", "Ann", None) in rows)
+    assert (("<maker>", None, None, None) in rows)
+    assert (("<prod1>", None, None, None) in rows)  # union branch 2
+    assert len(rows) == 5
