@@ -211,3 +211,41 @@ def test_compact_checkpoint(ray_session, tmp_path):
     assert before == after
     import os as _os
     assert not _os.path.exists(out + ".old") and not _os.path.exists(out + ".compact")
+
+
+def test_empty_graph_roundtrip(ray_session, tmp_path):
+    """Writing an EMPTY graph commits a valid checkpoint, and reading it
+    back yields an empty typed dataset — not a 'no files' error (a
+    filtered shard can legitimately be empty)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray.sources.tables import read_nquads, read_ntriples
+    from rdflib_r2r_ray.state.checkpoint import write_nquads, write_ntriples
+
+    sch = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                     ("obj", pa.string())])
+    d = str(tmp_path / "empty_nt")
+    rep = write_ntriples(rd.from_arrow(sch.empty_table()), d,
+                         num_partitions=4, resume=False)
+    assert rep["rows"] == 0
+    ds = read_ntriples(d)
+    assert ds.count() == 0 and ds.schema().names == ["subj", "pred", "obj"]
+
+    qsch = pa.schema(list(sch) + [("graph", pa.string())])
+    d2 = str(tmp_path / "empty_nq")
+    write_nquads(rd.from_arrow(qsch.empty_table()), d2,
+                 num_partitions=2, resume=False)
+    ds2 = read_nquads(d2)
+    assert ds2.count() == 0 and "graph" in ds2.schema().names
+
+    # a genuinely wrong path (an existing dir with neither data nor
+    # manifests) still fails loudly
+    import os
+
+    import pytest
+
+    stray = str(tmp_path / "not_a_checkpoint")
+    os.makedirs(stray)
+    with pytest.raises(ValueError, match="no .nt files"):
+        read_ntriples(stray)
