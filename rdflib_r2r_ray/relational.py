@@ -286,6 +286,11 @@ def planned_join(
                         f"{join_type} join — materialize a typed empty "
                         f"table upstream")
                 ls = left.schema()
+                if ls is None:
+                    # the probe side is itself empty and schemaless: the
+                    # anti/semi join of an empty probe is empty — pass it
+                    # through unchanged
+                    return left
                 rnames = list(right_on) if right_on else list(on)
                 tables = [pa.schema(
                     [(rn, ls.types[ls.names.index(ln)])

@@ -108,9 +108,14 @@ def validate(triples: rd.Dataset, shapes: Sequence[NodeShape]) -> rd.Dataset:
             vals = vals_all.map_batches(path_vals, batch_format="pyarrow")
 
             if ps.min_count is not None or ps.max_count is not None:
-                counts = grouped_agg(vals, ["focus"], count_as="n")
-                padded = planned_join(targets, counts, on=["focus"],
-                                      join_type="left_outer")
+                counts = grouped_agg(
+                    vals, ["focus"], count_as="n",
+                    in_schema=pa.schema([("focus", pa.string()),
+                                         ("value", pa.string())]))
+                padded = planned_join(
+                    targets, counts, on=["focus"], join_type="left_outer",
+                    right_schema=pa.schema([("focus", pa.string()),
+                                            ("n", pa.int64())]))
 
                 def card(t: pa.Table, _ps=ps) -> pa.Table:
                     # one report row PER violated constraint (SHACL: each

@@ -49,3 +49,24 @@ def test_store_roundtrip_constructors(ray_session, tmp_path):
     orig = set(st.iter_triples())
     assert set(GraphStore.from_parquet(pq_dir).iter_triples()) == orig
     assert set(GraphStore.from_ntriples(nt_dir).iter_triples()) == orig
+
+
+def test_shacl_empty_graph_and_no_targets(ray_session):
+    """Validation over an empty graph, or shapes whose target class has no
+    instances, reports zero violations instead of crashing on the
+    schemaless empty relations (regression)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rdflib_r2r_ray import shacl
+
+    shape = shacl.NodeShape(
+        target_class="<http://kg.ex/c/Document>",
+        properties=(shacl.PropertyShape(path="<p>", min_count=1),))
+    sch = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                     ("obj", pa.string())])
+    assert shacl.validate(rd.from_arrow(sch.empty_table()),
+                          [shape]).count() == 0
+    g = rd.from_arrow(pa.table({"subj": ["<a>"], "pred": ["<p>"],
+                                "obj": ["x"]}))
+    assert shacl.validate(g, [shape]).count() == 0
