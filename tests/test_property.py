@@ -183,3 +183,42 @@ def test_sqldb_fragment_bounds_partition(lo, span, k):
     for (a0, a1), (b0, _) in zip(b, b[1:]):
         assert a1 == b0
     assert all(x0 < x1 for x0, x1 in b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 17), st.integers(1, 13), st.integers(0, 2**31 - 1))
+def test_codec_random_image_roundtrips(w, h, seed):
+    """PNG and BMP encode→decode are bit-exact on random RGB images of
+    arbitrary (non-multiple-of-anything) sizes; GIF round-trips random
+    palette index frames."""
+    import numpy as np
+
+    from rdflib_r2r_ray.stages import codecs as C
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_png(C.encode_png(img)), img)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (h, w), dtype=np.uint8)
+    out = C.decode_gif(C.encode_gif(idx, palette))
+    assert np.array_equal(out, palette[idx])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 2000), st.integers(1, 2), st.integers(0, 2**31 - 1))
+def test_codec_random_wav_roundtrip(n, ch, seed):
+    """PCM16 WAV encode→decode is bit-exact for random sample buffers,
+    mono and stereo, any length."""
+    import numpy as np
+
+    from rdflib_r2r_ray.stages import codecs as C
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-2**15, 2**15, (n, ch), dtype=np.int16)
+    if ch == 1:
+        samples = samples[:, 0]
+    out, rate, channels = C.decode_wav(C.encode_wav(samples, rate=8000))
+    assert rate == 8000 and channels == ch
+    assert np.array_equal(out.reshape(samples.shape), samples)
