@@ -1533,3 +1533,32 @@ def test_amie_hub_key_skew(ray_session, tmp_path, monkeypatch, sf_dir):
     cold = mlq.q_kg_amie_rules(sf).to_pandas()
     key = lambda df: df.sort_values(["p1", "p2", "p3"]).reset_index(drop=True)
     assert key(hot).equals(key(cold))
+
+
+def test_text_stages_nasty_inputs():
+    """Every text stage tolerates empty strings, nulls, emoji, control
+    characters, mixed scripts, and 50k-char tokens without raising (the
+    webtext reality)."""
+    from rdflib_r2r_ray.stages import text as T
+
+    nasty = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": ["", "🎉🎊🚀", "a" * 50000, "héllo wörld 中文 текст",
+                 "word " * 3, "\x00\tmixed\nctrl\rchars"],
+    })
+    with_null = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["ok", None], pa.string()),
+    })
+    stages = [T.text_stats, T.TokenCounter(), T.QualityScorer(),
+              T.LanguageID(), T.pii_scrub, T.normalize_text,
+              T.RepetitionStats(), T.zlib_ratio]
+    for fn in stages:
+        for batch in (nasty, with_null):
+            out = fn(batch)
+            assert out.num_rows == batch.num_rows
+    assert T.rolling_fingerprint("") is not None
+    d = T.levenshtein_batch(
+        pa.array(["héllo", ""]).to_numpy(zero_copy_only=False),
+        pa.array(["hello", "中文"]).to_numpy(zero_copy_only=False))
+    assert list(d) == [1, 2]
